@@ -1,0 +1,62 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {...}, "sf": ...}.
+
+Session startup is amortized across all queries (one SparkSession, one
+warm-up action) so the numbers measure query execution, not JVM boot —
+SURVEY.md §6's note that fixed overhead, not data volume, is the local
+risk.  Each query is executed via ``df.foreach(noop)``-free
+``count()``-less ``collect()`` on its (small) result — the work is in the
+scan/shuffle, results are aggregate-sized.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+
+    from big_data_lab_three_spark.queries import load_all
+    from big_data_lab_three_spark.session import get_spark
+
+    registry = load_all()
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm up: JVM JIT + parquet footer caches, not counted.
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name, q in sorted(registry.items()):
+        t0 = time.perf_counter()
+        q.spark(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "query_corpus_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

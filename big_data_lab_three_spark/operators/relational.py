@@ -1,0 +1,166 @@
+"""Projections, filters, per-column transforms, unions, sorts
+(SURVEY.md §2.2, §2.4, §2.5).
+
+Everything here is a narrow transformation or a declarative shuffle — no
+Python UDFs, so the whole surface stays inside Catalyst/codegen.  Functions
+take and return DataFrames and compose; citations point at the reference
+behavior each one re-expresses.
+"""
+
+from __future__ import annotations
+
+import functools
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType, StringType
+
+
+def drop_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """P2 — drop-list projection (reference ``src/preprocess.py:65-88``,
+    ``errors='ignore'``).  Spark's ``drop`` natively ignores absent names;
+    dedup-preserving-order mirrors the reference's ``dict.fromkeys``."""
+    return df.drop(*dict.fromkeys(cols))
+
+
+def binarize_label(
+    df: DataFrame,
+    src: str = "Label",
+    positive: str = "BENIGN",
+    out: str = "State",
+) -> DataFrame:
+    """P3 — label binarization (reference ``src/preprocess.py:81-84``:
+    ``1 if a == 'BENIGN' else 0``; NULL label → 0)."""
+    return df.withColumn(
+        out, F.when(F.col(src) == positive, F.lit(1)).otherwise(F.lit(0))
+    )
+
+
+def nullify_nonfinite(
+    df: DataFrame, cols: Sequence[str] | None = None
+) -> DataFrame:
+    """P4 — ±inf/NaN → NULL (reference ``src/preprocess.py:85``:
+    ``df.replace([inf,-inf], nan)``; plus NaN→NULL so Spark's NaN≠NULL
+    distinction doesn't diverge from pandas semantics, SURVEY.md §1.2).
+
+    One ``select`` over all columns — a single Project node, no extra pass
+    per column (the pandas reference rewrites the whole frame in place).
+    """
+    if cols is None:
+        cols = [
+            f.name for f in df.schema.fields
+            if isinstance(f.dataType, NumericType)
+        ]
+    targets = set(cols)
+    exprs = []
+    for f_ in df.schema.fields:
+        c = f_.name
+        if c in targets and isinstance(f_.dataType, NumericType):
+            col = F.col(c)
+            exprs.append(
+                F.when(
+                    F.isnan(col)
+                    | (col == F.lit(float("inf")))
+                    | (col == F.lit(float("-inf"))),
+                    F.lit(None),
+                )
+                .otherwise(col)
+                .alias(c)
+            )
+        else:
+            exprs.append(F.col(c))
+    return df.select(*exprs)
+
+
+def string_columns(df: DataFrame) -> list[str]:
+    """P7 — dtype-based column selection (reference nb cell 23:
+    ``select_dtypes(include=['object'])``)."""
+    return [
+        f.name for f in df.schema.fields if isinstance(f.dataType, StringType)
+    ]
+
+
+def with_row_id(df: DataFrame, name: str = "row_id") -> DataFrame:
+    """P8 — explicit row id replacing the pandas index
+    (``monotonically_increasing_id`` — unique and stable within a run, NOT
+    the dense 0..n-1 of pandas; dense ids would force a global sort +
+    ``zipWithIndex``, which is a scale anti-pattern)."""
+    return df.withColumn(name, F.monotonically_increasing_id())
+
+
+def label_encode(
+    df: DataFrame, cols: Sequence[str], suffix: str = "_code"
+) -> DataFrame:
+    """P9 — string → dense int codes (reference nb cell 23,
+    ``LabelEncoder``: codes are the 0-based rank of the sorted distinct
+    values).
+
+    Implemented as a broadcast join per column against the tiny distinct
+    dictionary — the dictionary aggregation shuffles only distinct values
+    (map-side partial agg), and the join back is broadcast, so the fact
+    table never shuffles.  ``pyspark.ml.feature.StringIndexer`` is the ML
+    pipeline variant (frequency-ordered); this one matches sklearn's
+    lexicographic contract.
+    """
+    out = df
+    for c in cols:
+        dictionary = (
+            df.select(F.col(c).alias(c)).where(F.col(c).isNotNull()).distinct()
+            .select(
+                c,
+                (F.dense_rank().over(Window.orderBy(F.col(c))) - 1).alias(
+                    f"{c}{suffix}"
+                ),
+            )
+        )
+        out = out.join(F.broadcast(dictionary), on=c, how="left")
+    return out
+
+
+def union_by_name(
+    dfs: Sequence[DataFrame], allow_missing_columns: bool = False
+) -> DataFrame:
+    """U1/U2 — vertical union by column name (reference nb cell 4
+    ``pd.concat`` of the 8 day-files; nb cells 33-37 outer union of
+    mismatched schemas with NULL fill).
+
+    Pure plan-level union: no shuffle, partitions are concatenated.
+    """
+    return functools.reduce(
+        lambda a, b: a.unionByName(
+            b, allowMissingColumns=allow_missing_columns
+        ),
+        dfs,
+    )
+
+
+def topk(
+    df: DataFrame,
+    order: Sequence, k: int,
+) -> DataFrame:
+    """O1+O2 — sort desc + head (reference nb cell 26
+    ``sort_values(ascending=False)`` + ``head``).
+
+    ``orderBy(...).limit(k)`` compiles to ``TakeOrderedAndProject`` — a
+    per-partition top-k + driver merge, NOT a global sort; this is the plan
+    that survives 100 TB.  Callers must include a unique tiebreak column so
+    top-k is well-defined (SURVEY.md §7.4).
+    """
+    return df.orderBy(*order).limit(k)
+
+
+def top1_per_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    order: Sequence,
+) -> DataFrame:
+    """O3 — argmax per group (reference nb cell 18: ``df.mode().iloc[0]``
+    is an argmax of value-counts per column).  ``row_number`` over a
+    partitioned window — one shuffle on the group keys."""
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -1,0 +1,756 @@
+"""Relational query corpus (SURVEY.md §7.2) — one registry entry per
+SQL-expressible operator from the §2 inventory, over the driver's
+TPC-H-ish tables.
+
+Each function's docstring names the §2 operator IDs it exercises and the
+reference behavior it re-expresses (file:line into ``/root/reference``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from big_data_lab_three_spark.operators import (
+    binarize_label,
+    confusion_matrix,
+    classification_report,
+    distinct_profile,
+    null_profile,
+    topk,
+    union_by_name,
+    value_counts,
+    zscore,
+)
+from big_data_lab_three_spark.queries import register
+from big_data_lab_three_spark.schemas import conform
+from big_data_lab_three_spark.sources import table
+
+
+# --------------------------------------------------------------------------
+# Flagship
+# --------------------------------------------------------------------------
+
+@register(
+    "pricing_summary",
+    ids="A1,A5,A9 aggregate shapes; flagship",
+    oracle="""
+SELECT l_returnflag,
+       l_linestatus,
+       round(sum(l_quantity), 2)                                   AS sum_qty,
+       round(sum(l_extendedprice), 2)                              AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4)                                   AS avg_qty,
+       round(avg(l_extendedprice), 4)                              AS avg_price,
+       round(avg(l_discount), 6)                                   AS avg_disc,
+       count(*)                                                    AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship query (TPC-H Q1 shape): scan → filter → wide hash-agg →
+    sort.  Exercises the whole Catalyst path: parquet predicate pushdown on
+    ``l_shipdate``, column pruning to 7 of 11 columns, map-side partial
+    aggregation, 6-group final agg.  At 100 TB this plan is scan-bound, as
+    it should be — no joins, one shuffle of 6 partial rows per mapper."""
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(disc_price * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Projections / filters / per-column transforms (§2.2)
+# --------------------------------------------------------------------------
+
+@register(
+    "scan_project",
+    ids="S1,P2",
+    oracle="""
+SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+FROM lineitem
+WHERE l_quantity < 10
+""",
+)
+def scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+P2 — scan with column pruning (reference drop-list projection,
+    ``src/preprocess.py:65-88``).  ``.explain`` shows ReadSchema with
+    exactly 4 columns and PushedFilters on ``l_quantity``."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") < 10)
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    )
+
+
+@register(
+    "strip_conform",
+    ids="P1,P6",
+    oracle="""
+SELECT o_orderkey,
+       o_totalprice,
+       CAST(NULL AS DOUBLE) AS o_projected_margin
+FROM orders
+""",
+)
+def strip_conform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1+P6 — schema conform to a contract with a missing column
+    (reference ``src/predict.py:138`` ``reindex(columns=...,
+    fill_value=nan)``): absent ``o_projected_margin`` becomes typed NULLs.
+    Pure projection — scan pruned to the 2 present contract columns."""
+    o = table(spark, sf_dir, "orders")
+    return conform(o, ["o_orderkey", "o_totalprice", "o_projected_margin"])
+
+
+@register(
+    "binarize_label",
+    ids="P3",
+    oracle="""
+SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS state,
+       count(*) AS n
+FROM orders
+GROUP BY 1
+ORDER BY state
+""",
+)
+def binarize_label_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 — label binarization (reference ``src/preprocess.py:84``:
+    ``1 if a == 'BENIGN' else 0``, NULL → 0) + group counts."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        binarize_label(o, src="o_orderstatus", positive="F", out="state")
+        .groupBy("state")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("state")
+    )
+
+
+@register(
+    "nullify_outliers",
+    ids="P4",
+    oracle="""
+WITH nulled AS (
+  SELECT CASE WHEN value > 250 OR value < 0.1 THEN NULL ELSE value END AS v
+  FROM events
+)
+SELECT count(*)                           AS n_rows,
+       count(v)                           AS n_valid,
+       count(*) - count(v)                AS n_nulled,
+       round(avg(v), 4)                   AS avg_valid
+FROM nulled
+""",
+)
+def nullify_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 — sentinel/invalid numeric → NULL then aggregate (reference
+    ``src/preprocess.py:85`` normalizes ±inf to NaN/NULL; the test data has
+    no infs, so out-of-range sentinels stand in).  NULL-aware ``count``/
+    ``avg`` then behave exactly like the pandas reference's ``isna``-driven
+    stats (SURVEY.md §1.2 NaN-vs-NULL note)."""
+    ev = table(spark, sf_dir, "events")
+    v = F.col("value")
+    nulled = ev.select(
+        F.when((v > 250) | (v < 0.1), F.lit(None)).otherwise(v).alias("v")
+    )
+    return nulled.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("v").alias("n_valid"),
+        (F.count(F.lit(1)) - F.count("v")).alias("n_nulled"),
+        F.round(F.avg("v"), 4).alias("avg_valid"),
+    )
+
+
+@register(
+    "filter_predicate",
+    ids="P5,A1",
+    oracle="""
+SELECT count(*) AS n,
+       round(sum(l_extendedprice), 2) AS revenue
+FROM lineitem
+WHERE l_quantity >= 45 AND l_discount <= 0.02
+""",
+)
+def filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5+A1 — boolean-mask row filter + count (reference nb cells 5/27).
+    Both predicates reach the parquet scan as PushedFilters."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.where((F.col("l_quantity") >= 45) & (F.col("l_discount") <= 0.02))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "label_encode",
+    ids="P9",
+    oracle="""
+WITH dict AS (
+  SELECT p_type,
+         CAST(dense_rank() OVER (ORDER BY p_type) - 1 AS BIGINT) AS p_type_code
+  FROM (SELECT DISTINCT p_type FROM part)
+)
+SELECT p.p_partkey, p.p_type, d.p_type_code
+FROM part p JOIN dict d USING (p_type)
+""",
+)
+def label_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 — string → dense int codes, sklearn ``LabelEncoder`` contract
+    (codes = 0-based rank of sorted distinct values; reference nb cell 23).
+    Dictionary built from distinct values only, broadcast-joined back — the
+    fact table never shuffles."""
+    from big_data_lab_three_spark.operators import label_encode
+
+    p = table(spark, sf_dir, "part")
+    return (
+        label_encode(p, ["p_type"])
+        .select(
+            "p_partkey", "p_type", F.col("p_type_code").cast("long").alias("p_type_code")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Unions / dedup (§2.4)
+# --------------------------------------------------------------------------
+
+@register(
+    "union_all_days",
+    ids="U1",
+    oracle="""
+SELECT o_orderstatus, count(*) AS n
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def union_all_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 — vertical union by name (reference nb cell 4: ``pd.concat`` of 8
+    day-files).  The table is split into three same-schema frames by status
+    and re-unioned — a pure plan-level concat, no shuffle."""
+    o = table(spark, sf_dir, "orders")
+    parts = [o.where(F.col("o_orderstatus") == s) for s in ("F", "O", "P")]
+    return (
+        union_by_name(parts)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "union_mismatched",
+    ids="U2",
+    oracle="""
+WITH u AS (
+  SELECT c_custkey, c_acctbal, CAST(NULL AS VARCHAR) AS c_mktsegment
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, CAST(NULL AS DOUBLE) AS c_acctbal, c_mktsegment
+  FROM customer
+)
+SELECT count(*)                                          AS n_rows,
+       sum(CASE WHEN c_acctbal    IS NULL THEN 1 ELSE 0 END) AS acctbal_nulls,
+       sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS segment_nulls
+FROM u
+""",
+)
+def union_mismatched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 — outer union of mismatched schemas with NULL fill (reference nb
+    cells 33-37: ``pd.concat`` of differently-schemaed frames;
+    ``unionByName(allowMissingColumns=True)``) + null counts."""
+    c = table(spark, sf_dir, "customer")
+    a = c.select("c_custkey", "c_acctbal")
+    b = c.select("c_custkey", "c_mktsegment")
+    u = union_by_name([a, b], allow_missing_columns=True)
+    return u.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("c_acctbal").isNull().cast("long")).alias("acctbal_nulls"),
+        F.sum(F.col("c_mktsegment").isNull().cast("long")).alias("segment_nulls"),
+    )
+
+
+@register(
+    "dedup_rows",
+    ids="U3",
+    oracle="""
+SELECT DISTINCT l_returnflag, l_linestatus, l_quantity
+FROM (
+  SELECT l_returnflag, l_linestatus, l_quantity FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, l_linestatus, l_quantity FROM lineitem
+)
+""",
+)
+def dedup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 — full-row dedup (reference nb cells 5/7 ``drop_duplicates``;
+    288,804 dups found there).  Duplicates are seeded by self-union (the
+    synthetic tables are dup-free), then ``dropDuplicates`` — a hash-agg on
+    all columns with map-side partials, the scalable exact-dedup plan."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity"
+    )
+    return li.unionByName(li).dropDuplicates()
+
+
+# --------------------------------------------------------------------------
+# Profiling aggregates (§2.3)
+# --------------------------------------------------------------------------
+
+@register(
+    "null_profile",
+    ids="A3,A8",
+    oracle="""
+WITH nulled AS (
+  SELECT CASE WHEN value > 250 THEN NULL ELSE value END AS value,
+         CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS event_type
+  FROM events
+), n AS (SELECT count(*) AS total FROM nulled)
+SELECT 'value' AS col_name,
+       sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS null_count,
+       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / (SELECT total FROM n) AS null_frac
+FROM nulled
+UNION ALL
+SELECT 'event_type',
+       sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END),
+       CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / (SELECT total FROM n)
+FROM nulled
+""",
+)
+def null_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3+A8 — per-column null count + proportion in ONE wide agg
+    (reference nb cells 17/22/37 run one pandas pass per column; here
+    Catalyst fuses all columns into a single hash-agg stage)."""
+    ev = table(spark, sf_dir, "events")
+    nulled = ev.select(
+        F.when(F.col("value") > 250, None).otherwise(F.col("value")).alias("value"),
+        F.when(F.col("event_type") == "error", None)
+        .otherwise(F.col("event_type"))
+        .alias("event_type"),
+    )
+    return null_profile(nulled, ["value", "event_type"]).select(
+        F.col("column").alias("col_name"), "null_count", "null_frac"
+    )
+
+
+@register(
+    "distinct_profile",
+    ids="A2",
+    oracle="""
+SELECT 'c_custkey' AS col_name, count(DISTINCT c_custkey) AS distinct_count FROM customer
+UNION ALL
+SELECT 'c_nationkey', count(DISTINCT c_nationkey) FROM customer
+UNION ALL
+SELECT 'c_mktsegment', count(DISTINCT c_mktsegment) FROM customer
+UNION ALL
+SELECT 'c_acctbal', count(DISTINCT c_acctbal) FROM customer
+""",
+)
+def distinct_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — per-column distinct count (reference nb cells 15-16
+    ``nunique``).  Exact here; ``distinct_profile(approx=True)`` is the
+    HyperLogLog scale path for 100 TB (one mergeable sketch pass)."""
+    c = table(spark, sf_dir, "customer")
+    return distinct_profile(
+        c, ["c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"]
+    ).select(F.col("column").alias("col_name"), "distinct_count")
+
+
+@register(
+    "mode_impute",
+    ids="A4,O3",
+    oracle="""
+WITH nulled AS (
+  SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderpriority END AS prio
+  FROM orders
+), m AS (
+  SELECT prio AS mode_v
+  FROM nulled
+  WHERE prio IS NOT NULL
+  GROUP BY prio
+  ORDER BY count(*) DESC, prio ASC
+  LIMIT 1
+)
+SELECT coalesce(prio, (SELECT mode_v FROM m)) AS priority, count(*) AS n
+FROM nulled
+GROUP BY 1
+ORDER BY priority
+""",
+)
+def mode_impute_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4+O3 — most-frequent-value imputation (reference nb cells 18/39:
+    ``df.fillna(df.mode().iloc[0])``; pandas takes the SMALLEST value on
+    ties, so both sides order by count DESC, value ASC).  The 1-row mode is
+    broadcast back — no global window, no driver round-trip."""
+    o = table(spark, sf_dir, "orders")
+    nulled = o.select(
+        F.when(F.col("o_orderkey") % 7 == 0, None)
+        .otherwise(F.col("o_orderpriority"))
+        .alias("prio")
+    )
+    mode_row = (
+        nulled.where(F.col("prio").isNotNull())
+        .groupBy("prio")
+        .count()
+        .orderBy(F.desc("count"), F.asc("prio"))
+        .limit(1)
+        .select(F.col("prio").alias("_mode"))
+    )
+    return (
+        nulled.crossJoin(F.broadcast(mode_row))
+        .select(F.coalesce("prio", "_mode").alias("priority"))
+        .groupBy("priority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("priority")
+    )
+
+
+@register(
+    "mean_impute",
+    ids="A5",
+    oracle="""
+WITH nulled AS (
+  SELECT CASE WHEN l_orderkey % 5 = 0 THEN NULL ELSE l_quantity END AS qty
+  FROM lineitem
+), s AS (SELECT avg(qty) AS mean_qty FROM nulled)
+SELECT count(*)                                   AS n,
+       round(sum(coalesce(qty, (SELECT mean_qty FROM s))), 2) AS sum_qty_imputed,
+       round(avg(coalesce(qty, (SELECT mean_qty FROM s))), 4) AS avg_qty_imputed
+FROM nulled
+""",
+)
+def mean_impute_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — mean imputation (reference ``src/train.py:61-66``
+    ``SimpleImputer(strategy='mean')``).  Mean from one agg, broadcast
+    cross-join of the 1-row stats (never a global ``avg() over ()`` window,
+    which would funnel the table through one task)."""
+    li = table(spark, sf_dir, "lineitem")
+    nulled = li.select(
+        F.when(F.col("l_orderkey") % 5 == 0, None)
+        .otherwise(F.col("l_quantity"))
+        .alias("qty")
+    )
+    stats = nulled.agg(F.avg("qty").alias("mean_qty"))
+    filled = nulled.crossJoin(F.broadcast(stats)).select(
+        F.coalesce("qty", "mean_qty").alias("qty_i")
+    )
+    return filled.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("qty_i"), 2).alias("sum_qty_imputed"),
+        F.round(F.avg("qty_i"), 4).alias("avg_qty_imputed"),
+    )
+
+
+@register(
+    "zscore_scale",
+    ids="A6",
+    oracle="""
+WITH s AS (
+  SELECT avg(l_extendedprice) AS m, stddev_samp(l_extendedprice) AS sd
+  FROM lineitem
+)
+SELECT l_returnflag,
+       round(avg((l_extendedprice - m) / sd), 4)        AS z_mean,
+       round(stddev_samp((l_extendedprice - m) / sd), 4) AS z_std,
+       count(*)                                          AS n
+FROM lineitem, s
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def zscore_scale_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — z-score standardization (reference ``StandardScaler``,
+    ``src/train.py:61-66``): global mean/std from one agg pass, broadcast
+    back, then per-group stats of the scaled column verify mean≈0/std≈1
+    overall."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    z = zscore(li, ["l_extendedprice"])
+    return (
+        z.groupBy("l_returnflag")
+        .agg(
+            F.round(F.avg("l_extendedprice"), 4).alias("z_mean"),
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("z_std"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "value_counts",
+    ids="A7,O1,O2",
+    oracle="""
+SELECT c_mktsegment, count(*) AS n
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY n DESC, c_mktsegment ASC
+LIMIT 3
+""",
+)
+def value_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7+O1+O2 — group-count descending with head (reference nb cell 43
+    ``value_counts()``); deterministic value tiebreak so top-k is
+    well-defined (SURVEY.md §7.4)."""
+    c = table(spark, sf_dir, "customer")
+    return (
+        value_counts(c, "c_mktsegment")
+        .select("c_mktsegment", F.col("count").alias("n"))
+        .orderBy(F.desc("n"), F.asc("c_mktsegment"))
+        .limit(3)
+    )
+
+
+@register(
+    "crosstab_confusion",
+    ids="A9,A10",
+    oracle="""
+SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS label,
+       CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END  AS prediction,
+       count(*) AS n
+FROM lineitem
+GROUP BY 1, 2
+ORDER BY label, prediction
+""",
+)
+def crosstab_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9+A10 — confusion-matrix counts (reference nb cell 49
+    ``confusion_matrix``): one groupBy over derived label/prediction
+    columns."""
+    li = table(spark, sf_dir, "lineitem")
+    labeled = li.select(
+        (F.col("l_returnflag") == "R").cast("int").alias("label"),
+        (F.col("l_discount") > 0.05).cast("int").alias("prediction"),
+    )
+    return confusion_matrix(labeled)
+
+
+@register(
+    "classification_report",
+    ids="A11",
+    oracle="""
+WITH labeled AS (
+  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS label,
+         CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END  AS prediction
+  FROM lineitem
+), cm AS (
+  SELECT label, prediction, count(*) AS n FROM labeled GROUP BY 1, 2
+), per_label AS (
+  SELECT label AS class, sum(n) AS support FROM cm GROUP BY 1
+), per_pred AS (
+  SELECT prediction AS class, sum(n) AS predicted_n FROM cm GROUP BY 1
+), tp AS (
+  SELECT label AS class, n AS tp FROM cm WHERE label = prediction
+)
+SELECT c.class,
+       round(CAST(coalesce(t.tp, 0) AS DOUBLE) / p.predicted_n, 6) AS precision,
+       round(CAST(coalesce(t.tp, 0) AS DOUBLE) / c.support, 6)     AS recall,
+       c.support
+FROM per_label c
+JOIN per_pred p USING (class)
+LEFT JOIN tp t USING (class)
+ORDER BY class
+""",
+)
+def classification_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 — per-class precision/recall (reference nb cell 51
+    ``classification_report``), derived relationally from confusion counts
+    (tiny frames, broadcast joins)."""
+    li = table(spark, sf_dir, "lineitem")
+    labeled = li.select(
+        (F.col("l_returnflag") == "R").cast("int").alias("label"),
+        (F.col("l_discount") > 0.05).cast("int").alias("prediction"),
+    )
+    rep = classification_report(labeled)
+    return rep.select(
+        "class",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        "support",
+    ).orderBy("class")
+
+
+# --------------------------------------------------------------------------
+# Sorts / top-k / windows (§2.5, §2.7) and joins (§2.4 no-join note)
+# --------------------------------------------------------------------------
+
+@register(
+    "topk_sort",
+    ids="O1,O2 + join",
+    oracle="""
+SELECT c.c_custkey,
+       c.c_name,
+       round(sum(o.o_totalprice), 2) AS total_spend
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
+ORDER BY total_spend DESC, c_custkey ASC
+LIMIT 5
+""",
+)
+def topk_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1+O2 + join — top-5 customers by total spend.  The customer dim is
+    explicitly broadcast (at 100 TB the orders fact never shuffles for this
+    join); ``orderBy().limit()`` compiles to TakeOrderedAndProject, not a
+    global sort."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    joined = o.join(
+        F.broadcast(c), o["o_custkey"] == c["c_custkey"], "inner"
+    )
+    return topk(
+        joined.groupBy("c_custkey", "c_name").agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend")
+        ),
+        order=[F.desc("total_spend"), F.asc("c_custkey")],
+        k=5,
+    )
+
+
+@register(
+    "window_rank",
+    ids="O3,W (§2.7)",
+    oracle="""
+SELECT c_custkey,
+       c_nationkey,
+       c_acctbal,
+       rk,
+       prev_custkey,
+       round(run_bal, 2) AS run_bal
+FROM (
+  SELECT c_custkey, c_nationkey, c_acctbal,
+         CAST(row_number() OVER (
+             PARTITION BY c_nationkey
+             ORDER BY c_acctbal DESC, c_custkey ASC) AS INT) AS rk,
+         lag(c_custkey) OVER (
+             PARTITION BY c_nationkey ORDER BY c_custkey ASC) AS prev_custkey,
+         sum(c_acctbal) OVER (
+             PARTITION BY c_nationkey ORDER BY c_custkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_bal
+  FROM customer
+)
+WHERE rk <= 3
+""",
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 — ranking + analytic windows (generalizes the reference's O3
+    argmax-per-group, nb cell 18): row_number / lag / running sum, one
+    shuffle on the partition key.  Explicit ROWS frame so Spark and the
+    oracle agree on peer handling."""
+    c = table(spark, sf_dir, "customer")
+    w_rank = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    w_seq = Window.partitionBy("c_nationkey").orderBy(F.asc("c_custkey"))
+    w_run = w_seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        c.select(
+            "c_custkey",
+            "c_nationkey",
+            "c_acctbal",
+            F.row_number().over(w_rank).alias("rk"),
+            F.lag("c_custkey").over(w_seq).alias("prev_custkey"),
+            F.sum("c_acctbal").over(w_run).alias("run_bal"),
+        )
+        .where(F.col("rk") <= 3)
+        .select(
+            "c_custkey", "c_nationkey", "c_acctbal", "rk", "prev_custkey",
+            F.round("run_bal", 2).alias("run_bal"),
+        )
+    )
+
+
+@register(
+    "shipping_priority",
+    ids="join (3-way), O1,O2",
+    oracle="""
+SELECT l.l_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY l.l_orderkey
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+""",
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join (TPC-H Q3 shape).  Filters push into both scans; the
+    filtered customer dim broadcasts into orders, and only the surviving
+    orders shuffle against lineitem on the join key — the join order a
+    100 TB plan needs."""
+    c = table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    joined = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+    )
+    return topk(
+        joined.groupBy("l_orderkey").agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        ),
+        order=[F.desc("revenue"), F.asc("l_orderkey")],
+        k=10,
+    )
+
+
+# --------------------------------------------------------------------------
+# Semi-structured (§2.1 S3)
+# --------------------------------------------------------------------------
+
+@register(
+    "json_flatten",
+    ids="S3",
+    oracle="""
+SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+       count(*) AS n
+FROM events
+GROUP BY 1
+ORDER BY k
+""",
+)
+def json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 — JSON record flattening (reference ``src/predict.py:133-135``
+    ``pd.json_normalize``): extract a field from the ``props`` JSON string
+    and aggregate.  ``get_json_object`` runs JVM-side (no Python UDF)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.get_json_object(F.col("props"), "$.k").cast("int").alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("k")
+    )

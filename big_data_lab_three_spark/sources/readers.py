@@ -1,0 +1,104 @@
+"""Sources (SURVEY.md §2.1): parquet test tables, CSV scan (S1), JSON
+record source (S3).
+
+Scale notes: parquet reads get vectorized scan + predicate pushdown +
+column pruning for free; the CSV path takes an explicit schema so no
+inference pass is needed (the reference's ``low_memory=False`` exists only
+to work around pandas chunked type-guessing — Spark with a schema has no
+such pass at all).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from big_data_lab_three_spark.schemas import strip_column_names
+
+# The driver's TPC-H-ish star schema + events/documents/embeddings
+# (TESTDATA.md).
+TABLE_NAMES: tuple[str, ...] = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """One test table as a DataFrame (lazy parquet scan).
+
+    ``events.parquet`` carries TIMESTAMP(NANOS) — written by
+    pandas/pyarrow, unreadable by Spark's vectorized reader by default — so
+    the legacy nanos-as-long conf is set (runtime-settable, works under any
+    session including the driver's) and ``ts`` arrives as LongType
+    nanoseconds.  Use :func:`events` for a converted timestamp column.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table with ``ts`` additionally exposed as a proper
+    microsecond TimestampType column ``ts_utc`` (Spark has no nanosecond
+    timestamps; nanos stay available in the raw ``ts`` long)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.withColumn(
+        "ts_utc", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES
+) -> dict[str, DataFrame]:
+    """All test tables keyed by name.  Scans are lazy; unused tables cost
+    nothing (their plan nodes are never executed)."""
+    return {name: table(spark, sf_dir, name) for name in names}
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    encoding: str = "latin1",
+    header: bool = True,
+) -> DataFrame:
+    """CSV scan, S1 (reference ``src/preprocess.py:103``:
+    ``pd.read_csv(path, encoding='latin1', low_memory=False)``).
+
+    With ``schema`` given this is a single streaming pass; without it Spark
+    runs one inference job first (exploratory paths only).
+    """
+    reader = (
+        spark.read.option("header", header)
+        .option("encoding", encoding)
+        .option("mode", "PERMISSIVE")
+    )
+    if schema is not None:
+        return reader.schema(schema).csv(path)
+    return reader.option("inferSchema", True).csv(path)
+
+
+def read_flow_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """CSV scan + header-whitespace normalization (S1 + P1) — the
+    reference's canonical load path."""
+    return strip_column_names(read_csv(spark, path, schema=schema))
+
+
+def read_json_records(
+    spark: SparkSession, path: str, record_path: str = "X"
+) -> DataFrame:
+    """JSON record source, S3 (reference ``src/predict.py:133-135``:
+    ``json.load`` + ``pd.json_normalize(data, record_path=['X'])``).
+
+    The fixture shape is one JSON document ``{"X": [{...}], "y": [{...}]}``;
+    flattening is ``explode`` + struct-star projection — both Catalyst
+    generators, no Python in the loop.
+    """
+    doc = spark.read.option("multiLine", True).json(path)
+    return (
+        doc.select(F.explode(F.col(record_path)).alias("_rec"))
+        .select("_rec.*")
+    )
