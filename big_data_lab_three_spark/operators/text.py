@@ -1,0 +1,110 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language ID, document fingerprinting.
+
+These extend the reference (whose only text op is label binarization,
+``src/preprocess.py:84``) with the ops a 100 TB document pipeline needs.
+Everything is built-in-function Spark — per-document work is a pure
+projection (embarrassingly parallel, no shuffle), so throughput scales
+linearly with executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from big_data_lab_three_spark.functions.text import md5_hex, shingles, tokens
+
+# Tiny per-language stopword/marker sets for the n-gram-free heuristic
+# language ID.  Deterministic tie-break: language list order.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "de": ["der", "die", "und", "ist", "das"],
+    "es": ["el", "los", "las", "y", "es"],
+}
+
+# A BPE-ish word/number/punctuation splitter: runs of letters, runs of
+# digits, or single non-space symbols — the common pre-tokenizer shape.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count(text: Column, bpe: bool = False) -> Column:
+    """Token count: whitespace tokens, or BPE-ish regex pieces."""
+    if bpe:
+        return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0))
+    return F.size(tokens(text))
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality signals: char/token counts, average token
+    length, stopword fraction, punctuation fraction.
+
+    One projection pass; all ratios are exact integer divisions so the
+    numbers are reproducible bit-for-bit across engines.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_toks = F.size(toks)
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    stop = F.size(
+        F.filter(toks, lambda x: x.isin(*LANG_MARKERS["en"]))
+    )
+    punct = F.length(t) - F.length(F.regexp_replace(t, r"[.,!?;:]", ""))
+    return df.withColumns(
+        {
+            "n_chars": F.length(t).cast("long"),
+            "n_tokens": n_toks.cast("long"),
+            "avg_token_len": tok_chars.cast("double") / n_toks,
+            "stopword_frac": stop.cast("double") / n_toks,
+            "punct_frac": punct.cast("double") / F.length(t),
+        }
+    )
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Marker-hit count per candidate language (stopword-set heuristic —
+    the classic cheap language ID for web-scale corpora)."""
+    toks = tokens(F.lower(text))
+    return {
+        lang: F.size(F.filter(toks, lambda x: x.isin(*markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def predict_lang(text: Column, default: str = "en") -> Column:
+    """Argmax of :func:`lang_scores` with deterministic tie-breaking
+    (first language in LANG_MARKERS order wins ties; all-zero → default).
+    """
+    scores = lang_scores(text)
+    langs = list(scores)
+    best = scores[langs[0]]
+    for lang in langs[1:]:
+        best = F.greatest(best, scores[lang])
+    # Build CASE from last to first so earlier languages win ties (the
+    # first language's WHEN ends up outermost).
+    expr = F.lit(default)
+    for lang in reversed(langs):
+        expr = F.when(
+            (best > 0) & (scores[lang] == best), F.lit(lang)
+        ).otherwise(expr)
+    return expr
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """Document fingerprinting: whole-content md5 plus a min-shingle
+    fingerprint (md5 over k-gram shingles, minimum taken — the 1-perm
+    minhash / winnowing-lite sketch).  Portable: md5 is identical across
+    engines, so fingerprints computed here match any other stack's."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    sh = shingles(toks, k)
+    min_shingle = F.array_min(F.transform(sh, lambda s: md5_hex(s)))
+    return df.withColumns(
+        {
+            "content_md5": md5_hex(t),
+            "min_shingle_md5": F.coalesce(min_shingle, md5_hex(t)),
+        }
+    )

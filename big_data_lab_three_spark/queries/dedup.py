@@ -1,0 +1,182 @@
+"""Deduplication query corpus over ``documents``/``embeddings``.
+
+The synthetic tables are duplicate-free, so each query seeds its own
+duplicates deterministically (re-keyed copies, optionally mutated) before
+deduplicating — making the expected output exactly computable by the
+DuckDB oracle.
+
+Oracle strategy per family:
+- exact + n-gram Jaccard: direct SQL twin.
+- MinHash+LSH: the oracle is the EXACT all-pairs Jaccard answer; the
+  Spark side must reproduce it through the approximate pipeline (with
+  r=4/b=16 the miss probability at the seeded J≈0.96 is ~4e-15, so the
+  approximate answer equals the exact one — that equivalence is the
+  point of the test).
+- SimHash: engine-specific 64-bit hashing → rows-only check here,
+  ground-truth subset assertions live in tests/.
+- embedding cosine: double-precision cosine rounded to 4 decimals on
+  both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_lab_three_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from big_data_lab_three_spark.queries import register
+from big_data_lab_three_spark.sources import table
+
+_DUCK_SHINGLES = """
+  SELECT id, list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, len(toks) - 1)]) AS sh
+  FROM (SELECT id, list_filter(regexp_split_to_array(text, '\\s+'),
+                               x -> x != '') AS toks FROM base)
+  WHERE len(toks) >= 3
+"""
+
+
+@register(
+    "dedup_exact",
+    ids="dedup: exact (hash-groupBy), generalizes U3",
+    oracle="""
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+)
+SELECT min(doc_id) AS kept_id, count(*) AS copies
+FROM u
+GROUP BY md5(text)
+""",
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content digest: every tenth document is duplicated
+    under a new id, then groupBy(md5(text)) keeps the smallest id.  The
+    shuffle carries 16-byte digests, not documents — the 100 TB plan."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = d.where(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    return exact_dedup(d.unionByName(dups)).select("kept_id", "copies")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    ids="dedup: n-gram Jaccard (exact, brute-force baseline)",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id AS id, text FROM documents WHERE doc_id % 25 = 0
+), t AS ({_DUCK_SHINGLES})
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+FROM t a JOIN t b ON a.id < b.id
+""",
+)
+def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard over all pairs of a deterministic document
+    sample — the correctness baseline the LSH pipeline must reproduce."""
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 0)
+    return ngram_jaccard_pairs(d)
+
+
+@register(
+    "dedup_minhash_lsh",
+    ids="dedup: MinHash+LSH (shingle→minhash→band→bucket-join→rescore)",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id AS id, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' zzz'
+  FROM documents WHERE doc_id % 5 = 0
+), t AS ({_DUCK_SHINGLES})
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+FROM t a JOIN t b ON a.id < b.id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7
+""",
+)
+def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection: every fifth document gets a
+    near-duplicate (one appended token, shingle-Jaccard ≈ 0.96); the LSH
+    pipeline (32 perms, 16 bands × 4 rows, exact rescore ≥ 0.7) must
+    recover exactly the pairs the oracle's brute-force Jaccard finds.
+
+    At scale only the band-bucket join shuffles, and it shuffles
+    (band, bucket, id) keys — never the documents."""
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    mutated = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    base = d.select("doc_id", "text").unionByName(mutated)
+    return minhash_lsh_pairs(
+        base, num_perms=32, bands=16, jaccard_threshold=0.7
+    ).select("id_a", "id_b", "jaccard")
+
+
+@register(
+    "dedup_simhash",
+    ids="dedup: SimHash (64-bit, prefix-bucketed Hamming)",
+    oracle=None,  # engine-specific 64-bit hashing; ground truth in tests/
+)
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs over a sample seeded with exact duplicates
+    (identical text ⇒ identical signature ⇒ Hamming 0, found via the
+    prefix bucket).  Rows-only check here; tests assert every seeded
+    pair appears."""
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    dup = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    base = d.select("doc_id", "text").unionByName(dup)
+    return simhash_pairs(base, max_hamming=3).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+@register(
+    "dedup_embedding",
+    ids="dedup: embedding-cosine near-dup",
+    oracle="""
+WITH base AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id % 5 = 0
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.01)
+  FROM embeddings WHERE vec_id % 5 = 0
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+FROM base a JOIN base b ON a.id < b.id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.99
+""",
+)
+def dedup_embedding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: every fifth vector gets a rescaled copy
+    (cosine exactly 1 up to fp) and brute-force cosine ≥ 0.99 recovers
+    exactly those pairs.  Random 64-d pairs sit at |cos| ≲ 0.5, far from
+    the threshold, so fp drift cannot flip membership."""
+    e = table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 5 == 0)
+    base = e.select(
+        F.col("vec_id").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    perturbed = base.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * 1.01).alias("embedding"),
+    )
+    u = base.unionByName(perturbed)
+    return embedding_near_dup_pairs(u, threshold=0.99).select(
+        "id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim")
+    )

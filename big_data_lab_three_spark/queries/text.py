@@ -1,0 +1,147 @@
+"""Text-analysis query corpus over the ``documents`` table: token
+counting, quality scoring, language ID, fingerprinting.
+
+All fingerprints use md5 (portable across engines), so even the hashing
+queries have exact DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_lab_three_spark.operators.text import (
+    BPE_ISH_PATTERN,
+    fingerprint,
+    predict_lang,
+    quality_metrics,
+    token_count,
+)
+from big_data_lab_three_spark.queries import register
+from big_data_lab_three_spark.sources import table
+
+# DuckDB-side tokenizer fragment shared by the oracles below.
+_DUCK_TOKS = (
+    "list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')"
+)
+
+
+@register(
+    "token_count",
+    ids="text: token counting (whitespace + BPE-ish regex)",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(
+              text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+         AS n_bpe_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_measured
+FROM documents
+""",
+)
+def token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex pieces per
+    document.  Pure projection — scales linearly, no shuffle."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        token_count(F.col("text"), bpe=True).cast("long").alias("n_bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+    )
+
+
+@register(
+    "text_quality",
+    ids="text: quality scoring (length/stopword/punct ratios)",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM documents
+)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(toks) AS BIGINT)    AS n_tokens,
+       CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+         / len(toks) AS avg_token_len,
+       CAST(len(list_filter(toks,
+              x -> list_contains(['the','a','of','and','is'], x)))
+            AS DOUBLE) / len(toks) AS stopword_frac,
+       CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+            AS DOUBLE) / length(text) AS punct_frac
+FROM t
+""",
+)
+def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals; all ratios are exact integer
+    divisions, reproducible bit-for-bit across engines."""
+    d = table(spark, sf_dir, "documents")
+    return quality_metrics(d).select(
+        "doc_id", "n_chars", "n_tokens", "avg_token_len",
+        "stopword_frac", "punct_frac",
+    )
+
+
+@register(
+    "lang_id",
+    ids="text: language ID (stopword-marker heuristic)",
+    oracle="""
+WITH t AS (
+  SELECT lang,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x != '') AS toks
+  FROM documents
+), s AS (
+  SELECT lang,
+    len(list_filter(toks, x -> list_contains(['the','a','of','and','is'], x))) AS s_en,
+    len(list_filter(toks, x -> list_contains(['le','la','les','et','est'], x))) AS s_fr,
+    len(list_filter(toks, x -> list_contains(['der','die','und','ist','das'], x))) AS s_de,
+    len(list_filter(toks, x -> list_contains(['el','los','las','y','es'], x))) AS s_es
+  FROM t
+), p AS (
+  SELECT lang,
+    CASE WHEN greatest(s_en, s_fr, s_de, s_es) = 0 THEN 'en'
+         WHEN s_en = greatest(s_en, s_fr, s_de, s_es) THEN 'en'
+         WHEN s_fr = greatest(s_en, s_fr, s_de, s_es) THEN 'fr'
+         WHEN s_de = greatest(s_en, s_fr, s_de, s_es) THEN 'de'
+         ELSE 'es' END AS predicted_lang
+  FROM s
+)
+SELECT lang, predicted_lang, count(*) AS n
+FROM p GROUP BY lang, predicted_lang
+ORDER BY lang, predicted_lang
+""",
+)
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (marker-stopword argmax, deterministic
+    tie-break) cross-tabulated against the labeled ``lang`` column."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", predict_lang(F.col("text")).alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "predicted_lang")
+    )
+
+
+@register(
+    "doc_fingerprint",
+    ids="text: document fingerprinting (md5 + min-shingle sketch)",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM documents
+)
+SELECT doc_id,
+       md5(text) AS content_md5,
+       CASE WHEN len(toks) >= 3
+            THEN list_min([md5(array_to_string(toks[i:i+2], ' '))
+                           for i in range(1, len(toks) - 1)])
+            ELSE md5(text) END AS min_shingle_md5
+FROM t
+""",
+)
+def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: whole-document md5 + min-shingle md5 (the
+    1-permutation minhash).  md5 is engine-portable, so the oracle
+    reproduces the sketch exactly."""
+    d = table(spark, sf_dir, "documents")
+    return fingerprint(d).select("doc_id", "content_md5", "min_shingle_md5")

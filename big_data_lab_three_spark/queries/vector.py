@@ -1,0 +1,72 @@
+"""Similarity-search query corpus over the ``embeddings`` table."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_lab_three_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_bucketed_topk,
+)
+from big_data_lab_three_spark.queries import register
+from big_data_lab_three_spark.sources import table
+
+
+@register(
+    "similarity_topk",
+    ids="similarity: brute-force cosine top-k (exact baseline)",
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id % 100 = 0
+), c AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings
+), s AS (
+  SELECT query_id, neighbor_id,
+         list_cosine_similarity(qv, cv) AS cos
+  FROM c, q
+  WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, round(cos, 4) AS cos_sim,
+       CAST(rn AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+  FROM s
+)
+WHERE rn <= 5
+""",
+)
+def similarity_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for a deterministic query sample: broadcast
+    queries × one corpus scan × per-query window rank.  This is the ANN
+    correctness baseline; at 100 TB the same plan is a broadcast join
+    over a partitioned corpus — linear, no shuffle of the corpus."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 100 == 0)
+    return brute_force_topk(q, e, k=5).select(
+        "query_id", "neighbor_id",
+        F.round("cos_sim", 4).alias("cos_sim"), "rank",
+    )
+
+
+@register(
+    "similarity_lsh",
+    ids="similarity: random-hyperplane LSH bucketed ANN (scale path)",
+    oracle=None,  # approximate by design; recall asserted in tests/
+)
+def similarity_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k: 32 seeded hyperplanes as 8 tables
+    × 4 bits; candidates from any colliding table.  Rows-only check
+    here; tests assert recall against the brute-force baseline."""
+    rng = np.random.default_rng(7)
+    planes = rng.standard_normal((32, 64)).tolist()
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 100 == 0)
+    return lsh_bucketed_topk(q, e, planes, tables=8, k=5).select(
+        "query_id", "neighbor_id",
+        F.round("cos_sim", 4).alias("cos_sim"), "rank",
+    )
