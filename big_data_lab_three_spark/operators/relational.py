@@ -73,6 +73,29 @@ def nullify_nonfinite(
     return df.select(*exprs)
 
 
+def coerce_numeric(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Parse string columns to double with pandas-compatible ``inf``
+    handling (pandas' CSV reader accepts ``inf``/``-inf``/``Infinity``;
+    Spark's schema inference leaves such columns as strings).  Values
+    that parse to neither number nor infinity become NULL — the same
+    end state the reference reaches via NaN."""
+    exprs = []
+    targets = set(cols)
+    for f_ in df.schema.fields:
+        c = f_.name
+        if c not in targets or not isinstance(f_.dataType, StringType):
+            exprs.append(F.col(c))
+            continue
+        low = F.lower(F.trim(F.col(c)))
+        exprs.append(
+            F.when(low.isin("inf", "+inf", "infinity"), F.lit(float("inf")))
+            .when(low.isin("-inf", "-infinity"), F.lit(float("-inf")))
+            .otherwise(F.col(c).cast("double"))
+            .alias(c)
+        )
+    return df.select(*exprs)
+
+
 def string_columns(df: DataFrame) -> list[str]:
     """P7 — dtype-based column selection (reference nb cell 23:
     ``select_dtypes(include=['object'])``)."""

@@ -1,0 +1,75 @@
+"""IO query corpus: CSV round-trip (S2/P8) and the JSON record source
+(S3) — the reference's file-based dataflow edges, exercised end-to-end.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_lab_three_spark.queries import register
+from big_data_lab_three_spark.sources import read_json_records, table
+from big_data_lab_three_spark.sources.sinks import write_csv
+
+
+@register(
+    "csv_roundtrip",
+    ids="S1,S2,P8",
+    oracle="""
+SELECT count(*) AS n,
+       round(sum(l_extendedprice), 2) AS revenue
+FROM lineitem
+WHERE l_quantity < 5
+""",
+)
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2+P8 — CSV sink with explicit row-id (the pandas ``index=True``
+    analogue, reference ``src/preprocess.py:106-119``) then re-read and
+    re-aggregated.  The oracle aggregates the ORIGINAL table — passing
+    proves the round-trip is lossless (Spark's shortest-repr double
+    formatting round-trips exactly)."""
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_quantity") < 5)
+    out = os.path.join(tempfile.mkdtemp(prefix="csv_rt_"), "lineitem_csv")
+    write_csv(li.select("l_orderkey", "l_quantity", "l_extendedprice"), out)
+    back = (
+        spark.read.option("header", True)
+        .schema("row_id long, l_orderkey long, l_quantity double, l_extendedprice double")
+        .csv(out)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
+
+
+@register(
+    "json_records",
+    ids="S3",
+    oracle="""
+SELECT CAST(f1 AS DOUBLE) AS f1, CAST(f2 AS DOUBLE) AS f2
+FROM (VALUES (1.5, 2.0), (3.0, NULL), (-0.25, 7.5)) AS t(f1, f2)
+""",
+)
+def json_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 — the reference's ``{"X": [...], "y": [...]}`` functional-test
+    fixture (``src/predict.py:133-135``): one multi-line JSON document,
+    flattened via explode + struct-star (no ``pd.json_normalize``, no
+    Python loop)."""
+    fixture = {
+        "X": [
+            {"f1": 1.5, "f2": 2.0},
+            {"f1": 3.0, "f2": None},
+            {"f1": -0.25, "f2": 7.5},
+        ],
+        "y": [{"State": 1}, {"State": 0}, {"State": 1}],
+    }
+    path = os.path.join(tempfile.mkdtemp(prefix="json_rec_"), "fixture.json")
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(fixture, f)
+    return read_json_records(spark, path, record_path="X").select(
+        F.col("f1").cast("double"), F.col("f2").cast("double")
+    )

@@ -39,6 +39,12 @@ DEFAULT_CONFS: dict[str, str] = {
     # Keep broadcast threshold at default 10MB: region/nation/supplier-sized
     # dims broadcast automatically; at 100TB the fact side never does.
     "spark.ui.enabled": "false",
+    # local[N] runs every executor thread inside the driver JVM — the 1g
+    # default heap is the first thing to die under a 32-thread suite.
+    # Applies only when this factory creates the JVM (a cluster deploy or
+    # the round driver's own session sets its own sizing).
+    "spark.driver.memory": "16g",
+    "spark.driver.maxResultSize": "4g",
     "spark.driver.extraJavaOptions": "-Duser.timezone=UTC",
     "spark.executor.extraJavaOptions": "-Duser.timezone=UTC",
 }

@@ -62,11 +62,12 @@ def read_csv(
     spark: SparkSession,
     path: str,
     schema: T.StructType | None = None,
-    encoding: str = "latin1",
+    encoding: str = "iso-8859-1",
     header: bool = True,
 ) -> DataFrame:
     """CSV scan, S1 (reference ``src/preprocess.py:103``:
-    ``pd.read_csv(path, encoding='latin1', low_memory=False)``).
+    ``pd.read_csv(path, encoding='latin1', low_memory=False)`` —
+    pandas' ``latin1`` is the charset Spark spells ``iso-8859-1``).
 
     With ``schema`` given this is a single streaming pass; without it Spark
     runs one inference job first (exploratory paths only).

@@ -1,0 +1,135 @@
+"""Sinks (SURVEY.md §2.1): CSV (S2), JSON fallback (S6), Redis list (S4).
+
+The Redis sink reproduces the reference's semantics
+(``src/predict.py:219-262``): wholesale rewrite of a list key —
+``DELETE`` then ``RPUSH`` per prediction — with graceful degradation to a
+local JSON file when Redis is unreachable.  Spark-first shape: the DELETE
+happens once on the driver, the RPUSHes happen inside
+``foreachPartition`` (executor-side, pipelined per partition), so the
+write parallelizes with the data instead of looping on the driver.
+At-least-once on retry, like the reference (documented, SURVEY.md §4.3).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import os
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    with_row_id: bool = True,
+    single_file: bool = False,
+    mode: str = "overwrite",
+) -> None:
+    """CSV sink, S2 (reference ``df.to_csv(path, index=True)``,
+    ``src/preprocess.py:106-119``): optional explicit row-id column
+    standing in for the pandas index.
+
+    ``single_file=True`` coalesces to one partition for
+    pandas-compatible single-file output — correct only for small
+    results; the default keeps one file per partition (the scalable
+    layout).
+    """
+    out = df
+    if with_row_id:
+        out = out.withColumn("row_id", F.monotonically_increasing_id())
+        out = out.select("row_id", *df.columns)
+    if single_file:
+        out = out.coalesce(1)
+    out.write.mode(mode).option("header", True).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON lines sink (distributed variant of S6)."""
+    df.write.mode(mode).json(path)
+
+
+def write_predictions_fallback_json(
+    predictions: list[int], path: str
+) -> str:
+    """S6 — the reference's local JSON fallback payload
+    (``src/predict.py:248-262``): ``{"predictions": [...],
+    "created_at": iso}`` written driver-side."""
+    payload = {
+        "predictions": [int(p) for p in predictions],
+        "created_at": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+    }
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(payload, f)
+    return path
+
+
+def redis_client(
+    host: str | None = None,
+    port: int | None = None,
+    password: str | None = None,
+    db: int | None = None,
+    timeout_s: float = 5.0,
+):
+    """Redis connection with the reference's 5 s connect/socket timeouts
+    (``src/predict.py:193-204``) and env-var config
+    (REDIS_HOST/PORT/PASSWORD/DB, ``src/predict.py:180-190``).
+    Returns None if the ``redis`` package is unavailable (not baked into
+    this container — callers fall through to the JSON sink)."""
+    try:
+        import redis  # noqa: PLC0415
+    except ImportError:
+        return None
+    return redis.Redis(
+        host=host or os.environ.get("REDIS_HOST", "localhost"),
+        port=int(port or os.environ.get("REDIS_PORT", 6379)),
+        password=password or os.environ.get("REDIS_PASSWORD") or None,
+        db=int(db if db is not None else os.environ.get("REDIS_DB", 0)),
+        socket_connect_timeout=timeout_s,
+        socket_timeout=timeout_s,
+    )
+
+
+def write_predictions_redis(
+    df: DataFrame,
+    prediction_col: str = "prediction",
+    key: str = "predictions",
+    fallback_path: str = "predictions_fallback.json",
+    client_factory=redis_client,
+) -> dict:
+    """S4 — Redis list sink with S6 fallback.
+
+    Driver: DELETE the key once (idempotent rewrite).  Executors:
+    ``foreachPartition`` RPUSH via a pipeline (one round-trip per
+    partition).  On any Redis failure — including no redis package — the
+    predictions are collected and written to the local JSON fallback,
+    mirroring ``src/predict.py:248-262``.
+
+    Returns a status dict ``{"sink": "redis"|"json", "count": n}``.
+    """
+    preds = df.select(F.col(prediction_col).cast("int").alias("p"))
+
+    conn = client_factory()
+    if conn is not None:
+        try:
+            conn.ping()
+            conn.delete(key)
+
+            def push(rows: Iterator) -> None:
+                c = client_factory()
+                pipe = c.pipeline()
+                for r in rows:
+                    pipe.rpush(key, int(r["p"]))
+                pipe.execute()
+
+            preds.foreachPartition(push)
+            return {"sink": "redis", "count": int(conn.llen(key))}
+        except Exception:  # noqa: BLE001 — degrade like the reference
+            pass
+
+    values = [int(r["p"]) for r in preds.collect()]
+    write_predictions_fallback_json(values, fallback_path)
+    return {"sink": "json", "count": len(values), "path": fallback_path}
