@@ -48,13 +48,59 @@ def exact_dedup(
 def minhash_signature(
     toks: Column, num_perms: int = 32, shingle_k: int = 3
 ) -> Column:
-    """MinHash signature: for permutation i, min over shingles of
-    ``xxhash64(shingle, seed=i)``.  One array column per doc — computed
-    in a single projection, no explode, no shuffle."""
-    sh = shingles(toks, shingle_k)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_perms - 1)),
-        lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, i))),
+    """MinHash signature: hash every shingle ONCE to a 64-bit value,
+    then fold a single pass over those hashes keeping, for permutation
+    i, ``min(xxhash64(h, i))`` — re-hashing a fixed-width long per
+    permutation instead of the variable-length shingle string.
+
+    Expressed as one ``aggregate`` (fold) so the expression tree stays
+    small: a naive ``transform(perms, i -> array_min(transform(sh, s ->
+    xxhash64(s, i))))`` inlines the shingle subtree into every
+    permutation lambda and re-tokenizes/re-hashes the document
+    ``num_perms`` times per evaluation — measured 40s vs <2s on the
+    sf0.1 corpus.  One projection, no explode, no shuffle — the right
+    form when a shuffle is unaffordable (streaming, per-row scoring).
+    Batch pipelines should prefer :func:`minhash_signatures`, whose
+    groupBy stays in codegen and materializes signatures exactly once.
+    """
+    hashes = F.transform(shingles(toks, shingle_k), lambda s: F.xxhash64(s))
+    return F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(None).cast("long"), num_perms),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(num_perms - 1)),
+            lambda m, i: F.least(m, F.xxhash64(h, i)),
+        ),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perms: int = 32,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash signatures as ``(id, sig array<long>)`` via explode +
+    hash-aggregate: shingle hashes become 16-byte ``(id, h)`` rows, one
+    ``groupBy(id)`` computes ``min(xxhash64(h, i))`` for every
+    permutation in a single codegen'd pass.  Map-side partial
+    aggregation collapses each document to one signature row before the
+    shuffle.  Duplicate shingles need no dedup — ``min`` is idempotent.
+    Documents with fewer than ``shingle_k`` tokens produce no row."""
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(tokens(F.col(text_col)), shingle_k)).alias("t"),
+    ).select("id", F.xxhash64("t").alias("h"))
+    g = hashed.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"_m{i}")
+            for i in range(num_perms)
+        ]
+    )
+    return g.select(
+        "id", F.array(*[f"_m{i}" for i in range(num_perms)]).alias("sig")
     )
 
 
@@ -81,16 +127,14 @@ def minhash_lsh_pairs(
     join only ever touches colliding buckets.
     """
     rows = num_perms // bands
-    toks = tokens(F.col(text_col))
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(shingles(toks, shingle_k)).alias("sh"),
-        minhash_signature(toks, num_perms, shingle_k).alias("sig"),
-    ).where(F.size("sh") > 0)
+    sig = minhash_signatures(df, text_col, id_col, num_perms, shingle_k)
 
+    # Band table carries ONLY (id, band, bucket) — three longs per row.
+    # Keeping the shingle arrays out of the band explode means the
+    # candidate self-join shuffles 24-byte keys instead of `bands`
+    # replicated copies of every document's shingle set.
     banded = sig.select(
         "id",
-        "sh",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -104,7 +148,7 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("bk"),
-    ).select("id", "sh", "bk.band", "bk.bucket")
+    ).select("id", "bk.band", "bk.bucket")
 
     left = banded.alias("a")
     right = banded.alias("b")
@@ -115,25 +159,41 @@ def minhash_lsh_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
 
+    # Rescore: fetch each side's shingle set by id-equi-join (the only
+    # joins that touch document-sized payloads, both key→payload
+    # lookups, both broadcast-able when the dedup-candidate set is
+    # small relative to the corpus).
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            shingles(tokens(F.col(text_col)), shingle_k)
+        ).alias("sh"),
+    ).where(F.size("sh") > 0)
+    scored = (
+        candidates.join(
+            sets.select(
+                F.col("id").alias("id_a"), F.col("sh").alias("sh_a")
+            ),
+            "id_a",
+        )
+        .join(
+            sets.select(
+                F.col("id").alias("id_b"), F.col("sh").alias("sh_b")
+            ),
+            "id_b",
+        )
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
-    return (
-        candidates.select(
-            "id_a",
-            "id_b",
-            (inter.cast("double") / union).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= jaccard_threshold)
-    )
+    return scored.select(
+        "id_a",
+        "id_b",
+        (inter.cast("double") / union).alias("jaccard"),
+    ).where(F.col("jaccard") >= jaccard_threshold)
 
 
 def ngram_jaccard_pairs(
@@ -161,28 +221,52 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash64(toks: Column) -> Column:
-    """64-bit SimHash of a token array: per bit, sum +1/-1 over token
-    hashes, sign → bit.  Pure expression (no explode): for each bit
-    position count tokens with that bit set; bit is 1 when count*2 > n.
-    """
-    n = F.size(toks)
-    hashed = F.transform(toks, lambda t: F.xxhash64(t))
+# Bit masks for the 64 simhash bit positions; bit 63 of a signed long is
+# the two's-complement sign bit, so its mask is the negative extreme.
+_SIMHASH_MASKS = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
+
+
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """64-bit SimHash per document as ``(id, sig)``: per bit position,
+    sum +1/-1 over shingle hashes by whether the bit is set; positive
+    sum → signature bit 1.  Documents with fewer than ``shingle_k``
+    tokens produce no row (nothing to fingerprint).
+
+    Map-reduce formulation: explode shingle hashes to 16-byte
+    ``(id, hash)`` rows, then ONE hash-aggregate with 64 plain ``sum``
+    expressions.  Everything stays in whole-stage codegen; partial
+    (map-side) aggregation collapses each document to one 64-counter
+    row before the only shuffle, which carries ids + counters — never
+    text.  An expression-level fold over array columns (higher-order
+    ``aggregate``/``zip_with``) is CodegenFallback in Spark —
+    interpreted, boxed — and measured 20ms/row (~20× slower) on the
+    sf0.1 corpus."""
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(tokens(F.col(text_col)), shingle_k)).alias("t"),
+    ).select("id", F.xxhash64("t").alias("h"))
+    counts = hashed.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(m)) != 0, 1).otherwise(-1)
+            ).alias(f"_b{i}")
+            for i, m in enumerate(_SIMHASH_MASKS)
+        ]
+    )
     sig = F.lit(0).cast("long")
-    for bit in range(64):
-        # Bit 63 of a signed long is the two's-complement sign bit.
-        mask = (1 << bit) if bit < 63 else -(1 << 63)
-        # NB: the lambda must take exactly one arg — PySpark passes the
-        # element index to a second parameter, even a defaulted one.
-        # F.filter builds the expression eagerly, so closing over the
-        # loop's ``mask`` is safe.
-        count_set = F.size(
-            F.filter(hashed, lambda h: h.bitwiseAND(F.lit(mask)) != 0)
+    for i, m in enumerate(_SIMHASH_MASKS):
+        # Disjoint bit masks: summing them composes the signature
+        # without overflow (the sign-bit mask is the negative extreme,
+        # added at most once).
+        sig = sig + F.when(F.col(f"_b{i}") > 0, F.lit(m).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-        sig = sig + F.when(
-            count_set * 2 > n, F.lit(mask).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    return sig
+    return counts.select("id", sig.alias("sig"))
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -206,13 +290,12 @@ def simhash_pairs(
     on the 16-bit prefix, so bucket sizes stay tiny and the quadratic
     step is bounded.
     """
-    sigs = df.select(
-        F.col(id_col).alias("id"),
-        # Shingle-level (not token-level) simhash: token sets collapse
-        # when the corpus shares one vocabulary; shingles are
-        # order-sensitive and spread unrelated docs to Hamming ≈ 32.
-        simhash64(shingles(tokens(F.col(text_col)), 3)).alias("sig"),
-    ).withColumn("prefix", F.shiftright("sig", 64 - prefix_bits))
+    # Shingle-level (not token-level) simhash: token sets collapse
+    # when the corpus shares one vocabulary; shingles are
+    # order-sensitive and spread unrelated docs to Hamming ≈ 32.
+    sigs = simhash_signatures(df, text_col, id_col, shingle_k=3).withColumn(
+        "prefix", F.shiftright("sig", 64 - prefix_bits)
+    )
     a, b = sigs.alias("a"), sigs.alias("b")
     return (
         a.join(
