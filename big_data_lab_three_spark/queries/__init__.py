@@ -44,6 +44,7 @@ _MODULES = (
     "big_data_lab_three_spark.queries.text",
     "big_data_lab_three_spark.queries.dedup",
     "big_data_lab_three_spark.queries.vector",
+    "big_data_lab_three_spark.queries.multimodal",
 )
 
 
