@@ -45,6 +45,7 @@ _MODULES = (
     "big_data_lab_three_spark.queries.dedup",
     "big_data_lab_three_spark.queries.vector",
     "big_data_lab_three_spark.queries.multimodal",
+    "big_data_lab_three_spark.queries.streaming",
 )
 
 

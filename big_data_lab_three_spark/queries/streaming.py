@@ -1,0 +1,107 @@
+"""Streaming query corpus: events replayed through Structured Streaming.
+
+Each entry drains the ``events`` stream with ``Trigger.AvailableNow``
+into a memory sink and returns the sink table, so the driver compares a
+real streaming execution (stateful aggregation, watermarks, timeouts)
+against the batch oracle.  Names are uniquified per (process, sf_dir)
+because memory-sink tables are session-global.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_lab_three_spark.queries import register
+from big_data_lab_three_spark.streaming import (
+    read_events_stream,
+    run_stream_to_table,
+    sessionize,
+    windowed_event_counts,
+)
+
+_seq = itertools.count()
+
+
+@register(
+    "streaming_window_counts",
+    ids="streaming: tumbling event-time window + watermark (§2.8 extension)",
+    oracle="""
+SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 4) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def streaming_window_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows per event_type through the streaming
+    engine (complete mode: every window emitted after the drain, so the
+    batch GROUP BY is the exact oracle)."""
+    stream = read_events_stream(spark, sf_dir)
+    result = windowed_event_counts(stream, "1 hour", "2 hours")
+    return run_stream_to_table(
+        spark, result, f"stream_win_{next(_seq)}", output_mode="complete"
+    )
+
+
+@register(
+    "streaming_sessionize",
+    ids="streaming: custom stateful sessionization (applyInPandasWithState)",
+    oracle="""
+WITH m AS (SELECT max(epoch_us(ts)) AS max_us FROM events),
+marks AS (
+  SELECT user_id, epoch_us(ts) AS us, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts)
+                 > CAST(720 AS BIGINT) * 60000000
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+sess AS (
+  SELECT user_id, us, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY us) AS sid
+  FROM marks
+),
+agg AS (
+  SELECT user_id, CAST(sid AS INTEGER) AS session_id,
+         CAST(count(*) AS INTEGER) AS n_events,
+         round(sum(value), 4) AS total_value,
+         min(us) AS start_us, max(us) AS end_us,
+         max(sid) OVER (PARTITION BY user_id) AS last_sid
+  FROM sess GROUP BY user_id, sid
+)
+SELECT user_id, session_id, n_events, total_value, start_us, end_us
+FROM agg, m
+WHERE session_id < last_sid  -- closed by a later event
+   -- or closed by the final watermark: Spark tracks event-time
+   -- watermarks and state timeouts in MILLISECONDS, so the timeout
+   -- comparison truncates both sides to ms (strict <, GroupState fires
+   -- on timeout < watermark)
+   OR end_us // 1000 + 720 * 60000 < max_us // 1000
+""",
+)
+def streaming_sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 12 h-gap sessions via the custom stateful operator.  The
+    oracle is batch gaps-and-islands sessionization RESTRICTED to
+    sessions a correct streaming engine has finalized at end-of-stream:
+    closed by a later event, or timed out under the final watermark.
+    total_value is rounded batch-side after the drain (Spark/DuckDB
+    round HALF_UP; Python's round is banker's)."""
+    stream = read_events_stream(spark, sf_dir)
+    result = sessionize(stream, gap_minutes=720)
+    drained = run_stream_to_table(
+        spark, result, f"stream_sess_{next(_seq)}", output_mode="append"
+    )
+    return drained.select(
+        "user_id",
+        "session_id",
+        "n_events",
+        F.round("total_value", 4).alias("total_value"),
+        "start_us",
+        "end_us",
+    )

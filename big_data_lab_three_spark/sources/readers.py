@@ -45,8 +45,11 @@ def events(spark: SparkSession, sf_dir: str) -> DataFrame:
     microsecond TimestampType column ``ts_utc`` (Spark has no nanosecond
     timestamps; nanos stay available in the raw ``ts`` long)."""
     ev = table(spark, sf_dir, "events")
+    # `div` (integral division on longs) — `ts / 1000` would round-trip
+    # through double, whose 53-bit mantissa cannot hold 1.7e18 ns and
+    # truncates off-by-one µs on cast.
     return ev.withColumn(
-        "ts_utc", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        "ts_utc", F.timestamp_micros(F.expr("ts div 1000"))
     )
 
 

@@ -1,0 +1,202 @@
+"""Streaming jobs over the ``events`` table.
+
+Replay model: the parquet file source reads ``events.parquet`` as a
+stream and ``Trigger.AvailableNow`` drains it to a sink, so every job
+here is verifiable in-batch (the DuckDB oracle recomputes the answer on
+the same file).  On a real cluster the same plans run unchanged against
+a Kafka/file-drop source — only ``read_events_stream`` swaps.
+
+Scale notes: windowed aggregation state is (window × event_type) —
+bounded, watermark-evictable; sessionization state is one small struct
+per active user, evicted on event-time timeout.  Neither ever holds raw
+events: the 100 TB concern is state size, not input size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Explicit schema — the streaming file source cannot infer (ts is
+# TIMESTAMP(NANOS) in the file; read as long nanos like sources.table()).
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events`` as an unbounded stream with an event-time column
+    ``ts_utc`` (µs truncation of the file's nanosecond longs, matching
+    ``sources.events``)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file stream source wants a DIRECTORY; pathGlobFilter narrows
+    # it to the events file (the other tables' schemas differ).
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # `div`, not `/`: double cannot hold 1.7e18 ns exactly (see
+    # sources.events).
+    return raw.withColumn(
+        "ts_utc", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def windowed_event_counts(
+    stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling event-time window per event_type: count + value sum.
+    The watermark bounds aggregation state: windows older than (max
+    event time − watermark) finalize and evict."""
+    return (
+        stream.withWatermark("ts_utc", watermark)
+        .groupBy(F.window("ts_utc", window), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.unix_micros("window.start").alias("window_start_us"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("session_id", T.IntegerType(), False),
+        T.StructField("n_events", T.IntegerType(), False),
+        T.StructField("total_value", T.DoubleType(), False),
+        T.StructField("start_us", T.LongType(), False),
+        T.StructField("end_us", T.LongType(), False),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("sessions_emitted", T.IntegerType(), False),
+        T.StructField("start_us", T.LongType(), False),
+        T.StructField("last_us", T.LongType(), False),
+        T.StructField("n_events", T.IntegerType(), False),
+        T.StructField("total_value", T.DoubleType(), False),
+    ]
+)
+
+
+def sessionize(stream: DataFrame, gap_minutes: int = 720) -> DataFrame:
+    """Custom stateful operator: per-user sessionization with a
+    ``gap_minutes`` inactivity split, via ``applyInPandasWithState``.
+
+    Per key the state is one open-session struct (start, last-seen,
+    count, value sum, sessions emitted so far).  Each batch folds its
+    rows in timestamp order into that struct, emitting a session row
+    whenever a gap exceeds the threshold; the open session is emitted by
+    EVENT-TIME TIMEOUT once the watermark passes ``last + gap`` (the
+    engine's trailing no-data microbatch fires these on an
+    ``AvailableNow`` replay).  Streaming semantics, faithfully: a user's
+    final session appears iff ``end + gap < max event time`` — it might
+    still receive events otherwise — and the oracle encodes exactly
+    that rule."""
+    gap_us = gap_minutes * 60_000_000
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            emitted, start, last, n, tot = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_id": [emitted + 1],
+                    "n_events": [n],
+                    "total_value": [tot],
+                    "start_us": [start],
+                    "end_us": [last],
+                }
+            )
+            return
+
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values("us")
+        if state.exists:
+            emitted, start, last, n, tot = state.get
+        else:
+            emitted, start, last, n, tot = 0, None, None, 0, 0.0
+
+        out = {k: [] for k in (
+            "user_id", "session_id", "n_events", "total_value",
+            "start_us", "end_us",
+        )}
+        for us, val in zip(rows["us"], rows["value"]):
+            us = int(us)
+            if start is None:
+                start, last, n, tot = us, us, 1, float(val)
+                continue
+            if us - last > gap_us:
+                emitted += 1
+                out["user_id"].append(user_id)
+                out["session_id"].append(emitted)
+                out["n_events"].append(n)
+                out["total_value"].append(tot)
+                out["start_us"].append(start)
+                out["end_us"].append(last)
+                start, last, n, tot = us, us, 1, float(val)
+            else:
+                last, n, tot = us, n + 1, tot + float(val)
+
+        state.update((emitted, start, last, n, tot))
+        # Event-time timeout: fires once the watermark passes last+gap —
+        # or when an AvailableNow replay drains, closing the tail session.
+        state.setTimeoutTimestamp(last // 1000 + gap_minutes * 60_000)
+        if out["user_id"]:
+            yield pd.DataFrame(out)
+
+    prepared = stream.select(
+        "user_id",
+        F.col("ts_utc"),
+        F.unix_micros("ts_utc").alias("us"),
+        "value",
+    ).withWatermark("ts_utc", "0 seconds")
+
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="EventTimeTimeout",
+    )
+
+
+def run_stream_to_table(
+    spark: SparkSession,
+    result: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Drain a streaming result into an in-memory table with
+    ``Trigger.AvailableNow`` and return it as a batch DataFrame.  The
+    memory sink holds only the (small, aggregated) RESULT — raw events
+    never collect anywhere."""
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,125 @@
+"""Streaming semantics the single-batch oracle replay can't prove:
+state carry-over across microbatches and watermark late-data dropping.
+
+Both tests re-shard ``events.parquet`` into two chronological files in a
+tmpdir and stream them with ``maxFilesPerTrigger=1`` so the engine runs
+two data microbatches (+ the trailing no-data batch)."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from big_data_lab_three_spark.queries import load_all
+from big_data_lab_three_spark.streaming import (
+    run_stream_to_table,
+    sessionize,
+    windowed_event_counts,
+)
+from big_data_lab_three_spark.streaming.jobs import EVENTS_SCHEMA
+
+REG = load_all()
+
+
+def _shard_dir(tmp_path, sf_dir, first_mask):
+    """events.parquet split into two files (first_mask rows, then the
+    rest) in one directory, mtimes forced apart so the file source
+    drains them in order.  pyarrow round-trip keeps TIMESTAMP(NANOS)."""
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    mask = first_mask(t)
+    d = str(tmp_path / "stream_src")
+    os.makedirs(d)
+    f1, f2 = f"{d}/events1.parquet", f"{d}/events2.parquet"
+    pq.write_table(t.filter(mask), f1, version="2.6")
+    pq.write_table(t.filter(pc.invert(mask)), f2, version="2.6")
+    os.utime(f1, (1_000_000, 1_000_000))
+    os.utime(f2, (2_000_000, 2_000_000))
+    return d, t
+
+
+def _stream(spark, d):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(d)
+    )
+    return raw.withColumn(
+        "ts_utc", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def test_sessionize_state_survives_batch_boundary(spark, sf_dir, tmp_path):
+    d, t = _shard_dir(
+        tmp_path,
+        sf_dir,
+        lambda t: pc.less_equal(
+            t["ts"].cast("int64"),
+            int(pc.quantile(t["ts"].cast("int64"), q=0.5)[0].as_py()),
+        ),
+    )
+    result = run_stream_to_table(
+        spark,
+        sessionize(_stream(spark, d), gap_minutes=720),
+        "sess_multibatch",
+        output_mode="append",
+    )
+    cols = ("user_id", "session_id", "n_events", "start_us", "end_us")
+    multi = {tuple(r) for r in result.select(*cols).collect()}
+    single = {
+        tuple(r)
+        for r in REG["streaming_sessionize"]
+        .spark(spark, sf_dir)
+        .select(*cols)
+        .collect()
+    }
+    # chronological sharding ⇒ no late data ⇒ sessions crossing the
+    # batch boundary merge through state ⇒ identical output
+    assert multi == single
+    assert len(multi) > 0
+
+
+def test_watermark_finalizes_windows_append_mode(spark, sf_dir, tmp_path):
+    """Append mode emits a window exactly once its end passes the final
+    watermark (max event time − 2 h): trailing windows are withheld.
+
+    Measured Spark 4.1 behavior worth pinning: late rows arriving AFTER
+    the watermark passed their window are still aggregated (fresh state,
+    finalized at batch end) rather than dropped —
+    ``numRowsDroppedByWatermark`` stays 0 for aggregations — so the
+    expected count covers ALL events in finalized windows, both shards.
+    """
+    # batch 1 = NEWER half (advances the watermark to max−2h);
+    # batch 2 = older half, entirely "late" relative to that watermark.
+    d, t = _shard_dir(
+        tmp_path,
+        sf_dir,
+        lambda t: pc.greater(
+            t["ts"].cast("int64"),
+            int(pc.quantile(t["ts"].cast("int64"), q=0.5)[0].as_py()),
+        ),
+    )
+    result = run_stream_to_table(
+        spark,
+        windowed_event_counts(_stream(spark, d), "1 hour", "2 hours"),
+        "win_finalize",
+        output_mode="append",  # emits only watermark-finalized windows
+    )
+    total = result.agg(F.sum("n")).first()[0]
+    expected = duckdb.sql(
+        f"""
+        WITH e AS (SELECT * FROM '{d}/*.parquet'),
+        m AS (SELECT (max(epoch_us(ts)) // 1000) * 1000
+                     - CAST(2 AS BIGINT) * 3600 * 1000000 AS wm FROM e)
+        SELECT count(*) FROM e, m
+        WHERE epoch_us(date_trunc('hour', ts))
+              + CAST(3600 AS BIGINT) * 1000000 <= wm
+        """
+    ).fetchall()[0][0]
+    assert total == expected
+    assert total < t.num_rows  # trailing unfinalized windows withheld
