@@ -1,0 +1,121 @@
+"""Parse ``explain("formatted")`` output into checkable facts.
+
+String-parsing the formatted plan is deliberate: it is the same stable,
+user-facing surface a human reads, it needs no private APIs, and it
+works identically under AQE (which rewrites the operator tree but not
+the formatted-section grammar).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from pyspark.sql import DataFrame
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def scan_columns(df: DataFrame, table_hint: str = "") -> list[list[str]]:
+    """Column lists read by each parquet scan (from ``ReadSchema``),
+    optionally filtered to scans whose Location mentions ``table_hint``.
+    A scan reading columns the query never uses is a pruning failure —
+    at 100 TB that is the difference between reading 2 columns and 85.
+    """
+    plan = explain_str(df)
+    out = []
+    for section in re.split(r"\n\n", plan):
+        if "Scan parquet" not in section and "Location:" not in section:
+            continue
+        if table_hint and not re.search(
+            rf"Location:.*{re.escape(table_hint)}", section
+        ):
+            continue
+        m = re.search(r"ReadSchema: struct<([^>]*)>", section)
+        if m:
+            cols = [
+                c.split(":")[0].strip()
+                for c in m.group(1).split(",")
+                if c.strip()
+            ]
+            out.append(cols)
+    return out
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """All data-source-pushed filters (``PushedFilters: [...]``)."""
+    plan = explain_str(df)
+    out = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
+        out.extend(
+            f.strip() for f in m.group(1).split(",") if f.strip()
+        )
+    return out
+
+
+def broadcast_join_count(df: DataFrame) -> int:
+    """Number of broadcast joins (hash or nested-loop) in the plan."""
+    plan = explain_str(df)
+    return len(
+        re.findall(
+            r"Broadcast(HashJoin|NestedLoopJoin)", plan
+        )
+    )
+
+
+def exchange_args(df: DataFrame) -> list[str]:
+    """The ``Arguments:`` line of every shuffle Exchange section —
+    i.e. each shuffle's partitioning expression."""
+    out = []
+    for section in re.split(r"\n\n", explain_str(df)):
+        if re.match(r"\(\d+\) Exchange\b", section.strip()):
+            m = re.search(r"Arguments: (.*)", section)
+            out.append(m.group(1) if m else "")
+    return out
+
+
+def exchange_inputs(df: DataFrame) -> list[list[str]]:
+    """Column names carried THROUGH each shuffle Exchange (its
+    ``Input [...]`` list).  A wide payload column here — document text,
+    media bytes — is the classic scale killer: the shuffle rewrites it
+    all over the network."""
+    out = []
+    for section in re.split(r"\n\n", explain_str(df)):
+        if re.match(r"\(\d+\) Exchange\b", section.strip()):
+            m = re.search(r"Input \[\d+\]: \[([^\]]*)\]", section)
+            cols = (
+                [c.strip().split("#")[0] for c in m.group(1).split(",")]
+                if m
+                else []
+            )
+            out.append(cols)
+    return out
+
+
+def shuffle_count(df: DataFrame) -> int:
+    """Number of shuffle exchanges (broadcast exchanges excluded).
+    Every one is a full network rewrite of its input at scale — the
+    first thing to count in any plan review."""
+    return len(exchange_args(df))
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    """Whole-stage-codegen span count — the ``*(N)`` markers of the
+    static physical plan.  AQE hides them until execution (explain on a
+    DataFrame handle always re-plans), so AQE is switched off for the
+    one explain call and restored.  Zero for a non-trivial plan means
+    everything fell back to interpreted evaluation."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        ids = set(re.findall(r"\*\((\d+)\)", explain_str(df, "simple")))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    return len(ids)
