@@ -23,7 +23,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from big_data_lab_three_spark.functions.text import shingles, tokens
-from big_data_lab_three_spark.functions.vector import cosine_similarity
 
 
 def exact_dedup(
@@ -320,18 +319,23 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (brute force over the given
     frame — sample or LSH bucket at scale; see ``operators.similarity``
-    for the bucketed variant)."""
+    for the bucketed variant).  Pair generation is a JVM broadcast
+    nested-loop join; scoring is one einsum per Arrow batch, with
+    below-threshold pairs dropped inside the Python worker."""
+    from big_data_lab_three_spark.operators.similarity import (
+        cosine_score_pairs,
+    )
+
     v = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     )
     a, b = v.alias("a"), v.alias("b")
-    cos = cosine_similarity(F.col("a.vec"), F.col("b.vec"))
-    return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            cos.alias("cos_sim"),
-        )
-        .where(F.col("cos_sim") >= threshold)
+    pairs = a.join(b, F.col("a.id") < F.col("b.id")).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.col("a.vec").alias("vec_a"),
+        F.col("b.vec").alias("vec_b"),
+    )
+    return cosine_score_pairs(
+        pairs, "vec_a", "vec_b", ["id_a", "id_b"], threshold=threshold
     )
