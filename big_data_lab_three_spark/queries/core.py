@@ -754,3 +754,103 @@ def json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("k")
     )
+
+
+# --------------------------------------------------------------------------
+# Multi-join showcases (§2.4 no-join note: joins exposed as first-class)
+# --------------------------------------------------------------------------
+
+@register(
+    "regional_revenue",
+    ids="join (6-way star), A-aggs; broadcast-dim plan",
+    oracle="""
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+               AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n.n_name
+""",
+)
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-table star join (TPC-H Q5 shape): region/nation/supplier/
+    customer all broadcast (each far under the 10 MB threshold at any
+    SF where they are dims); the only shuffles are orders⋈lineitem on
+    the orderkey and the final 1-row-per-nation aggregate.  The
+    region filter prunes before the nation broadcast, so the fact
+    tables only meet surviving dimension rows."""
+    r = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = table(spark, sf_dir, "nation")
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+@register(
+    "top_supplier",
+    ids="join + window over agg (TPC-H Q15 shape)",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-07-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_rev
+FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+ORDER BY s.s_suppkey
+""",
+)
+def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-max supplier (TPC-H Q15 shape) via a rank-over-constant
+    window on the AGGREGATED (one row per supplier) frame — never on
+    raw lineitem.  The empty-frame window is a deliberate exception to
+    the no-global-window rule: its input is already dim-sized."""
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_rev")
+    )
+    s = table(spark, sf_dir, "supplier")
+    ranked = rev.withColumn(
+        "mx", F.max("total_rev").over(Window.partitionBy())
+    ).where(F.col("total_rev") == F.col("mx"))
+    return (
+        ranked.join(F.broadcast(s), ranked["l_suppkey"] == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )
