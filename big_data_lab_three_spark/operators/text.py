@@ -93,18 +93,79 @@ def predict_lang(text: Column, default: str = "en") -> Column:
     return expr
 
 
-def fingerprint(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+def lang_id_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    default: str = "en",
+) -> DataFrame:
+    """Language ID as ``(id, predicted_lang)`` via explode + one
+    hash-aggregate: token rows get one conditional-sum per candidate
+    language, argmax runs over the four post-aggregation COLUMNS
+    (attribute refs, not re-derived expressions).  Same semantics as
+    :func:`predict_lang`, but everything stays in whole-stage codegen —
+    the expression form re-tokenizes per CASE branch through duplicated
+    higher-order-function subtrees (CodegenFallback, interpreted).
+    Token-less documents fall back to ``default``."""
+    toks = df.select(
+        F.col(id_col).alias("_lid_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("_tok"),
+    )
+    scores = toks.groupBy("_lid_id").agg(
+        *[
+            F.sum(F.col("_tok").isin(*markers).cast("int")).alias(f"_s_{lang}")
+            for lang, markers in LANG_MARKERS.items()
+        ]
+    )
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"_s_{lang}") for lang in langs])
+    expr = F.lit(default)
+    for lang in reversed(langs):
+        expr = F.when(
+            (best > 0) & (F.col(f"_s_{lang}") == best), F.lit(lang)
+        ).otherwise(expr)
+    scored = scores.select("_lid_id", expr.alias("predicted_lang"))
+    return (
+        df.select(F.col(id_col))
+        .join(scored, F.col(id_col) == F.col("_lid_id"), "left")
+        .select(
+            id_col,
+            F.coalesce("predicted_lang", F.lit(default)).alias(
+                "predicted_lang"
+            ),
+        )
+    )
+
+
+def fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
     """Document fingerprinting: whole-content md5 plus a min-shingle
     fingerprint (md5 over k-gram shingles, minimum taken — the 1-perm
     minhash / winnowing-lite sketch).  Portable: md5 is identical across
-    engines, so fingerprints computed here match any other stack's."""
+    engines, so fingerprints computed here match any other stack's.
+
+    Shingle hashing runs as explode + ``min`` hash-aggregate (codegen,
+    map-side combined); documents with <k tokens fall back to the
+    content hash via the left join's NULL."""
     t = F.col(text_col)
-    toks = tokens(t)
-    sh = shingles(toks, k)
-    min_shingle = F.array_min(F.transform(sh, lambda s: md5_hex(s)))
-    return df.withColumns(
-        {
-            "content_md5": md5_hex(t),
-            "min_shingle_md5": F.coalesce(min_shingle, md5_hex(t)),
-        }
+    base = df.withColumn("content_md5", md5_hex(t))
+    mins = (
+        df.select(
+            F.col(id_col).alias("_fp_id"),
+            F.explode(shingles(tokens(t), k)).alias("_sh"),
+        )
+        .groupBy("_fp_id")
+        .agg(F.min(md5_hex(F.col("_sh"))).alias("_min_md5"))
+    )
+    return (
+        base.join(mins, F.col(id_col) == F.col("_fp_id"), "left")
+        .withColumn(
+            "min_shingle_md5",
+            F.coalesce(F.col("_min_md5"), F.col("content_md5")),
+        )
+        .drop("_fp_id", "_min_md5")
     )

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from big_data_lab_three_spark.operators.text import (
     BPE_ISH_PATTERN,
     fingerprint,
-    predict_lang,
+    lang_id_table,
     quality_metrics,
     token_count,
 )
@@ -113,10 +113,13 @@ ORDER BY lang, predicted_lang
 )
 def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID (marker-stopword argmax, deterministic
-    tie-break) cross-tabulated against the labeled ``lang`` column."""
+    tie-break) cross-tabulated against the labeled ``lang`` column.
+    Uses the explode+aggregate table form (codegen path); the
+    expression form ``predict_lang`` has identical semantics."""
     d = table(spark, sf_dir, "documents")
     return (
-        d.select("lang", predict_lang(F.col("text")).alias("predicted_lang"))
+        lang_id_table(d)
+        .join(d.select("doc_id", "lang"), "doc_id")
         .groupBy("lang", "predicted_lang")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang", "predicted_lang")

@@ -186,17 +186,32 @@ def run_stream_to_table(
     result: DataFrame,
     name: str,
     output_mode: str = "complete",
+    state_partitions: int = 8,
 ) -> DataFrame:
     """Drain a streaming result into an in-memory table with
     ``Trigger.AvailableNow`` and return it as a batch DataFrame.  The
     memory sink holds only the (small, aggregated) RESULT — raw events
-    never collect anywhere."""
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    never collect anywhere.
+
+    ``state_partitions`` pins the stateful-operator partition count for
+    THIS query (read at stream start, then fixed in the checkpoint).
+    Streaming state cannot be AQE-coalesced, and every state partition
+    pays per-batch store overhead — size it to state volume, not to the
+    batch-side shuffle default.  On a cluster this would be sized to
+    executors × cores."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        # restore immediately: the streaming query captured its conf at
+        # start; later batch queries must see the session default.
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
     return spark.table(name)
