@@ -1,0 +1,436 @@
+"""Join-strategy and window-analytics query corpus.
+
+The reference contains zero explicit joins (SURVEY.md §2.4 no-join note)
+— its only join-like semantics are outer union-by-name and attaching
+per-key aggregates back to rows.  This module supplies the join surface
+a query engine is expected to have, each query shaped to exercise a
+distinct *physical* strategy that matters at 100 TB:
+
+- semi / anti joins (existence predicates without payload shuffle),
+- broadcast dimension joins (no shuffle of the fact table),
+- aggregate-then-join (shrink before the shuffle),
+- ROLLUP hierarchical aggregation,
+- running / lag window analytics,
+- as-of join via the union + last(ignorenulls) window technique
+  (one shuffle, no per-row subquery),
+- range join via time-bucket equi-join expansion (turns an inequality
+  join — a broadcast-nested-loop trap — into a shuffled equi-join).
+
+Every query is DuckDB-oracle-checked (value hash at sf0.01).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from big_data_lab_three_spark.queries import register
+from big_data_lab_three_spark.sources import table
+
+
+@register(
+    "semi_join_exists",
+    ids="join: left-semi (EXISTS) — late-shipping order priority census (TPC-H Q4 shape)",
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def semi_join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS realized as a left-semi join: lineitem contributes only its
+    join keys to the shuffle (no payload columns), and each order emits at
+    most once regardless of matching line count.  At 100 TB this is the
+    difference between shuffling 11 lineitem columns and shuffling 2."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "anti_join_idle",
+    ids="join: left-anti (NOT EXISTS) + broadcast dim — customers with no recent orders per nation",
+    oracle="""
+SELECT n_name,
+       count(*)                 AS idle_customers,
+       round(avg(c_acctbal), 4) AS avg_bal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+)
+GROUP BY n_name
+ORDER BY n_name
+""",
+)
+def anti_join_idle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a left-anti join on the distinct recent-order
+    customer keys, then a broadcast join to the 25-row nation dim.  The
+    anti side is pre-filtered (pushed to the parquet scan) and
+    pre-projected to the single key column; nation never shuffles."""
+    c = table(spark, sf_dir, "customer")
+    o_keys = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    n = table(spark, sf_dir, "nation")
+    return (
+        c.join(o_keys, c.c_custkey == o_keys.o_custkey, "left_anti")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("idle_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "promo_revenue",
+    ids="join: broadcast dim + conditional aggregation (TPC-H Q14 shape)",
+    oracle="""
+SELECT round(
+         100.0 * sum(CASE WHEN p_type = 'PROMO'
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE 0 END)
+         / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-07-01'
+""",
+)
+def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion revenue share: the shipdate filter pushes to the parquet
+    scan, part is explicitly broadcast (a dimension ~1/30 the fact's rows
+    and 2 needed columns), and the conditional sum folds into one
+    map-side partial aggregate — the whole query is one scan-bound stage
+    plus a 1-row reduce."""
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_share")
+        )
+    )
+
+
+@register(
+    "big_orders",
+    ids="join: aggregate-then-join with HAVING (TPC-H Q18 shape)",
+    oracle="""
+SELECT c_name, o_orderkey, o_totalprice, round(sum_qty, 2) AS sum_qty
+FROM (
+    SELECT l_orderkey, sum(l_quantity) AS sum_qty
+    FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+) big
+JOIN orders   o ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey  = o.o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+""",
+)
+def big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume orders: aggregate lineitem FIRST (6M rows → ~1 per
+    order, HAVING prunes to a handful), then join the tiny survivor set to
+    orders and customer.  Aggregating before joining is the load-bearing
+    choice — the join input shrinks by orders of magnitude, and at scale
+    the survivor side broadcasts.  Deterministic top-20 via unique
+    (o_totalprice DESC, o_orderkey) sort."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 300)
+    )
+    return (
+        F.broadcast(big)
+        .join(o, o.o_orderkey == big.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .select(
+            "c_name", "o_orderkey", "o_totalprice",
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+@register(
+    "rollup_revenue",
+    ids="agg: hierarchical ROLLUP (region → nation → grand total)",
+    oracle="""
+SELECT coalesce(r_name, 'ALL') AS r_name,
+       coalesce(n_name, 'ALL') AS n_name,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS orders
+FROM orders o
+JOIN customer c ON o.o_custkey   = c.c_custkey
+JOIN nation   n ON c.c_nationkey = n.n_nationkey
+JOIN region   r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY r_name, n_name
+""",
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by region/nation with ROLLUP subtotals and grand total.
+    nation and region broadcast; the customer join shuffles once on
+    custkey; the rollup itself is a single hash-agg pass that emits the
+    (r), (r,n), and () grouping sets without re-scanning."""
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("orders"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("r_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("n_name"),
+            "revenue",
+            "orders",
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+@register(
+    "window_running",
+    ids="window: running sum + lag delta per partition (§2.7 analytic windows)",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+       round(o_totalprice - lag(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS delta_prev
+FROM orders
+WHERE o_custkey % 10 = 0
+""",
+)
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running spend and order-over-order delta.  One
+    shuffle on the partition key serves both window functions (same
+    partitioning + ordering → one sort, one window exec).  Ordering
+    includes the unique o_orderkey tiebreak so lag/running values are
+    deterministic under hash comparison."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_custkey") % 10 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(running), 2).alias("running_spend"),
+        F.round(
+            F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2
+        ).alias("delta_prev"),
+    )
+
+
+@register(
+    "asof_join_events",
+    ids="join: as-of (latest click at-or-before each purchase) via union+window",
+    oracle="""
+WITH tagged AS (
+    SELECT user_id, ts, event_id, 1 AS is_purchase,
+           CAST(NULL AS BIGINT) AS click_id
+    FROM events WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT user_id, ts, event_id, 0, event_id
+    FROM events WHERE event_type = 'click'
+), w AS (
+    SELECT *, last_value(click_id IGNORE NULLS) OVER (
+        PARTITION BY user_id ORDER BY ts, is_purchase, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_click_id
+    FROM tagged
+)
+SELECT event_id AS purchase_id, user_id, asof_click_id
+FROM w WHERE is_purchase = 1
+""",
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — for every purchase, the latest click by the same user
+    at or before the purchase timestamp.  Spark has no ASOF JOIN
+    operator; the scalable realization is union both sides, one window
+    pass per key ordered by time, ``last(click_id, ignorenulls=True)``.
+    Exactly ONE shuffle (on user_id) regardless of either side's size —
+    versus the per-row correlated subquery (broadcast-nested-loop) a
+    naive translation produces.  Tie rule: a click at the identical
+    timestamp sorts before the purchase (is_purchase tiebreak), so
+    ts_click <= ts_purchase inclusive semantics hold deterministically."""
+    e = table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id",
+        F.lit(1).alias("is_purchase"),
+        F.lit(None).cast("long").alias("click_id"),
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id",
+        F.lit(0).alias("is_purchase"),
+        F.col("event_id").alias("click_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_purchase", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        purchases.unionByName(clicks)
+        .withColumn(
+            "asof_click_id", F.last("click_id", ignorenulls=True).over(w)
+        )
+        .where(F.col("is_purchase") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"), "user_id", "asof_click_id"
+        )
+    )
+
+
+@register(
+    "range_join_events",
+    ids="join: time-range (clicks within 60 min before purchase) via bucket expansion",
+    oracle="""
+SELECT p.event_id AS purchase_id,
+       count(c.event_id) AS clicks_before
+FROM events p
+LEFT JOIN events c
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 60 MINUTE
+ AND c.ts <  p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id
+""",
+)
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range join — clicks in the 60 minutes before each purchase.
+    A naive inequality join is a broadcast-nested-loop (O(n·m) — the
+    100 TB trap).  Instead both sides bucket to 1-hour bins: a purchase's
+    lookback window spans at most 2 bins, so purchases explode to 2
+    (user_id, bin) keys and the join becomes a plain shuffled EQUI-join
+    with a residual range filter.  Each click lives in exactly one bin,
+    so no dedup is needed; count() ignores the NULLs unmatched exploded
+    copies produce, keeping LEFT JOIN zero-count semantics."""
+    e = table(spark, sf_dir, "events")
+    # `ts` is nanosecond-epoch LongType (TIMESTAMP(NANOS) parquet — see
+    # sources.readers.table); bin and range math stay on the raw longs.
+    bin_ns = 3_600 * 1_000_000_000  # 60-minute buckets, in nanos
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withColumn(
+            "bin",
+            F.explode(
+                F.array(
+                    F.expr(f"p_ts div {bin_ns}") - 1,
+                    F.expr(f"p_ts div {bin_ns}"),
+                )
+            ),
+        )
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.expr(f"ts div {bin_ns}").alias("bin"),
+    )
+    joined = p.join(
+        c,
+        (p.p_user == c.c_user)
+        & (p.bin == c.bin)
+        & (c.c_ts >= p.p_ts - F.lit(bin_ns))
+        & (c.c_ts < p.p_ts),
+        "left",
+    )
+    return (
+        joined.groupBy("purchase_id")
+        .agg(F.count("click_id").alias("clicks_before"))
+    )
+
+
+@register(
+    "grouped_mean_impute",
+    ids="A5 variant: per-group mean imputation (per-key aggregate joined back, §2.4 note)",
+    oracle="""
+WITH cleaned AS (
+    SELECT event_id, event_type,
+           CASE WHEN value < 0.1 THEN NULL ELSE value END AS value
+    FROM events
+), imputed AS (
+    SELECT event_type,
+           coalesce(value, avg(value) OVER (PARTITION BY event_type)) AS value
+    FROM cleaned
+)
+SELECT event_type,
+       round(sum(value), 2) AS total_value,
+       round(avg(value), 4) AS mean_value,
+       count(*) AS n
+FROM imputed
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def grouped_mean_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean imputation BY GROUP — the join-back-of-per-key-aggregates
+    pattern SURVEY.md §2.4 names as the reference's semantic need
+    (``SimpleImputer`` at ``src/train.py:61-66``, generalized per-key).
+    Values under the validity floor become NULL (P4 sentinel rule), each
+    group's mean is computed once (tiny aggregate), broadcast back, and
+    coalesced in — the fact table shuffles once for the final agg; the
+    impute join itself is shuffle-free."""
+    e = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.when(F.col("value") < 0.1, None).otherwise(F.col("value")).alias("value"),
+    )
+    means = e.groupBy("event_type").agg(F.avg("value").alias("_grp_mean"))
+    return (
+        e.join(F.broadcast(means), "event_type")
+        .select(
+            "event_type",
+            F.coalesce("value", "_grp_mean").alias("value"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.avg("value"), 4).alias("mean_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
