@@ -85,3 +85,63 @@ def test_broadcast_hint_survives_in_similarity(spark, sf_dir):
     q = e.where(F.col("vec_id") % 100 == 0)
     df = brute_force_topk(q, e, k=3)
     assert broadcast_join_count(df) >= 1
+
+
+def test_semi_join_is_semi_and_keys_only(spark, sf_dir):
+    """EXISTS must plan as a LeftSemi join, and the lineitem side of the
+    shuffle must carry only join/filter keys — never payload columns."""
+    from big_data_lab_three_spark.plans.inspect import exchange_inputs, explain_str
+
+    df = REG["semi_join_exists"].spark(spark, sf_dir)
+    assert "LeftSemi" in explain_str(df), "EXISTS did not plan as semi join"
+    scans = scan_columns(df, "lineitem")
+    assert scans and all(len(cols) <= 2 for cols in scans), (
+        f"semi-join lineitem scan reads payload columns: {scans}"
+    )
+
+
+def test_anti_join_pushes_date_filter(spark, sf_dir):
+    df = REG["anti_join_idle"].spark(spark, sf_dir)
+    from big_data_lab_three_spark.plans.inspect import explain_str
+
+    plan = explain_str(df)
+    assert "LeftAnti" in plan, "NOT EXISTS did not plan as anti join"
+    assert "o_orderdate" in " ".join(pushed_filters(df)), (
+        "recent-order date filter not pushed to the orders scan"
+    )
+
+
+def test_promo_revenue_broadcasts_part(spark, sf_dir):
+    df = REG["promo_revenue"].spark(spark, sf_dir)
+    assert broadcast_join_count(df) >= 1, "part dim should broadcast"
+    scans = scan_columns(df, "part")
+    assert scans and all(len(cols) <= 2 for cols in scans), (
+        f"part scan should prune to (p_partkey, p_type): {scans}"
+    )
+
+
+def test_range_join_avoids_nested_loop(spark, sf_dir):
+    """The binned range join exists to avoid BroadcastNestedLoopJoin —
+    the O(n*m) plan a naive inequality join produces."""
+    from big_data_lab_three_spark.plans.inspect import explain_str
+
+    df = REG["range_join_events"].spark(spark, sf_dir)
+    plan = explain_str(df)
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        "range join degenerated to a nested-loop join"
+    )
+
+
+def test_asof_join_is_single_shuffle(spark, sf_dir):
+    """Union + window as-of: one exchange on user_id, nothing else."""
+    df = REG["asof_join_events"].spark(spark, sf_dir)
+    n = shuffle_count(df)
+    assert n == 1, f"as-of join should shuffle exactly once, saw {n}"
+
+
+def test_window_running_shares_one_sort(spark, sf_dir):
+    """running sum + lag use the same (partition, order) spec: the plan
+    must contain one window exec over one exchange, not two."""
+    df = REG["window_running"].spark(spark, sf_dir)
+    n = shuffle_count(df)
+    assert n == 1, f"shared window spec should shuffle once, saw {n}"
