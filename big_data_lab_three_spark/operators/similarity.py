@@ -32,6 +32,7 @@ __all__ = [
     "brute_force_topk",
     "cosine_score_pairs",
     "hyperplane_keys",
+    "ivf_topk",
     "lsh_bucketed_topk",
 ]
 
@@ -169,6 +170,121 @@ def hyperplane_keys(
                 yield o
 
     return df.mapInPandas(run, schema)
+
+
+def _cell_keys(
+    df: DataFrame,
+    centers: list[list[float]],
+    nprobe: int,
+    vec_col: str,
+    out: str = "cell",
+) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest coarse-quantizer
+    cells (cosine, via L2-normalized dot against the tiny center
+    matrix — one matmul per Arrow batch).  One output row per
+    (vector, probed cell).  ``nprobe=1`` is the corpus-side assignment;
+    queries probe several cells to recover vectors near cell borders."""
+    c_rows = [list(map(float, c)) for c in centers]
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out, T.IntegerType(), False)]
+    )
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as np
+
+        c_m = np.asarray(c_rows, dtype=np.float64)  # (nlist, d)
+        c_m /= np.maximum(np.linalg.norm(c_m, axis=1, keepdims=True), 1e-12)
+        for b in batches:
+            if len(b) == 0:
+                continue
+            v = _stack(b[vec_col])
+            v = v / np.maximum(
+                np.linalg.norm(v, axis=1, keepdims=True), 1e-12
+            )
+            sims = v @ c_m.T  # (n, nlist)
+            top = np.argsort(-sims, axis=1)[:, :nprobe]  # deterministic
+            for j in range(nprobe):
+                o = b.copy()
+                o[out] = top[:, j].astype("int32")
+                yield o
+
+    return df.mapInPandas(run, schema)
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    nlist: int = 16,
+    nprobe: int = 4,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+    train_fraction: float = 1.0,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the other classic ANN
+    scale path next to sign-LSH:
+
+    1. fit a seeded ``pyspark.ml`` KMeans coarse quantizer with
+       ``nlist`` centroids (optionally on a sample — at 100 TB you
+       train the quantizer on a fraction and it generalizes);
+    2. assign every corpus vector to its single nearest cell — this is
+       the inverted file, and at scale the corpus would be *written
+       partitioned by cell* so a probe touches only matching files;
+    3. each query probes its ``nprobe`` nearest cells (recall knob);
+    4. candidates come from a cell-key equi-join, then exact cosine
+       rescore + rank — identical scoring path to brute force, so the
+       only approximation is the candidate set.
+
+    Centroids are a tiny (nlist × d) driver-side matrix shipped in the
+    task closure — never a shuffle.  Vectors are L2-normalized for both
+    training and assignment so Euclidean KMeans cells agree with the
+    cosine metric used for scoring."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(F.col(vec_col).alias("_v"))
+    if train_fraction < 1.0:
+        train = train.sample(fraction=train_fraction, seed=seed)
+    # Normalize JVM-side: zip_with over the array with its own norm.
+    norm = F.sqrt(F.aggregate(
+        "_v", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x
+    ))
+    train = train.select(
+        array_to_vector(
+            F.transform("_v", lambda x: x.cast("double") / F.greatest(norm, F.lit(1e-12)))
+        ).alias("features")
+    )
+    model = KMeans(k=nlist, seed=seed, featuresCol="features").fit(train)
+    centers = [c.tolist() for c in model.clusterCenters()]
+
+    cb = _cell_keys(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        ),
+        centers, nprobe=1, vec_col="cvec",
+    )
+    qb = _cell_keys(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        ),
+        centers, nprobe=nprobe, vec_col="qvec",
+    )
+    candidates = (
+        cb.join(F.broadcast(qb), on="cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qvec", "cvec")
+    )
+    scored = cosine_score_pairs(
+        candidates, "qvec", "cvec", ["query_id", "neighbor_id"]
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
 
 
 def lsh_bucketed_topk(

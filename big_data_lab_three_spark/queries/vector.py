@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from big_data_lab_three_spark.operators.similarity import (
     brute_force_topk,
+    ivf_topk,
     lsh_bucketed_topk,
 )
 from big_data_lab_three_spark.queries import register
@@ -67,6 +68,24 @@ def similarity_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") % 100 == 0)
     return lsh_bucketed_topk(q, e, planes, tables=8, k=5).select(
+        "query_id", "neighbor_id",
+        F.round("cos_sim", 4).alias("cos_sim"), "rank",
+    )
+
+
+@register(
+    "similarity_ivf",
+    ids="similarity: IVF coarse-quantizer ANN (KMeans cells + nprobe, scale path)",
+    oracle=None,  # approximate by design; recall asserted in tests/
+)
+def similarity_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: seeded KMeans coarse quantizer (16 cells),
+    corpus assigned to 1 cell each (the inverted file), queries probe
+    their 4 nearest cells, exact cosine rescore on candidates.  Rows-only
+    check here; tests assert recall against the brute-force baseline."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 100 == 0)
+    return ivf_topk(q, e, nlist=16, nprobe=4, k=5).select(
         "query_id", "neighbor_id",
         F.round("cos_sim", 4).alias("cos_sim"), "rank",
     )

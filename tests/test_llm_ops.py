@@ -66,3 +66,23 @@ def test_embedding_near_dup_threshold_separates(spark, sf_dir):
     # exactly the 100 seeded rescaled copies, cosine ≈ 1
     assert len(rows) == 100
     assert all(r.cos_sim > 0.999 for r in rows)
+
+
+def test_ivf_similarity_recall_against_brute_force(spark, sf_dir):
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in REG["similarity_topk"].spark(spark, sf_dir).collect()
+    }
+    approx_rows = REG["similarity_ivf"].spark(spark, sf_dir).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in approx_rows}
+    # probing 4/16 cells: every query must produce candidates and a
+    # meaningful fraction of the exact top-k must survive.
+    recall = len(exact & approx) / len(exact)
+    assert recall > 0.3, f"IVF recall {recall:.2f} too low"
+    per_query = {}
+    for r in approx_rows:
+        assert 1 <= r.rank <= 5
+        assert -1.0001 <= r.cos_sim <= 1.0001
+        per_query.setdefault(r.query_id, []).append(r.rank)
+    for ranks in per_query.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
