@@ -187,3 +187,38 @@ def top1_per_group(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    salt_buckets: int = 8,
+    seed: int = 42,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigating join: salt the big (skewed) side into
+    ``salt_buckets`` sub-keys and replicate the small side once per salt
+    value, so one hot key's rows spread over ``salt_buckets`` reducers
+    instead of melting a single one.  Semantics-preserving — the salt
+    column never reaches the output, so results are identical to a plain
+    equi-join (DuckDB-oracle-checkable).
+
+    This is the manual fallback for the case AQE's skew-join split
+    (``spark.sql.adaptive.skewJoin``) can't fix: skew concentrated in a
+    SINGLE key value, which cannot be partition-split without changing
+    the key.  The salt is random (seeded) because it only routes rows;
+    the join result is salt-invariant."""
+    salt = F.floor(F.rand(seed) * salt_buckets).cast("int")
+    b = big.withColumn("_salt", salt)
+    s = small.withColumn(
+        "_salt_arr",
+        F.array([F.lit(i) for i in range(salt_buckets)]),
+    ).withColumn("_salt", F.explode("_salt_arr")).drop("_salt_arr")
+    joined = b.join(
+        s,
+        (b[big_key] == s[small_key]) & (b["_salt"] == s["_salt"]),
+        how,
+    )
+    return joined.drop(b["_salt"]).drop(s["_salt"])

@@ -434,3 +434,74 @@ def grouped_mean_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "skew_salted_join",
+    ids="join: salted skew join (hot-key spreading) — semantics-preserving",
+    oracle="""
+SELECT c_mktsegment,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per market segment through a SALTED join: the fact side
+    gets a random (seeded) salt in [0, 8), the dimension side is
+    replicated once per salt value, and the join key becomes
+    (custkey, salt) — one hot customer's rows now spread over 8 reducers
+    instead of melting one.  The salt never reaches the output, so the
+    result hash-matches the plain-join oracle exactly.  This is the
+    manual remedy for single-value key skew, the case AQE's skew-join
+    partition splitting cannot reach."""
+    from big_data_lab_three_spark.operators.relational import salted_join
+
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        salted_join(o, c, "o_custkey", "c_custkey", salt_buckets=8)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "quantile_profile",
+    ids="agg: exact continuous quantiles per group (median / p90 / p99)",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4)  AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 4)  AS p90,
+       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group continuous quantiles — the profiling aggregate a
+    data-quality pass runs next to null/distinct counts.  ``percentile``
+    (exact, linear interpolation) matches DuckDB's ``quantile_cont``
+    bit-for-bit on sorted doubles; at 100 TB swap to
+    ``percentile_approx`` (t-digest, mergeable sketch, no global sort)
+    and widen the tolerance — the API shape stays the same."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )

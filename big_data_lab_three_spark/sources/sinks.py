@@ -133,3 +133,33 @@ def write_predictions_redis(
     values = [int(r["p"]) for r in preds.collect()]
     write_predictions_fallback_json(values, fallback_path)
     return {"sink": "json", "count": len(values), "path": fallback_path}
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_col: str,
+    num_buckets: int = 8,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed (and bucket-sorted) parquet table.
+
+    Bucketing is the pre-shuffle: rows are hash-partitioned by
+    ``bucket_col`` into ``num_buckets`` files at WRITE time, so every
+    later join or aggregation on that key reads co-located data and
+    plans with ZERO exchanges (see
+    ``tests/test_plans.py::test_bucketed_join_is_shuffle_free``).  At
+    100 TB this converts the nightly fact⋈fact join from the cluster's
+    biggest shuffle into a file-aligned merge — you pay the shuffle once
+    at ingest instead of on every query.  ``sortBy`` additionally lets
+    SortMergeJoin skip its per-task sort."""
+    w = (
+        df.write.mode(mode)
+        .bucketBy(num_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(name)

@@ -145,3 +145,37 @@ def test_window_running_shares_one_sort(spark, sf_dir):
     df = REG["window_running"].spark(spark, sf_dir)
     n = shuffle_count(df)
     assert n == 1, f"shared window spec should shuffle once, saw {n}"
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """Bucketing both join sides by the key at write time removes the
+    exchange entirely — the pay-the-shuffle-once-at-ingest pattern the
+    100 TB design leans on for repeated fact joins."""
+    from big_data_lab_three_spark.sources.sinks import write_bucketed_table
+
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    write_bucketed_table(o, "orders_b", "o_custkey", 4, str(tmp_path / "o"))
+    write_bucketed_table(c, "customer_b", "c_custkey", 4, str(tmp_path / "c"))
+    try:
+        ob = spark.table("orders_b")
+        cb = spark.table("customer_b")
+        joined = ob.join(cb, ob.o_custkey == cb.c_custkey).groupBy().agg(
+            F.sum("o_totalprice").alias("rev")
+        )
+        # The only exchange left is the global-agg SinglePartition gather;
+        # no hashpartitioning exchange on the join keys may remain.
+        from big_data_lab_three_spark.plans.inspect import exchange_args
+
+        args = exchange_args(joined)
+        assert not any("custkey" in a for a in args), (
+            f"bucketed join still shuffles on the key: {args}"
+        )
+        # and it computes the same answer as the plain join
+        plain = o.join(c, o.o_custkey == c.c_custkey).groupBy().agg(
+            F.sum("o_totalprice").alias("rev")
+        )
+        assert abs(joined.first().rev - plain.first().rev) < 1e-6
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS customer_b")
