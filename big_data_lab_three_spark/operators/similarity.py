@@ -221,6 +221,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     seed: int = 7,
     train_fraction: float = 1.0,
+    max_iter: int = 8,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the other classic ANN
     scale path next to sign-LSH:
@@ -255,7 +256,12 @@ def ivf_topk(
             F.transform("_v", lambda x: x.cast("double") / F.greatest(norm, F.lit(1e-12)))
         ).alias("features")
     )
-    model = KMeans(k=nlist, seed=seed, featuresCol="features").fit(train)
+    # A coarse quantizer does not need convergence — cells only need to
+    # be reasonable; recall comes from nprobe.  Cap the iterations (each
+    # one is a full pass over the training set).
+    model = KMeans(
+        k=nlist, seed=seed, maxIter=max_iter, featuresCol="features"
+    ).fit(train.cache())
     centers = [c.tolist() for c in model.clusterCenters()]
 
     cb = _cell_keys(

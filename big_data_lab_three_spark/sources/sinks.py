@@ -15,7 +15,7 @@ from __future__ import annotations
 import datetime as _dt
 import json
 import os
-from collections.abc import Iterator
+from collections.abc import Iterator, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -163,3 +163,22 @@ def write_bucketed_table(
     if path is not None:
         w = w.option("path", path)
     w.saveAsTable(name)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned parquet layout (`.../col=value/part-*.parquet`).
+
+    Partition columns become directories, so a filter on them prunes at
+    the FILE LISTING level — a query over one day of a 100 TB
+    date-partitioned table never opens the other days' files (shows as
+    ``PartitionFilters`` in the scan, see
+    ``tests/test_plans.py::test_partitioned_write_prunes_partitions``).
+    Choose low-cardinality columns (date, region, event_type); never
+    partition by a high-cardinality key — millions of tiny files kill
+    the listing."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)

@@ -179,3 +179,35 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """A filter on a partition column must prune at file-listing level
+    (PartitionFilters), not per-row — the one-day-of-100TB guarantee."""
+    from big_data_lab_three_spark.plans.inspect import explain_str
+    from big_data_lab_three_spark.sources.sinks import write_partitioned
+
+    ev = table(spark, sf_dir, "events").withColumn(
+        "day", F.expr("ts div 86400000000000")
+    )
+    out = str(tmp_path / "events_by_day")
+    write_partitioned(ev, out, ["day"])
+    back = spark.read.parquet(out).where(F.col("day") == 19723)
+    plan = explain_str(back)
+    assert "PartitionFilters" in plan and "day" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], f"no partition filter in scan: {plan[:800]}"
+
+
+def test_sketch_aggregates_track_exact(spark, sf_dir):
+    """The 100TB profile path swaps exact countDistinct/percentile for
+    mergeable sketches (SCALE.md §4) — pin their error here."""
+    li = table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.countDistinct("l_partkey").alias("exact_d"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_d"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("exact_p"),
+        F.expr("percentile_approx(l_extendedprice, 0.9, 1000)").alias("approx_p"),
+    ).first()
+    assert abs(row.approx_d - row.exact_d) / row.exact_d < 0.05
+    assert abs(row.approx_p - row.exact_p) / row.exact_p < 0.02
