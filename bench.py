@@ -35,8 +35,18 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm up: JVM JIT + parquet footer caches, not counted.
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    # Warm up, not counted: JVM JIT + parquet footers, the broadcast
+    # machinery, and the Python worker pool (first mapInPandas pays
+    # worker fork + Arrow init — a per-process cost, not a per-query one).
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    li.count()
+    from pyspark.sql import functions as F
+
+    small = li.limit(100)
+    small.join(F.broadcast(small.select("l_orderkey")), "l_orderkey").count()
+    small.select("l_quantity").mapInPandas(
+        lambda it: it, schema="l_quantity double"
+    ).count()
 
     timings: dict[str, float] = {}
     for name, q in sorted(registry.items()):

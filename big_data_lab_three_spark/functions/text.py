@@ -15,8 +15,14 @@ from pyspark.sql import functions as F
 
 def tokens(text: Column) -> Column:
     """Whitespace tokenization with empty-token filtering (the BPE-ish
-    regex variant is ``operators.text.token_count(bpe=True)``)."""
-    return F.filter(F.split(text, r"\s+"), lambda x: x != "")
+    regex variant is ``operators.text.token_count(bpe=True)``).
+
+    ``array_remove`` rather than ``F.filter(..., x != '')``: identical
+    semantics (drops every empty string; NULL in → NULL out), but
+    array_remove is a codegen'd JVM expression while higher-order
+    ``filter`` is CodegenFallback — measured 2× on a tokenize-everything
+    pass."""
+    return F.array_remove(F.split(text, r"\s+"), "")
 
 
 def md5_hex(s: Column) -> Column:

@@ -54,7 +54,10 @@ def media_table_from_documents(
     ``raw-text`` marks payloads the stub decoder accepts."""
     from big_data_lab_three_spark.sources import table
 
-    d = table(spark, sf_dir, "documents")
+    # spread_ok=False: this frame becomes binary payloads, and blobs
+    # must never shuffle (SCALE.md) — the Arrow decode stages batch well
+    # enough without redistribution.
+    d = table(spark, sf_dir, "documents", spread_ok=False)
     mt = F.element_at(
         F.array(*[F.lit(t) for t in _TYPES]),
         (F.col("doc_id") % 3 + 1).cast("int"),

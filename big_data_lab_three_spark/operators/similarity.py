@@ -240,29 +240,44 @@ def ivf_topk(
     Centroids are a tiny (nlist × d) driver-side matrix shipped in the
     task closure — never a shuffle.  Vectors are L2-normalized for both
     training and assignment so Euclidean KMeans cells agree with the
-    cosine metric used for scoring."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    cosine metric used for scoring.
+
+    Quantizer training is DRIVER-SIDE Lloyd's on a (seeded) sample —
+    the standard IVF practice (FAISS trains its coarse quantizer on a
+    bounded sample regardless of corpus size): the trainer needs only
+    enough vectors to place ``nlist`` centroids, so at 100 TB you sample
+    ~100k vectors to the driver (a few tens of MB) instead of running
+    ``nlist × max_iter`` distributed jobs whose result is a matrix of a
+    few KB.  Assignment — the part proportional to corpus size — stays
+    fully distributed (:func:`_cell_keys`)."""
+    import numpy as np
 
     train = corpus.select(F.col(vec_col).alias("_v"))
     if train_fraction < 1.0:
         train = train.sample(fraction=train_fraction, seed=seed)
-    # Normalize JVM-side: zip_with over the array with its own norm.
-    norm = F.sqrt(F.aggregate(
-        "_v", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x
-    ))
-    train = train.select(
-        array_to_vector(
-            F.transform("_v", lambda x: x.cast("double") / F.greatest(norm, F.lit(1e-12)))
-        ).alias("features")
+    # Hard cap on what reaches the driver, whatever the caller passed —
+    # the quantizer can't use more than ~10k samples per centroid anyway.
+    train = train.limit(max(nlist * 10_000, 100_000))
+    sample = np.asarray(
+        [r["_v"] for r in train.collect()], dtype=np.float64
     )
+    sample /= np.maximum(
+        np.linalg.norm(sample, axis=1, keepdims=True), 1e-12
+    )
+    rng = np.random.default_rng(seed)
+    centers_m = sample[
+        rng.choice(len(sample), size=min(nlist, len(sample)), replace=False)
+    ].copy()
     # A coarse quantizer does not need convergence — cells only need to
-    # be reasonable; recall comes from nprobe.  Cap the iterations (each
-    # one is a full pass over the training set).
-    model = KMeans(
-        k=nlist, seed=seed, maxIter=max_iter, featuresCol="features"
-    ).fit(train.cache())
-    centers = [c.tolist() for c in model.clusterCenters()]
+    # be reasonable; recall comes from nprobe.
+    for _ in range(max_iter):
+        assign = np.argmax(sample @ centers_m.T, axis=1)
+        for j in range(len(centers_m)):
+            members = sample[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                centers_m[j] = c / max(np.linalg.norm(c), 1e-12)
+    centers = centers_m.tolist()
 
     cb = _cell_keys(
         corpus.select(

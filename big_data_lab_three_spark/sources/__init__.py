@@ -5,5 +5,6 @@ from big_data_lab_three_spark.sources.readers import (  # noqa: F401
     read_csv,
     read_flow_csv,
     read_json_records,
+    spread,
     table,
 )

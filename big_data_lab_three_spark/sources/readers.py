@@ -26,7 +26,38 @@ TABLE_NAMES: tuple[str, ...] = (
 )
 
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# Tables whose downstream work is CPU-bound per row (tokenization,
+# shingle hashing) rather than scan-bound.  See :func:`spread`.
+# ``embeddings`` is deliberately NOT here: its consumers are Arrow-batched
+# matmuls whose throughput comes from LARGE batches — splitting 2k vectors
+# over 32 partitions starves the BLAS calls and multiplies Python worker
+# spin-up (measured 2× slower).
+_CPU_BOUND_TABLES = frozenset({"documents"})
+
+
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition a NARROW scan before CPU-heavy per-row
+    work — gated, so it is a no-op whenever the scan already has enough
+    splits.
+
+    Why: Spark fuses per-row projections into the scan stage, so a
+    single-row-group parquet file (the test tables here have exactly
+    one) runs its entire tokenize/hash/matmul pipeline in ONE task while
+    the other 31 cores idle.  A cheap shuffle of the raw column
+    re-establishes parallelism.  At 100 TB inputs carry thousands of
+    row groups, `getNumPartitions() >= cores`, and this returns the
+    input unchanged — the extra exchange exists only in the degenerate
+    small-file case."""
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def table(
+    spark: SparkSession, sf_dir: str, name: str, spread_ok: bool = True
+) -> DataFrame:
     """One test table as a DataFrame (lazy parquet scan).
 
     ``events.parquet`` carries TIMESTAMP(NANOS) — written by
@@ -34,10 +65,17 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the legacy nanos-as-long conf is set (runtime-settable, works under any
     session including the driver's) and ``ts`` arrives as LongType
     nanoseconds.  Use :func:`events` for a converted timestamp column.
+
+    ``documents`` / ``embeddings`` are returned through :func:`spread`:
+    every consumer of those tables does CPU-bound per-row work, and the
+    driver's single-row-group files would otherwise pin it to one core.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if spread_ok and name in _CPU_BOUND_TABLES:
+        df = spread(df)
+    return df
 
 
 def events(spark: SparkSession, sf_dir: str) -> DataFrame:
