@@ -149,6 +149,13 @@ def minhash_lsh_pairs(
         ).alias("bk"),
     ).select("id", "bk.band", "bk.bucket")
 
+    # Materialize the band table once: it feeds BOTH sides of the
+    # candidate self-join, and without a persist the whole
+    # tokenize→shingle→minhash pipeline runs twice.  At 100 TB this is
+    # "write the signature table to storage, then self-join it" — the
+    # standard two-job LSH layout; persist() is its single-job form.
+    banded = banded.persist()
+
     left = banded.alias("a")
     right = banded.alias("b")
     candidates = (
@@ -166,12 +173,14 @@ def minhash_lsh_pairs(
     # joins that touch document-sized payloads, both key→payload
     # lookups, both broadcast-able when the dedup-candidate set is
     # small relative to the corpus).
+    # Persisted for the same reason as the band table: the shingle sets
+    # feed two id-equi-joins (one per pair side).
     sets = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(
             shingles(tokens(F.col(text_col)), shingle_k)
         ).alias("sh"),
-    ).where(F.size("sh") > 0)
+    ).where(F.size("sh") > 0).persist()
     scored = (
         candidates.join(
             sets.select(
@@ -209,7 +218,7 @@ def ngram_jaccard_pairs(
         F.array_distinct(shingles(tokens(F.col(text_col)), shingle_k)).alias(
             "sh"
         ),
-    ).where(F.size("sh") > 0)
+    ).where(F.size("sh") > 0).persist()
     a, b = sets.alias("a"), sets.alias("b")
     inter = F.size(F.array_intersect("a.sh", "b.sh"))
     union = F.size(F.array_union("a.sh", "b.sh"))
@@ -295,6 +304,9 @@ def simhash_pairs(
     sigs = simhash_signatures(df, text_col, id_col, shingle_k=3).withColumn(
         "prefix", F.shiftright("sig", 64 - prefix_bits)
     )
+    # Signature table feeds both sides of the self-join — persist so the
+    # explode + 64-sum aggregation runs once, not twice (measured 2x).
+    sigs = sigs.persist()
     a, b = sigs.alias("a"), sigs.alias("b")
     return (
         a.join(
