@@ -215,3 +215,47 @@ def run_stream_to_table(
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
     return spark.table(name)
+
+
+def run_stream_foreach_batch_parquet(
+    spark: SparkSession,
+    result: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+    state_partitions: int = 8,
+) -> DataFrame:
+    """Drain a streaming result to a DURABLE parquet sink via
+    ``foreachBatch``, idempotently, and return the written table.
+
+    Exactly-once-ish recipe: each micro-batch overwrites its own
+    ``_batch_id=N`` partition (dynamic partition overwrite), so a batch
+    replayed after a failure rewrites the same directory instead of
+    duplicating rows; the checkpoint ties batch ids to source offsets.
+    This is the standard pattern for sinks without native streaming
+    transactions — the same ``foreachBatch`` body could RPUSH to Redis
+    (sinks.write_predictions_redis) or upsert to a JDBC table."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(path)
+        )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            result.writeStream.foreachBatch(write_batch)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination()
+    return spark.read.parquet(path).drop("_batch_id")

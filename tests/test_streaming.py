@@ -123,3 +123,44 @@ def test_watermark_finalizes_windows_append_mode(spark, sf_dir, tmp_path):
     ).fetchall()[0][0]
     assert total == expected
     assert total < t.num_rows  # trailing unfinalized windows withheld
+
+
+def test_foreach_batch_parquet_sink_matches_memory_sink(spark, sf_dir, tmp_path):
+    """The durable foreachBatch parquet sink must produce exactly the
+    rows the memory sink sees, and replaying the same drained stream
+    (same checkpoint) must NOT duplicate them (idempotent overwrite)."""
+    from big_data_lab_three_spark.streaming.jobs import (
+        read_events_stream,
+        run_stream_foreach_batch_parquet,
+        run_stream_to_table,
+        windowed_event_counts,
+    )
+
+    mem = run_stream_to_table(
+        spark,
+        windowed_event_counts(read_events_stream(spark, sf_dir)),
+        "wc_mem_fb",
+    )
+    expected = sorted(tuple(r) for r in mem.collect())
+
+    out = str(tmp_path / "wc_parquet")
+    ckpt = str(tmp_path / "ckpt")
+    got1 = run_stream_foreach_batch_parquet(
+        spark,
+        windowed_event_counts(read_events_stream(spark, sf_dir)),
+        out,
+        ckpt,
+        output_mode="complete",
+    )
+    assert sorted(tuple(r) for r in got1.collect()) == expected
+
+    # Re-run with the SAME checkpoint: source offsets are committed, no
+    # new batch runs, and the table on disk is unchanged.
+    got2 = run_stream_foreach_batch_parquet(
+        spark,
+        windowed_event_counts(read_events_stream(spark, sf_dir)),
+        out,
+        ckpt,
+        output_mode="complete",
+    )
+    assert sorted(tuple(r) for r in got2.collect()) == expected
