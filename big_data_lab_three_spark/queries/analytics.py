@@ -514,3 +514,72 @@ def quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "sessionize_batch",
+    ids="window: batch sessionization (gap-split via lag + running sum)",
+    oracle="""
+WITH gaps AS (
+    SELECT user_id, epoch_us(ts) AS us, value,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                     > CAST(720 AS BIGINT) * 60 * 1000000
+                  OR lag(epoch_us(ts)) OVER w IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+), numbered AS (
+    SELECT user_id, us, value,
+           sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_id
+    FROM gaps
+)
+SELECT user_id,
+       CAST(session_id AS INT)       AS session_id,
+       CAST(count(*) AS INT)         AS n_events,
+       round(sum(value), 4)          AS total_value,
+       min(us)                       AS start_us,
+       max(us)                       AS end_us
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+""",
+)
+def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization as a BATCH window computation — the SQL-expressible
+    twin of the streaming ``applyInPandasWithState`` operator
+    (``streaming.sessionize``): a session boundary is a >12h gap in a
+    user's event stream; session ids are the running sum of boundary
+    flags.  One shuffle on user_id serves the lag, the running sum, and
+    (same key) the final per-session aggregation.
+    ``tests/test_streaming.py`` cross-checks the two implementations —
+    the streaming engine's finalized sessions must appear here verbatim."""
+    from big_data_lab_three_spark.sources import events
+
+    gap_us = 720 * 60 * 1_000_000
+    ev = events(spark, sf_dir).select(
+        "user_id", "event_id", "value",
+        F.unix_micros("ts_utc").alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    run = Window.partitionBy("user_id").orderBy("us").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    boundary = (
+        F.lag("us").over(w).isNull()
+        | ((F.col("us") - F.lag("us").over(w)) > gap_us)
+    ).cast("int")
+    return (
+        ev.withColumn("new_session", boundary)
+        .withColumn("session_id", F.sum("new_session").over(run).cast("int"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.min("us").alias("start_us"),
+            F.max("us").alias("end_us"),
+        )
+        .orderBy("user_id", "session_id")
+    )

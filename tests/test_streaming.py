@@ -164,3 +164,26 @@ def test_foreach_batch_parquet_sink_matches_memory_sink(spark, sf_dir, tmp_path)
         output_mode="complete",
     )
     assert sorted(tuple(r) for r in got2.collect()) == expected
+
+
+def test_streaming_sessions_agree_with_batch_sessionization(spark, sf_dir):
+    """Two independent implementations of the same semantics — the
+    stateful streaming operator and the batch lag+running-sum window —
+    must agree: every session the streaming engine finalized appears
+    verbatim in the batch answer."""
+    from big_data_lab_three_spark.queries import load_all
+
+    reg = load_all()
+    streamed = {
+        (r.user_id, r.n_events, round(r.total_value, 4), r.start_us, r.end_us)
+        for r in reg["streaming_sessionize"].spark(spark, sf_dir).collect()
+    }
+    batch = {
+        (r.user_id, r.n_events, round(r.total_value, 4), r.start_us, r.end_us)
+        for r in reg["sessionize_batch"].spark(spark, sf_dir).collect()
+    }
+    assert streamed, "streaming produced no finalized sessions"
+    assert streamed <= batch, (
+        f"streaming emitted sessions the batch answer lacks: "
+        f"{sorted(streamed - batch)[:3]}"
+    )
