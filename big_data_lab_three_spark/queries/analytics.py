@@ -583,3 +583,79 @@ def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+@register(
+    "bilateral_trade",
+    ids="join: 5-way star with a self-aliased dim (TPC-H Q7 shape)",
+    oracle="""
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INT) AS ship_year,
+       CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 2)
+            AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders   o  ON l.l_orderkey = o.o_orderkey
+JOIN customer c  ON o.o_custkey  = c.c_custkey
+JOIN supplier s  ON l.l_suppkey  = s.s_suppkey
+JOIN nation   cn ON c.c_nationkey = cn.n_nationkey
+JOIN nation   sn ON s.s_nationkey = sn.n_nationkey
+WHERE sn.n_name < cn.n_name
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)
+ORDER BY supp_nation, cust_nation, ship_year
+""",
+)
+def bilateral_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilateral trade volume (TPC-H Q7 shape): the lineitem fact joins
+    orders (key shuffle), then every remaining side — customer,
+    supplier, and nation twice under different aliases — broadcasts.
+    The date filter pushes to the fact scan, and the asymmetric
+    ``supp < cust`` predicate halves the pair matrix without a second
+    pass.  One fact shuffle total; the self-aliased dim shows that
+    broadcast reuse is free (same 25-row table, two hash relations)."""
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .where(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(
+            # Exact DECIMAL arithmetic: double sums of non-cent-quantized
+            # products drift by an ULP with summation order, flipping the
+            # round() at half-cent boundaries between engines.  Decimal
+            # sums are order-independent and bit-identical to DuckDB's.
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * (F.lit(1).cast("decimal(18,4)")
+                       - F.col("l_discount").cast("decimal(18,4)"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
