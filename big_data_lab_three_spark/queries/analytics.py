@@ -14,9 +14,15 @@ distinct *physical* strategy that matters at 100 TB:
 - as-of join via the union + last(ignorenulls) window technique
   (one shuffle, no per-row subquery),
 - range join via time-bucket equi-join expansion (turns an inequality
-  join — a broadcast-nested-loop trap — into a shuffled equi-join).
+  join — a broadcast-nested-loop trap — into a shuffled equi-join),
+- salted join for single-value key skew (salt-invariant result),
+- per-group mean imputation (tiny aggregate broadcast back),
+- exact per-group quantiles (the sketch-swap point for 100 TB),
+- batch sessionization (lag + running-sum windows; cross-checked
+  against the streaming stateful operator),
+- 5-way star with a self-aliased broadcast dim (TPC-H Q7 shape).
 
-Every query is DuckDB-oracle-checked (value hash at sf0.01).
+Every query is DuckDB-oracle-checked (value hash at sf0.01 and sf0.1).
 """
 
 from __future__ import annotations
