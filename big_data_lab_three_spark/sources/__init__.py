@@ -5,6 +5,8 @@ from big_data_lab_three_spark.sources.readers import (  # noqa: F401
     read_csv,
     read_flow_csv,
     read_json_records,
+    register_views,
     spread,
+    sql,
     table,
 )

@@ -66,9 +66,10 @@ def table(
     session including the driver's) and ``ts`` arrives as LongType
     nanoseconds.  Use :func:`events` for a converted timestamp column.
 
-    ``documents`` / ``embeddings`` are returned through :func:`spread`:
-    every consumer of those tables does CPU-bound per-row work, and the
-    driver's single-row-group files would otherwise pin it to one core.
+    ``documents`` is returned through :func:`spread`: every consumer
+    does CPU-bound per-row text work, and the driver's single-row-group
+    file would otherwise pin it to one core (``spread_ok=False`` opts
+    out — used where the frame grows blob columns).
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -144,3 +145,22 @@ def read_json_records(
         doc.select(F.explode(F.col(record_path)).alias("_rec"))
         .select("_rec.*")
     )
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES
+) -> None:
+    """Register every test table as a temp view so callers can use plain
+    ``spark.sql`` — the engine's SQL front door.  Views are lazy scans;
+    Catalyst sees straight through them (pushdown/pruning identical to
+    the DataFrame API), so the SQL surface costs nothing."""
+    for name in names:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """Run an ANSI-SQL query against the registered tables (register on
+    demand).  Demonstrates full-SQL parity: any DuckDB oracle in the
+    corpus also runs here verbatim, modulo dialect."""
+    register_views(spark, sf_dir)
+    return spark.sql(query)

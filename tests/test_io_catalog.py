@@ -64,3 +64,27 @@ def test_logger_writes_file(tmp_path, monkeypatch):
     assert "hello-sink" in content
     clear_log_file()
     assert open(tmp_path / "log.txt").read() == ""
+
+
+def test_sql_front_door_matches_dataframe_api(spark, sf_dir):
+    """spark.sql over registered views must equal the DataFrame form —
+    Catalyst sees through temp views, same plan, same answer."""
+    from big_data_lab_three_spark.sources import sql, table
+    from pyspark.sql import functions as F
+
+    got = sql(
+        spark,
+        sf_dir,
+        """
+        SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+    ).collect()
+    want = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .orderBy("l_returnflag")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]

@@ -1,0 +1,107 @@
+"""Property-based tests (hypothesis) — semantic invariants that must
+hold for ARBITRARY inputs, not just the fixture tables.  The reference
+has nothing of this kind (SURVEY.md §5: its tests assert "pipeline ran");
+these pin the algebraic contracts the operators advertise.
+
+Examples are kept small (≤40 rows) and few — each one is a real Spark
+job, so the budget goes to input diversity, not volume.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from big_data_lab_three_spark.operators.relational import (
+    binarize_label,
+    salted_join,
+)
+from big_data_lab_three_spark.schemas import conform
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,  # Spark job latency is not the property under test
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+keys = st.integers(min_value=0, max_value=5)
+vals = st.integers(min_value=-100, max_value=100)
+
+
+@SETTINGS
+@given(
+    big=st.lists(st.tuples(keys, vals), min_size=0, max_size=40),
+    small=st.lists(st.tuples(keys, vals), min_size=0, max_size=8),
+    buckets=st.integers(min_value=1, max_value=5),
+)
+def test_salted_join_equals_plain_join(spark, big, small, buckets):
+    """The salt must never change the result: for any two relations and
+    any bucket count, salted_join ≡ plain inner equi-join (as multisets
+    — duplicate keys fan out identically)."""
+    b = spark.createDataFrame(
+        [(k, v) for k, v in big] or [(None, None)], "bk int, bv int"
+    ).where(F.col("bk").isNotNull())
+    s = spark.createDataFrame(
+        [(k, v) for k, v in small] or [(None, None)], "sk int, sv int"
+    ).where(F.col("sk").isNotNull())
+    got = sorted(
+        tuple(r)
+        for r in salted_join(b, s, "bk", "sk", salt_buckets=buckets)
+        .select("bk", "bv", "sk", "sv")
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in b.join(s, b.bk == s.sk).select("bk", "bv", "sk", "sv").collect()
+    )
+    assert got == want
+
+
+@SETTINGS
+@given(
+    labels=st.lists(
+        st.one_of(st.none(), st.sampled_from(["BENIGN", "ATTACK", "", "x"])),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_binarize_label_is_total_and_binary(spark, labels):
+    """P3's contract: output is exactly {0,1}; 'BENIGN' → 1; everything
+    else INCLUDING NULL → 0 (the reference's NaN→attack rule,
+    src/preprocess.py:84)."""
+    df = spark.createDataFrame([(v,) for v in labels] or [(None,)], "Label string")
+    if not labels:
+        df = df.limit(0)
+    rows = binarize_label(df).collect()
+    assert len(rows) == len(labels)
+    for r in rows:
+        assert r.State == (1 if r.Label == "BENIGN" else 0)
+
+
+@SETTINGS
+@given(
+    present=st.sets(st.sampled_from(["a", "b", "c", "d"]), max_size=4),
+    contract=st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e", "f"]),
+        min_size=1,
+        max_size=6,
+        unique=True,
+    ),
+)
+def test_conform_always_yields_contract_schema(spark, present, contract):
+    """P6's contract: for ANY input column set and ANY contract, the
+    output has exactly the contract's columns in order; missing columns
+    are all-NULL, present ones pass through."""
+    cols = sorted(present) or ["z"]
+    df = spark.createDataFrame(
+        [tuple(1.0 for _ in cols)], ", ".join(f"{c} double" for c in cols)
+    )
+    out = conform(df, contract)
+    assert out.columns == list(contract)
+    row = out.first()
+    for c in contract:
+        if c in present:
+            assert row[c] == 1.0
+        else:
+            assert row[c] is None
