@@ -665,3 +665,80 @@ def bilateral_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("supp_nation", "cust_nation", "ship_year")
     )
+
+
+@register(
+    "pivot_matrix",
+    ids="agg: pivot (long → wide conditional aggregation)",
+    oracle="""
+SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+       round(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                      THEN o_totalprice END), 2) AS urgent,
+       round(sum(CASE WHEN o_orderpriority = '2-HIGH'
+                      THEN o_totalprice END), 2) AS high,
+       round(sum(CASE WHEN o_orderpriority = '3-MEDIUM'
+                      THEN o_totalprice END), 2) AS medium,
+       round(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+                      THEN o_totalprice END), 2) AS not_specified,
+       round(sum(CASE WHEN o_orderpriority = '5-LOW'
+                      THEN o_totalprice END), 2) AS low
+FROM orders
+GROUP BY year(o_orderdate)
+ORDER BY order_year
+""",
+)
+def pivot_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue pivot: order year down, priority across.  The pivot
+    values are DECLARED explicitly, which matters twice: the plan skips
+    the extra distinct-values job Spark otherwise runs, and the output
+    schema is static (a 100 TB pivot over undeclared values is two full
+    passes and an unbounded column count).  A declared pivot compiles to
+    exactly the oracle's conditional aggregation — one hash-agg pass."""
+    o = table(spark, sf_dir, "orders")
+    pretty = {
+        "1-URGENT": "urgent", "2-HIGH": "high", "3-MEDIUM": "medium",
+        "4-NOT SPECIFIED": "not_specified", "5-LOW": "low",
+    }
+    wide = (
+        o.groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .pivot("o_orderpriority", list(pretty))
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+    return wide.select(
+        "order_year",
+        *[F.col(f"`{k}`").alias(v) for k, v in pretty.items()],
+    ).orderBy("order_year")
+
+
+@register(
+    "window_distribution",
+    ids="window: distribution functions (ntile / percent_rank / cume_dist)",
+    oracle="""
+SELECT c_custkey,
+       c_mktsegment,
+       CAST(ntile(4) OVER w AS INT)          AS balance_quartile,
+       round(percent_rank() OVER w, 6)       AS pct_rank,
+       round(cume_dist() OVER w, 6)          AS cume
+FROM customer
+WHERE c_custkey % 7 = 0
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+ORDER BY c_mktsegment, c_custkey
+""",
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — quartile assignment and relative
+    rank per market segment.  All three share one (partition, order)
+    spec: one exchange, one sort, one window exec.  Ordering carries the
+    unique c_custkey tiebreak so ntile boundaries are deterministic."""
+    c = table(spark, sf_dir, "customer").where(F.col("c_custkey") % 7 == 0)
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select(
+            "c_custkey",
+            "c_mktsegment",
+            F.ntile(4).over(w).cast("int").alias("balance_quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy("c_mktsegment", "c_custkey")
+    )
