@@ -114,10 +114,13 @@ def anti_join_idle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids="join: broadcast dim + conditional aggregation (TPC-H Q14 shape)",
     oracle="""
 SELECT round(
-         100.0 * sum(CASE WHEN p_type = 'PROMO'
-                          THEN l_extendedprice * (1 - l_discount)
-                          ELSE 0 END)
-         / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share
+         100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                          THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                               * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                          ELSE 0 END) AS DOUBLE)
+         / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE),
+         4) AS promo_share
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -135,12 +138,19 @@ def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
     )
     p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    # exact decimal sums both sides of the ratio — see pricing_summary note
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
-            F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_share")
+            F.round(
+                100.0 * F.sum(promo).cast("double")
+                / F.sum(rev).cast("double"),
+                4,
+            ).alias("promo_share")
         )
     )
 

@@ -37,13 +37,16 @@ from big_data_lab_three_spark.sources import table
     oracle="""
 SELECT l_returnflag,
        l_linestatus,
-       round(sum(l_quantity), 2)                                   AS sum_qty,
-       round(sum(l_extendedprice), 2)                              AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       round(avg(l_quantity), 4)                                   AS avg_qty,
-       round(avg(l_extendedprice), 4)                              AS avg_price,
-       round(avg(l_discount), 6)                                   AS avg_disc,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                      * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4) AS avg_price,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
        count(*)                                                    AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-09-02'
@@ -58,20 +61,30 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation, 6-group final agg.  At 100 TB this plan is scan-bound, as
     it should be — no joins, one shuffle of 6 partial rows per mapper."""
     li = table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # Exact DECIMAL money math (values are cent-quantized, casts lossless):
+    # double sums of price*(1-disc) products drift an ULP with summation
+    # order and can flip round() at half-cent boundaries vs the oracle.
+    # Decimal sums are order-independent and engine-identical; averages
+    # derive from the exact sums so both engines divide identical doubles.
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    one = F.lit(1).cast("decimal(4,2)")
+    cnt = F.count(F.lit(1))
     return (
         li.where(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(
-                F.sum(disc_price * (1 + F.col("l_tax"))), 2
-            ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(F.sum(qty), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(price), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(price * (one - disc)), 2)
+            .cast("double").alias("sum_disc_price"),
+            F.round(F.sum(price * (one - disc) * (one + tax)), 2)
+            .cast("double").alias("sum_charge"),
+            F.round(F.sum(qty).cast("double") / cnt, 4).alias("avg_qty"),
+            F.round(F.sum(price).cast("double") / cnt, 4).alias("avg_price"),
+            F.round(F.sum(disc).cast("double") / cnt, 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -688,7 +701,9 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids="join (3-way), O1,O2",
     oracle="""
 SELECT l.l_orderkey,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2)
+            AS DOUBLE) AS revenue
 FROM customer c
 JOIN orders o   ON o.o_custkey = c.c_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -715,11 +730,14 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
         .join(li, li["l_orderkey"] == o["o_orderkey"])
     )
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    one = F.lit(1).cast("decimal(4,2)")
     return topk(
         joined.groupBy("l_orderkey").agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            # exact decimal sum — see pricing_summary note
+            F.round(F.sum(price * (one - disc)), 2)
+            .cast("double").alias("revenue")
         ),
         order=[F.desc("revenue"), F.asc("l_orderkey")],
         k=10,
@@ -765,7 +783,9 @@ def json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids="join (6-way star), A-aggs; broadcast-dim plan",
     oracle="""
 SELECT n.n_name,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2)
+            AS DOUBLE) AS revenue
 FROM customer c
 JOIN orders o   ON o.o_custkey = c.c_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -806,10 +826,13 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
     )
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    one = F.lit(1).cast("decimal(4,2)")
     return joined.groupBy("n_name").agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue")
+        # exact decimal sum — see pricing_summary note
+        F.round(F.sum(price * (one - disc)), 2)
+        .cast("double").alias("revenue")
     )
 
 
@@ -819,7 +842,9 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH rev AS (
   SELECT l_suppkey,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+              AS DOUBLE) AS total_rev
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
     AND l_shipdate <  TIMESTAMP '1996-07-01'
@@ -840,10 +865,13 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
     )
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    one = F.lit(1).cast("decimal(4,2)")
     rev = li.groupBy("l_suppkey").agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("total_rev")
+        # exact decimal sum — see pricing_summary note
+        F.round(F.sum(price * (one - disc)), 2)
+        .cast("double").alias("total_rev")
     )
     s = table(spark, sf_dir, "supplier")
     ranked = rev.withColumn(
