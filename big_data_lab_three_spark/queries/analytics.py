@@ -752,3 +752,58 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment", "c_custkey")
     )
+
+
+@register(
+    "returned_revenue",
+    ids="join: 4-way + filtered fact + deterministic top-k (TPC-H Q10 shape)",
+    oracle="""
+SELECT c.c_custkey,
+       c.c_name,
+       n.n_name,
+       CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2)
+            AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders   o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey  = c.c_custkey
+JOIN nation   n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lost revenue from returned items (TPC-H Q10 shape): the
+    returnflag filter pushes into the lineitem scan (~1/4 survives), the
+    date filter into orders; customer and nation broadcast; one fact
+    shuffle on orderkey, then a customer-keyed aggregate and a
+    deterministic top-20 (revenue DESC, custkey tiebreak).  Revenue in
+    exact DECIMAL — see pricing_summary."""
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    one = F.lit(1).cast("decimal(4,2)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(price * (one - disc)), 2)
+            .cast("double").alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
