@@ -807,3 +807,172 @@ def returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "forecast_revenue",
+    ids="agg: pure filter→reduce, triple pushed predicate (TPC-H Q6 shape)",
+    oracle="""
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE)
+           AS revenue_increase
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount >= CAST(0.05 AS DOUBLE)
+  AND l_discount <= CAST(0.07 AS DOUBLE)
+  AND l_quantity < 24
+""",
+)
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue increase if mid-range discounts were dropped (TPC-H Q6
+    shape): no join, no group — just a conjunctive filter and a single
+    reduce.  All three predicates (date range, discount band, quantity
+    cap) push into the parquet scan, so at 100 TB the plan is pure
+    scan-side row-group skipping plus a one-value-per-mapper reduce:
+    the cheapest shape a query can have.  Revenue in exact DECIMAL —
+    see pricing_summary."""
+    li = table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(price * disc), 2)
+            .cast("double").alias("revenue_increase")
+        )
+    )
+
+
+@register(
+    "disjunctive_pushdown",
+    ids="join: OR-of-ANDs predicate over broadcast dim (TPC-H Q19 shape)",
+    oracle="""
+SELECT CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2)
+            AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1  AND 15
+       AND l.l_quantity BETWEEN 1  AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 16 AND 30
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#4'  AND p.p_size BETWEEN 31 AND 50
+       AND l.l_quantity BETWEEN 20 AND 30)
+""",
+)
+def disjunctive_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunction of conjunctive brand/size/quantity branches (TPC-H
+    Q19 shape).  The predicate straddles the join, so Catalyst cannot
+    apply it until after the match — but it *derives* the single-side
+    residuals (the OR of each branch's part-only and lineitem-only
+    conjuncts) and pushes those into both scans, shrinking the join
+    inputs while the full three-branch filter still runs post-join.
+    Part broadcasts; the fact table never shuffles.  At 100 TB the
+    derived lineitem residual (quantity ∈ [1,30]) is what keeps the
+    probe side scan-bound instead of full-width."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    one = F.lit(1).cast("decimal(4,2)")
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(16, 30)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#4")
+            & F.col("p_size").between(31, 50)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .where(branch)
+        .agg(
+            F.round(F.sum(price * (one - disc)), 2)
+            .cast("double").alias("revenue")
+        )
+    )
+
+
+@register(
+    "idle_big_spenders",
+    ids="join: scalar-subquery threshold + anti join + substring bucket (TPC-H Q22 shape)",
+    oracle="""
+SELECT cntrycode,
+       count(*) AS numcust,
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE)
+           AS totacctbal
+FROM (
+    SELECT substr(c_name, 17, 2) AS cntrycode, c_acctbal, c_custkey
+    FROM customer
+    WHERE c_acctbal > (
+        SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+               / count(*)
+        FROM customer
+        WHERE c_acctbal > 0.0
+    )
+) c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+GROUP BY cntrycode
+ORDER BY cntrycode
+""",
+)
+def idle_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Well-funded customers with no *recent* orders, grouped by an
+    account code carved out of the customer name (TPC-H Q22 shape): a
+    scalar aggregate becomes the filter threshold, then an anti join
+    drops everyone who ordered in 2001 (the date filter pushes into the
+    orders scan before the anti join ships custkeys).  The one-row average broadcasts (a
+    cross join with a 1-row side is a broadcast nested loop of cost
+    |customer|), and the anti join ships only custkeys.  The threshold
+    is computed as exact-DECIMAL sum ÷ count so both engines divide
+    identical doubles — an unrounded double average would drift an ULP
+    with summation order and flip membership at the boundary."""
+    c = table(spark, sf_dir, "customer")
+    thr = (
+        c.where(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("thr")
+        )
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(thr))
+        .where(F.col("c_acctbal") > F.col("thr"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select(
+            F.substring("c_name", 17, 2).alias("cntrycode"),
+            "c_acctbal",
+        )
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(12,2)")), 2)
+            .cast("double").alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )

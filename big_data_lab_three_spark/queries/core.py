@@ -882,3 +882,112 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "total_rev")
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "summary_stats",
+    ids="A1,A5,A6 describe-parity profile",
+    oracle="""
+SELECT 'l_discount' AS col_name,
+       count(l_discount) AS n_rows,
+       CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+           / count(l_discount) AS mean,
+       sqrt((CAST(sum(CAST(l_discount AS DECIMAL(4,2))
+                      * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+             - CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+               * CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+               / count(l_discount))
+            / (count(l_discount) - 1)) AS std,
+       min(l_discount) AS min_val,
+       max(l_discount) AS max_val
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice' AS col_name,
+       count(l_extendedprice) AS n_rows,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+           / count(l_extendedprice) AS mean,
+       sqrt((CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             - CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+               * CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+               / count(l_extendedprice))
+            / (count(l_extendedprice) - 1)) AS std,
+       min(l_extendedprice) AS min_val,
+       max(l_extendedprice) AS max_val
+FROM lineitem
+UNION ALL
+SELECT 'l_quantity' AS col_name,
+       count(l_quantity) AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+           / count(l_quantity) AS mean,
+       sqrt((CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+                      * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+             - CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+               * CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+               / count(l_quantity))
+            / (count(l_quantity) - 1)) AS std,
+       min(l_quantity) AS min_val,
+       max(l_quantity) AS max_val
+FROM lineitem
+ORDER BY col_name
+""",
+)
+def summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``df.describe()`` parity (pandas describe / nb EDA cells): per-column
+    count, mean, sample std, min, max for the lineitem measures — ONE scan,
+    one fused agg (the pandas reference makes a separate pass per column;
+    SURVEY.md §4.2 single-``agg`` rule).
+
+    Hash-parity technique: mean and std are derived from exact DECIMAL
+    sums (``sum(x)``, ``sum(x*x)``) cast to double only once — both
+    engines then evaluate the *same* IEEE expression
+    ``(ss - s*s/n)/(n-1)``, so the output doubles are bit-identical with
+    no rounding needed.  A plain ``avg``/``stddev`` would drift an ULP
+    with summation order (and Spark's Welford vs DuckDB's formula differ
+    further).  At 100 TB this stays a single scan-bound pass with a
+    15-value reduce."""
+    li = table(spark, sf_dir, "lineitem")
+    cols = [
+        ("l_discount", "decimal(4,2)"),
+        ("l_extendedprice", "decimal(12,2)"),
+        ("l_quantity", "decimal(12,2)"),
+    ]
+    aggs = []
+    for name, dectype in cols:
+        d = F.col(name).cast(dectype)
+        aggs += [
+            F.count(F.col(name)).alias(f"n__{name}"),
+            F.sum(d).cast("double").alias(f"s__{name}"),
+            F.sum(d * d).cast("double").alias(f"ss__{name}"),
+            F.min(F.col(name)).alias(f"mn__{name}"),
+            F.max(F.col(name)).alias(f"mx__{name}"),
+        ]
+    row = li.agg(*aggs)
+    stats = row.select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("col_name"),
+                        F.col(f"n__{name}").alias("n_rows"),
+                        F.col(f"s__{name}").alias("s"),
+                        F.col(f"ss__{name}").alias("ss"),
+                        F.col(f"mn__{name}").alias("min_val"),
+                        F.col(f"mx__{name}").alias("max_val"),
+                    )
+                    for name, _ in cols
+                ]
+            )
+        )
+    )
+    n = F.col("n_rows")
+    s = F.col("s")
+    ss = F.col("ss")
+    return stats.select(
+        "col_name",
+        "n_rows",
+        (s / n).alias("mean"),
+        F.sqrt((ss - s * s / n) / (n - 1)).alias("std"),
+        "min_val",
+        "max_val",
+    ).orderBy("col_name")
