@@ -991,3 +991,109 @@ def summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_val",
         "max_val",
     ).orderBy("col_name")
+
+
+@register(
+    "corr_matrix",
+    ids="A-family EDA extension: pairwise Pearson correlation, one pass",
+    oracle="""
+WITH m AS (
+    SELECT count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS s_q,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS s_p,
+           CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS s_d,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+                    * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS ss_q,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS ss_p,
+           CAST(sum(CAST(l_discount AS DECIMAL(4,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS ss_d,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+                    * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS s_qp,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS s_qd,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS s_pd
+    FROM lineitem
+)
+SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+       (n * s_qp - s_q * s_p)
+           / (sqrt(n * ss_q - s_q * s_q) * sqrt(n * ss_p - s_p * s_p))
+           AS corr_xy
+FROM m
+UNION ALL
+SELECT 'l_quantity' AS col_x, 'l_discount' AS col_y,
+       (n * s_qd - s_q * s_d)
+           / (sqrt(n * ss_q - s_q * s_q) * sqrt(n * ss_d - s_d * s_d))
+           AS corr_xy
+FROM m
+UNION ALL
+SELECT 'l_extendedprice' AS col_x, 'l_discount' AS col_y,
+       (n * s_pd - s_p * s_d)
+           / (sqrt(n * ss_p - s_p * s_p) * sqrt(n * ss_d - s_d * s_d))
+           AS corr_xy
+FROM m
+ORDER BY col_x, col_y
+""",
+)
+def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of the lineitem measures — the EDA
+    heatmap companion to ``summary_stats`` (the pandas reference's
+    notebook profiles columns pairwise; nb EDA cells).  ONE scan
+    computes all ten moment sums, then each pair's coefficient derives
+    from them on the driver-sized 1-row result.
+
+    Hash-parity: moments are exact DECIMAL sums cast to double once;
+    both engines then evaluate the same IEEE expression
+    ``(n·sxy − sx·sy) / (√(n·sxx − sx²)·√(n·syy − sy²))``, so the
+    doubles are bit-identical without rounding.  Built-in ``F.corr``
+    (Welford-style, partition-order-dependent) could not hash-match
+    DuckDB's ``corr`` — deriving from exact sums is what makes the
+    cross-engine check possible.  At 100 TB: one scan-bound pass, a
+    10-value reduce, O(pairs) driver math."""
+    li = table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(12,2)")
+    p = F.col("l_extendedprice").cast("decimal(12,2)")
+    d = F.col("l_discount").cast("decimal(4,2)")
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).cast("double").alias("s_q"),
+        F.sum(p).cast("double").alias("s_p"),
+        F.sum(d).cast("double").alias("s_d"),
+        F.sum(q * q).cast("double").alias("ss_q"),
+        F.sum(p * p).cast("double").alias("ss_p"),
+        F.sum(d * d).cast("double").alias("ss_d"),
+        F.sum(q * p).cast("double").alias("s_qp"),
+        F.sum(q * d).cast("double").alias("s_qd"),
+        F.sum(p * d).cast("double").alias("s_pd"),
+    )
+
+    def corr_expr(sx, sy, ssx, ssy, sxy):
+        n = F.col("n")
+        return (n * F.col(sxy) - F.col(sx) * F.col(sy)) / (
+            F.sqrt(n * F.col(ssx) - F.col(sx) * F.col(sx))
+            * F.sqrt(n * F.col(ssy) - F.col(sy) * F.col(sy))
+        )
+
+    pairs = [
+        ("l_quantity", "l_extendedprice",
+         corr_expr("s_q", "s_p", "ss_q", "ss_p", "s_qp")),
+        ("l_quantity", "l_discount",
+         corr_expr("s_q", "s_d", "ss_q", "ss_d", "s_qd")),
+        ("l_extendedprice", "l_discount",
+         corr_expr("s_p", "s_d", "ss_p", "ss_d", "s_pd")),
+    ]
+    return m.select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(x).alias("col_x"),
+                        F.lit(y).alias("col_y"),
+                        e.alias("corr_xy"),
+                    )
+                    for x, y, e in pairs
+                ]
+            )
+        )
+    ).orderBy("col_x", "col_y")

