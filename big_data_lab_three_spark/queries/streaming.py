@@ -105,3 +105,25 @@ def streaming_sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "start_us",
         "end_us",
     )
+
+
+@register(
+    "streaming_dedup",
+    ids="streaming: dropDuplicatesWithinWatermark — bounded-state late-duplicate suppression",
+    oracle="""
+SELECT DISTINCT user_id, event_type
+FROM events
+""",
+)
+def streaming_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First event per (user_id, event_type) through the streaming
+    engine with watermark-bounded dedup state (see
+    ``streaming.dedup_within_watermark`` for why the key set — not the
+    winning row — is the comparable output)."""
+    from big_data_lab_three_spark.streaming import dedup_within_watermark
+
+    stream = read_events_stream(spark, sf_dir)
+    result = dedup_within_watermark(stream, "2 hours")
+    return run_stream_to_table(
+        spark, result, f"stream_dedup_{next(_seq)}", output_mode="append"
+    )

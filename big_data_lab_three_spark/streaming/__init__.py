@@ -13,6 +13,7 @@ result like any batch query.
 """
 
 from big_data_lab_three_spark.streaming.jobs import (  # noqa: F401
+    dedup_within_watermark,
     read_events_stream,
     run_stream_to_table,
     sessionize,

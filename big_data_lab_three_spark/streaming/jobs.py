@@ -259,3 +259,30 @@ def run_stream_foreach_batch_parquet(
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
     return spark.read.parquet(path).drop("_batch_id")
+
+
+def dedup_within_watermark(
+    stream: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming late-duplicate suppression: emit the FIRST event per
+    (user_id, event_type) key, holding per-key state only until the
+    watermark passes the first occurrence plus the delay
+    (``dropDuplicatesWithinWatermark`` — the streaming face of the
+    batch dedup family in ``operators/dedup.py``).
+
+    State is one (key, expiry) entry per distinct key seen within the
+    watermark horizon — bounded by key cardinality × delay, never by
+    input size, which is what makes it runnable against a 100 TB/day
+    firehose where plain ``dropDuplicates`` state would grow forever.
+
+    Only the key columns are emitted: which physical row arrives first
+    is batch-order-dependent, but the key set itself is deterministic,
+    so the DuckDB ``SELECT DISTINCT`` oracle is exact on an
+    ``AvailableNow`` single-file replay (one microbatch, watermark 0
+    throughout — no evictions mid-drain; on a multi-batch production
+    run a key re-emits only after its state evicts, by design)."""
+    return (
+        stream.withWatermark("ts_utc", watermark)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
