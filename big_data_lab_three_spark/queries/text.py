@@ -148,3 +148,98 @@ def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduces the sketch exactly."""
     d = table(spark, sf_dir, "documents")
     return fingerprint(d).select("doc_id", "content_md5", "min_shingle_md5")
+
+
+@register(
+    "corpus_clean",
+    ids="text+dedup composition: quality gate → exact dedup → language composition report",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')
+           AS toks,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')
+           AS ltoks
+  FROM documents
+),
+gated AS (
+  SELECT t.doc_id, t.text, len(t.toks) AS n_tokens, t.ltoks, d.lang
+  FROM toks t JOIN documents d ON d.doc_id = t.doc_id
+  WHERE len(t.toks) BETWEEN 30 AND 90
+),
+scored AS (
+  SELECT doc_id, text, n_tokens, lang,
+    len(list_filter(ltoks, x -> list_contains(['the','a','of','and','is'], x))) AS s_en,
+    len(list_filter(ltoks, x -> list_contains(['le','la','les','et','est'], x))) AS s_fr,
+    len(list_filter(ltoks, x -> list_contains(['der','die','und','ist','das'], x))) AS s_de,
+    len(list_filter(ltoks, x -> list_contains(['el','los','las','y','es'], x))) AS s_es
+  FROM gated
+),
+pred AS (
+  SELECT doc_id, text, n_tokens, lang,
+    CASE WHEN greatest(s_en, s_fr, s_de, s_es) = 0 THEN 'en'
+         WHEN s_en = greatest(s_en, s_fr, s_de, s_es) THEN 'en'
+         WHEN s_fr = greatest(s_en, s_fr, s_de, s_es) THEN 'fr'
+         WHEN s_de = greatest(s_en, s_fr, s_de, s_es) THEN 'de'
+         ELSE 'es' END AS predicted_lang
+  FROM scored
+),
+dedup AS (
+  SELECT md5(text) AS content_md5,
+         min(doc_id) AS kept_id,
+         min(lang) AS lang,
+         min(predicted_lang) AS predicted_lang,
+         min(n_tokens) AS n_tokens
+  FROM pred
+  GROUP BY md5(text)
+)
+SELECT lang,
+       predicted_lang,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM dedup
+GROUP BY lang, predicted_lang
+ORDER BY lang, predicted_lang
+""",
+)
+def corpus_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus cleaning pass — the composition the
+    individual operators exist for: quality gate (token-count band) →
+    exact content dedup (digest groupBy, smallest doc_id kept; all
+    per-group reducers are ``min`` so survivors are deterministic) →
+    labeled-vs-predicted language composition report of the surviving
+    corpus (docs + total tokens per cell).
+
+    Pipeline shape matters at 100 TB: the cheap projection-only gate
+    runs FIRST so the explode-based language scorer and the dedup
+    shuffle see only survivors; the dedup exchange carries
+    (16-byte digest, id, lang, token count) — never text; and the final
+    report is a 4-row reduce.  Two passes over the gated corpus (one
+    for language scores, one for digests), both scan-bound."""
+    d = table(spark, sf_dir, "documents")
+    gated = (
+        quality_metrics(d)
+        .where(F.col("n_tokens").between(30, 90))
+        .select("doc_id", "text", "n_tokens", "lang")
+    )
+    lang = lang_id_table(gated)
+    per_digest = (
+        gated.join(lang, "doc_id")
+        .groupBy(
+            F.md5(F.encode(F.col("text"), "UTF-8")).alias("content_md5")
+        )
+        .agg(
+            F.min("doc_id").alias("kept_id"),
+            F.min("lang").alias("lang"),
+            F.min("predicted_lang").alias("predicted_lang"),
+            F.min("n_tokens").alias("n_tokens"),
+        )
+    )
+    return (
+        per_digest.groupBy("lang", "predicted_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("lang", "predicted_lang")
+    )
