@@ -976,3 +976,184 @@ def idle_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+@register(
+    "small_quantity_revenue",
+    ids="join: correlated per-group threshold as agg-then-join (TPC-H Q17 shape)",
+    oracle="""
+SELECT CAST(round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)))
+                       AS DOUBLE) / 7.0, 4) AS DOUBLE) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#12'
+  AND l.l_quantity < (
+      SELECT 0.2 * avg(l2.l_quantity)
+      FROM lineitem l2
+      WHERE l2.l_partkey = l.l_partkey
+  )
+""",
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue lost to small-quantity orders of one brand (TPC-H Q17
+    shape).  The correlated per-part average is decorrelated into an
+    aggregate-then-join: lineitem is first semi-joined to the brand's
+    parts (so the average is computed ONLY for parts that can match),
+    the per-part averages — a tiny table, one row per part — broadcast
+    back, and the threshold filter runs rowwise.  A naive correlated
+    subquery would rescan lineitem per outer row.  Quantities are
+    small integers whose sums are exact in double regardless of
+    partition order, so both engines derive identical thresholds."""
+    p = (
+        table(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#12")
+        .select("p_partkey")
+    )
+    li = table(spark, sf_dir, "lineitem").join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    )
+    avg_qty = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(
+            F.broadcast(avg_qty), F.col("l_partkey") == F.col("a_partkey")
+        )
+        .where(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+                .cast("double") / 7.0,
+                4,
+            ).cast("double").alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "market_share",
+    ids="join: 8-table star with conditional share agg (TPC-H Q8 shape)",
+    oracle="""
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(sum(CASE WHEN n2.n_name = 'NATION_9'
+                     THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2))) END)
+            AS DOUBLE)
+       / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+           AS mkt_share
+FROM part, supplier, lineitem, orders, customer,
+     nation n1, nation n2, region
+WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+  AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+  AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+  AND r_name = 'EUROPE' AND s_nationkey = n2.n_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+  AND p_type = 'ECONOMY'
+GROUP BY o_year
+ORDER BY o_year
+""",
+)
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATION_9's share of ECONOMY-part volume sold into EUROPE, per
+    year (TPC-H Q8 shape) — the widest join in the corpus: fact table
+    against five broadcast dimensions with nation self-aliased for the
+    two roles (customer's region membership vs supplier's nationality).
+    Only lineitem⋈orders shuffles; every dimension (part filtered to
+    one type, supplier, customer, both nation aliases, region)
+    broadcasts, and the date filter pushes into the orders scan.  The
+    share ratio divides two exact-DECIMAL sums cast to double once —
+    identical across engines without rounding (sum(CASE WHEN .. END)
+    skips non-matching rows via NULL on both engines)."""
+    li = table(spark, sf_dir, "lineitem")
+    p = (
+        table(spark, sf_dir, "part")
+        .where(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = (
+        table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_regionkey").alias("n1_region"),
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_name").alias("n2_name"),
+    )
+    r = (
+        table(spark, sf_dir, "region")
+        .where(F.col("r_name") == "EUROPE")
+        .select("r_regionkey")
+    )
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    one = F.lit(1).cast("decimal(4,2)")
+    vol = price * (one - disc)
+    joined = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+    )
+    return (
+        joined.groupBy(
+            F.year("o_orderdate").cast("int").alias("o_year")
+        )
+        .agg(
+            (
+                F.sum(F.when(F.col("n2_name") == "NATION_9", vol))
+                .cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "order_count_histogram",
+    ids="join: left-outer + double aggregation (TPC-H Q13 shape)",
+    oracle="""
+SELECT c_count, count(*) AS custdist
+FROM (
+    SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+def order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of per-customer order counts (TPC-H Q13 shape):
+    LEFT join keeps order-less customers as count 0, then a second
+    aggregation histograms the counts.  The first groupBy keys on
+    c_custkey (same key as the join — no extra exchange under AQE);
+    the second aggregates the already-tiny (customer-cardinality)
+    intermediate.  ``count(o_orderkey)`` skips the NULLs a left join
+    manufactures, on both engines.  Ordering (custdist DESC, c_count
+    DESC) is unique — c_count appears once per histogram row."""
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
