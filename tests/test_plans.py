@@ -283,3 +283,41 @@ def test_summary_stats_is_single_pruned_scan(spark, sf_dir):
     scans = scan_columns(df, "lineitem")
     assert len(scans) == 1, f"expected one lineitem scan, saw {len(scans)}"
     assert len(scans[0]) <= 3, f"scan not pruned to 3 cols: {scans[0]}"
+
+
+def test_market_share_single_fact_shuffle(spark, sf_dir):
+    """Q8 shape: five dimensions must broadcast (part, supplier,
+    customer, nation x2, region) so the only exchanges are the
+    lineitem⋈orders shuffle and the final aggregation."""
+    df = REG["market_share"].spark(spark, sf_dir)
+    assert broadcast_join_count(df) >= 5, "expected 5+ broadcast dims"
+    pushed = " ".join(pushed_filters(df))
+    assert "o_orderdate" in pushed, f"orders date not pushed: {pushed!r}"
+    assert "p_type" in pushed, f"part type not pushed: {pushed!r}"
+
+
+def test_small_quantity_revenue_broadcasts_threshold(spark, sf_dir):
+    """Q17 shape: the per-part average table and the brand part list are
+    both tiny and must broadcast — the decorrelated plan may not shuffle
+    lineitem by partkey."""
+    df = REG["small_quantity_revenue"].spark(spark, sf_dir)
+    assert broadcast_join_count(df) >= 2, (
+        "brand parts and per-part averages should both broadcast"
+    )
+    pushed = " ".join(pushed_filters(df))
+    assert "p_brand" in pushed, f"brand filter not pushed: {pushed!r}"
+
+
+def test_order_count_histogram_outer_join_kept(spark, sf_dir):
+    """Q13 shape: the LEFT join must survive planning (order-less
+    customers are the point) and the orders scan must carry only the
+    two join/count columns."""
+    from big_data_lab_three_spark.plans import explain_str
+
+    df = REG["order_count_histogram"].spark(spark, sf_dir)
+    plan = explain_str(df)
+    assert "LeftOuter" in plan, "left-outer join lost in planning"
+    o_scans = scan_columns(df, "orders")
+    assert o_scans and all(len(c) <= 2 for c in o_scans), (
+        f"orders scan should read 2 cols: {o_scans}"
+    )
