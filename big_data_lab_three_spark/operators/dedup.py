@@ -351,3 +351,76 @@ def embedding_near_dup_pairs(
     return cosine_score_pairs(
         pairs, "vec_a", "vec_b", ["id_a", "id_b"], threshold=threshold
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Cluster the near-duplicate pair graph: every id is labeled with
+    the MINIMUM id reachable through the pairs — the canonical member of
+    its connected component (what a dedup pipeline keeps).
+
+    Distributed min-label propagation: per round, each node takes the
+    smallest label among itself and its neighbors (one join + one
+    groupBy over the EDGE table — never the corpus), converging in
+    graph-diameter rounds; near-dup components are small cliques/chains,
+    so 2-3 rounds in practice.  The driver-side loop runs one count()
+    per round purely as the convergence test — O(rounds) scheduler
+    round-trips, data stays distributed.  At 100 TB scale-out, swap the
+    propagation for the large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond"),
+    which converges in O(log n) rounds on the same edge-table shape.
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("cluster_id"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("_nid"),
+                    F.col("cluster_id").alias("_nlabel"),
+                ),
+                F.col("dst") == F.col("_nid"),
+            )
+            .groupBy("src")
+            .agg(F.min("_nlabel").alias("_nbr_min"))
+        )
+        merged = (
+            labels.join(nbr_min, labels.id == nbr_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("_nbr_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        changed = (
+            merged.join(
+                labels.select(
+                    F.col("id").alias("_pid"),
+                    F.col("cluster_id").alias("_prev"),
+                ),
+                merged.id == F.col("_pid"),
+            )
+            .where(F.col("cluster_id") < F.col("_prev"))
+            .count()
+        )
+        labels.unpersist()
+        labels = merged
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels

@@ -180,3 +180,71 @@ def dedup_embedding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(u, threshold=0.99).select(
         "id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim")
     )
+
+
+@register(
+    "dedup_clusters",
+    ids="dedup: near-dup clustering (LSH pairs → connected components → canonical id)",
+    oracle=f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id AS id, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' zzz'
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' zzz yyy'
+  FROM documents WHERE doc_id % 10 = 0
+), t AS ({_DUCK_SHINGLES}),
+p AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM t a JOIN t b ON a.id < b.id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7
+),
+e AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION
+  SELECT id_b, id_a FROM p
+),
+reach(id, r) AS (
+  SELECT src, src FROM e
+  UNION
+  SELECT e2.src, reach.r FROM e e2 JOIN reach ON e2.dst = reach.id
+)
+SELECT id, CAST(min(r) AS BIGINT) AS cluster_id
+FROM reach
+GROUP BY id
+ORDER BY id
+""",
+)
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERING — the step after pair generation in a
+    real dedup pipeline: every tenth document is seeded with two
+    mutated copies (one clique per source doc), the MinHash+LSH
+    pipeline produces candidate pairs, and min-label connected
+    components assign each member its cluster's canonical (minimum)
+    id.  A pipeline then keeps one row per cluster_id.
+
+    The oracle recomputes ground truth independently: brute-force
+    exact Jaccard pairs + a recursive-CTE transitive closure — so this
+    checks LSH recall AND the distributed component labeling in one
+    query.  Scale shape: pair table only (never the corpus) iterates
+    through the propagation joins; see ``connected_components``."""
+    from big_data_lab_three_spark.operators.dedup import (
+        connected_components,
+    )
+
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    m1 = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    m2 = d.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz yyy")).alias("text"),
+    )
+    base = d.select("doc_id", "text").unionByName(m1).unionByName(m2)
+    pairs = minhash_lsh_pairs(
+        base, num_perms=32, bands=16, jaccard_threshold=0.7
+    )
+    return connected_components(pairs).orderBy("id")
