@@ -321,3 +321,102 @@ def test_order_count_histogram_outer_join_kept(spark, sf_dir):
     assert o_scans and all(len(c) <= 2 for c in o_scans), (
         f"orders scan should read 2 cols: {o_scans}"
     )
+
+
+def test_cheapest_supplier_filters_before_price_agg(spark, sf_dir):
+    """Q2 shape: the part filter must push to the part scan and the
+    filtered part list must broadcast into the lineitem join BEFORE the
+    price aggregation — the window min may not trigger a second
+    lineitem scan."""
+    df = REG["cheapest_supplier"].spark(spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "p_type" in pushed and "p_size" in pushed, (
+        f"part filters not pushed: {pushed!r}"
+    )
+    assert broadcast_join_count(df) >= 3, (
+        "part, supplier, and nation should all broadcast"
+    )
+    li_scans = scan_columns(df, "lineitem")
+    assert li_scans and all(len(c) <= 4 for c in li_scans), (
+        f"lineitem scan should read 4 cols: {li_scans}"
+    )
+
+
+def test_nation_profit_single_fact_shuffle(spark, sf_dir):
+    """Q9 shape: part (LIKE-filtered), supplier, and nation broadcast;
+    only lineitem⋈orders and the final aggregate exchange."""
+    df = REG["nation_profit"].spark(spark, sf_dir)
+    assert broadcast_join_count(df) >= 3, "expected 3+ broadcast dims"
+    li_scans = scan_columns(df, "lineitem")
+    assert li_scans and all(len(c) <= 5 for c in li_scans), (
+        f"lineitem scan should read 5 cols: {li_scans}"
+    )
+
+
+def test_important_parts_scans_fact_once(spark, sf_dir):
+    """Q11 shape: the SQL text reads lineitem twice (value + grand
+    total) but the persisted intermediate must keep the physical plan
+    to a single lineitem scan, with the one-row threshold broadcast."""
+    from big_data_lab_three_spark.plans import explain_str
+
+    df = REG["important_parts"].spark(spark, sf_dir)
+    plan = explain_str(df)
+    assert plan.count("InMemoryTableScan") >= 2 or "lineitem" not in plan, (
+        "per-part value table should be reused from cache on both sides"
+    )
+
+
+def test_priority_shipping_ships_minimal_payload(spark, sf_dir):
+    """Q12 shape: both fact scans pre-projected — lineitem to 2
+    post-filter columns, orders to key + priority — and the returnflag
+    + shipdate filters pushed."""
+    df = REG["priority_shipping"].spark(spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_returnflag" in pushed and "l_shipdate" in pushed, (
+        f"lineitem filters not pushed: {pushed!r}"
+    )
+    o_scans = scan_columns(df, "orders")
+    assert o_scans and all(len(c) <= 2 for c in o_scans), (
+        f"orders scan should read 2 cols: {o_scans}"
+    )
+
+
+def test_supplier_part_census_anti_join_broadcasts(spark, sf_dir):
+    """Q16 shape: the NOT-IN supplier blacklist and the size-pruned
+    part dim must both broadcast; lineitem contributes only its two
+    key columns."""
+    from big_data_lab_three_spark.plans import explain_str
+
+    df = REG["supplier_part_census"].spark(spark, sf_dir)
+    assert "LeftAnti" in explain_str(df), "NOT IN should plan as anti join"
+    assert broadcast_join_count(df) >= 2
+    li_scans = scan_columns(df, "lineitem")
+    assert li_scans and all(len(c) <= 2 for c in li_scans), (
+        f"lineitem scan should read 2 cols: {li_scans}"
+    )
+
+
+def test_excess_suppliers_semi_join_and_pushdown(spark, sf_dir):
+    """Q20 shape: the qualifying-key set reaches supplier as a
+    left-semi join, and the shipdate window pushes to the lineitem
+    scan."""
+    from big_data_lab_three_spark.plans import explain_str
+
+    df = REG["excess_suppliers"].spark(spark, sf_dir)
+    assert "LeftSemi" in explain_str(df), "IN should plan as semi join"
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed, f"shipdate not pushed: {pushed!r}"
+
+
+def test_sole_blame_one_lineitem_scan(spark, sf_dir):
+    """Q21 shape: the double-EXISTS decorrelation must keep the plan to
+    ONE lineitem scan (the classic plan needs three) reading only the
+    three columns the window pass needs."""
+    df = REG["sole_blame_suppliers"].spark(spark, sf_dir)
+    li_scans = scan_columns(df, "lineitem")
+    assert len(li_scans) == 1, (
+        f"expected exactly one lineitem scan, saw {len(li_scans)}"
+    )
+    assert all(len(c) <= 3 for c in li_scans), (
+        f"lineitem scan should read 3 cols: {li_scans}"
+    )
