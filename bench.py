@@ -68,6 +68,11 @@ def main() -> None:
         t0 = time.perf_counter()
         q.spark(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 4)
+        # Queries that persist intermediates (dedup signature tables,
+        # scalar-subquery caches) must not leak storage memory into the
+        # next query's execution-memory budget — each bench entry is
+        # timed standalone, as a cluster job would run.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     print(

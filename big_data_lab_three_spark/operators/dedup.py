@@ -396,10 +396,14 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("_nlabel").alias("_nbr_min"))
         )
+        # Carry the previous label alongside the new one so convergence
+        # detection is a filter over the SAME cached pass — not a second
+        # join of labels against itself (halves per-round join work).
         merged = (
             labels.join(nbr_min, labels.id == nbr_min.src, "left")
             .select(
                 "id",
+                F.col("cluster_id").alias("_prev"),
                 F.least(
                     F.col("cluster_id"),
                     F.coalesce(F.col("_nbr_min"), F.col("cluster_id")),
@@ -408,19 +412,11 @@ def connected_components(
             .persist()
         )
         changed = (
-            merged.join(
-                labels.select(
-                    F.col("id").alias("_pid"),
-                    F.col("cluster_id").alias("_prev"),
-                ),
-                merged.id == F.col("_pid"),
-            )
-            .where(F.col("cluster_id") < F.col("_prev"))
-            .count()
+            merged.where(F.col("cluster_id") < F.col("_prev")).count()
         )
         labels.unpersist()
         labels = merged
         if changed == 0:
             break
     edges.unpersist()
-    return labels
+    return labels.select("id", "cluster_id")

@@ -420,3 +420,48 @@ def test_sole_blame_one_lineitem_scan(spark, sf_dir):
     assert all(len(c) <= 3 for c in li_scans), (
         f"lineitem scan should read 3 cols: {li_scans}"
     )
+
+
+def test_set_intersect_plans_as_semi_join_on_keys(spark, sf_dir):
+    """INTERSECT must become distinct + left-semi with both scans pruned
+    to the single key column and status filters pushed."""
+    from big_data_lab_three_spark.plans import explain_str
+
+    df = REG["set_intersect"].spark(spark, sf_dir)
+    assert "LeftSemi" in explain_str(df), "INTERSECT should plan as semi join"
+    o_scans = scan_columns(df, "orders")
+    assert o_scans and all(len(c) <= 2 for c in o_scans), (
+        f"orders scans should read key+filter cols only: {o_scans}"
+    )
+
+
+def test_set_except_plans_as_anti_join_with_pushed_dates(spark, sf_dir):
+    """EXCEPT must become distinct + left-anti; both date windows push
+    to the parquet scans."""
+    from big_data_lab_three_spark.plans import explain_str
+
+    df = REG["set_except"].spark(spark, sf_dir)
+    assert "LeftAnti" in explain_str(df), "EXCEPT should plan as anti join"
+    pushed = " ".join(pushed_filters(df))
+    assert "o_orderdate" in pushed, f"date filters not pushed: {pushed!r}"
+
+
+def test_cube_is_one_expand_one_agg(spark, sf_dir):
+    """CUBE must emit its four grouping sets from ONE Expand + hash
+    aggregate over a single orders scan — not four scans unioned."""
+    from big_data_lab_three_spark.plans import explain_str
+
+    df = REG["cube_revenue"].spark(spark, sf_dir)
+    plan = explain_str(df)
+    assert plan.count("Expand") >= 1, "no Expand node for grouping sets"
+    o_scans = scan_columns(df, "orders")
+    assert len(o_scans) == 1, f"CUBE should scan orders once: {len(o_scans)}"
+
+
+def test_unpivot_adds_no_shuffle(spark, sf_dir):
+    """The melt itself is projection-only: the plan's exchanges must be
+    the upstream aggregate's (and the final sort's) — an Expand after
+    the agg, nothing more."""
+    df = REG["unpivot_metrics"].spark(spark, sf_dir)
+    n = shuffle_count(df)
+    assert n <= 3, f"unpivot should add no exchange beyond agg+sort: {n}"

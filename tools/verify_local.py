@@ -67,6 +67,9 @@ def main() -> int:
             failures.append((name, f"spark error: {e}"))
             print(f"FAIL {name}: spark error: {e}")
             continue
+        finally:
+            # don't leak persisted intermediates into later queries
+            spark.catalog.clearCache()
         if q.oracle is None:
             print(f"ok   {name}: rows-only ({len(s_rows)} rows)")
             continue
