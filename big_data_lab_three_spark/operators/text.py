@@ -169,3 +169,56 @@ def fingerprint(
         )
         .drop("_fp_id", "_min_md5")
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document as ``(doc_id, term, rank,
+    tfidf)`` — the classic corpus-weighting step of a training-data
+    pipeline (keyword extraction, quality filtering, near-dup features).
+
+    Smoothed IDF: ``ln((N + 1) / (df + 1)) + 1`` (sklearn's
+    ``smooth_idf`` formula — never divides by zero, never goes
+    negative).
+
+    Shuffle profile at 100 TB: explode happens map-side; the (doc,
+    term) frequency aggregate partially combines before its exchange;
+    document frequency aggregates the ALREADY-distinct (doc, term)
+    pairs, so the vocabulary exchange carries term+count only; the
+    corpus size N broadcasts as a one-row cross join (never a
+    driver-side collect); the tf⋈idf join shuffles on term
+    (vocabulary-sized, AQE will broadcast it when small); the final
+    top-k is one window pass per document partition.  Ranking is
+    deterministic across engines: equal document frequencies give
+    bit-identical idf doubles (exact ties, broken by term), and
+    unequal ones differ by far more than the 1-ULP libm drift.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = docfreq.crossJoin(F.broadcast(n)).select(
+        F.col("term").alias("idf_term"),
+        (
+            F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1)))
+            + F.lit(1.0)
+        ).alias("idf"),
+    )
+    scored = tf.join(idf, F.col("term") == F.col("idf_term")).select(
+        "doc_id", "term", (F.col("tf") * F.col("idf")).alias("tfidf")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", "rank", "tfidf")
+    )

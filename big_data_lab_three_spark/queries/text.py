@@ -15,6 +15,7 @@ from big_data_lab_three_spark.operators.text import (
     fingerprint,
     lang_id_table,
     quality_metrics,
+    tfidf_top_terms,
     token_count,
 )
 from big_data_lab_three_spark.queries import register
@@ -244,4 +245,51 @@ def corpus_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("total_tokens"),
         )
         .orderBy("lang", "predicted_lang")
+    )
+
+
+@register(
+    "tfidf_topterms",
+    ids="text: TF-IDF corpus weighting, top-3 terms per document",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents
+), tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), dfreq AS (
+    SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (
+    SELECT count(*) AS n_docs FROM documents
+), scored AS (
+    SELECT doc_id, term,
+           tf * (ln((n_docs + 1.0) / (df + 1)) + 1.0) AS tfidf
+    FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, CAST(rank AS INT) AS rank,
+       CAST(round(tfidf, 4) AS DOUBLE) AS tfidf
+FROM (
+    SELECT doc_id, term, tfidf,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY tfidf DESC, term) AS rank
+    FROM scored
+)
+WHERE rank <= 3
+ORDER BY doc_id, rank
+""",
+)
+def tfidf_topterms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed-idf keyword
+    extraction).  See ``operators.text.tfidf_top_terms`` for the
+    shuffle profile; the score is rounded to 4 decimals on both
+    engines because idf is transcendental (libm vs JVM ln may differ
+    in the last bit) while the RANKING is drift-safe (equal df ⇒
+    bit-identical idf; unequal df ⇒ gaps far above 1 ULP)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        tfidf_top_terms(d, k=3)
+        .select(
+            "doc_id", "term", "rank",
+            F.round("tfidf", 4).cast("double").alias("tfidf"),
+        )
+        .orderBy("doc_id", "rank")
     )
