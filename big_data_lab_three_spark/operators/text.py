@@ -222,3 +222,73 @@ def tfidf_top_terms(
         .where(F.col("rank") <= k)
         .select("doc_id", "term", "rank", "tfidf")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 32,
+    stride: int = 16,
+) -> DataFrame:
+    """Sliding-window document chunking — the sequence-packing step of
+    an LLM training pipeline: each document becomes overlapping
+    ``chunk_tokens``-token windows advancing by ``stride``.
+
+    Window starts are ``1, 1+stride, …`` up to the last FULL window
+    (``n - chunk_tokens + 1``); a document shorter than one window
+    yields a single partial chunk.  All of it is one generated-column
+    projection — ``sequence`` builds the starts, ``transform`` slices
+    each window, ``explode`` emits chunk rows map-side.  No shuffle, no
+    UDF: chunking 100 TB scales with input splits, and the downstream
+    (doc_id, chunk_start) key is deterministic for exactly-once
+    re-runs."""
+    toks = tokens(F.col(text_col))
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(toks) - F.lit(chunk_tokens - 1), F.lit(1)),
+        F.lit(stride),
+    )
+    chunk = F.explode(
+        F.transform(
+            starts,
+            lambda s: F.struct(
+                s.alias("chunk_start"),
+                F.slice(toks, s, chunk_tokens).alias("ctoks"),
+            ),
+        )
+    )
+    return df.select(F.col(id_col).alias("doc_id"), chunk.alias("ch")).select(
+        "doc_id",
+        F.col("ch.chunk_start").alias("chunk_start"),
+        F.size("ch.ctoks").alias("n_chunk_tokens"),
+        F.concat_ws(" ", "ch.ctoks").alias("chunk_text"),
+    )
+
+
+def shard_assignments(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+) -> DataFrame:
+    """Deterministic training-shard assignment: shard = first 8 hex
+    digits of md5(content), mod ``n_shards``.
+
+    Content-hash sharding (not ``monotonically_increasing_id``, not
+    round-robin) so the assignment is (a) reproducible across runs,
+    partitionings, and engines — md5 is bit-portable, unlike
+    xxhash64/``F.hash`` — and (b) stable under corpus re-ordering:
+    re-running the pipeline after an upstream re-shuffle lands every
+    document in the same shard, which makes shard-level incremental
+    re-builds possible.  Writing the shards is then
+    ``df.repartition(n_shards, 'shard').write.partitionBy('shard')``."""
+    shard = F.pmod(
+        F.conv(F.substring(md5_hex(F.col(text_col)), 1, 8), 16, 10).cast(
+            "long"
+        ),
+        F.lit(n_shards),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"), shard.cast("int").alias("shard")
+    )

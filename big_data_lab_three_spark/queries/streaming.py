@@ -127,3 +127,42 @@ def streaming_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_table(
         spark, result, f"stream_dedup_{next(_seq)}", output_mode="append"
     )
+
+
+@register(
+    "streaming_enrich_join",
+    ids="streaming: stream-static broadcast join + stateful agg (§2.8 extension)",
+    oracle="""
+SELECT c_mktsegment, event_type,
+       count(*) AS n,
+       round(sum(value), 4) AS total_value
+FROM events
+JOIN customer ON c_custkey = user_id
+GROUP BY c_mktsegment, event_type
+ORDER BY c_mktsegment, event_type
+""",
+)
+def streaming_enrich_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events enriched with the static customer dimension inside the
+    streaming engine (stream-static broadcast join — the static side is
+    re-planned per micro-batch, so dimension refreshes flow in without
+    a restart), then aggregated per (segment, event type) in complete
+    mode.  The batch join+GROUP BY is the exact oracle."""
+    from big_data_lab_three_spark.sources import table
+    from big_data_lab_three_spark.streaming import enrich_with_dimension
+
+    stream = read_events_stream(spark, sf_dir)
+    dim = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    result = (
+        enrich_with_dimension(stream, dim)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    return run_stream_to_table(
+        spark, result, f"stream_enrich_{next(_seq)}", output_mode="complete"
+    ).orderBy("c_mktsegment", "event_type")

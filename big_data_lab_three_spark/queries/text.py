@@ -14,7 +14,9 @@ from big_data_lab_three_spark.operators.text import (
     BPE_ISH_PATTERN,
     fingerprint,
     lang_id_table,
+    chunk_documents,
     quality_metrics,
+    shard_assignments,
     tfidf_top_terms,
     token_count,
 )
@@ -292,4 +294,73 @@ def tfidf_topterms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("tfidf", 4).cast("double").alias("tfidf"),
         )
         .orderBy("doc_id", "rank")
+    )
+
+
+@register(
+    "doc_chunks",
+    ids="text: sliding-window chunking (LLM sequence packing)",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+), c AS (
+    SELECT doc_id, toks,
+           unnest(generate_series(1, greatest(len(toks) - 31, 1), 16))
+               AS chunk_start
+    FROM t
+)
+SELECT doc_id,
+       CAST(chunk_start AS INT) AS chunk_start,
+       CAST(len(list_slice(toks, chunk_start, chunk_start + 31)) AS INT)
+           AS n_chunk_tokens,
+       array_to_string(list_slice(toks, chunk_start, chunk_start + 31), ' ')
+           AS chunk_text
+FROM c
+ORDER BY doc_id, chunk_start
+""",
+)
+def doc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-token windows, stride 16, per document — generated-column
+    explode, no shuffle (see ``operators.text.chunk_documents``)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        chunk_documents(d, chunk_tokens=32, stride=16)
+        .select(
+            "doc_id",
+            F.col("chunk_start").cast("int").alias("chunk_start"),
+            F.col("n_chunk_tokens").cast("int").alias("n_chunk_tokens"),
+            "chunk_text",
+        )
+        .orderBy("doc_id", "chunk_start")
+    )
+
+
+@register(
+    "training_shards",
+    ids="text: deterministic content-hash shard assignment + balance census",
+    oracle="""
+WITH s AS (
+    SELECT doc_id,
+           CAST(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 64
+                AS INT) AS shard
+    FROM documents
+)
+SELECT shard, count(*) AS n_docs, min(doc_id) AS first_doc
+FROM s GROUP BY shard ORDER BY shard
+""",
+)
+def training_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-balance census over the content-hash assignment (64
+    shards).  The md5-based shard is bit-portable across engines and
+    runs — the property that makes shard-level incremental rebuilds
+    safe (see ``operators.text.shard_assignments``)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        shard_assignments(d, n_shards=64)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("shard")
     )

@@ -14,6 +14,7 @@ result like any batch query.
 
 from big_data_lab_three_spark.streaming.jobs import (  # noqa: F401
     dedup_within_watermark,
+    enrich_with_dimension,
     read_events_stream,
     run_stream_to_table,
     sessionize,

@@ -286,3 +286,14 @@ def dedup_within_watermark(
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
+
+
+def enrich_with_dimension(
+    stream: DataFrame, dim: DataFrame, key: str = "user_id"
+) -> DataFrame:
+    """Stream-static join: each micro-batch of the stream joins the
+    static dimension snapshot.  The static side is broadcast — per
+    batch Spark re-plans the join, so a dimension refresh (re-read of
+    the table) is picked up without restarting the query; the stream
+    side never shuffles for the join itself."""
+    return stream.join(F.broadcast(dim), key)
