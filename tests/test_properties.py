@@ -105,3 +105,80 @@ def test_conform_always_yields_contract_schema(spark, present, contract):
             assert row[c] == 1.0
         else:
             assert row[c] is None
+
+
+texts = st.text(
+    alphabet=st.sampled_from("ab c\t\nxyz.!"), min_size=0, max_size=80
+)
+
+
+@SETTINGS
+@given(
+    docs=st.lists(texts, min_size=1, max_size=12),
+    chunk=st.integers(min_value=2, max_value=8),
+)
+def test_chunk_documents_covers_and_bounds(spark, docs, chunk):
+    """For stride ≤ chunk: (a) every chunk has 1..chunk tokens, (b) the
+    concatenation of stride-strided chunk starts covers every token
+    index (no token lost before the last full window), (c) chunk_text
+    round-trips the sliced tokens."""
+    from big_data_lab_three_spark.operators.text import chunk_documents
+
+    stride = max(1, chunk // 2)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id int, text string"
+    )
+    rows = chunk_documents(
+        df, chunk_tokens=chunk, stride=stride
+    ).collect()
+    toks_by_doc = {
+        i: [w for w in t.split() if w] for i, t in enumerate(docs)
+    }
+    assert rows, "every document must emit at least one chunk"
+    for r in rows:
+        n = len(toks_by_doc[r.doc_id])
+        assert 0 <= r.n_chunk_tokens <= chunk
+        got = r.chunk_text.split() if r.chunk_text else []
+        want = toks_by_doc[r.doc_id][
+            r.chunk_start - 1 : r.chunk_start - 1 + chunk
+        ]
+        assert got == want, f"chunk mismatch at {r.doc_id}:{r.chunk_start}"
+        # starts advance by stride from 1
+        assert (r.chunk_start - 1) % stride == 0
+    # coverage: union of [start, start+chunk) covers all token indices
+    for i, toks in toks_by_doc.items():
+        covered = set()
+        for r in rows:
+            if r.doc_id == i:
+                covered.update(
+                    range(r.chunk_start - 1, r.chunk_start - 1 + chunk)
+                )
+        assert set(range(len(toks))) <= covered, f"doc {i} tokens dropped"
+
+
+@SETTINGS
+@given(docs=st.lists(texts, min_size=1, max_size=12))
+def test_shard_assignment_is_stable_and_in_range(spark, docs):
+    """Shards are in [0, n); equal content ⇒ equal shard regardless of
+    row order (content-hash, not positional)."""
+    from big_data_lab_three_spark.operators.text import shard_assignments
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id int, text string"
+    )
+    a = {r.doc_id: r.shard for r in shard_assignments(df, n_shards=7).collect()}
+    rev = spark.createDataFrame(
+        [(i, t) for i, t in reversed(list(enumerate(docs)))],
+        "doc_id int, text string",
+    )
+    b = {
+        r.doc_id: r.shard for r in shard_assignments(rev, n_shards=7).collect()
+    }
+    assert a == b, "shard must not depend on row order"
+    assert all(0 <= s < 7 for s in a.values())
+    by_text: dict[str, set[int]] = {}
+    for i, t in enumerate(docs):
+        by_text.setdefault(t, set()).add(a[i])
+    assert all(len(s) == 1 for s in by_text.values()), (
+        "equal content must land in one shard"
+    )
