@@ -115,7 +115,14 @@ def codegen_stage_count(df: DataFrame) -> int:
     prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        ids = set(re.findall(r"\*\((\d+)\)", explain_str(df, "simple")))
+        # A DataFrame caches its QueryExecution at first use, so if the
+        # handle was already explained under AQE the `*(N)` markers are
+        # gone for good on it.  Wrap in a no-op filter (constant-folded
+        # away) to force a fresh plan under the AQE-off conf.
+        from pyspark.sql import functions as F
+
+        fresh = df.where(F.lit(True))
+        ids = set(re.findall(r"\*\((\d+)\)", explain_str(fresh, "simple")))
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
     return len(ids)

@@ -465,3 +465,32 @@ def test_unpivot_adds_no_shuffle(spark, sf_dir):
     df = REG["unpivot_metrics"].spark(spark, sf_dir)
     n = shuffle_count(df)
     assert n <= 3, f"unpivot should add no exchange beyond agg+sort: {n}"
+
+
+def test_doc_chunks_is_shuffle_free(spark, sf_dir):
+    """Chunking is a generated-column explode — a pure projection.  The
+    only exchanges allowed are the gated spread() round-robin (local
+    single-row-group artifact, no-op at scale) and the output orderBy's
+    sort."""
+    df = REG["doc_chunks"].spark(spark, sf_dir)
+    n = shuffle_count(df)
+    assert n <= 2, f"chunking must not shuffle (spread+sort only), saw {n}"
+
+
+def test_training_shards_single_agg_shuffle(spark, sf_dir):
+    """Shard census: md5 + conv + pmod are all codegen projections; one
+    hash-agg exchange (plus sort) is the whole plan."""
+    df = REG["training_shards"].spark(spark, sf_dir)
+    n = shuffle_count(df)
+    # +1 for the gated spread() round-robin on the local one-row-group file
+    assert 1 <= n <= 3, f"expected spread+agg(+sort) exchanges only, saw {n}"
+    assert codegen_stage_count(df) >= 1
+
+
+def test_tfidf_broadcasts_corpus_size_not_collects(spark, sf_dir):
+    """The corpus-size N must enter as a broadcast one-row join — the
+    plan proves no driver-side collect feeds the idf expression."""
+    df = REG["tfidf_topterms"].spark(spark, sf_dir)
+    assert broadcast_join_count(df) >= 1, (
+        "N should broadcast into idf as a one-row cross join"
+    )
