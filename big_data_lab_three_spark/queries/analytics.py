@@ -1157,3 +1157,96 @@ def order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("custdist"))
         .orderBy(F.desc("custdist"), F.desc("c_count"))
     )
+
+
+@register(
+    "gapfill_timeseries",
+    ids="timeseries: hourly gap-fill / temporal densification over a sparse series",
+    oracle="""
+WITH f AS (
+    SELECT date_trunc('hour', ts) AS h
+    FROM events WHERE event_type = 'error' AND value >= 200.0
+), c AS (
+    SELECT h, count(*) AS n FROM f GROUP BY h
+), b AS (
+    SELECT min(h) AS mn, max(h) AS mx FROM f
+), s AS (
+    SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM b
+)
+SELECT epoch_us(s.h) AS hour_us, coalesce(c.n, 0) AS n
+FROM s LEFT JOIN c ON s.h = c.h
+ORDER BY hour_us
+""",
+)
+def gapfill_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly counts of a SPARSE event series with every missing hour
+    filled with zero — temporal densification, the step that turns raw
+    event logs into a regular series (forecasting inputs, SLO burn
+    charts).  The hour spine is generated from a one-row min/max
+    aggregate via ``sequence`` + ``explode`` — no driver loop, no
+    driver collect — and broadcasts into a LEFT join against the
+    pre-aggregated counts: the raw events are touched exactly once, and
+    the join side that grows with the time span (the spine) is bounded
+    by hours-in-range, not data volume."""
+    from big_data_lab_three_spark.sources import events
+
+    f = (
+        events(spark, sf_dir)
+        .where((F.col("event_type") == "error") & (F.col("value") >= 200.0))
+        .select(F.date_trunc("hour", "ts_utc").alias("h"))
+    )
+    counts = f.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
+    spine = (
+        f.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+        .select(
+            F.explode(
+                F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h")
+        )
+    )
+    return (
+        F.broadcast(spine)
+        .join(counts, "h", "left")
+        .select(
+            F.unix_micros("h").alias("hour_us"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+        .orderBy("hour_us")
+    )
+
+
+@register(
+    "price_histogram",
+    ids="agg: fixed-width numeric binning (continuous histogram)",
+    oracle="""
+SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin,
+       count(*) AS n,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+           AS total
+FROM orders
+GROUP BY bin
+ORDER BY bin
+""",
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width binning of a continuous column (the width_bucket /
+    histogram primitive; order_count_histogram covers the discrete
+    case).  The bin id is a pure projection, so the whole histogram is
+    one hash aggregate — and because the bin expression divides by an
+    exact binary-representable constant before ``floor``, bin
+    membership is identical across engines."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / F.lit(25000.0))
+            .cast("long")
+            .alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("bin")
+    )
