@@ -1097,3 +1097,38 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     ).orderBy("col_x", "col_y")
+
+
+@register(
+    "order_digest",
+    ids="agg: ordered array aggregation (collect_list → deterministic digest)",
+    oracle="""
+SELECT o_custkey,
+       count(*) AS n_orders,
+       string_agg(CAST(o_orderkey AS VARCHAR), ','
+                  ORDER BY o_orderkey) AS order_keys
+FROM orders
+GROUP BY o_custkey
+ORDER BY o_custkey
+""",
+)
+def order_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer ordered order-key digest — the array-aggregation
+    primitive (collect_list) made hash-comparable: ``collect_list`` is
+    partition-order-dependent, so the engine sorts the array before
+    serializing (`sort_array` ∘ `collect_list` ≡ SQL ``string_agg(...
+    ORDER BY)``).  One hash aggregate; the digest stays bounded by the
+    per-key cardinality, and at 100 TB a skewed key would move this to
+    the salted-aggregate pattern (`skew_salted_join`)."""
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.concat_ws(
+                ",",
+                F.sort_array(F.collect_list(F.col("o_orderkey"))),
+            ).alias("order_keys"),
+        )
+        .orderBy("o_custkey")
+    )
