@@ -235,19 +235,29 @@ def chunk_documents(
     an LLM training pipeline: each document becomes overlapping
     ``chunk_tokens``-token windows advancing by ``stride``.
 
-    Window starts are ``1, 1+stride, …`` up to the last FULL window
-    (``n - chunk_tokens + 1``); a document shorter than one window
-    yields a single partial chunk.  All of it is one generated-column
+    Window starts are ``1, 1+stride, …``; the last start is the first
+    one whose window reaches the end of the document, so EVERY token is
+    covered (the final window overlaps more than ``stride`` when the
+    token count isn't stride-aligned — never silently drops the tail).
+    A document shorter than one window yields a single partial chunk.
+    All of it is one generated-column
     projection — ``sequence`` builds the starts, ``transform`` slices
     each window, ``explode`` emits chunk rows map-side.  No shuffle, no
     UDF: chunking 100 TB scales with input splits, and the downstream
     (doc_id, chunk_start) key is deterministic for exactly-once
     re-runs."""
     toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # last window index: ceil((n - chunk) / stride) in integer math,
+    # clamped at 0 — its window [1 + stride*k, +chunk) always reaches n
+    k_last = F.greatest(
+        F.floor(
+            (n - F.lit(chunk_tokens) + F.lit(stride - 1)) / F.lit(stride)
+        ).cast("int"),
+        F.lit(0),
+    )
     starts = F.sequence(
-        F.lit(1),
-        F.greatest(F.size(toks) - F.lit(chunk_tokens - 1), F.lit(1)),
-        F.lit(stride),
+        F.lit(1), F.lit(1) + F.lit(stride) * k_last, F.lit(stride)
     )
     chunk = F.explode(
         F.transform(

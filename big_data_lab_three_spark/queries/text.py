@@ -305,8 +305,10 @@ WITH t AS (
     SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
 ), c AS (
     SELECT doc_id, toks,
-           unnest(generate_series(1, greatest(len(toks) - 31, 1), 16))
-               AS chunk_start
+           unnest(generate_series(
+               1,
+               1 + 16 * greatest((len(toks) - 32 + 15) // 16, 0),
+               16)) AS chunk_start
     FROM t
 )
 SELECT doc_id,
