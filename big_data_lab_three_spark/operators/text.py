@@ -201,7 +201,14 @@ def tfidf_top_terms(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.col(text_col))).alias("term"),
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds BOTH the document-frequency aggregate and the scoring
+    # join — persist it so the corpus-wide explode+aggregate (the
+    # expensive stage at 100 TB) runs once, not once per branch.
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = df.agg(F.count(F.lit(1)).alias("n_docs"))
     idf = docfreq.crossJoin(F.broadcast(n)).select(
