@@ -1250,3 +1250,48 @@ def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "latest_snapshot",
+    ids="window: latest-record-per-key compaction (CDC / upsert-read semantics)",
+    oracle="""
+SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
+FROM (
+    SELECT user_id, event_id, ts, event_type, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY epoch_us(ts) DESC, event_id DESC)
+               AS rn
+    FROM events
+)
+WHERE rn = 1
+ORDER BY user_id
+""",
+)
+def latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The newest event per user — changelog compaction, i.e. how an
+    upsert table reads without a MERGE-capable format: one
+    ``row_number`` window per key ordered by event time (event_id
+    tiebreak for same-timestamp determinism), filtered to rn = 1.  ONE
+    shuffle on the key; at 100 TB the same plan serves as the
+    batch-compaction job behind a snapshot view, and a skewed key
+    moves it to the salted pattern.  The window filter prunes to one
+    row per key BEFORE any downstream join would see the data."""
+    from big_data_lab_three_spark.sources import events
+
+    ev = events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts_utc"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts_utc").alias("ts_us"),
+            "event_type",
+            "value",
+        )
+        .orderBy("user_id")
+    )
