@@ -42,6 +42,8 @@ _MODULES = (
     "big_data_lab_three_spark.queries.core",
     "big_data_lab_three_spark.queries.analytics",
     "big_data_lab_three_spark.queries.tpch_gap",
+    "big_data_lab_three_spark.queries.temporal",
+    "big_data_lab_three_spark.queries.scalars",
     "big_data_lab_three_spark.queries.setops",
     "big_data_lab_three_spark.queries.io",
     "big_data_lab_three_spark.queries.text",

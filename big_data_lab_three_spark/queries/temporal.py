@@ -1,0 +1,205 @@
+"""Temporal query family — date/time functions and temporal versioning.
+
+The reference keeps timestamps as raw strings and never parses them
+(SURVEY.md §1.2: `03/07/2017 08:55:58` stays a string; §2.6 "Date:
+none").  A query engine a reference user could *switch to* needs the
+date/time surface their next query will want, so this module supplies
+it as first-class, oracle-checked operators:
+
+- ``date_parts_census``   — extraction family (year/quarter/month/day,
+  ``date_trunc``) over ``orders``.
+- ``ship_delay_stats``    — date arithmetic family (``datediff`` across
+  a join) over ``lineitem ⋈ orders``.
+- ``scd2_intervals``      — slowly-changing-dimension type-2 interval
+  build (``lead`` window → [valid_from, valid_to) versions) over
+  ``events`` — the changelog→history op every training-data snapshot
+  pipeline needs; the batch twin of ``latest_snapshot``.
+
+Hash-parity notes: extraction results are cast INT on both engines
+(DuckDB EXTRACT yields BIGINT, Spark year() yields INT); durations are
+computed in exact integer **microseconds** (``unix_micros`` /
+``epoch_us``) because the driver data carries sub-second timestamps and
+second-truncating functions (``unix_timestamp``, ``date_diff('second')``)
+disagree on them; money sums ride the corpus-wide exact-DECIMAL
+convention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from big_data_lab_three_spark.queries import register
+from big_data_lab_three_spark.sources import table
+
+
+@register(
+    "date_parts_census",
+    ids="scalar date family: year/quarter/month/dayofmonth + date_trunc (extends §2.6, which has no date ops)",
+    oracle="""
+SELECT CAST(extract(year FROM o_orderdate) AS INTEGER)    AS o_year,
+       CAST(extract(quarter FROM o_orderdate) AS INTEGER) AS o_quarter,
+       CAST(extract(month FROM o_orderdate) AS INTEGER)   AS o_month,
+       date_trunc('month', o_orderdate)                   AS month_start,
+       count(*)                                           AS n_orders,
+       CAST(min(extract(day FROM o_orderdate)) AS INTEGER) AS first_dom,
+       CAST(max(extract(day FROM o_orderdate)) AS INTEGER) AS last_dom,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+                                                          AS revenue
+FROM orders
+GROUP BY 1, 2, 3, 4
+ORDER BY o_year, o_month
+""",
+)
+def date_parts_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar census of orders: one row per (year, quarter, month)
+    with the month's ``date_trunc`` anchor, order count, day-of-month
+    span, and exact-decimal revenue.
+
+    Scale shape: the extractions are pure projections evaluated inside
+    whole-stage codegen before the single hash aggregate — at 100 TB
+    this is one scan + one ~80-group exchange.  On a date-partitioned
+    lake layout the same expressions become partition-pruning
+    predicates for free.
+    """
+    o = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return (
+        o.select(
+            F.year(d).alias("o_year"),
+            F.quarter(d).alias("o_quarter"),
+            F.month(d).alias("o_month"),
+            F.date_trunc("month", d).alias("month_start"),
+            F.dayofmonth(d).alias("dom"),
+            F.col("o_totalprice").cast("decimal(12,2)").alias("price_d"),
+        )
+        .groupBy("o_year", "o_quarter", "o_month", "month_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("dom").alias("first_dom"),
+            F.max("dom").alias("last_dom"),
+            F.round(F.sum("price_d"), 2).cast("double").alias("revenue"),
+        )
+        .orderBy("o_year", "o_month")
+    )
+
+
+@register(
+    "ship_delay_stats",
+    ids="scalar date arithmetic: datediff across a join — order-to-ship latency per priority",
+    oracle="""
+SELECT o.o_orderpriority,
+       count(*)                                   AS n_lines,
+       CAST(round(avg(date_diff('day', o.o_orderdate, l.l_shipdate)), 4)
+            AS DOUBLE)                            AS avg_delay_days,
+       CAST(max(date_diff('day', o.o_orderdate, l.l_shipdate)) AS INTEGER)
+                                                  AS max_delay_days,
+       count(*) FILTER (WHERE date_diff('day', o.o_orderdate, l.l_shipdate) > 60)
+                                                  AS n_late
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+""",
+)
+def ship_delay_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency: ``datediff`` between a lineitem's ship
+    date and its order's date, summarized per priority with a
+    conditional late-line count.
+
+    Parity note: both engines count whole **day boundaries** (Spark
+    ``datediff`` truncates timestamps to dates; DuckDB
+    ``date_diff('day', …)`` counts day crossings) — identical integers,
+    so the averages agree bit-for-bit after shared rounding.
+
+    Scale shape: both join inputs are pre-projected to the 2 columns
+    the query needs before the equi-join, so the orderkey shuffle
+    carries (key, date) pairs, not 11-column lineitem rows; the
+    per-priority aggregate is 5 groups.  Sort-merge is the right
+    strategy for this fact-fact join — neither side broadcasts at
+    100 TB — and AQE handles orderkey skew.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("o_orderpriority", delay.alias("delay_days"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.avg("delay_days"), 4).cast("double").alias("avg_delay_days"),
+            F.max("delay_days").alias("max_delay_days"),
+            F.count_if(F.col("delay_days") > 60).alias("n_late"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "scd2_intervals",
+    ids="temporal versioning: SCD type-2 interval build (lead window) — changelog → [valid_from, valid_to) history",
+    oracle="""
+WITH versions AS (
+    SELECT event_type,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+    FROM events
+)
+SELECT event_type,
+       count(*)                                            AS n_versions,
+       count(valid_to)                                     AS n_closed,
+       count(*) - count(valid_to)                          AS n_current,
+       sum(epoch_us(valid_to) - epoch_us(valid_from))      AS total_lifetime_us,
+       CAST(round(avg(epoch_us(valid_to) - epoch_us(valid_from)), 4) AS DOUBLE)
+                                                           AS avg_lifetime_us
+FROM versions
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build: treat ``events`` as a
+    per-user changelog and assign each record its validity interval —
+    ``valid_from`` = its timestamp, ``valid_to`` = the user's next
+    event (NULL ⇒ current version).  The summary groups version counts
+    and exact-microsecond lifetimes per event type; the interval build
+    itself is the judged semantics.
+
+    This is the batch history-table op every feature-store /
+    training-snapshot pipeline needs (point-in-time correct joins read
+    ``WHERE ts >= valid_from AND ts < valid_to``), complementing
+    ``latest_snapshot`` (which keeps only the newest version) and
+    ``asof_join_events`` (which probes such history).
+
+    Scale shape: ONE shuffle — the ``lead`` window and nothing else
+    repartitions by ``user_id``; the downstream aggregate is partial
+    (map-side) into ~5 event-type groups, reusing the window's
+    partitioning pass output without a second exchange of comparable
+    size.  Durations are integer microseconds (``unix_micros`` here,
+    ``epoch_us`` in the oracle) because the data has sub-second
+    timestamps and both engines agree exactly on integer micros.
+    """
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lifetime = F.unix_micros(F.col("valid_to")) - F.unix_micros(F.col("valid_from"))
+    return (
+        ev.select(
+            "event_type",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+        .select("event_type", lifetime.alias("lifetime_us"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_versions"),
+            F.count("lifetime_us").alias("n_closed"),
+            (F.count(F.lit(1)) - F.count("lifetime_us")).alias("n_current"),
+            F.sum("lifetime_us").alias("total_lifetime_us"),
+            F.round(F.avg("lifetime_us"), 4).cast("double").alias("avg_lifetime_us"),
+        )
+        .orderBy("event_type")
+    )
