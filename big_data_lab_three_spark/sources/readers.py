@@ -60,11 +60,15 @@ def table(
 ) -> DataFrame:
     """One test table as a DataFrame (lazy parquet scan).
 
-    ``events.parquet`` carries TIMESTAMP(NANOS) — written by
-    pandas/pyarrow, unreadable by Spark's vectorized reader by default — so
-    the legacy nanos-as-long conf is set (runtime-settable, works under any
-    session including the driver's) and ``ts`` arrives as LongType
-    nanoseconds.  Use :func:`events` for a converted timestamp column.
+    ``events.ts`` is normalized to LongType **nanoseconds since the
+    epoch** whatever the file encodes — the driver has shipped both
+    TIMESTAMP(NANOS) (pyarrow; needs the legacy nanos-as-long conf, set
+    here runtime-settable so it works under any session) and
+    TIMESTAMP(MICROS) (arrives as a timestamp column; converted via
+    ``unix_micros`` — exact, the session is pinned UTC so NTZ wall-clock
+    == epoch instant).  Downstream ns arithmetic (`ts div …` binning,
+    as-of ranges) is engine-portable long math either way.  Use
+    :func:`events` for a converted timestamp column.
 
     ``documents`` is returned through :func:`spread`: every consumer
     does CPU-bound per-row text work, and the driver's single-row-group
@@ -74,6 +78,16 @@ def table(
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(
+        df.schema["ts"].dataType, (T.TimestampType, T.TimestampNTZType)
+    ):
+        # micros-encoded file: ts arrives as a timestamp — normalize to
+        # the engine-wide ns-long contract.  `* 1000` on the long is
+        # exact (no double round-trip); cast NTZ→TZ is identity under
+        # the UTC-pinned session.
+        df = df.withColumn(
+            "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+        )
     if spread_ok and name in _CPU_BOUND_TABLES:
         df = spread(df)
     return df
