@@ -64,28 +64,35 @@ def main() -> None:
                 pass  # a warmup failure must never sink the bench
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, q in sorted(registry.items()):
         t0 = time.perf_counter()
-        q.spark(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        # Queries that persist intermediates (dedup signature tables,
-        # scalar-subquery caches) must not leak storage memory into the
-        # next query's execution-memory budget — each bench entry is
-        # timed standalone, as a cluster job would run.
-        spark.catalog.clearCache()
+        try:
+            q.spark(spark, sf_dir).collect()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # fault-isolate: one broken query must
+            # never zero out the whole round's perf signal — record the
+            # error and keep timing the rest.
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+        finally:
+            # Queries that persist intermediates (dedup signature
+            # tables, scalar-subquery caches) must not leak storage
+            # memory into the next query's execution-memory budget —
+            # each bench entry is timed standalone, as a cluster job
+            # would run.
+            spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "query_corpus_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "query_corpus_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

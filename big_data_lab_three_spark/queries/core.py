@@ -283,8 +283,10 @@ WITH u AS (
   FROM customer
 )
 SELECT count(*)                                          AS n_rows,
-       sum(CASE WHEN c_acctbal    IS NULL THEN 1 ELSE 0 END) AS acctbal_nulls,
-       sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS segment_nulls
+       CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                                                         AS acctbal_nulls,
+       CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                                                         AS segment_nulls
 FROM u
 """,
 )
@@ -340,13 +342,14 @@ WITH nulled AS (
   FROM events
 ), n AS (SELECT count(*) AS total FROM nulled)
 SELECT 'value' AS col_name,
-       sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS null_count,
+       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_count,
        CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
          / (SELECT total FROM n) AS null_frac
 FROM nulled
 UNION ALL
 SELECT 'event_type',
-       sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END),
+       CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
          / (SELECT total FROM n)
 FROM nulled
@@ -572,9 +575,10 @@ WITH labeled AS (
 ), cm AS (
   SELECT label, prediction, count(*) AS n FROM labeled GROUP BY 1, 2
 ), per_label AS (
-  SELECT label AS class, sum(n) AS support FROM cm GROUP BY 1
+  SELECT label AS class, CAST(sum(n) AS BIGINT) AS support FROM cm GROUP BY 1
 ), per_pred AS (
-  SELECT prediction AS class, sum(n) AS predicted_n FROM cm GROUP BY 1
+  SELECT prediction AS class, CAST(sum(n) AS BIGINT) AS predicted_n
+  FROM cm GROUP BY 1
 ), tp AS (
   SELECT label AS class, n AS tp FROM cm WHERE label = prediction
 )

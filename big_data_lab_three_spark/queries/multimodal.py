@@ -42,7 +42,7 @@ _DUCK_MEDIA = """
 WITH media AS ({_DUCK_MEDIA})
 SELECT media_type,
        count(*) AS n,
-       sum(n_bytes) AS total_bytes,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
        round(avg(n_bytes), 4) AS avg_bytes,
        round(avg(duration_ms), 4) AS avg_duration_ms
 FROM media
@@ -70,7 +70,7 @@ def multimodal_meta_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH media AS ({_DUCK_MEDIA})
 SELECT media_type,
        count(*) AS n,
-       sum(n_bytes) AS total_samples
+       CAST(sum(n_bytes) AS BIGINT) AS total_samples
 FROM media
 GROUP BY media_type
 """,

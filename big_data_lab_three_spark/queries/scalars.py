@@ -185,12 +185,12 @@ SELECT l_returnflag,
        round((s3 / n - 3 * (s1 / n) * (s2 / n)
               + 2 * (s1 / n) * (s1 / n) * (s1 / n))
              / (sqrt(s2 / n - (s1 / n) * (s1 / n))
-                * (s2 / n - (s1 / n) * (s1 / n))), 4)            AS skewness,
+                * (s2 / n - (s1 / n) * (s1 / n))), 4) + 0.0      AS skewness,
        round((s4 / n - 4 * (s1 / n) * (s3 / n)
               + 6 * (s1 / n) * (s1 / n) * (s2 / n)
               - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
              / ((s2 / n - (s1 / n) * (s1 / n))
-                * (s2 / n - (s1 / n) * (s1 / n))) - 3, 4)        AS kurtosis_excess
+                * (s2 / n - (s1 / n) * (s1 / n))) - 3, 4) + 0.0  AS kurtosis_excess
 FROM sums
 ORDER BY l_returnflag
 """,
@@ -229,6 +229,10 @@ def moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         F.round(mean, 4).alias("mean_qty"),
         F.round(m2, 4).alias("var_pop"),
-        F.round(m3 / (F.sqrt(m2) * m2), 4).alias("skewness"),
-        F.round(m4 / (m2 * m2) - 3, 4).alias("kurtosis_excess"),
+        # `+ 0.0` normalizes IEEE -0.0 to 0.0 after rounding (one group
+        # lands on -0 in DuckDB but 0 here; both engines agree post-add).
+        (F.round(m3 / (F.sqrt(m2) * m2), 4) + F.lit(0.0)).alias("skewness"),
+        (F.round(m4 / (m2 * m2) - 3, 4) + F.lit(0.0)).alias(
+            "kurtosis_excess"
+        ),
     ).orderBy("l_returnflag")

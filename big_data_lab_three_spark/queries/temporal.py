@@ -69,7 +69,10 @@ def date_parts_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year(d).alias("o_year"),
             F.quarter(d).alias("o_quarter"),
             F.month(d).alias("o_month"),
-            F.date_trunc("month", d).alias("month_start"),
+            # F.trunc returns DATE, matching DuckDB's
+            # date_trunc('month', DATE) → DATE (F.date_trunc would
+            # yield TIMESTAMP and hash-mismatch the oracle).
+            F.trunc(d, "month").alias("month_start"),
             F.dayofmonth(d).alias("dom"),
             F.col("o_totalprice").cast("decimal(12,2)").alias("price_d"),
         )
@@ -153,7 +156,8 @@ SELECT event_type,
        count(*)                                            AS n_versions,
        count(valid_to)                                     AS n_closed,
        count(*) - count(valid_to)                          AS n_current,
-       sum(epoch_us(valid_to) - epoch_us(valid_from))      AS total_lifetime_us,
+       CAST(sum(epoch_us(valid_to) - epoch_us(valid_from)) AS BIGINT)
+                                                           AS total_lifetime_us,
        CAST(round(avg(epoch_us(valid_to) - epoch_us(valid_from)), 4) AS DOUBLE)
                                                            AS avg_lifetime_us
 FROM versions
@@ -179,13 +183,15 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartitions by ``user_id``; the downstream aggregate is partial
     (map-side) into ~5 event-type groups, reusing the window's
     partitioning pass output without a second exchange of comparable
-    size.  Durations are integer microseconds (``unix_micros`` here,
-    ``epoch_us`` in the oracle) because the data has sub-second
-    timestamps and both engines agree exactly on integer micros.
+    size.  Durations are integer microseconds: ``table()`` guarantees
+    ``ts`` is a BIGINT of epoch **nanoseconds**, so the lifetime is
+    pure long math ``(valid_to - valid_from) div 1000`` — no timestamp
+    types in the arithmetic at all, matching the oracle's
+    ``epoch_us`` integers exactly for both driver file encodings.
     """
     ev = table(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    lifetime = F.unix_micros(F.col("valid_to")) - F.unix_micros(F.col("valid_from"))
+    lifetime = F.expr("(valid_to - valid_from) div 1000")
     return (
         ev.select(
             "event_type",

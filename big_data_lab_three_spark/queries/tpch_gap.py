@@ -242,10 +242,10 @@ def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids="join: fact-fact equi-join + conditional census (TPC-H Q12 shape)",
     oracle="""
 SELECT l_linestatus,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders
 JOIN lineitem ON l_orderkey = o_orderkey
 WHERE l_returnflag = 'N'

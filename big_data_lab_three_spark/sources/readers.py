@@ -55,6 +55,38 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df
 
 
+def normalize_events_ts(df: DataFrame, with_ts_utc: bool = False) -> DataFrame:
+    """Enforce the engine-wide ``events.ts`` contract — BIGINT epoch
+    **nanoseconds** — whatever the input frame's encoding:
+
+    - TIMESTAMP(MICROS) files arrive as a timestamp column → derive the
+      epoch instant (NTZ→TZ cast is identity under the UTC-pinned
+      session) and scale ``unix_micros * 1000`` (exact long math).
+    - TIMESTAMP(NANOS) files arrive as LongType nanos (under
+      ``spark.sql.legacy.parquet.nanosAsLong``) → already conformant.
+
+    With ``with_ts_utc`` also emit a µs-truncated TimestampType column
+    ``ts_utc`` (`div`, not `/`: double's 53-bit mantissa cannot hold
+    1.7e18 ns and truncates off-by-one µs on cast).  Shared by the batch
+    reader and the streaming source so the two paths can never diverge
+    on a driver file-encoding change again."""
+    if isinstance(
+        df.schema["ts"].dataType, (T.TimestampType, T.TimestampNTZType)
+    ):
+        df = df.withColumn("ts_utc", F.col("ts").cast("timestamp"))
+        df = df.withColumn(
+            "ts", F.unix_micros(F.col("ts_utc")) * F.lit(1000)
+        )
+        if not with_ts_utc:
+            df = df.drop("ts_utc")
+        return df
+    if with_ts_utc:
+        df = df.withColumn(
+            "ts_utc", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return df
+
+
 def table(
     spark: SparkSession, sf_dir: str, name: str, spread_ok: bool = True
 ) -> DataFrame:
@@ -77,17 +109,13 @@ def table(
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The NTZ→TZ cast below is an identity ONLY under a UTC session;
+        # pin it here (not just in the session factory) so a caller-made
+        # session with a local timezone cannot shift micros-encoded ts.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(
-        df.schema["ts"].dataType, (T.TimestampType, T.TimestampNTZType)
-    ):
-        # micros-encoded file: ts arrives as a timestamp — normalize to
-        # the engine-wide ns-long contract.  `* 1000` on the long is
-        # exact (no double round-trip); cast NTZ→TZ is identity under
-        # the UTC-pinned session.
-        df = df.withColumn(
-            "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
-        )
+    if name == "events":
+        df = normalize_events_ts(df)
     if spread_ok and name in _CPU_BOUND_TABLES:
         df = spread(df)
     return df
@@ -98,9 +126,6 @@ def events(spark: SparkSession, sf_dir: str) -> DataFrame:
     microsecond TimestampType column ``ts_utc`` (Spark has no nanosecond
     timestamps; nanos stay available in the raw ``ts`` long)."""
     ev = table(spark, sf_dir, "events")
-    # `div` (integral division on longs) — `ts / 1000` would round-trip
-    # through double, whose 53-bit mantissa cannot hold 1.7e18 ns and
-    # truncates off-by-one µs on cast.
     return ev.withColumn(
         "ts_utc", F.timestamp_micros(F.expr("ts div 1000"))
     )

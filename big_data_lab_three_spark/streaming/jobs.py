@@ -18,36 +18,45 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# Explicit schema — the streaming file source cannot infer (ts is
-# TIMESTAMP(NANOS) in the file; read as long nanos like sources.table()).
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
+from big_data_lab_three_spark.sources.readers import normalize_events_ts
+
+def events_stream(
+    spark: SparkSession,
+    directory: str,
+    probe_path: str | None = None,
+    **reader_options: str,
+) -> DataFrame:
+    """A parquet file-source stream of events honoring the engine-wide
+    contract of :func:`big_data_lab_three_spark.sources.readers.table`:
+    ``ts`` = BIGINT epoch nanoseconds, plus an event-time column
+    ``ts_utc`` (µs-truncated TimestampType), whatever the files encode.
+
+    The streaming file source cannot infer a schema, so the batch
+    reader probes it first (schema-only — reads footers, runs no job)
+    from ``probe_path`` (default: the directory itself).  Hardcoding
+    either encoding's schema makes the other arrive as raw longs at the
+    wrong unit — silently wrong windows; the probe + shared
+    ``normalize_events_ts`` make both paths agree by construction."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(probe_path or directory).schema
+    reader = spark.readStream.schema(schema)
+    for key, value in reader_options.items():
+        reader = reader.option(key, value)
+    return normalize_events_ts(reader.parquet(directory), with_ts_utc=True)
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``events`` as an unbounded stream with an event-time column
-    ``ts_utc`` (µs truncation of the file's nanosecond longs, matching
-    ``sources.events``)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # The file stream source wants a DIRECTORY; pathGlobFilter narrows
-    # it to the events file (the other tables' schemas differ).
-    raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    # `div`, not `/`: double cannot hold 1.7e18 ns exactly (see
-    # sources.events).
-    return raw.withColumn(
-        "ts_utc", F.timestamp_micros(F.expr("ts div 1000"))
+    """``events`` as an unbounded stream from a test-data directory.
+    The file stream source wants a DIRECTORY; pathGlobFilter narrows it
+    to the events file (the other tables' schemas differ)."""
+    import os
+
+    return events_stream(
+        spark,
+        sf_dir,
+        probe_path=os.path.join(sf_dir, "events.parquet"),
+        pathGlobFilter="events.parquet",
     )
 
 

@@ -1,0 +1,84 @@
+"""The driver has shipped ``events.parquet`` with BOTH timestamp
+encodings — TIMESTAMP(NANOS) (arrives as LongType under nanosAsLong)
+and TIMESTAMP(MICROS) (arrives as a timestamp column).  Round 1's worst
+regression was code paths silently disagreeing on the unit after a
+format flip (1000× collapsed windows, wrong SCD2 lifetimes).  These
+fixtures pin the contract for BOTH encodings on BOTH the batch and the
+streaming path so a future flip fails here, not in the driver bench.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from big_data_lab_three_spark.sources.readers import table
+from big_data_lab_three_spark.streaming.jobs import events_stream
+
+# epoch micros spanning several hours, sub-second offsets included
+_US = [
+    1_700_000_000_000_000,
+    1_700_000_000_123_456,
+    1_700_003_600_000_001,
+    1_700_007_200_999_999,
+    1_700_010_800_500_000,
+]
+
+
+def _write_events(dirname: str, unit: str) -> str:
+    os.makedirs(dirname, exist_ok=True)
+    scale = {"us": 1, "ns": 1000}[unit]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(_US)), pa.int64()),
+            "ts": pa.array([u * scale for u in _US], pa.timestamp(unit)),
+            "user_id": pa.array([1, 1, 2, 2, 1], pa.int64()),
+            "event_type": pa.array(["a", "b", "a", "b", "a"]),
+            "value": pa.array([1.0, 2.0, 3.0, 4.0, 5.0], pa.float64()),
+            "props": pa.array(["{}"] * len(_US)),
+        }
+    )
+    path = os.path.join(dirname, "events.parquet")
+    pq.write_table(t, path, version="2.6")
+    return dirname
+
+
+@pytest.fixture(scope="module", params=["us", "ns"])
+def enc_dir(request, tmp_path_factory):
+    d = tmp_path_factory.mktemp(f"events_{request.param}")
+    return _write_events(str(d), request.param)
+
+
+def test_batch_table_normalizes_ts_to_epoch_nanos(spark, enc_dir):
+    df = table(spark, enc_dir, "events")
+    assert dict(df.dtypes)["ts"] == "bigint"
+    got = sorted(r.ts for r in df.select("ts").collect())
+    assert got == sorted(u * 1000 for u in _US)
+
+
+def test_stream_matches_batch_contract(spark, enc_dir):
+    from pyspark.sql import functions as F
+
+    from big_data_lab_three_spark.streaming.jobs import run_stream_to_table
+
+    stream = events_stream(
+        spark,
+        enc_dir,
+        probe_path=os.path.join(enc_dir, "events.parquet"),
+        pathGlobFilter="events.parquet",
+    )
+    assert dict(stream.dtypes)["ts"] == "bigint"
+    assert dict(stream.dtypes)["ts_utc"] == "timestamp"
+    out = run_stream_to_table(
+        spark,
+        stream.select("event_id", "ts", F.unix_micros("ts_utc").alias("us")),
+        "enc_contract",
+        output_mode="append",
+    )
+    rows = {(r.event_id, r.ts, r.us) for r in out.collect()}
+    assert rows == {
+        (i, u * 1000, u) for i, u in enumerate(_US)
+    }, "stream ts/ts_utc must be exact epoch nanos/micros for any encoding"

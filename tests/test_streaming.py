@@ -20,7 +20,7 @@ from big_data_lab_three_spark.streaming import (
     sessionize,
     windowed_event_counts,
 )
-from big_data_lab_three_spark.streaming.jobs import EVENTS_SCHEMA
+from big_data_lab_three_spark.streaming.jobs import events_stream
 
 REG = load_all()
 
@@ -28,7 +28,8 @@ REG = load_all()
 def _shard_dir(tmp_path, sf_dir, first_mask):
     """events.parquet split into two files (first_mask rows, then the
     rest) in one directory, mtimes forced apart so the file source
-    drains them in order.  pyarrow round-trip keeps TIMESTAMP(NANOS)."""
+    drains them in order.  pyarrow round-trip keeps the driver file's
+    timestamp encoding (nanos or micros) — events_stream handles both."""
     t = pq.read_table(f"{sf_dir}/events.parquet")
     mask = first_mask(t)
     d = str(tmp_path / "stream_src")
@@ -42,15 +43,8 @@ def _shard_dir(tmp_path, sf_dir, first_mask):
 
 
 def _stream(spark, d):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", "1")
-        .option("latestFirst", "false")
-        .parquet(d)
-    )
-    return raw.withColumn(
-        "ts_utc", F.timestamp_micros(F.expr("ts div 1000"))
+    return events_stream(
+        spark, d, maxFilesPerTrigger="1", latestFirst="false"
     )
 
 
