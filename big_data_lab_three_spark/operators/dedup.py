@@ -329,10 +329,14 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.99,
+    max_rows: int = 100_000,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (brute force over the given
-    frame — sample or LSH bucket at scale; see ``operators.similarity``
-    for the bucketed variant).
+    """Embedding-cosine near-duplicate pairs — BRUTE-FORCE BASELINE for
+    explicitly-sampled inputs only.  The scale path is
+    :func:`embedding_near_dup_pairs_lsh` (bucket join, no driver
+    materialization); this one materializes the input to the driver and
+    raises if it exceeds ``max_rows``, so a pipeline can never silently
+    feed it a full corpus.
 
     Broadcast-matrix design: the candidate matrix is small BY
     CONSTRUCTION (O(n²) scoring is only ever run on a sample or inside
@@ -350,7 +354,12 @@ def embedding_near_dup_pairs(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     )
-    local = v.toPandas()
+    local = v.limit(max_rows + 1).toPandas()
+    if len(local) > max_rows:
+        raise ValueError(
+            f"brute-force near-dup got > {max_rows} rows; sample the "
+            "input or use embedding_near_dup_pairs_lsh"
+        )
     id_field = v.schema["id"].dataType
     out_schema = T.StructType(
         [
@@ -399,6 +408,87 @@ def embedding_near_dup_pairs(
             )
 
     return v.mapInPandas(run, out_schema)
+
+
+def embedding_near_dup_pairs_lsh(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.99,
+    dim: int | None = None,
+    bits: int = 16,
+    tables: int = 4,
+    seed: int = 13,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs at scale: hyperplane-LSH
+    bucket both copies of the corpus, equi-join on (table, signature),
+    dedup candidate pairs, then exact cosine rescore ≥ ``threshold``.
+
+    Nothing ever materializes on the driver: candidates come from a
+    bucket-key shuffle join whose per-bucket size is tuned by ``bits``
+    (16 sign bits ⇒ ~65k buckets per table), and only colliding pairs
+    are scored — O(Σ bucket²) work instead of O(n²).  The exact rescore
+    means false candidates cost time, never correctness; recall is the
+    only approximation.  Near-duplicate vectors are near-COLINEAR, and
+    sign-LSH collision probability is 1 − θ/π per bit (θ = angle), so a
+    cos ≥ 0.99 pair (θ ≤ 8.1°) agrees per-bit w.p. ≥ 0.955 and lands in
+    ≥1 of 4 16-bit tables w.p. ≥ 0.97; exactly-colinear duplicates
+    (rescaled/requantized copies, the dominant real-world case) collide
+    in EVERY table — recall 1.  Raise ``tables`` for more recall at
+    proportional candidate cost.
+
+    The plane matrix is a tiny seeded (bits·tables × d) constant shipped
+    in the task closure — deterministic, never a shuffle.  ``dim`` is
+    probed from one row if not given."""
+    import numpy as np
+
+    from big_data_lab_three_spark.operators.similarity import (
+        cosine_score_pairs,
+        hyperplane_keys,
+    )
+
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    if dim is None:
+        first = v.select(F.size("vec").alias("d")).first()
+        if first is None:
+            return df.sparkSession.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField("id_a", v.schema["id"].dataType, True),
+                        T.StructField("id_b", v.schema["id"].dataType, True),
+                        T.StructField("cos_sim", T.DoubleType(), True),
+                    ]
+                ),
+            )
+        dim = first["d"]
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(bits * tables, dim)).tolist()
+    keyed = hyperplane_keys(v, planes, tables, vec_col="vec")
+    a = keyed.select(
+        "key", F.col("id").alias("id_a"), F.col("vec").alias("vec_a")
+    )
+    b = keyed.select(
+        "key", F.col("id").alias("id_b"), F.col("vec").alias("vec_b")
+    )
+    candidates = (
+        a.join(b, "key")
+        .where(F.col("id_a") < F.col("id_b"))
+        # a pair colliding in several tables must be scored once, not L
+        # times — dedup BEFORE the (mapInPandas) rescore
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", "vec_a", "vec_b")
+    )
+    return cosine_score_pairs(
+        candidates,
+        "vec_a",
+        "vec_b",
+        ["id_a", "id_b"],
+        threshold=threshold,
+    )
 
 
 def connected_components(

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from big_data_lab_three_spark.operators.dedup import (
-    embedding_near_dup_pairs,
+    embedding_near_dup_pairs_lsh,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -163,10 +163,14 @@ WHERE list_cosine_similarity(a.v, b.v) >= 0.99
 """,
 )
 def dedup_embedding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup: every fifth vector gets a rescaled copy
-    (cosine exactly 1 up to fp) and brute-force cosine ≥ 0.99 recovers
-    exactly those pairs.  Random 64-d pairs sit at |cos| ≲ 0.5, far from
-    the threshold, so fp drift cannot flip membership."""
+    """Embedding near-dup via the scale path: hyperplane-LSH buckets →
+    bucket-join candidates → exact cosine rescore ≥ 0.99.  Every fifth
+    vector gets a rescaled copy (cosine exactly 1 up to fp); rescaling
+    preserves every sign bit, so each true pair collides in ALL tables —
+    recall 1 by construction — and the exact rescore drops any false
+    bucket-mates (random 64-d pairs sit at |cos| ≲ 0.5).  The oracle is
+    the exact all-pairs answer, so this checks the LSH pipeline
+    end-to-end, not just the scorer."""
     e = table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 5 == 0)
     base = e.select(
         F.col("vec_id").alias("vec_id"),
@@ -177,7 +181,7 @@ def dedup_embedding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(F.col("embedding"), lambda x: x * 1.01).alias("embedding"),
     )
     u = base.unionByName(perturbed)
-    return embedding_near_dup_pairs(u, threshold=0.99).select(
+    return embedding_near_dup_pairs_lsh(u, threshold=0.99).select(
         "id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim")
     )
 

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from big_data_lab_three_spark.operators.similarity import brute_force_topk
 from big_data_lab_three_spark.queries import load_all
+from big_data_lab_three_spark.sources import table
 
 REG = load_all()
 
@@ -86,3 +87,44 @@ def test_ivf_similarity_recall_against_brute_force(spark, sf_dir):
         per_query.setdefault(r.query_id, []).append(r.rank)
     for ranks in per_query.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_brute_force_near_dup_caps_driver_materialization(spark, sf_dir):
+    """The brute-force baseline must refuse a frame larger than its
+    explicit cap instead of silently collecting a corpus to the driver."""
+    import pytest
+
+    from big_data_lab_three_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="brute-force"):
+        embedding_near_dup_pairs(e, max_rows=10).collect()
+
+
+def test_lsh_near_dup_matches_brute_force(spark, sf_dir):
+    """The LSH-bucketed scale path must find exactly the pairs the
+    exact brute-force baseline finds on the same (small) input —
+    colinear duplicates collide in every table, so recall is 1 here."""
+    from big_data_lab_three_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_lsh,
+    )
+
+    e = table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 7 == 0)
+    dup = e.select(
+        (F.col("vec_id") + 500000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * 0.5).alias("embedding"),
+    )
+    u = e.select("vec_id", "embedding").unionByName(dup)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(u, threshold=0.99).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs_lsh(u, threshold=0.99).collect()
+    }
+    assert exact == approx
+    assert len(exact) > 0
