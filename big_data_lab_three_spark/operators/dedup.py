@@ -496,6 +496,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 20,
+    loop_partitions: int = 8,
 ) -> DataFrame:
     """Cluster the near-duplicate pair graph: every id is labeled with
     the MINIMUM id reachable through the pairs — the canonical member of
@@ -511,11 +512,43 @@ def connected_components(
     propagation for the large-star/small-star contraction
     (Kiveris et al., "Connected Components in MapReduce and Beyond"),
     which converges in O(log n) rounds on the same edge-table shape.
+
+    ``loop_partitions`` pins the shuffle width for the iteration (same
+    pattern as the streaming jobs' ``state_partitions``): the tables in
+    the loop are bounded by the candidate-PAIR set, typically orders of
+    magnitude smaller than the corpus, and every extra partition is pure
+    per-round scheduler overhead multiplied by the round count.  The
+    edge table is also hash-partitioned by the probe key up front, so
+    its side of the per-round join reuses the cached partitioning
+    instead of re-exchanging each round.  A 100 TB deployment raises
+    ``loop_partitions`` to its pair-table size, nothing else changes.
     """
+    spark = pairs.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_partitions))
+    try:
+        return _connected_components_loop(
+            pairs, id_a, id_b, max_iters, loop_partitions
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _connected_components_loop(
+    pairs: DataFrame,
+    id_a: str,
+    id_b: str,
+    max_iters: int,
+    loop_partitions: int,
+) -> DataFrame:
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = fwd.unionByName(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
+    edges = (
+        fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .repartition(loop_partitions, "dst")
+        .persist()
+    )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
