@@ -542,18 +542,24 @@ def _connected_components_loop(
     loop_partitions: int,
 ) -> DataFrame:
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # localCheckpoint (not persist): iterative DataFrame algorithms grow
+    # their LOGICAL plan multiplicatively per round — the cache serves
+    # results, but Catalyst still re-analyzes the whole unrolled lineage
+    # every iteration, which turns round k into O(b^k) planning time.
+    # Checkpointing truncates the plan to the materialized RDD.  On a
+    # cluster with executor churn swap for checkpoint(reliable dir).
     edges = (
         fwd.unionByName(
             fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .repartition(loop_partitions, "dst")
-        .persist()
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("cluster_id"))
-        .persist()
+        .localCheckpoint()
     )
     for _ in range(max_iters):
         nbr_min = (
@@ -580,14 +586,144 @@ def _connected_components_loop(
                     F.coalesce(F.col("_nbr_min"), F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             merged.where(F.col("cluster_id") < F.col("_prev")).count()
         )
-        labels.unpersist()
         labels = merged
         if changed == 0:
             break
-    edges.unpersist()
+    else:
+        # Min-label propagation advances one hop per round, so a pair
+        # graph with diameter > max_iters would exit here with silently
+        # WRONG labels — the worst failure class.  Fail loudly instead:
+        # near-dup graphs are supposed to be shallow; a deep one means
+        # transitive drift and wants the O(log n) contraction.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            "rounds (graph diameter exceeds it); use "
+            "connected_components_star for long-chained graphs"
+        )
     return labels.select("id", "cluster_id")
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 30,
+    loop_partitions: int = 8,
+) -> DataFrame:
+    """Connected components via alternating **large-star / small-star**
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — the O(log n)-round algorithm for graphs whose diameter
+    is NOT small, where plain min-label propagation
+    (:func:`connected_components`) would need diameter-many rounds.
+
+    Per round, two neighborhood contractions over the edge table only:
+
+    - **large-star**: each node u links every LARGER neighbor directly
+      to m(u) = min(N(u) ∪ {u}) — halves long chains upward;
+    - **small-star**: orient edges (larger → smaller); each node links
+      all its smaller neighbors and itself to its minimum neighbor —
+      collapses the local minima found by large-star into stars.
+
+    Both phases are one groupBy(min) + one equi-join over the EDGE
+    table; the fixpoint is a forest of stars (every node points at its
+    component's minimum id), read off as the label table.  Same output
+    contract as :func:`connected_components`: (id, cluster_id) with
+    cluster_id = min reachable id.
+
+    Convergence test: (count, xor-of-hashes) signature of the edge set
+    — one tiny aggregate per round instead of a set-difference join.
+    ``loop_partitions`` plays the same role as in the propagation
+    variant (iteration tables are pair-bounded, not corpus-bounded).
+    """
+    spark = pairs.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_partitions))
+    try:
+        return _connected_components_star_loop(pairs, id_a, id_b, max_iters)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _connected_components_star_loop(
+    pairs: DataFrame, id_a: str, id_b: str, max_iters: int
+) -> DataFrame:
+    # localCheckpoint per round truncates the logical lineage — see the
+    # propagation loop's note (Catalyst re-analysis is multiplicative
+    # in round count otherwise; this loop references `edges` six times
+    # per round, so it degrades fastest).
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("u").alias("id"))
+        .unionByName(edges.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def signature(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # BIT_XOR is order-insensitive and collision-safe enough for
+            # a convergence heuristic (a stale extra round is the only
+            # failure mode that matters, and equality of consecutive
+            # fixpoints is what actually terminates the loop).
+            F.expr("coalesce(bit_xor(hash(u, v)), 0)").alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    sig = signature(edges)
+    for _ in range(max_iters):
+        # ---- large-star ----------------------------------------------
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.col("u")).alias("m")
+        )
+        large = (
+            sym.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # ---- small-star ----------------------------------------------
+        oriented = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m2 = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        to_min = (
+            oriented.join(m2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        self_to_min = m2.select("u", F.col("m").alias("v"))
+        new_edges = (
+            to_min.unionByName(self_to_min)
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        new_sig = signature(new_edges)
+        edges = new_edges
+        if new_sig == sig:
+            break
+        sig = new_sig
+
+    # Fixpoint edges form stars (child → component min); roots and any
+    # isolated-by-contraction nodes label themselves.
+    child_labels = edges.select(
+        F.col("u").alias("id"), F.col("v").alias("cluster_id")
+    )
+    labels = nodes.join(child_labels, "id", "left").select(
+        "id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id")
+    )
+    return labels

@@ -186,10 +186,7 @@ def dedup_embedding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_clusters",
-    ids="dedup: near-dup clustering (LSH pairs → connected components → canonical id)",
-    oracle=f"""
+_CLUSTERS_ORACLE = f"""
 WITH RECURSIVE base AS (
   SELECT doc_id AS id, text FROM documents WHERE doc_id % 10 = 0
   UNION ALL
@@ -219,7 +216,32 @@ SELECT id, CAST(min(r) AS BIGINT) AS cluster_id
 FROM reach
 GROUP BY id
 ORDER BY id
-""",
+"""
+
+
+def _clusters_seeded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared pair pipeline for the clustering queries: seed two mutated
+    copies per tenth document, then MinHash+LSH candidate pairs with
+    exact-Jaccard rescore."""
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    m1 = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    m2 = d.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz yyy")).alias("text"),
+    )
+    base = d.select("doc_id", "text").unionByName(m1).unionByName(m2)
+    return minhash_lsh_pairs(
+        base, num_perms=32, bands=16, jaccard_threshold=0.7
+    )
+
+
+@register(
+    "dedup_clusters",
+    ids="dedup: near-dup clustering (LSH pairs → connected components → canonical id)",
+    oracle=_CLUSTERS_ORACLE,
 )
 def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERING — the step after pair generation in a
@@ -238,17 +260,28 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
     )
 
-    d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
-    m1 = d.select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
-    )
-    m2 = d.select(
-        (F.col("doc_id") + 2000000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" zzz yyy")).alias("text"),
-    )
-    base = d.select("doc_id", "text").unionByName(m1).unionByName(m2)
-    pairs = minhash_lsh_pairs(
-        base, num_perms=32, bands=16, jaccard_threshold=0.7
-    )
+    pairs = _clusters_seeded_pairs(spark, sf_dir)
     return connected_components(pairs).orderBy("id")
+
+
+@register(
+    "dedup_clusters_star",
+    ids="dedup: near-dup clustering via large-star/small-star contraction (O(log n)-round CC)",
+    oracle=_CLUSTERS_ORACLE,
+)
+def dedup_clusters_star_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering semantics as ``dedup_clusters`` (identical
+    oracle), computed with the alternating large-star/small-star
+    contraction instead of min-label propagation.  Near-dup components
+    are small cliques, so locally both converge in 2-3 rounds; the
+    contraction is the variant that stays O(log n) rounds when the pair
+    graph develops long chains (transitive near-dup drift at corpus
+    scale).  Registering both against ONE ground-truth oracle proves
+    the two independent implementations agree with the exact transitive
+    closure — the strongest check this operator family gets."""
+    from big_data_lab_three_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    pairs = _clusters_seeded_pairs(spark, sf_dir)
+    return connected_components_star(pairs).orderBy("id")

@@ -128,3 +128,53 @@ def test_lsh_near_dup_matches_brute_force(spark, sf_dir):
     }
     assert exact == approx
     assert len(exact) > 0
+
+
+def test_star_contraction_equals_label_propagation(spark):
+    """On a mixed graph (short path + clique + tree) the star
+    contraction and min-label propagation must produce identical
+    labelings, and both must match ground truth."""
+    from big_data_lab_three_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = [(i, i + 1) for i in range(100, 108)]          # 9-node path
+    clique = [(a, b) for a in range(5) for b in range(5) if a < b]
+    extra = [(200, 205), (205, 201), (201, 209)]           # small tree
+    pairs = spark.createDataFrame(
+        chain + clique + extra, "id_a long, id_b long"
+    )
+    prop = {
+        (r.id, r.cluster_id) for r in connected_components(pairs).collect()
+    }
+    star = {
+        (r.id, r.cluster_id)
+        for r in connected_components_star(pairs).collect()
+    }
+    assert star == prop
+    assert {(i, 100) for i in range(100, 109)} <= star
+    assert {(i, 0) for i in range(5)} <= star
+    assert {(200, 200), (205, 200), (201, 200), (209, 200)} <= star
+
+
+def test_star_contraction_handles_deep_chain_where_propagation_raises(spark):
+    """A path whose diameter exceeds the propagation round budget: the
+    label-prop variant must refuse (not silently mislabel), while the
+    star contraction converges in O(log n) rounds with correct labels."""
+    import pytest
+
+    from big_data_lab_three_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = [(i, i + 1) for i in range(100, 140)]          # 41-node path
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    star = {
+        (r.id, r.cluster_id)
+        for r in connected_components_star(pairs).collect()
+    }
+    assert star == {(i, 100) for i in range(100, 141)}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iters=5).collect()
