@@ -494,3 +494,34 @@ def test_tfidf_broadcasts_corpus_size_not_collects(spark, sf_dir):
     assert broadcast_join_count(df) >= 1, (
         "N should broadcast into idf as a one-row cross join"
     )
+
+
+def test_embedding_near_dup_lsh_is_bucket_join_no_cartesian(spark, sf_dir):
+    """The registered embedding near-dup path must be a bucket-key
+    equi-join (never a cartesian/nested-loop product) and must dedup
+    candidate pairs BEFORE the Arrow rescore stage so a pair colliding
+    in several LSH tables is scored once."""
+    df = REG["dedup_embedding"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    ), f"expected an equi-join on the LSH key, got:\n{plan[:2000]}"
+    # Tree prints root-first, so the correct layering appears in string
+    # order: rescore MapInPandas → pair-dedup Aggregate(id_a, id_b) →
+    # bucket equi-join → hyperplane-keying MapInPandas.  Scoring before
+    # dedup would put the aggregate ABOVE (= string-before) the rescore.
+    import re
+
+    i_rescore = plan.find("MapInPandas")
+    m_agg = re.search(r"(Hash|Sort)Aggregate\(key=\[id_a", plan)
+    assert i_rescore != -1 and m_agg is not None
+    assert i_rescore < m_agg.start(), (
+        "pair dedup must sit below the rescore stage"
+    )
+    i_join = plan.find("Join", m_agg.start())
+    assert i_join != -1, "bucket join must sit below pair dedup"
+    assert plan.find("MapInPandas", i_join) != -1, (
+        "hyperplane keying must feed the bucket join"
+    )
