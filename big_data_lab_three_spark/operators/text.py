@@ -10,7 +10,7 @@ linearly with executors.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from big_data_lab_three_spark.functions.text import md5_hex, shingles, tokens
@@ -280,6 +280,138 @@ def chunk_documents(
         F.col("ch.chunk_start").alias("chunk_start"),
         F.size("ch.ctoks").alias("n_chunk_tokens"),
         F.concat_ws(" ", "ch.ctoks").alias("chunk_text"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seq_tokens: int = 64,
+    n_streams: int = 8,
+) -> DataFrame:
+    """Sequence packing — concatenate documents into a token stream and
+    map each onto fixed-length training sequences (the GPT-style "pack
+    then split at exact boundaries" layout, the complement of
+    :func:`chunk_documents`' per-document windows).
+
+    Every document is assigned to one of ``n_streams`` parallel token
+    streams by content hash (same portability rationale as
+    :func:`shard_assignments`), ordered deterministically inside its
+    stream, and given its absolute token interval [tok_start, tok_end)
+    via a running sum.  A training sequence is tokens
+    [k·L, (k+1)·L) of a stream, so the document overlaps sequences
+    floor(tok_start/L) … floor((tok_end−1)/L) — emitted with
+    ``sequence``+``explode`` and per-sequence token spans, exactly what
+    a loader needs to assemble attention-masked packed batches.
+
+    Scale shape: ONE window (the per-stream running sum — streams keep
+    every partition's sort local-sized and the whole corpus parallel;
+    at 100 TB raise ``n_streams`` to executor count) + a map-side
+    explode whose fan-out is ⌈doc_tokens/L⌉.  No Python, no second
+    shuffle; output is keyed (stream, seq_id) so shard writes are
+    ``repartition + partitionBy`` file-pruned reads."""
+    n_tok = F.size(tokens(F.col(text_col)))
+    stream = F.pmod(
+        F.conv(F.substring(md5_hex(F.col(text_col)), 1, 8), 16, 10).cast(
+            "long"
+        ),
+        F.lit(n_streams),
+    ).cast("int")
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        stream.alias("stream"),
+        n_tok.alias("n_tokens"),
+    ).where(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy("stream")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spans = base.select(
+        "doc_id",
+        "stream",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("tok_start"),
+        F.sum("n_tokens").over(w).alias("tok_end"),
+    )
+    L = F.lit(seq_tokens)
+    # `div` (integral), not `/`: float division floors incorrectly once
+    # a stream's token offset exceeds double's 53-bit mantissa.
+    seq = F.explode(
+        F.sequence(
+            F.expr(f"tok_start div {seq_tokens}"),
+            F.expr(f"(tok_end - 1) div {seq_tokens}"),
+        )
+    ).alias("seq_id")
+    return spans.select("doc_id", "stream", "tok_start", "tok_end", seq).select(
+        "stream",
+        F.col("seq_id").cast("long").alias("seq_id"),
+        "doc_id",
+        # the document's token span WITHIN this sequence
+        F.greatest(F.col("tok_start") - F.col("seq_id") * L, F.lit(0))
+        .cast("long")
+        .alias("seq_off"),
+        (
+            F.least(F.col("tok_end") - F.col("seq_id") * L, L)
+            - F.greatest(F.col("tok_start") - F.col("seq_id") * L, F.lit(0))
+        )
+        .cast("long")
+        .alias("n_seq_tokens"),
+    )
+
+
+def interleave_mix(
+    df: DataFrame,
+    weights: dict[str, int],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    n_streams: int = 8,
+) -> DataFrame:
+    """Deterministic proportional data-mix interleaving — the sampling
+    schedule of a training pipeline: order documents so that every
+    window of the output stream contains the sources in ``weights``
+    proportion (stride scheduling, the same scheme WFQ/SMOOTH-WRR use),
+    with no RNG so re-runs and engines agree row-for-row.
+
+    Each group's k-th document gets virtual position
+    ``(2k−1) · (W/w_g)`` (W = lcm of weights — INTEGER positions, so
+    cross-engine float ties cannot exist); sorting by position yields
+    the proportional interleave.  A group's documents stay in
+    ``id_col`` order; unlisted groups default to weight 1.
+
+    Scale shape: the schedule is computed independently per
+    ``doc_id % n_streams`` stream, so the only windows are
+    stream-partitioned (parallelism = n_streams; raise it to executor
+    count at scale — training consumes shards independently anyway).
+    Two stream-local window passes, no global sort, no shuffle beyond
+    the stream partitioning."""
+    import math
+
+    W = math.lcm(*weights.values()) if weights else 1
+    stride = F.lit(W)  # default weight 1 → stride W
+    for g, wgt in weights.items():
+        stride = F.when(F.col(group_col) == g, F.lit(W // wgt)).otherwise(
+            stride
+        )
+    stream = F.pmod(F.col(id_col), F.lit(n_streams)).cast("int")
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("grp"),
+        stream.alias("stream"),
+        stride.alias("_stride"),
+    )
+    w_grp = Window.partitionBy("stream", "grp").orderBy("doc_id")
+    pos = (2 * F.row_number().over(w_grp) - 1) * F.col("_stride")
+    ranked = base.select(
+        "stream", "grp", "doc_id", pos.cast("long").alias("_pos")
+    )
+    w_mix = Window.partitionBy("stream").orderBy("_pos", "grp", "doc_id")
+    return ranked.select(
+        "stream",
+        F.row_number().over(w_mix).cast("long").alias("mix_rank"),
+        F.col("grp").alias(group_col),
+        "doc_id",
     )
 
 

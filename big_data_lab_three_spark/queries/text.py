@@ -15,6 +15,8 @@ from big_data_lab_three_spark.operators.text import (
     fingerprint,
     lang_id_table,
     chunk_documents,
+    interleave_mix,
+    pack_sequences,
     quality_metrics,
     shard_assignments,
     tfidf_top_terms,
@@ -335,6 +337,93 @@ def doc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_start")
     )
+
+
+@register(
+    "sequence_packing",
+    ids="text: GPT-style sequence packing (concat streams -> fixed-token windows)",
+    oracle=f"""
+WITH d AS (
+    SELECT doc_id,
+           CAST(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 8
+                AS INT) AS stream,
+           CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens
+    FROM documents
+    WHERE len({_DUCK_TOKS}) > 0
+), spans AS (
+    SELECT doc_id, stream, n_tokens,
+           CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT) AS tok_start,
+           CAST(sum(n_tokens) OVER w AS BIGINT)            AS tok_end
+    FROM d
+    WINDOW w AS (PARTITION BY stream ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), e AS (
+    SELECT doc_id, stream, tok_start, tok_end,
+           unnest(generate_series(tok_start // 64, (tok_end - 1) // 64))
+               AS seq_id
+    FROM spans
+)
+SELECT stream,
+       CAST(seq_id AS BIGINT) AS seq_id,
+       doc_id,
+       CAST(greatest(tok_start - seq_id * 64, 0) AS BIGINT) AS seq_off,
+       CAST(least(tok_end - seq_id * 64, 64)
+            - greatest(tok_start - seq_id * 64, 0) AS BIGINT)
+           AS n_seq_tokens
+FROM e
+ORDER BY stream, seq_id, doc_id
+""",
+)
+def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into 8 parallel token streams and emit each
+    document's span within every 64-token training sequence it
+    overlaps (see ``operators.text.pack_sequences``).  The oracle
+    recomputes the whole layout relationally — stream hash, running
+    offsets, window membership, and per-sequence spans must all agree
+    exactly."""
+    d = table(spark, sf_dir, "documents")
+    return pack_sequences(d, seq_tokens=64, n_streams=8).orderBy(
+        "stream", "seq_id", "doc_id"
+    )
+
+
+@register(
+    "data_mix_interleave",
+    ids="text: deterministic proportional data-mix interleave (stride scheduling)",
+    oracle="""
+WITH base AS (
+    SELECT doc_id, lang,
+           CAST(doc_id % 8 AS INT) AS stream,
+           CASE lang WHEN 'en' THEN 1 WHEN 'fr' THEN 2 WHEN 'de' THEN 4
+                     WHEN 'es' THEN 4 ELSE 4 END AS stride
+    FROM documents
+), ranked AS (
+    SELECT stream, lang AS grp, doc_id,
+           CAST((2 * row_number() OVER (PARTITION BY stream, lang
+                                        ORDER BY doc_id) - 1) * stride
+                AS BIGINT) AS pos
+    FROM base
+)
+SELECT stream,
+       CAST(row_number() OVER (PARTITION BY stream
+                               ORDER BY pos, grp, doc_id) AS BIGINT)
+           AS mix_rank,
+       grp AS lang,
+       doc_id
+FROM ranked
+ORDER BY stream, mix_rank
+""",
+)
+def data_mix_interleave_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional training-mix schedule over ``documents``: weights
+    en:4 fr:2 de:1 es:1 (zh defaults to 1), stride-scheduled into 8
+    parallel streams (see ``operators.text.interleave_mix``).  The
+    oracle pins the exact row order of every stream — integer virtual
+    positions make the interleave bit-identical across engines."""
+    d = table(spark, sf_dir, "documents")
+    return interleave_mix(
+        d, {"en": 4, "fr": 2, "de": 1, "es": 1}, n_streams=8
+    ).orderBy("stream", "mix_rank")
 
 
 @register(

@@ -178,3 +178,49 @@ def test_star_contraction_handles_deep_chain_where_propagation_raises(spark):
     assert star == {(i, 100) for i in range(100, 141)}
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, max_iters=5).collect()
+
+
+def test_sequence_packing_fills_and_partitions_exactly(spark, sf_dir):
+    """Packing invariants the oracle can't state directly: every
+    training sequence is exactly full except possibly each stream's
+    last, and each document's per-sequence spans partition its token
+    count with no loss and no overlap."""
+    from pyspark.sql import Window
+
+    from big_data_lab_three_spark.operators.text import (
+        pack_sequences,
+        token_count,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    packed = pack_sequences(d, seq_tokens=64, n_streams=8).persist()
+
+    fill = (
+        packed.groupBy("stream", "seq_id")
+        .agg(F.sum("n_seq_tokens").alias("fill"))
+        .withColumn(
+            "is_last",
+            F.col("seq_id")
+            == F.max("seq_id").over(Window.partitionBy("stream")),
+        )
+    )
+    bad = fill.where(~F.col("is_last") & (F.col("fill") != 64)).count()
+    assert bad == 0, "a non-final sequence is not exactly full"
+
+    per_doc = packed.groupBy("doc_id").agg(
+        F.sum("n_seq_tokens").alias("covered")
+    )
+    truth = d.select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    ).where(F.col("n_tokens") > 0)
+    mismatch = (
+        per_doc.join(truth, "doc_id", "full")
+        .where(
+            F.col("covered").isNull()
+            | F.col("n_tokens").isNull()
+            | (F.col("covered") != F.col("n_tokens"))
+        )
+        .count()
+    )
+    assert mismatch == 0, "doc spans must partition its tokens exactly"
+    packed.unpersist()
