@@ -166,3 +166,36 @@ def streaming_enrich_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_table(
         spark, result, f"stream_enrich_{next(_seq)}", output_mode="complete"
     ).orderBy("c_mktsegment", "event_type")
+
+
+@register(
+    "streaming_interval_join",
+    ids="streaming: stream-stream event-time interval join (click→purchase attribution)",
+    oracle="""
+SELECT p.user_id,
+       epoch_us(c.ts) AS trigger_us,
+       epoch_us(p.ts) AS outcome_us,
+       p.value AS outcome_value
+FROM events p
+JOIN events c
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND p.event_type = 'purchase'
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 1 HOUR
+ORDER BY p.user_id, trigger_us, outcome_us
+""",
+)
+def streaming_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases attributed to every same-user click in the preceding
+    hour, through the streaming engine's stream-stream join (both sides
+    buffered in watermark-bounded state — see
+    ``streaming.interval_join_attribution``).  Inner join + full drain
+    ⇒ the batch self-join is the exact oracle."""
+    from big_data_lab_three_spark.streaming import interval_join_attribution
+
+    stream = read_events_stream(spark, sf_dir)
+    result = interval_join_attribution(stream)
+    return run_stream_to_table(
+        spark, result, f"stream_ijoin_{next(_seq)}", output_mode="append"
+    ).orderBy("user_id", "trigger_us", "outcome_us")

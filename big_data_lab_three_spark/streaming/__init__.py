@@ -15,6 +15,7 @@ result like any batch query.
 from big_data_lab_three_spark.streaming.jobs import (  # noqa: F401
     dedup_within_watermark,
     enrich_with_dimension,
+    interval_join_attribution,
     read_events_stream,
     run_stream_to_table,
     sessionize,

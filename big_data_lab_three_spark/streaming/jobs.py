@@ -297,6 +297,62 @@ def dedup_within_watermark(
     )
 
 
+def interval_join_attribution(
+    stream: DataFrame,
+    trigger_type: str = "click",
+    outcome_type: str = "purchase",
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """True STREAM-STREAM join (not stream-static): attribute each
+    ``outcome_type`` event to every same-user ``trigger_type`` event in
+    the preceding ``horizon`` — the classic click→purchase attribution
+    shape, and the join Structured Streaming buffers BOTH sides of.
+
+    Both branches carry a watermark and the join condition bounds
+    event-time distance, which is exactly what lets the engine evict a
+    buffered row once the other side's watermark passes its horizon —
+    state is watermark-window-sized, never stream-sized.  At 100 TB/day
+    the state store holds one horizon of each side per key partition;
+    without the time bound Spark (rightly) refuses the query.
+
+    Inner join + ``AvailableNow`` drain emits the complete pair set, so
+    the batch self-join is the exact oracle."""
+    trig = (
+        stream.where(F.col("event_type") == trigger_type)
+        .select(
+            F.col("user_id").alias("t_user"),
+            F.col("ts_utc").alias("trigger_ts"),
+        )
+        .withWatermark("trigger_ts", watermark)
+    )
+    out = (
+        stream.where(F.col("event_type") == outcome_type)
+        .select(
+            "user_id",
+            F.col("ts_utc").alias("outcome_ts"),
+            F.col("value").alias("outcome_value"),
+        )
+        .withWatermark("outcome_ts", watermark)
+    )
+    joined = out.join(
+        trig,
+        F.expr(
+            f"""
+            user_id = t_user
+            AND outcome_ts >= trigger_ts
+            AND outcome_ts <= trigger_ts + interval {horizon}
+            """
+        ),
+    )
+    return joined.select(
+        "user_id",
+        F.unix_micros("trigger_ts").alias("trigger_us"),
+        F.unix_micros("outcome_ts").alias("outcome_us"),
+        "outcome_value",
+    )
+
+
 def enrich_with_dimension(
     stream: DataFrame, dim: DataFrame, key: str = "user_id"
 ) -> DataFrame:

@@ -181,3 +181,44 @@ def test_streaming_sessions_agree_with_batch_sessionization(spark, sf_dir):
         f"streaming emitted sessions the batch answer lacks: "
         f"{sorted(streamed - batch)[:3]}"
     )
+
+
+def test_interval_join_state_survives_batch_boundary(spark, sf_dir, tmp_path):
+    """Stream-stream join correctness across microbatches: clicks from
+    batch 1 must stay buffered in join state so purchases arriving in
+    batch 2 still match them.  Chronological sharding ⇒ no late drops ⇒
+    the two-batch drain equals the single-batch (= batch oracle) set."""
+    from big_data_lab_three_spark.streaming.jobs import (
+        interval_join_attribution,
+        run_stream_to_table,
+    )
+
+    d, t = _shard_dir(
+        tmp_path,
+        sf_dir,
+        lambda t: pc.less_equal(
+            t["ts"].cast("int64"),
+            int(pc.quantile(t["ts"].cast("int64"), q=0.5)[0].as_py()),
+        ),
+    )
+    cols = ("user_id", "trigger_us", "outcome_us", "outcome_value")
+    multi = {
+        tuple(r)
+        for r in run_stream_to_table(
+            spark,
+            interval_join_attribution(_stream(spark, d)),
+            "ijoin_multibatch",
+            output_mode="append",
+        )
+        .select(*cols)
+        .collect()
+    }
+    single = {
+        tuple(r)
+        for r in REG["streaming_interval_join"]
+        .spark(spark, sf_dir)
+        .select(*cols)
+        .collect()
+    }
+    assert len(multi) > 0
+    assert multi == single
