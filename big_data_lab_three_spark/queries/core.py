@@ -1136,3 +1136,39 @@ def order_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+# One ANSI-SQL string executed VERBATIM by both engines: the Spark side
+# runs it through the engine's SQL front door (sources.sql → temp views
+# over the same parquet), the oracle side hands the identical text to
+# DuckDB.  Exact-DECIMAL sums so distributed summation order cannot
+# perturb a bit; every computed column aliased once, shared by both.
+_ANSI_SHARED_SQL = """
+SELECT l_returnflag,
+       l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+           AS sum_base_price,
+       CAST(min(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS min_discount,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register(
+    "sql_front_door",
+    ids="SQL surface parity: one ANSI string runs verbatim on both engines",
+    oracle=_ANSI_SHARED_SQL,
+)
+def sql_front_door_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-SQL parity proof: the SAME SQL text this query registers as
+    its DuckDB oracle is executed by Spark via ``sources.sql`` (temp
+    views over the parquet tables; Catalyst sees through views, so
+    pushdown/pruning match the DataFrame plans).  Any user migrating
+    ANSI SQL workloads to this engine runs them unchanged."""
+    from big_data_lab_three_spark.sources import sql as run_sql
+
+    return run_sql(spark, sf_dir, _ANSI_SHARED_SQL)
