@@ -230,9 +230,16 @@ def ngram_jaccard_pairs(
     )
 
 
-# Bit masks for the 64 simhash bit positions; bit 63 of a signed long is
-# the two's-complement sign bit, so its mask is the negative extreme.
-_SIMHASH_MASKS = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
+# SimHash width: 60 bits = 15 hex digits of md5, the widest truncation
+# that stays positive in a signed 64-bit long on EVERY engine (no
+# sign-bit special case).  md5 (not xxhash64) so the whole pipeline —
+# shingle hash, bit votes, signature, Hamming — is bit-identical in any
+# engine with md5, which is what lets the DuckDB oracle recompute the
+# signatures exactly instead of settling for a rows-only check.  md5
+# costs more CPU than xxhash64 per shingle; for a pure-Spark deployment
+# that never cross-verifies, swap the one hash expression back.
+_SIMHASH_BITS = 60
+_SIMHASH_MASKS = [1 << b for b in range(_SIMHASH_BITS)]
 
 
 def simhash_signatures(
@@ -241,15 +248,15 @@ def simhash_signatures(
     id_col: str = "doc_id",
     shingle_k: int = 3,
 ) -> DataFrame:
-    """64-bit SimHash per document as ``(id, sig)``: per bit position,
+    """60-bit SimHash per document as ``(id, sig)``: per bit position,
     sum +1/-1 over shingle hashes by whether the bit is set; positive
     sum → signature bit 1.  Documents with fewer than ``shingle_k``
     tokens produce no row (nothing to fingerprint).
 
     Map-reduce formulation: explode shingle hashes to 16-byte
-    ``(id, hash)`` rows, then ONE hash-aggregate with 64 plain ``sum``
+    ``(id, hash)`` rows, then ONE hash-aggregate with 60 plain ``sum``
     expressions.  Everything stays in whole-stage codegen; partial
-    (map-side) aggregation collapses each document to one 64-counter
+    (map-side) aggregation collapses each document to one 60-counter
     row before the only shuffle, which carries ids + counters — never
     text.  An expression-level fold over array columns (higher-order
     ``aggregate``/``zip_with``) is CodegenFallback in Spark —
@@ -258,7 +265,13 @@ def simhash_signatures(
     hashed = df.select(
         F.col(id_col).alias("id"),
         F.explode(shingles(tokens(F.col(text_col)), shingle_k)).alias("t"),
-    ).select("id", F.xxhash64("t").alias("h"))
+    ).select(
+        "id",
+        # engine-portable 60-bit hash: first 15 hex digits of md5
+        F.conv(F.substring(F.md5("t"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
     counts = hashed.groupBy("id").agg(
         *[
             F.sum(
@@ -269,9 +282,7 @@ def simhash_signatures(
     )
     sig = F.lit(0).cast("long")
     for i, m in enumerate(_SIMHASH_MASKS):
-        # Disjoint bit masks: summing them composes the signature
-        # without overflow (the sign-bit mask is the negative extreme,
-        # added at most once).
+        # Disjoint positive masks: summing them composes the signature.
         sig = sig + F.when(F.col(f"_b{i}") > 0, F.lit(m).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -303,7 +314,7 @@ def simhash_pairs(
     # when the corpus shares one vocabulary; shingles are
     # order-sensitive and spread unrelated docs to Hamming ≈ 32.
     sigs = simhash_signatures(df, text_col, id_col, shingle_k=3).withColumn(
-        "prefix", F.shiftright("sig", 64 - prefix_bits)
+        "prefix", F.shiftright("sig", _SIMHASH_BITS - prefix_bits)
     )
     # Signature table feeds both sides of the self-join — persist so the
     # explode + 64-sum aggregation runs once, not twice (measured 2x).

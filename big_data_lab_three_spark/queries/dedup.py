@@ -126,14 +126,48 @@ def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash",
-    ids="dedup: SimHash (64-bit, prefix-bucketed Hamming)",
-    oracle=None,  # engine-specific 64-bit hashing; ground truth in tests/
+    ids="dedup: SimHash (60-bit md5-portable, prefix-bucketed Hamming)",
+    oracle="""
+WITH base AS (
+  SELECT doc_id AS id, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+), t AS (
+  SELECT id, list_filter(regexp_split_to_array(text, '\\s+'),
+                         x -> x != '') AS toks
+  FROM base
+), sh AS (
+  SELECT id,
+         unnest([array_to_string(toks[i:i+2], ' ')
+                 for i in range(1, len(toks) - 1)]) AS s
+  FROM t
+), h AS (
+  SELECT id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h FROM sh
+), votes AS (
+  SELECT id, g.b AS b,
+         sum(CASE WHEN (h >> g.b) & 1 = 1 THEN 1 ELSE -1 END) AS c
+  FROM h CROSS JOIN generate_series(0, 59) AS g(b)
+  GROUP BY id, g.b
+), sig AS (
+  SELECT id,
+         CAST(sum(CASE WHEN c > 0 THEN CAST(1 AS BIGINT) << b
+                       ELSE 0 END) AS BIGINT) AS sig
+  FROM votes GROUP BY id
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b
+  ON (a.sig >> 44) = (b.sig >> 44) AND a.id < b.id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+""",
 )
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs over a sample seeded with exact duplicates
     (identical text ⇒ identical signature ⇒ Hamming 0, found via the
-    prefix bucket).  Rows-only check here; tests assert every seeded
-    pair appears."""
+    prefix bucket).  The 60-bit truncated-md5 shingle hash is
+    engine-portable, so the oracle recomputes the ENTIRE pipeline —
+    votes, signatures, prefix buckets, Hamming filter — exactly; tests
+    additionally assert every seeded pair appears."""
     d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
     dup = d.select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
