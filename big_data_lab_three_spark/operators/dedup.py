@@ -442,11 +442,13 @@ def embedding_near_dup_pairs_lsh(
     means false candidates cost time, never correctness; recall is the
     only approximation.  Near-duplicate vectors are near-COLINEAR, and
     sign-LSH collision probability is 1 − θ/π per bit (θ = angle), so a
-    cos ≥ 0.99 pair (θ ≤ 8.1°) agrees per-bit w.p. ≥ 0.955 and lands in
-    ≥1 of 4 16-bit tables w.p. ≥ 0.97; exactly-colinear duplicates
+    cos ≥ 0.99 pair (θ ≤ 8.1°) agrees per-bit w.p. ≥ 0.955, hits one
+    16-bit table w.p. ≥ 0.955¹⁶ ≈ 0.48, and ≥1 of 4 tables w.p.
+    ≈ 0.93 at the defaults; exactly-colinear duplicates
     (rescaled/requantized copies, the dominant real-world case) collide
-    in EVERY table — recall 1.  Raise ``tables`` for more recall at
-    proportional candidate cost.
+    in EVERY table — recall 1.  Raise ``tables`` (recall
+    1−(1−0.48)^L) or lower ``bits`` for more recall at proportional
+    candidate cost.
 
     The plane matrix is a tiny seeded (bits·tables × d) constant shipped
     in the task closure — deterministic, never a shuffle.  ``dim`` is
@@ -535,6 +537,11 @@ def connected_components(
     ``loop_partitions`` to its pair-table size, nothing else changes.
     """
     spark = pairs.sparkSession
+    # Materialize the (possibly corpus-sized) upstream pair pipeline at
+    # the SESSION's shuffle width BEFORE pinning the loop's small one —
+    # otherwise the first in-loop action would run e.g. the MinHash
+    # explode+band join with loop_partitions reducers.
+    pairs = pairs.localCheckpoint()
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_partitions))
     try:
@@ -652,6 +659,9 @@ def connected_components_star(
     variant (iteration tables are pair-bounded, not corpus-bounded).
     """
     spark = pairs.sparkSession
+    # See connected_components: upstream pair generation must run at
+    # session width, only the iteration runs at loop width.
+    pairs = pairs.localCheckpoint()
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_partitions))
     try:
@@ -728,6 +738,15 @@ def _connected_components_star_loop(
         if new_sig == sig:
             break
         sig = new_sig
+    else:
+        # Exhausting max_iters without reaching the star-forest fixpoint
+        # would make the label read-off below emit duplicated/wrong
+        # labels — fail loudly, exactly like the propagation variant.
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iters} "
+            "rounds; raise max_iters (O(log n) rounds suffice for any "
+            "graph, so this indicates n >> expected)"
+        )
 
     # Fixpoint edges form stars (child → component min); roots and any
     # isolated-by-contraction nodes label themselves.

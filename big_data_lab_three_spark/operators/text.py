@@ -402,10 +402,12 @@ def interleave_mix(
         stride.alias("_stride"),
     )
     w_grp = Window.partitionBy("stream", "grp").orderBy("doc_id")
-    pos = (2 * F.row_number().over(w_grp) - 1) * F.col("_stride")
-    ranked = base.select(
-        "stream", "grp", "doc_id", pos.cast("long").alias("_pos")
-    )
+    # row_number() is IntegerType — cast to long BEFORE the arithmetic,
+    # or the product wraps at 2^31 (~270M rows/group at stride 4) and
+    # silently scrambles the interleave.
+    rn = F.row_number().over(w_grp).cast("long")
+    pos = (2 * rn - 1) * F.col("_stride").cast("long")
+    ranked = base.select("stream", "grp", "doc_id", pos.alias("_pos"))
     w_mix = Window.partitionBy("stream").orderBy("_pos", "grp", "doc_id")
     return ranked.select(
         "stream",

@@ -184,19 +184,27 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side) into ~5 event-type groups, reusing the window's
     partitioning pass output without a second exchange of comparable
     size.  Durations are integer microseconds: ``table()`` guarantees
-    ``ts`` is a BIGINT of epoch **nanoseconds**, so the lifetime is
-    pure long math ``(valid_to - valid_from) div 1000`` — no timestamp
-    types in the arithmetic at all, matching the oracle's
-    ``epoch_us`` integers exactly for both driver file encodings.
+    ``ts`` is a BIGINT of epoch **nanoseconds**; each endpoint is
+    truncated to µs BEFORE ordering and differencing (``ts div 1000``)
+    because DuckDB truncates parquet ns to µs at read — differencing
+    full-ns values would floor differently for sub-µs residues, and
+    sub-µs-distinct same-user events would even order differently
+    across engines.  Per-value truncation matches the oracle's
+    ``epoch_us`` exactly for both driver file encodings.
     """
-    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    lifetime = F.expr("(valid_to - valid_from) div 1000")
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("ts div 1000").alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    lifetime = F.expr("valid_to - valid_from")
     return (
         ev.select(
             "event_type",
-            F.col("ts").alias("valid_from"),
-            F.lead("ts").over(w).alias("valid_to"),
+            F.col("ts_us").alias("valid_from"),
+            F.lead("ts_us").over(w).alias("valid_to"),
         )
         .select("event_type", lifetime.alias("lifetime_us"))
         .groupBy("event_type")

@@ -109,10 +109,13 @@ def table(
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # The NTZ→TZ cast below is an identity ONLY under a UTC session;
-        # pin it here (not just in the session factory) so a caller-made
-        # session with a local timezone cannot shift micros-encoded ts.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # ENGINE-WIDE INVARIANT: sessions run UTC (session factory sets
+        # it; pinned again here so a caller-made local-timezone session
+        # cannot shift micros-encoded NTZ ts).  The set is deliberately
+        # NOT restored — the conversion executes lazily at action time,
+        # so a restore would corrupt it; a session that needs local-time
+        # DISPLAY should format with an explicit timezone argument
+        # rather than an ambient session default.
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = normalize_events_ts(df)
@@ -125,9 +128,8 @@ def events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table with ``ts`` additionally exposed as a proper
     microsecond TimestampType column ``ts_utc`` (Spark has no nanosecond
     timestamps; nanos stay available in the raw ``ts`` long)."""
-    ev = table(spark, sf_dir, "events")
-    return ev.withColumn(
-        "ts_utc", F.timestamp_micros(F.expr("ts div 1000"))
+    return normalize_events_ts(
+        table(spark, sf_dir, "events"), with_ts_utc=True
     )
 
 

@@ -24,6 +24,7 @@ def events_stream(
     spark: SparkSession,
     directory: str,
     probe_path: str | None = None,
+    schema: T.StructType | None = None,
     **reader_options: str,
 ) -> DataFrame:
     """A parquet file-source stream of events honoring the engine-wide
@@ -36,10 +37,15 @@ def events_stream(
     from ``probe_path`` (default: the directory itself).  Hardcoding
     either encoding's schema makes the other arrive as raw longs at the
     wrong unit — silently wrong windows; the probe + shared
-    ``normalize_events_ts`` make both paths agree by construction."""
+    ``normalize_events_ts`` make both paths agree by construction.
+
+    A deployment starting the stream BEFORE any producer file exists
+    (nothing to probe) passes ``schema`` explicitly — the contract then
+    holds for whichever encoding the declared ``ts`` field matches."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = spark.read.parquet(probe_path or directory).schema
+    if schema is None:
+        schema = spark.read.parquet(probe_path or directory).schema
     reader = spark.readStream.schema(schema)
     for key, value in reader_options.items():
         reader = reader.option(key, value)
