@@ -1295,3 +1295,143 @@ def latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "cdc_upsert_apply",
+    ids="temporal versioning: CDC MERGE semantics — changelog applied to a base snapshot (upsert + delete)",
+    oracle="""
+WITH last AS (
+    SELECT user_id, event_type, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY epoch_us(ts) DESC, event_id DESC)
+               AS rn
+    FROM events
+), applied AS (
+    SELECT c.c_custkey,
+           c.c_name,
+           CASE WHEN l.user_id IS NULL THEN c.c_acctbal
+                ELSE round(l.value, 4) END AS acctbal,
+           CASE WHEN l.user_id IS NULL THEN 'unchanged'
+                ELSE 'updated' END AS merge_action,
+           l.event_type AS last_op
+    FROM customer c
+    LEFT JOIN (SELECT * FROM last WHERE rn = 1) l
+           ON l.user_id = c.c_custkey
+)
+SELECT c_custkey, c_name, acctbal, merge_action
+FROM applied
+WHERE last_op IS NULL OR last_op <> 'error'
+ORDER BY c_custkey
+""",
+)
+def cdc_upsert_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics without a MERGE-capable table format —
+    the batch job every lakehouse upsert pipeline runs: compact the
+    changelog to its newest record per key (``latest_snapshot``'s
+    window), then LEFT-apply it to the base snapshot: matched keys take
+    the new value (upsert), keys whose final record is a tombstone
+    (``event_type = 'error'`` stands in for a delete marker) drop out,
+    unmatched base rows pass through unchanged.
+
+    Scale shape: the changelog compacts to ≤1 row per key BEFORE the
+    join, so the join input is key-bounded, not changelog-bounded; one
+    window shuffle + one key-partitioned join, both on ``user_id`` —
+    AQE can even reuse the partitioning.  Rewriting only matched
+    partitions (partition-overwrite on the join output) is the standard
+    deployment; semantics here are the judged part."""
+    from big_data_lab_three_spark.sources import events
+
+    ev = events(spark, sf_dir)
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts_utc"), F.desc("event_id")
+    )
+    last = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "value")
+    )
+    applied = (
+        c.select("c_custkey", "c_name", "c_acctbal")
+        .join(last, last.user_id == F.col("c_custkey"), "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.when(F.col("user_id").isNull(), F.col("c_acctbal"))
+            .otherwise(F.round("value", 4))
+            .alias("acctbal"),
+            F.when(F.col("user_id").isNull(), F.lit("unchanged"))
+            .otherwise(F.lit("updated"))
+            .alias("merge_action"),
+            F.col("event_type").alias("last_op"),
+        )
+    )
+    return (
+        applied.where(
+            F.col("last_op").isNull() | (F.col("last_op") != "error")
+        )
+        .drop("last_op")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "incremental_rollup_merge",
+    ids="aggregation: mergeable partial-aggregate state — incremental rollup equals the full recompute",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+           AS revenue,
+       CAST(min(o_orderdate) AS DATE) AS first_order,
+       CAST(max(o_orderdate) AS DATE) AS last_order
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def incremental_rollup_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance, proven by
+    construction: the table is split into two disjoint 'ingest batches'
+    (odd/even orderkey — standing in for yesterday's state and today's
+    delta), each batch is aggregated to mergeable partial state
+    (count/sum/min/max — all commutative monoids), and the states are
+    MERGED (sum the counts/sums, min the mins, max the maxes).  The
+    oracle aggregates the whole table directly, so the test pins the
+    algebra every incremental pipeline relies on: merge(partial(A),
+    partial(B)) == full(A ∪ B), with exact-DECIMAL sums so the claim is
+    bit-level, not approximate.
+
+    Scale shape: at 100 TB this is the nightly pattern — aggregate ONLY
+    the new partition, merge into stored state; the merge input is
+    group-cardinality-sized, never data-sized."""
+    o = table(spark, sf_dir, "orders")
+
+    def partial(batch: DataFrame) -> DataFrame:
+        return batch.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("rev"),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+
+    yesterday = partial(o.where(F.col("o_orderkey") % 2 == 0))
+    today = partial(o.where(F.col("o_orderkey") % 2 == 1))
+    merged = (
+        yesterday.unionByName(today)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.round(F.sum("rev"), 2).cast("double").alias("revenue"),
+            F.min("first_order").alias("first_order"),
+            F.max("last_order").alias("last_order"),
+        )
+    )
+    return merged.select(
+        "o_orderpriority",
+        "n_orders",
+        "revenue",
+        F.col("first_order").cast("date").alias("first_order"),
+        F.col("last_order").cast("date").alias("last_order"),
+    ).orderBy("o_orderpriority")
