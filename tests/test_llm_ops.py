@@ -224,3 +224,48 @@ def test_sequence_packing_fills_and_partitions_exactly(spark, sf_dir):
     )
     assert mismatch == 0, "doc spans must partition its tokens exactly"
     packed.unpersist()
+
+
+def test_pack_sequences_giant_document_fan_out(spark):
+    """A document far longer than one sequence must fan out to exactly
+    ceil(n/L) sequences with a full span in each interior one — the
+    explode path the real-corpus test (short docs) barely exercises."""
+    from big_data_lab_three_spark.operators.text import pack_sequences
+
+    giant = " ".join(f"w{i}" for i in range(1000))  # 1000 tokens
+    tiny = "a b c"
+    df = spark.createDataFrame(
+        [(1, giant), (2, tiny)], "doc_id long, text string"
+    )
+    out = pack_sequences(df, seq_tokens=64, n_streams=1).collect()
+    g = sorted(
+        (r.seq_id, r.seq_off, r.n_seq_tokens) for r in out if r.doc_id == 1
+    )
+    # 1003 total tokens; doc order within the stream is by doc_id, so
+    # the giant doc occupies [0, 1000) → sequences 0..15
+    assert len(g) == 16
+    assert sum(n for _, _, n in g) == 1000
+    interior = g[:-1]
+    assert all(n == 64 for _, _, n in interior)
+    assert g[-1][2] == 1000 - 15 * 64
+    t = [(r.seq_id, r.seq_off, r.n_seq_tokens) for r in out if r.doc_id == 2]
+    # tiny doc starts at offset 1000 in the stream: seq 15, off 40
+    assert t == [(15, 1000 - 15 * 64, 3)]
+
+
+def test_interleave_mix_is_proportional_in_prefix(spark):
+    """While every group still has supply, each consecutive window of
+    W = lcm(weights) positions contains exactly `weight` rows of each
+    group — the defining property of stride scheduling."""
+    from big_data_lab_three_spark.operators.text import interleave_mix
+
+    rows = [(i, ["en", "fr"][i % 2]) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = interleave_mix(
+        df, {"en": 3, "fr": 1}, n_streams=1
+    ).collect()
+    # W = 3; per window of 4 ranks: 3 en + 1 fr until fr runs long
+    first = sorted((r.mix_rank, r.lang) for r in out)[:40]
+    for w in range(10):
+        window = [lang for _, lang in first[w * 4:(w + 1) * 4]]
+        assert window.count("en") == 3 and window.count("fr") == 1
