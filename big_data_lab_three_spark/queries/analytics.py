@@ -1435,3 +1435,147 @@ def incremental_rollup_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("first_order").cast("date").alias("first_order"),
         F.col("last_order").cast("date").alias("last_order"),
     ).orderBy("o_orderpriority")
+
+
+@register(
+    "funnel_conversion",
+    ids="window: ordered multi-step funnel (view → click → purchase) with strict event-time progression",
+    oracle="""
+WITH v AS (
+    SELECT user_id, min(epoch_us(ts)) AS t_view
+    FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+    SELECT e.user_id, min(epoch_us(e.ts)) AS t_click
+    FROM events e JOIN v ON v.user_id = e.user_id
+    WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t_view
+    GROUP BY e.user_id
+), p AS (
+    SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase
+    FROM events e JOIN c ON c.user_id = e.user_id
+    WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t_click
+    GROUP BY e.user_id
+)
+SELECT count(*)                                    AS n_viewed,
+       count(c.user_id)                            AS n_clicked,
+       count(p.user_id)                            AS n_purchased,
+       CAST(round(CAST(count(c.user_id) AS DOUBLE) / count(*), 4)
+            AS DOUBLE)                             AS view_to_click,
+       CAST(round(CAST(count(p.user_id) AS DOUBLE)
+                  / nullif(count(c.user_id), 0), 4) AS DOUBLE)
+                                                   AS click_to_purchase
+FROM v
+LEFT JOIN c ON c.user_id = v.user_id
+LEFT JOIN p ON p.user_id = v.user_id
+""",
+)
+def funnel_conversion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel: a user converts a step only with an event
+    strictly AFTER their first event of the previous step (first view →
+    first later click → first later purchase).  The composition is
+    min-aggregates + per-step self-joins, each keyed on ``user_id``.
+
+    Scale shape: every stage is (filter by type → per-user min) — the
+    aggregates collapse to ≤1 row per user BEFORE any join, so all
+    joins are key-bounded; they share the ``user_id`` partitioning, and
+    AQE reuses it instead of re-exchanging.  No windows over raw events
+    — the min-per-step formulation avoids materializing per-user event
+    sequences entirely."""
+    from big_data_lab_three_spark.sources import events
+
+    ev = events(spark, sf_dir).select(
+        "user_id", "event_type", F.unix_micros("ts_utc").alias("us")
+    )
+
+    def first_after(evs: DataFrame, etype: str, prev: DataFrame, prev_col: str, out: str) -> DataFrame:
+        return (
+            evs.where(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .where(F.col("us") > F.col(prev_col))
+            .groupBy("user_id")
+            .agg(F.min("us").alias(out))
+        )
+
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_view"))
+    )
+    c = first_after(ev, "click", v, "t_view", "t_click")
+    p = first_after(ev, "purchase", c, "t_click", "t_purchase")
+    funnel = (
+        v.join(c.select("user_id", "t_click"), "user_id", "left")
+        .join(p.select("user_id", "t_purchase"), "user_id", "left")
+    )
+    n_viewed = F.count(F.lit(1))
+    n_clicked = F.count("t_click")
+    n_purchased = F.count("t_purchase")
+    return funnel.agg(
+        n_viewed.alias("n_viewed"),
+        n_clicked.alias("n_clicked"),
+        n_purchased.alias("n_purchased"),
+        F.round(n_clicked.cast("double") / n_viewed, 4)
+        .cast("double")
+        .alias("view_to_click"),
+        F.round(
+            n_purchased.cast("double") / F.nullif(n_clicked, F.lit(0)), 4
+        )
+        .cast("double")
+        .alias("click_to_purchase"),
+    )
+
+
+@register(
+    "retention_cohorts",
+    ids="temporal analytics: weekly retention cohorts (first-activity week × weeks-since)",
+    oracle="""
+WITH firsts AS (
+    SELECT user_id,
+           min(epoch_us(date_trunc('week', ts))) AS cohort_us
+    FROM events GROUP BY user_id
+), activity AS (
+    SELECT DISTINCT e.user_id,
+           f.cohort_us,
+           (epoch_us(date_trunc('week', e.ts)) - f.cohort_us)
+               // (CAST(7 AS BIGINT) * 86400 * 1000000) AS week_n
+    FROM events e JOIN firsts f ON f.user_id = e.user_id
+)
+SELECT cohort_us,
+       CAST(week_n AS BIGINT) AS week_n,
+       count(*) AS n_active
+FROM activity
+GROUP BY cohort_us, week_n
+ORDER BY cohort_us, week_n
+""",
+)
+def retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention triangle: users grouped by their first-activity
+    week (cohort), counted as active in every later week they appear —
+    the engagement report every product-analytics stack runs.
+
+    Scale shape: one per-user min (cohort), one distinct over (user,
+    week) — both key-partitioned aggregates on ``user_id`` — then a
+    group-cardinality-sized final rollup.  The cohort join input is ≤1
+    row per user; no windows, no self-join over raw events."""
+    from big_data_lab_three_spark.sources import events
+
+    ev = events(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros(F.date_trunc("week", F.col("ts_utc"))).alias("week_us"),
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("week_us").alias("cohort_us"))
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_us",
+            F.expr("(week_us - cohort_us) div (CAST(7 AS BIGINT) * 86400 * 1000000)").alias(
+                "week_n"
+            ),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_us", "week_n")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("cohort_us", "week_n")
+    )
