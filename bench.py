@@ -63,24 +63,35 @@ def main() -> None:
             except Exception:
                 pass  # a warmup failure must never sink the bench
 
+    # min-of-N timing: single-shot numbers on a shared machine carry
+    # ±15% scheduler/GC noise; the minimum over a couple of passes is
+    # the standard steady-state estimator (what the work costs when the
+    # machine isn't preempting you).  SPARK_GRAFT_REPEATS=1 restores
+    # single-shot.
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "2")))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name, q in sorted(registry.items()):
-        t0 = time.perf_counter()
-        try:
-            q.spark(spark, sf_dir).collect()
-            timings[name] = round(time.perf_counter() - t0, 4)
-        except Exception as exc:  # fault-isolate: one broken query must
-            # never zero out the whole round's perf signal — record the
-            # error and keep timing the rest.
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-        finally:
-            # Queries that persist intermediates (dedup signature
-            # tables, scalar-subquery caches) must not leak storage
-            # memory into the next query's execution-memory budget —
-            # each bench entry is timed standalone, as a cluster job
-            # would run.
-            spark.catalog.clearCache()
+    for _ in range(repeats):
+        for name, q in sorted(registry.items()):
+            if name in errors:
+                continue
+            t0 = time.perf_counter()
+            try:
+                q.spark(spark, sf_dir).collect()
+                t = round(time.perf_counter() - t0, 4)
+                timings[name] = min(timings.get(name, t), t)
+            except Exception as exc:  # fault-isolate: one broken query
+                # must never zero out the whole round's perf signal —
+                # record the error and keep timing the rest.
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                timings.pop(name, None)
+            finally:
+                # Queries that persist intermediates (dedup signature
+                # tables, scalar-subquery caches) must not leak storage
+                # memory into the next query's execution-memory budget —
+                # each bench entry is timed standalone, as a cluster job
+                # would run.
+                spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     out = {
