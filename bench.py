@@ -62,13 +62,19 @@ def main() -> None:
                 q.spark(spark, warm_dir).collect()
             except Exception:
                 pass  # a warmup failure must never sink the bench
+        # warmup queries persist intermediates too — release them so the
+        # first timed query starts with a clean storage-memory budget
+        spark.catalog.clearCache()
 
     # min-of-N timing: single-shot numbers on a shared machine carry
     # ±15% scheduler/GC noise; the minimum over a couple of passes is
     # the standard steady-state estimator (what the work costs when the
     # machine isn't preempting you).  SPARK_GRAFT_REPEATS=1 restores
     # single-shot.
-    repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "2")))
+    try:
+        repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "2")))
+    except ValueError:
+        repeats = 2  # a malformed env var must never sink the bench
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for _ in range(repeats):
@@ -82,9 +88,12 @@ def main() -> None:
                 timings[name] = min(timings.get(name, t), t)
             except Exception as exc:  # fault-isolate: one broken query
                 # must never zero out the whole round's perf signal —
-                # record the error and keep timing the rest.
-                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-                timings.pop(name, None)
+                # record the error and keep timing the rest.  A valid
+                # timing from an earlier repeat is KEPT: min-of-N exists
+                # to absorb transients, not to be erased by them.
+                errors.setdefault(
+                    name, f"{type(exc).__name__}: {exc}"[:500]
+                )
             finally:
                 # Queries that persist intermediates (dedup signature
                 # tables, scalar-subquery caches) must not leak storage

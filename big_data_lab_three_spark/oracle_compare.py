@@ -15,6 +15,22 @@ import datetime
 import decimal
 import math
 
+# The one source of truth for the oracle's table universe — both local
+# gates register views through register_oracle_views so they can never
+# drift apart.
+ORACLE_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def register_oracle_views(con, sf_dir: str) -> None:
+    """Register every test table as a DuckDB view over its parquet."""
+    for t in ORACLE_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
 
 def canon_cell(v) -> str:
     """Typed canonical form of one result cell (engine-neutral)."""

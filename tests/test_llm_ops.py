@@ -255,8 +255,8 @@ def test_pack_sequences_giant_document_fan_out(spark):
 
 def test_interleave_mix_is_proportional_in_prefix(spark):
     """While every group still has supply, each consecutive window of
-    W = lcm(weights) positions contains exactly `weight` rows of each
-    group — the defining property of stride scheduling."""
+    sum(weights) output positions contains exactly `weight` rows of
+    each group — the defining property of stride scheduling."""
     from big_data_lab_three_spark.operators.text import interleave_mix
 
     rows = [(i, ["en", "fr"][i % 2]) for i in range(400)]

@@ -10,20 +10,17 @@ from __future__ import annotations
 import duckdb
 import pytest
 
-from big_data_lab_three_spark.oracle_compare import compare
+from big_data_lab_three_spark.oracle_compare import (
+    compare,
+    register_oracle_views,
+)
 from big_data_lab_three_spark.queries import load_all
-
-TABLES = (
-    "region nation customer supplier part orders lineitem events "
-    "documents embeddings"
-).split()
 
 
 @pytest.fixture(scope="module")
 def oracle(sf_dir):
     con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    register_oracle_views(con, sf_dir)
     return con
 
 

@@ -17,10 +17,10 @@ import duckdb
 
 sys.path.insert(0, "/root/repo")
 
-TABLES = (
-    "region nation customer supplier part orders lineitem events "
-    "documents embeddings"
-).split()
+from big_data_lab_three_spark.oracle_compare import (  # noqa: E402
+    compare,
+    register_oracle_views,
+)
 
 
 def main() -> int:
@@ -31,20 +31,21 @@ def main() -> int:
     from big_data_lab_three_spark.session import get_spark
 
     registry = load_all()
-    spark = get_spark("verify_local")
 
+    unknown = only - set(registry)
+    if unknown:
+        # A misspelled filter must not produce a green "0/0 ok" run.
+        print(f"FAIL unknown query name(s): {sorted(unknown)}")
+        return 1
+
+    spark = get_spark("verify_local")
     con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+    register_oracle_views(con, sf_dir)
 
     failures = []
     for name, q in sorted(registry.items()):
         if only and name not in only:
             continue
-        from big_data_lab_three_spark.oracle_compare import compare
-
         try:
             sdf = q.spark(spark, sf_dir)
             if q.oracle is None:
@@ -57,7 +58,14 @@ def main() -> int:
                 failures.append((name, f"duckdb error: {e}"))
                 print(f"FAIL {name}: duckdb error: {e}")
                 continue
-            problems, n_rows = compare(sdf, res)
+            # compare() touches both engines (DuckDB arrow fetch, Spark
+            # collect) — label its failures neutrally, not "spark error".
+            try:
+                problems, n_rows = compare(sdf, res)
+            except Exception as e:  # noqa: BLE001
+                failures.append((name, f"compare error: {e}"))
+                print(f"FAIL {name}: compare error: {e}")
+                continue
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"spark error: {e}"))
             print(f"FAIL {name}: spark error: {e}")
@@ -71,7 +79,7 @@ def main() -> int:
         else:
             print(f"ok   {name}: {n_rows} rows match oracle")
 
-    n_run = len(only & set(registry)) if only else len(registry)
+    n_run = len(only) if only else len(registry)
     print(f"\n{n_run - len(failures)}/{n_run} queries ok")
     return 1 if failures else 0
 
