@@ -82,3 +82,60 @@ def test_stream_matches_batch_contract(spark, enc_dir):
     assert rows == {
         (i, u * 1000, u) for i, u in enumerate(_US)
     }, "stream ts/ts_utc must be exact epoch nanos/micros for any encoding"
+
+
+# ---------------------------------------------------------------------------
+# Query-level insurance: the ts-heavy queries must match their oracles on a
+# nanos-RE-ENCODED copy of the test data (the driver has flipped encodings
+# between rounds before; tools/verify_local.py confirmed all 106 pass — this
+# pins the ts-sensitive subset in CI).
+# ---------------------------------------------------------------------------
+
+_TS_SENSITIVE = [
+    "scd2_intervals",
+    "latest_snapshot",
+    "asof_join_events",
+    "sessionize_batch",
+    "streaming_window_counts",
+    "retention_cohorts",
+]
+
+
+@pytest.fixture(scope="module")
+def ns_sf_dir(tmp_path_factory, sf_dir):
+    import shutil
+
+    d = str(tmp_path_factory.mktemp("testdata_ns"))
+    for f in os.listdir(sf_dir):
+        if not f.endswith(".parquet"):
+            continue
+        s, dest = os.path.join(sf_dir, f), os.path.join(d, f)
+        if f == "events.parquet":
+            t = pq.read_table(s)
+            i = t.schema.get_field_index("ts")
+            t = t.set_column(i, "ts", t["ts"].cast(pa.timestamp("ns")))
+            pq.write_table(t, dest, version="2.6")
+        else:
+            shutil.copy(s, dest)
+    return d
+
+
+@pytest.mark.parametrize("qname", _TS_SENSITIVE)
+def test_ts_queries_match_oracle_on_nanos_encoding(spark, ns_sf_dir, qname):
+    import duckdb
+
+    from big_data_lab_three_spark.oracle_compare import (
+        compare,
+        register_oracle_views,
+    )
+    from big_data_lab_three_spark.queries import load_all
+
+    q = load_all()[qname]
+    con = duckdb.connect()
+    register_oracle_views(con, ns_sf_dir)
+    try:
+        problems, n = compare(q.spark(spark, ns_sf_dir), con.execute(q.oracle))
+    finally:
+        spark.catalog.clearCache()
+    assert not problems, f"{qname} on ns-encoded events: " + "; ".join(problems)
+    assert n > 0
