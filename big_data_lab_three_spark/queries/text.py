@@ -455,3 +455,56 @@ def training_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@register(
+    "stratified_sample",
+    ids="sampling: deterministic per-stratum systematic sample (eval-holdout selection)",
+    oracle="""
+WITH ranked AS (
+    SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+    FROM documents
+)
+SELECT lang,
+       count(*) AS n_sampled,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM ranked
+WHERE rn % 10 = 1
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — how a training pipeline
+    carves a reproducible eval holdout: every 10th document per
+    language stratum in stable ``doc_id`` order (systematic sampling —
+    no RNG, so re-runs, engines, and audits agree on the exact member
+    set; contrast ``sampleBy``, whose membership is seed- and
+    partitioning-dependent).  Summarized per stratum for the judged
+    output; the pre-aggregation frame IS the holdout.
+
+    Scale shape: one window per stratum (lang-partitioned — parallel
+    across strata), then a stratum-cardinality rollup.  At 100 TB with
+    a skewed stratum, swap the window for the content-hash systematic
+    rule ``md5(text) % 10 = 0`` (no window at all) — the trade is
+    documented: hash-rule samples are stable under corpus reordering
+    but not exactly 1-in-10 per stratum."""
+    d = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    ranked = d.select(
+        "doc_id", "lang", F.row_number().over(w).alias("rn")
+    )
+    return (
+        ranked.where(F.col("rn") % 10 == 1)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("lang")
+    )

@@ -201,7 +201,7 @@ def run_stream_to_table(
     result: DataFrame,
     name: str,
     output_mode: str = "complete",
-    state_partitions: int = 8,
+    state_partitions: int = 4,
 ) -> DataFrame:
     """Drain a streaming result into an in-memory table with
     ``Trigger.AvailableNow`` and return it as a batch DataFrame.  The
@@ -238,7 +238,7 @@ def run_stream_foreach_batch_parquet(
     path: str,
     checkpoint_dir: str,
     output_mode: str = "append",
-    state_partitions: int = 8,
+    state_partitions: int = 4,
 ) -> DataFrame:
     """Drain a streaming result to a DURABLE parquet sink via
     ``foreachBatch``, idempotently, and return the written table.
