@@ -525,3 +525,36 @@ def test_embedding_near_dup_lsh_is_bucket_join_no_cartesian(spark, sf_dir):
     assert plan.find("MapInPandas", i_join) != -1, (
         "hyperplane keying must feed the bucket join"
     )
+
+
+def test_cdc_upsert_compacts_changelog_before_join(spark, sf_dir):
+    """The changelog must reduce to ≤1 row per key (window+filter)
+    BEFORE joining the base snapshot, and the whole plan stays at two
+    exchanges (window shuffle + join/base side) — joining raw events
+    would both widen the join input and add exchanges."""
+    df = REG["cdc_upsert_apply"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # rn = 1 filter sits below the join in the tree (after it in text):
+    import re
+
+    join_at = min(
+        [m.start() for m in re.finditer(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)]
+        or [-1]
+    )
+    rn_at = plan.find("row_number")
+    assert join_at != -1 and rn_at != -1 and join_at < rn_at, (
+        "changelog compaction (row_number) must feed the join, not follow it"
+    )
+    assert shuffle_count(df) <= 3
+
+
+def test_sequence_packing_single_window_pass(spark, sf_dir):
+    """Packing is one stream-partitioned running-sum window plus a
+    map-side explode — more exchanges would mean the fan-out got
+    shuffled, which must not happen (it scales with corpus size)."""
+    df = REG["sequence_packing"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode" in plan or "Generate" in plan
+    # window exchange + spread()/AQE + final presentation sort at most
+    assert shuffle_count(df) <= 3
