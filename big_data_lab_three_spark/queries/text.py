@@ -508,3 +508,176 @@ def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "pii_scan",
+    ids="text safety: PII detection census (emails / IPs / URLs via portable regex)",
+    oracle="""
+WITH seeded AS (
+    SELECT doc_id, lang,
+           CASE WHEN doc_id % 7 = 0
+                THEN text || ' contact user' || doc_id ||
+                     '@example.com at 10.0.' || (doc_id % 250) ||
+                     '.1 see https://ex.com/d/' || doc_id
+                ELSE text END AS text
+    FROM documents
+), scanned AS (
+    SELECT doc_id, lang,
+           len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+               AS n_emails,
+           len(regexp_extract_all(text,
+               '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}')) AS n_ips,
+           len(regexp_extract_all(text, 'https?://[^ ]+')) AS n_urls
+    FROM seeded
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN n_emails + n_ips + n_urls > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_with_pii,
+       CAST(sum(n_emails) AS BIGINT) AS total_emails,
+       CAST(sum(n_ips) AS BIGINT)    AS total_ips,
+       CAST(sum(n_urls) AS BIGINT)   AS total_urls
+FROM scanned
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def pii_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII census — the safety-filtering stage of a training-data
+    pipeline: regex detectors for emails / IPv4s / URLs per document
+    (every 7th document is seeded with synthetic PII so the expected
+    counts are exactly computable), rolled up per language.  The regex
+    subset used is portable between Java (Spark) and RE2 (DuckDB), so
+    the oracle reproduces the detector exactly.
+
+    Scale shape: pure projection (regexp_extract_all inside codegen) +
+    one small hash aggregate — linear, no shuffle beyond the ~5-group
+    rollup.  A production pass would add redaction (regexp_replace with
+    the same patterns) in the same single scan."""
+    d = table(spark, sf_dir, "documents")
+    seeded = d.select(
+        "doc_id",
+        "lang",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"), F.col("doc_id"),
+                F.lit("@example.com at 10.0."), F.col("doc_id") % 250,
+                F.lit(".1 see https://ex.com/d/"), F.col("doc_id"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    # function form with literal columns — an F.expr SQL string would
+    # re-process the regex backslashes as SQL escapes
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    ip_re = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+    url_re = r"https?://[^ ]+"
+    scanned = seeded.select(
+        "lang",
+        F.size(F.regexp_extract_all("text", F.lit(email_re), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(ip_re), F.lit(0))).alias("n_ips"),
+        F.size(F.regexp_extract_all("text", F.lit(url_re), F.lit(0))).alias("n_urls"),
+    )
+    has_pii = (F.col("n_emails") + F.col("n_ips") + F.col("n_urls")) > 0
+    return (
+        scanned.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(has_pii.cast("long")).alias("n_with_pii"),
+            F.sum("n_emails").cast("long").alias("total_emails"),
+            F.sum("n_ips").cast("long").alias("total_ips"),
+            F.sum("n_urls").cast("long").alias("total_urls"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "contamination_check",
+    ids="text safety: benchmark decontamination — 8-gram overlap between corpus and a held-out suite",
+    oracle="""
+WITH bench AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 13 = 0
+), corpus AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 13 != 0
+    UNION ALL
+    -- seeded leaks: a benchmark document's text embedded verbatim
+    SELECT doc_id + 3000000, text || ' extra trailing words here'
+    FROM bench WHERE doc_id % 26 = 0
+), bg AS (
+    SELECT doc_id, unnest(list_distinct(
+               [array_to_string(toks[i:i+7], ' ')
+                for i in range(1, len(toks) - 6)])) AS g
+    FROM (SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\\s+'),
+                             x -> x != '') AS toks
+          FROM bench)
+), cg AS (
+    SELECT doc_id, unnest(list_distinct(
+               [array_to_string(toks[i:i+7], ' ')
+                for i in range(1, len(toks) - 6)])) AS g
+    FROM (SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\\s+'),
+                             x -> x != '') AS toks
+          FROM corpus)
+)
+SELECT c.doc_id AS corpus_doc,
+       b.doc_id AS bench_doc,
+       count(*) AS n_shared_8grams
+FROM cg c JOIN bg b ON c.g = b.g
+GROUP BY c.doc_id, b.doc_id
+HAVING count(*) >= 8
+ORDER BY corpus_doc, bench_doc
+""",
+)
+def contamination_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the check every serious pretraining
+    pipeline runs before training: find corpus documents sharing ≥8
+    distinct 8-grams with any document of a held-out evaluation suite
+    (every 13th document stands in for the benchmark; seeded verbatim
+    leaks guarantee known positives).  Output is the contamination pair
+    table a pipeline would use to drop or flag corpus members.
+
+    Scale shape: the benchmark side is TINY relative to the corpus (a
+    few thousand eval documents vs billions) — its distinct-8-gram
+    table broadcasts, so the corpus side streams through a map-side
+    hash join with NO corpus shuffle at all; the per-pair aggregate is
+    bounded by actual overlaps.  The corpus 8-gram explode is the same
+    map-side generate the dedup family uses; grams never leave the
+    executor except for the (rare) matches."""
+    from big_data_lab_three_spark.functions.text import shingles, tokens
+
+    d = table(spark, sf_dir, "documents", spread_ok=False)
+    bench = d.where(F.col("doc_id") % 13 == 0).select("doc_id", "text")
+    leaks = bench.where(F.col("doc_id") % 26 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra trailing words here")).alias(
+            "text"
+        ),
+    )
+    corpus = (
+        d.where(F.col("doc_id") % 13 != 0)
+        .select("doc_id", "text")
+        .unionByName(leaks)
+    )
+
+    def grams(df: DataFrame, out: str) -> DataFrame:
+        return df.select(
+            F.col("doc_id").alias(out),
+            F.explode(
+                F.array_distinct(shingles(tokens(F.col("text")), 8))
+            ).alias("g"),
+        )
+
+    cg = grams(corpus, "corpus_doc")
+    bg = grams(bench, "bench_doc")
+    return (
+        cg.join(F.broadcast(bg), "g")
+        .groupBy("corpus_doc", "bench_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared_8grams"))
+        .where(F.col("n_shared_8grams") >= 8)
+        .orderBy("corpus_doc", "bench_doc")
+    )
