@@ -650,7 +650,7 @@ def contamination_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     executor except for the (rare) matches."""
     from big_data_lab_three_spark.functions.text import shingles, tokens
 
-    d = table(spark, sf_dir, "documents", spread_ok=False)
+    d = table(spark, sf_dir, "documents")
     bench = d.where(F.col("doc_id") % 13 == 0).select("doc_id", "text")
     leaks = bench.where(F.col("doc_id") % 26 == 0).select(
         (F.col("doc_id") + 3000000).alias("doc_id"),
