@@ -598,7 +598,7 @@ def pii_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "contamination_check",
     ids="text safety: benchmark decontamination — 8-gram overlap between corpus and a held-out suite",
-    oracle="""
+    oracle=f"""
 WITH bench AS (
     SELECT doc_id, text FROM documents WHERE doc_id % 13 = 0
 ), corpus AS (
@@ -611,18 +611,12 @@ WITH bench AS (
     SELECT doc_id, unnest(list_distinct(
                [array_to_string(toks[i:i+7], ' ')
                 for i in range(1, len(toks) - 6)])) AS g
-    FROM (SELECT doc_id,
-                 list_filter(regexp_split_to_array(text, '\\s+'),
-                             x -> x != '') AS toks
-          FROM bench)
+    FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM bench)
 ), cg AS (
     SELECT doc_id, unnest(list_distinct(
                [array_to_string(toks[i:i+7], ' ')
                 for i in range(1, len(toks) - 6)])) AS g
-    FROM (SELECT doc_id,
-                 list_filter(regexp_split_to_array(text, '\\s+'),
-                             x -> x != '') AS toks
-          FROM corpus)
+    FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM corpus)
 )
 SELECT c.doc_id AS corpus_doc,
        b.doc_id AS bench_doc,

@@ -264,7 +264,7 @@ def test_interleave_mix_is_proportional_in_prefix(spark):
     out = interleave_mix(
         df, {"en": 3, "fr": 1}, n_streams=1
     ).collect()
-    # W = 3; per window of 4 ranks: 3 en + 1 fr until fr runs long
+    # window = sum(weights) = 4 ranks: 3 en + 1 fr until fr runs long
     first = sorted((r.mix_rank, r.lang) for r in out)[:40]
     for w in range(10):
         window = [lang for _, lang in first[w * 4:(w + 1) * 4]]

@@ -555,6 +555,6 @@ def test_sequence_packing_single_window_pass(spark, sf_dir):
     shuffled, which must not happen (it scales with corpus size)."""
     df = REG["sequence_packing"].spark(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Generate explode" in plan or "Generate" in plan
+    assert "Generate explode" in plan
     # window exchange + spread()/AQE + final presentation sort at most
     assert shuffle_count(df) <= 3
