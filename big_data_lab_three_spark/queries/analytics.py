@@ -1579,3 +1579,51 @@ def retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_active"))
         .orderBy("cohort_us", "week_n")
     )
+
+
+@register(
+    "equi_depth_histogram",
+    ids="window: equi-depth histogram via ntile — the complement of the fixed-width price_histogram",
+    oracle="""
+WITH t AS (
+    SELECT o_totalprice,
+           ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+    FROM orders
+)
+SELECT CAST(bucket AS INTEGER) AS bucket,
+       count(*) AS n_orders,
+       CAST(round(min(o_totalprice), 2) AS DOUBLE) AS lo,
+       CAST(round(max(o_totalprice), 2) AS DOUBLE) AS hi
+FROM t
+GROUP BY bucket
+ORDER BY bucket
+""",
+)
+def equi_depth_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (equal row counts per bucket, data-driven
+    boundaries) over order totals — what an optimizer's statistics
+    collector or a skew diagnosis computes, complementing
+    ``price_histogram``'s fixed-width bins.  ``ntile`` is made
+    deterministic with an ``o_orderkey`` tiebreak so both engines
+    assign identical bucket membership.
+
+    Scale note, stated honestly: a single un-partitioned ``ntile``
+    serializes on one task — fine for diagnostics, wrong for a 100 TB
+    histogram, where the swap is ``approx_percentile`` boundaries
+    (mergeable sketch; SCALE.md §4 names it) followed by a map-side
+    bucket assignment join.  The oracle-checked semantics here pin the
+    exact answer that sketch version approximates."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    t = o.select(
+        "o_totalprice", F.ntile(10).over(w).alias("bucket")
+    )
+    return (
+        t.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).cast("double").alias("lo"),
+            F.round(F.max("o_totalprice"), 2).cast("double").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
