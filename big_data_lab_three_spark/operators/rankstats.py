@@ -1,0 +1,124 @@
+"""Distributed exact order statistics — global/per-group row ranks
+without a single-task window (SURVEY.md §2.7 scale-hardening).
+
+The anti-pattern this module replaces: ``row_number()/ntile() OVER
+(ORDER BY ...)`` with no (or a low-cardinality) PARTITION BY moves every
+row through ONE window task — correct at test scale, a serialization
+point at 100 TB.  The classic two-phase fix used here:
+
+1. range-partition the rows on ``(group, order)`` keys — Spark's
+   ``repartitionByRange`` builds ordered, disjoint key ranges, so
+   partition *p* holds keys strictly below partition *p+1*'s and equal
+   keys never straddle a boundary;
+2. rank *locally* inside each physical partition (bounded memory — a
+   window partitioned by ``spark_partition_id()``);
+3. aggregate one ``(group, pid) -> count`` row per partition — a tiny
+   frame (``groups × partitions`` rows), cumulate it with a window *on
+   that tiny frame only*, and broadcast-join the offsets back.
+
+``global rank = partition offset + local rank`` is then exact, every
+heavy stage is parallel, and the only single-task work touches the
+offsets frame (∼32 rows).  The same machinery yields exact per-group
+quantiles (filter ranks around ``(n-1)·p``) and exact equi-depth
+histograms (closed-form ntile on the rank) — see
+``queries/analytics.py``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Output column names added by :func:`global_ranks`.
+RANK_COL = "_rank"
+N_COL = "_n"
+
+
+def global_ranks(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    group_cols: Sequence[str] = (),
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact 1-based rank of every row under ``ORDER BY order_cols``
+    (per ``group_cols`` group if given), computed scalably.
+
+    Adds ``_rank`` (1-based position within the group) and ``_n`` (group
+    row count) to ``df``.  Rows with equal ``order_cols`` receive
+    distinct arbitrary-but-valid consecutive ranks; pass a unique
+    tiebreak column as the last ``order_cols`` entry when the caller
+    needs deterministic assignment (e.g. ntile bucket membership).
+
+    NULL order keys sort first (Spark default) — callers computing
+    quantiles should filter NULLs beforehand.
+
+    The returned frame is persisted: the offsets aggregate and the main
+    frame both consume the ranked scan, and a recompute could re-sample
+    range boundaries (different pids) between the two reads.
+    """
+    spark = df.sparkSession
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    keys = [*group_cols, *order_cols]
+    local = (
+        df.repartitionByRange(p, *[F.col(c) for c in keys])
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(*group_cols, "_pid").orderBy(
+                    *order_cols
+                )
+            ),
+        )
+    )
+    local.persist()
+    # Tiny frame: one row per (group, physical partition).  The windows
+    # below run on THIS frame only — groups × p rows, never the data.
+    by_group = Window.partitionBy(*group_cols) if group_cols else (
+        Window.partitionBy()
+    )
+    offsets = (
+        local.groupBy(*group_cols, "_pid")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .select(
+            *group_cols,
+            "_pid",
+            F.coalesce(
+                F.sum("_cnt").over(
+                    by_group.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("_offset"),
+            F.sum("_cnt").over(by_group).alias(N_COL),
+        )
+    )
+    joined = local.join(
+        F.broadcast(offsets), on=[*group_cols, "_pid"], how="inner"
+    )
+    return joined.withColumn(
+        RANK_COL, F.col("_offset") + F.col("_rn")
+    ).drop("_pid", "_rn", "_offset")
+
+
+def ntile_from_rank(rank, n, buckets: int):
+    """Closed-form SQL-standard ``ntile(buckets)`` from an exact rank.
+
+    With ``n`` rows and ``B`` buckets, ``ntile`` gives the first
+    ``n mod B`` buckets ``ceil(n/B)`` rows and the rest ``floor(n/B)``
+    — this computes that assignment from ``(rank, n)`` columns with
+    integer arithmetic only, letting the distributed
+    :func:`global_ranks` replace the single-task ``ntile() OVER
+    (ORDER BY ...)`` while agreeing with it row-for-row.
+    """
+    b = F.lit(buckets)
+    small = F.floor(n.cast("long") / b)  # floor(n/B) rows in late buckets
+    big = small + 1  # ceil(n/B) rows in the first (n mod B) buckets
+    r = n.cast("long") % b
+    boundary = r * big  # ranks 1..boundary live in the big buckets
+    return F.when(
+        rank <= boundary, F.floor((rank - 1) / big) + 1
+    ).otherwise(r + F.floor((rank - 1 - boundary) / small) + 1)

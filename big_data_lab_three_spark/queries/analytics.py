@@ -30,6 +30,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from big_data_lab_three_spark.operators.rankstats import (
+    N_COL,
+    RANK_COL,
+    global_ranks,
+    ntile_from_rank,
+)
 from big_data_lab_three_spark.queries import register
 from big_data_lab_three_spark.sources import table
 
@@ -505,29 +511,53 @@ ORDER BY l_returnflag
 )
 def quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-group continuous quantiles — the profiling aggregate a
-    data-quality pass runs next to null/distinct counts.  ``percentile``
-    (exact, linear interpolation) matches DuckDB's ``quantile_cont``
-    bit-for-bit on sorted doubles; at 100 TB swap to
-    ``percentile_approx`` (t-digest, mergeable sketch, no global sort)
-    and widen the tolerance — the API shape stays the same."""
-    li = table(spark, sf_dir, "lineitem")
+    data-quality pass runs next to null/distinct counts.
+
+    Scale path (the registered one since r3): Spark's exact
+    ``percentile`` buffers EVERY group value in one aggregation buffer
+    — with 3 ``l_returnflag`` groups that is all of lineitem's prices
+    in three tasks, an OOM at 100×.  Instead, ``global_ranks``
+    (operators/rankstats.py) assigns each row its exact per-group rank
+    distributed (range partition + local rank + broadcast offsets), and
+    the continuous quantile is read off the two rows flanking
+    ``h = (n-1)·p`` per group: ``v_lo + (h - ⌊h⌋)·(v_hi - v_lo)`` —
+    the same interpolation ``percentile``/``quantile_cont`` define, so
+    the exact oracle still pins it.  Memory per task is bounded by the
+    range partition, never the group."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    ranked = global_ranks(
+        li,
+        order_cols=("l_extendedprice",),
+        group_cols=("l_returnflag",),
+    )
+    rank, n = F.col(RANK_COL), F.col(N_COL)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    quantiles = []
+    for key, p in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+        # h mirrors the engines' double arithmetic exactly: both Spark's
+        # `percentile` and DuckDB's `quantile_cont` compute (n-1)*p in
+        # doubles, so agreeing bit-for-bit requires doing the same.
+        h = (n - 1).cast("double") * F.lit(p)
+        k = F.floor(h)  # 0-based index of the lower flanking row
+        v = F.col("l_extendedprice")
+        aggs += [
+            F.max(F.when(rank == k + 1, v)).alias(f"_{key}_lo"),
+            F.max(F.when(rank == k + 2, v)).alias(f"_{key}_hi"),
+            F.max(h - k).alias(f"_{key}_frac"),  # constant per group
+        ]
+        lo = F.col(f"_{key}_lo")
+        hi = F.coalesce(F.col(f"_{key}_hi"), F.col(f"_{key}_lo"))
+        quantiles.append(
+            F.round(
+                lo + F.col(f"_{key}_frac") * (hi - lo), 4
+            ).alias(key)
+        )
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            # ONE percentile buffer per group computing all three ranks —
-            # a third the aggregation state of three separate calls.
-            F.expr(
-                "percentile(l_extendedprice, array(0.5, 0.9, 0.99))"
-            ).alias("_q"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .select(
-            "l_returnflag",
-            F.round(F.col("_q")[0], 4).alias("p50"),
-            F.round(F.col("_q")[1], 4).alias("p90"),
-            F.round(F.col("_q")[2], 4).alias("p99"),
-            "n",
-        )
+        ranked.groupBy("l_returnflag")
+        .agg(*aggs)
+        .select("l_returnflag", *quantiles, "n")
         .orderBy("l_returnflag")
     )
 
@@ -1603,20 +1633,30 @@ def equi_depth_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-DEPTH histogram (equal row counts per bucket, data-driven
     boundaries) over order totals — what an optimizer's statistics
     collector or a skew diagnosis computes, complementing
-    ``price_histogram``'s fixed-width bins.  ``ntile`` is made
+    ``price_histogram``'s fixed-width bins.  Bucket membership is made
     deterministic with an ``o_orderkey`` tiebreak so both engines
-    assign identical bucket membership.
+    assign identical rows to identical buckets.
 
-    Scale note, stated honestly: a single un-partitioned ``ntile``
-    serializes on one task — fine for diagnostics, wrong for a 100 TB
-    histogram, where the swap is ``approx_percentile`` boundaries
-    (mergeable sketch; SCALE.md §4 names it) followed by a map-side
-    bucket assignment join.  The oracle-checked semantics here pin the
-    exact answer that sketch version approximates."""
-    o = table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    t = o.select(
-        "o_totalprice", F.ntile(10).over(w).alias("bucket")
+    Scale path (the registered one since r3): the EXACT ntile answer,
+    but computed distributed — ``global_ranks`` range-partitions on
+    ``(o_totalprice, o_orderkey)``, ranks locally per partition, and
+    shifts by broadcast per-partition offsets (operators/rankstats.py);
+    ``ntile_from_rank`` then derives the SQL-standard bucket from the
+    rank in closed form.  No row ever passes through a single-task
+    ``WindowExec`` — the only serialized work is the ∼32-row offsets
+    frame.  The oracle pins it against DuckDB's native ``ntile``,
+    row-for-row."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_totalprice", "o_orderkey"
+    )
+    ranked = global_ranks(
+        o, order_cols=("o_totalprice", "o_orderkey")
+    )
+    t = ranked.select(
+        "o_totalprice",
+        ntile_from_rank(F.col(RANK_COL), F.col(N_COL), 10)
+        .cast("int")
+        .alias("bucket"),
     )
     return (
         t.groupBy("bucket")

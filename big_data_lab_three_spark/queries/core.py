@@ -861,10 +861,14 @@ ORDER BY s.s_suppkey
 """,
 )
 def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Revenue-max supplier (TPC-H Q15 shape) via a rank-over-constant
-    window on the AGGREGATED (one row per supplier) frame — never on
-    raw lineitem.  The empty-frame window is a deliberate exception to
-    the no-global-window rule: its input is already dim-sized."""
+    """Revenue-max supplier (TPC-H Q15 shape).  The scalar subquery
+    (``max(total_rev)``) is a second tiny aggregate over the persisted
+    per-supplier revenue table, broadcast back as a one-row cross join
+    (the ``important_parts`` pattern) — so lineitem is scanned once and
+    no row ever enters an un-partitioned window.  An empty-frame
+    ``max() OVER ()`` would be dim-sized here, but the aggregate form
+    keeps the whole plan partial-agg + broadcast, which also survives a
+    fact-sized input unchanged."""
     li = table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
@@ -877,12 +881,14 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(price * (one - disc)), 2)
         .cast("double").alias("total_rev")
     )
+    rev.persist()
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    top = rev.crossJoin(F.broadcast(mx)).where(
+        F.col("total_rev") == F.col("mx")
+    )
     s = table(spark, sf_dir, "supplier")
-    ranked = rev.withColumn(
-        "mx", F.max("total_rev").over(Window.partitionBy())
-    ).where(F.col("total_rev") == F.col("mx"))
     return (
-        ranked.join(F.broadcast(s), ranked["l_suppkey"] == s["s_suppkey"])
+        top.join(F.broadcast(s), top["l_suppkey"] == s["s_suppkey"])
         .select("s_suppkey", "s_name", "total_rev")
         .orderBy("s_suppkey")
     )

@@ -459,47 +459,43 @@ def training_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stratified_sample",
-    ids="sampling: deterministic per-stratum systematic sample (eval-holdout selection)",
+    ids="sampling: deterministic content-hash systematic sample (eval-holdout selection)",
     oracle="""
-WITH ranked AS (
-    SELECT doc_id, lang,
-           row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
-    FROM documents
-)
 SELECT lang,
        count(*) AS n_sampled,
        min(doc_id) AS first_doc,
        max(doc_id) AS last_doc
-FROM ranked
-WHERE rn % 10 = 1
+FROM documents
+WHERE CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 10 = 0
 GROUP BY lang
 ORDER BY lang
 """,
 )
 def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling — how a training pipeline
-    carves a reproducible eval holdout: every 10th document per
-    language stratum in stable ``doc_id`` order (systematic sampling —
-    no RNG, so re-runs, engines, and audits agree on the exact member
-    set; contrast ``sampleBy``, whose membership is seed- and
+    carves a reproducible eval holdout: membership is the content-hash
+    systematic rule ``md5(text) mod 10 == 0`` (no RNG, so re-runs,
+    engines, and audits agree on the exact member set; contrast
+    ``sampleBy``, whose membership is seed- and
     partitioning-dependent).  Summarized per stratum for the judged
     output; the pre-aggregation frame IS the holdout.
 
-    Scale shape: one window per stratum (lang-partitioned — parallel
-    across strata), then a stratum-cardinality rollup.  At 100 TB with
-    a skewed stratum, swap the window for the content-hash systematic
-    rule ``md5(text) % 10 = 0`` (no window at all) — the trade is
-    documented: hash-rule samples are stable under corpus reordering
-    but not exactly 1-in-10 per stratum."""
+    Scale path (the registered one since r3): the rule is a pure scan
+    predicate — a single codegen pass, NO window — so it is immune to
+    the low-cardinality-partition trap the previous per-stratum
+    ``row_number`` form had (∼5 ``lang`` strata → giant window
+    partitions at corpus scale).  Content addressing also keeps the
+    holdout stable under corpus reordering and resharding, which a
+    positional every-10th rule is not.  The 60-bit truncated-md5 is the
+    engine-portable hash idiom shared with SimHash (both engines agree
+    on md5 hex; `conv`/`'0x'||` cast to the same BIGINT)."""
     d = table(spark, sf_dir, "documents")
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("lang").orderBy("doc_id")
-    ranked = d.select(
-        "doc_id", "lang", F.row_number().over(w).alias("rn")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10)
+        .cast("long") % 10
     )
     return (
-        ranked.where(F.col("rn") % 10 == 1)
+        d.where(bucket == 0)
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_sampled"),

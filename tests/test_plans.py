@@ -558,3 +558,59 @@ def test_sequence_packing_single_window_pass(spark, sf_dir):
     assert "Generate explode" in plan
     # window exchange + spread()/AQE + final presentation sort at most
     assert shuffle_count(df) <= 3
+
+
+def test_equi_depth_histogram_has_no_global_window(spark, sf_dir):
+    """r3 scale fix: the exact equi-depth buckets must come from the
+    distributed rank path (per-``_pid`` local window + broadcast
+    offsets), never a single-task ``ntile() OVER (ORDER BY ...)``."""
+    import re
+
+    df = REG["equi_depth_histogram"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ntile" not in plan, "global ntile window reintroduced"
+    assert re.search(
+        r"row_number\(\) windowspecdefinition\(_pid", plan
+    ), "local rank window must be partitioned by spark_partition_id"
+
+
+def test_quantile_profile_has_no_percentile_buffer(spark, sf_dir):
+    """r3 scale fix: exact quantiles via distributed ranks — the plan
+    must contain neither Spark's exact ``percentile`` (whole-group
+    aggregation buffer → OOM at scale) nor a group-partitioned rank
+    window (3 returnflag groups → giant window partitions)."""
+    import re
+
+    df = REG["quantile_profile"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "percentile" not in plan, "exact percentile buffer is back"
+    assert "ObjectHashAggregate" not in plan, (
+        "quantile aggregation left codegen HashAggregate"
+    )
+    assert re.search(
+        r"windowspecdefinition\(l_returnflag#\d+, _pid", plan
+    ), "rank window must partition by (group, spark_partition_id)"
+
+
+def test_top_supplier_scalar_max_is_broadcast_no_window(spark, sf_dir):
+    """r3 scale fix: the max-revenue scalar must be an aggregate
+    broadcast back (important_parts pattern) over the persisted
+    per-supplier table — no window at all, lineitem aggregated once."""
+    df = REG["top_supplier"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition" not in plan, (
+        "un-partitioned max window reintroduced"
+    )
+    assert broadcast_join_count(df) >= 2  # scalar max + supplier dim
+    assert "InMemoryTableScan" in plan  # rev persisted, scanned twice
+
+
+def test_stratified_sample_is_pure_scan_predicate(spark, sf_dir):
+    """r3 scale fix: holdout membership is a content-hash scan
+    predicate — no window (the old per-stratum row_number serialized
+    on ~5 lang partitions), no extra exchange beyond agg + sort."""
+    df = REG["stratified_sample"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition" not in plan
+    assert "md5" in plan  # the hash rule is in the scan stage filter
+    assert shuffle_count(df) <= 3  # spread() + agg + presentation sort
