@@ -463,8 +463,14 @@ def embedding_near_dup_pairs_lsh(
     v = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
-    )
+    ).where(F.col("vec").isNotNull())
     if dim is None:
+        # Probing executes the upstream pipeline — checkpoint first so
+        # the probe materializes the SAME frame the bucket join reads
+        # (one upstream pass total, and a NULL first row can no longer
+        # yield dim = -1 thanks to the isNotNull projection above).
+        # Callers that know the dimensionality pass `dim` and skip this.
+        v = v.localCheckpoint()
         first = v.select(F.size("vec").alias("d")).first()
         if first is None:
             return df.sparkSession.createDataFrame(
@@ -535,6 +541,16 @@ def connected_components(
     its side of the per-round join reuses the cached partitioning
     instead of re-exchanging each round.  A 100 TB deployment raises
     ``loop_partitions`` to its pair-table size, nothing else changes.
+
+    **Thread-safety**: the loop width is pinned by setting the
+    session-global ``spark.sql.shuffle.partitions`` for the duration of
+    the iteration (per-operation width is not otherwise expressible for
+    groupBy/join exchanges) — any CONCURRENT action on the same
+    SparkSession (another thread, a streaming micro-batch) that shuffles
+    during this window runs at ``loop_partitions`` too.  Call from a
+    dedicated session, or accept the width, or run the loop with
+    ``loop_partitions`` equal to the session default.  The previous
+    value is always restored on exit, including on error.
     """
     spark = pairs.sparkSession
     # Materialize the (possibly corpus-sized) upstream pair pipeline at
@@ -653,10 +669,15 @@ def connected_components_star(
     contract as :func:`connected_components`: (id, cluster_id) with
     cluster_id = min reachable id.
 
-    Convergence test: (count, xor-of-hashes) signature of the edge set
-    — one tiny aggregate per round instead of a set-difference join.
-    ``loop_partitions`` plays the same role as in the propagation
-    variant (iteration tables are pair-bounded, not corpus-bounded).
+    Convergence test: a (count, 64-bit ``xxhash64`` xor) signature of
+    the edge set — one tiny aggregate per round instead of a
+    set-difference join — confirmed by an EXACT set-difference check on
+    the terminating round only, so a hash collision can at worst defer
+    termination a round, never exit early with wrong labels.
+    ``loop_partitions`` plays the same role — and carries the same
+    session-global ``spark.sql.shuffle.partitions`` thread-safety
+    caveat — as in :func:`connected_components` (iteration tables are
+    pair-bounded, not corpus-bounded).
     """
     spark = pairs.sparkSession
     # See connected_components: upstream pair generation must run at
@@ -693,11 +714,12 @@ def _connected_components_star_loop(
     def signature(e: DataFrame) -> tuple:
         row = e.agg(
             F.count(F.lit(1)).alias("n"),
-            # BIT_XOR is order-insensitive and collision-safe enough for
-            # a convergence heuristic (a stale extra round is the only
-            # failure mode that matters, and equality of consecutive
-            # fixpoints is what actually terminates the loop).
-            F.expr("coalesce(bit_xor(hash(u, v)), 0)").alias("h"),
+            # Order-insensitive 64-bit xor — a HEURISTIC equality probe
+            # only: a collision here would terminate before the
+            # star-forest fixpoint and read off silently wrong labels,
+            # so a signature match must be CONFIRMED by the exact
+            # set-equality check below before the loop breaks.
+            F.expr("coalesce(bit_xor(xxhash64(u, v)), 0)").alias("h"),
         ).first()
         return (row["n"], row["h"])
 
@@ -734,9 +756,17 @@ def _connected_components_star_loop(
             .localCheckpoint()
         )
         new_sig = signature(new_edges)
+        prev_edges = edges
         edges = new_edges
         if new_sig == sig:
-            break
+            # Signatures matched — confirm exactly before terminating.
+            # Both sides are distinct sets with equal counts (count is
+            # part of the signature), so a one-direction set difference
+            # being empty proves equality.  This runs only on the
+            # candidate terminating round, so its cost is one extra
+            # pair-table anti-join per full loop, not per round.
+            if prev_edges.exceptAll(new_edges).limit(1).count() == 0:
+                break
         sig = new_sig
     else:
         # Exhausting max_iters without reaching the star-forest fixpoint

@@ -39,7 +39,12 @@ def canon_cell(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.9g}"
+        # Exact shortest-repr comparison — the driver hashes exact
+        # Arrow values, so tolerating sub-1e-9 drift here would let a
+        # locally-green query fail the driver.  Registered queries
+        # round() float outputs in-query on BOTH engines, which is
+        # where last-bit summation drift is absorbed.
+        return repr(v)
     if isinstance(v, datetime.datetime):
         # before datetime.date: datetime is a date subclass
         return "ts:" + v.isoformat()
@@ -76,7 +81,11 @@ def spark_type_tag(dt) -> str:
         return f"decimal({dt.precision},{dt.scale})"
     if isinstance(dt, ST.DateType):
         return "date"
-    if isinstance(dt, (ST.TimestampType, ST.TimestampNTZType)):
+    if isinstance(dt, ST.TimestampType):
+        # tz-aware (instant) vs NTZ (wall-clock) are DIFFERENT Arrow
+        # types to the driver's hash — keep them distinct here too.
+        return "timestamp[tz]"
+    if isinstance(dt, ST.TimestampNTZType):
         return "timestamp"
     if isinstance(dt, ST.StringType):
         return "string"
@@ -106,7 +115,7 @@ def arrow_type_tag(t) -> str:
     if pa.types.is_date(t):
         return "date"
     if pa.types.is_timestamp(t):
-        return "timestamp"
+        return "timestamp[tz]" if t.tz is not None else "timestamp"
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         return "string"
     if pa.types.is_boolean(t):

@@ -215,7 +215,9 @@ def dedup_embedding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(F.col("embedding"), lambda x: x * 1.01).alias("embedding"),
     )
     u = base.unionByName(perturbed)
-    return embedding_near_dup_pairs_lsh(u, threshold=0.99).select(
+    # dim passed explicitly (testdata embeddings are 64-d): skips the
+    # probe-first-row job, so the union pipeline executes exactly once.
+    return embedding_near_dup_pairs_lsh(u, threshold=0.99, dim=64).select(
         "id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim")
     )
 
