@@ -299,31 +299,72 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    prefix_bits: int = 16,
+    blocks: int | None = None,
 ) -> DataFrame:
-    """SimHash near-dup pairs: bucket by the top ``prefix_bits`` of the
-    signature, all-pairs within buckets, Hamming ≤ ``max_hamming``.
+    """SimHash near-dup pairs via multi-segment (pigeonhole) bucketing
+    — Manku et al., WWW'07: split the 60-bit signature into ``blocks``
+    equal segments and bucket each document once per combination of
+    ``blocks - max_hamming`` segments, keyed on those segments' bits.
+    Any pair within Hamming ``max_hamming`` differs in at most
+    ``max_hamming`` segments, so it agrees exactly on SOME such
+    combination — candidate recall is 1 BY CONSTRUCTION (the r2 prefix
+    scheme missed pairs whose differing bits fell in the prefix).
 
-    Prefix bucketing is the standard single-table approximation (pairs
-    differing inside the prefix are missed; production runs 4 rotated
-    tables — the rotation count is a parameter, same plan).  Shuffle is
-    on the 16-bit prefix, so bucket sizes stay tiny and the quadratic
-    step is bounded.
+    Bucket math: ``blocks = max_hamming + 1`` (the default, 4 blocks →
+    4 tables keyed on one 15-bit segment) keeps keying cost minimal and
+    suits corpora up to ~10⁷ docs; at 10⁹ docs a 15-bit key leaves
+    ~30k docs/bucket, so raise ``blocks`` (e.g. 6 → C(6,3)=20 tables
+    keyed on 30 bits → ~1 doc/bucket) — table count times keying rows
+    is the price of bounded buckets, the plan shape is unchanged.
+    Shuffles carry (id, sig, table, key) — never text.
     """
+    from itertools import combinations
+
+    d = max_hamming
+    b = blocks if blocks is not None else d + 1
+    if b < d + 1 or _SIMHASH_BITS % b != 0:
+        raise ValueError(
+            f"blocks must be >= max_hamming+1 and divide {_SIMHASH_BITS}"
+        )
+    seg_bits = _SIMHASH_BITS // b
+    seg_mask = (1 << seg_bits) - 1
+
+    def combo_key(combo: tuple[int, ...]):
+        key = F.lit(0).cast("long")
+        for i in combo:
+            seg = F.shiftright("sig", i * seg_bits).bitwiseAND(
+                F.lit(seg_mask)
+            )
+            key = F.shiftleft(key, seg_bits) + seg
+        return key
+
     # Shingle-level (not token-level) simhash: token sets collapse
     # when the corpus shares one vocabulary; shingles are
     # order-sensitive and spread unrelated docs to Hamming ≈ 32.
-    sigs = simhash_signatures(df, text_col, id_col, shingle_k=3).withColumn(
-        "prefix", F.shiftright("sig", _SIMHASH_BITS - prefix_bits)
-    )
+    sigs = simhash_signatures(df, text_col, id_col, shingle_k=3)
     # Signature table feeds both sides of the self-join — persist so the
     # explode + 64-sum aggregation runs once, not twice (measured 2x).
     sigs = sigs.persist()
-    a, b = sigs.alias("a"), sigs.alias("b")
+    keyed = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"), combo_key(c).alias("k")
+                    )
+                    for t, c in enumerate(combinations(range(b), b - d))
+                ]
+            )
+        ).alias("tk"),
+    ).select("id", "sig", F.col("tk.t").alias("t"), F.col("tk.k").alias("k"))
+    a, bb = keyed.alias("a"), keyed.alias("b")
     return (
         a.join(
-            b,
-            (F.col("a.prefix") == F.col("b.prefix"))
+            bb,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.k") == F.col("b.k"))
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(
@@ -332,6 +373,8 @@ def simhash_pairs(
             hamming64(F.col("a.sig"), F.col("b.sig")).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
+        # a pair may collide in several tables — emit it once
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

@@ -614,3 +614,14 @@ def test_stratified_sample_is_pure_scan_predicate(spark, sf_dir):
     assert "windowspecdefinition" not in plan
     assert "md5" in plan  # the hash rule is in the scan stage filter
     assert shuffle_count(df) <= 3  # spread() + agg + presentation sort
+
+
+def test_simhash_is_bucket_join_no_cartesian(spark, sf_dir):
+    """r3: multi-segment pigeonhole bucketing — candidates must come
+    from an equi-join on (table, segment-key), never an all-pairs
+    nested-loop, and the keying fan-out is a map-side explode."""
+    df = REG["dedup_simhash"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate explode" in plan  # per-table segment keying
