@@ -13,12 +13,52 @@ scan/shuffle, results are aggregate-sized.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def load_prior_timings(repo_dir: str) -> tuple[dict[str, float], str | None]:
+    """Per-query timings from the newest ``BENCH_r*.json`` the driver
+    recorded, for round-over-round regression diffing.
+
+    The driver file holds the bench's stdout TAIL (possibly truncated
+    mid-line) plus a ``parsed`` field that may be null — so recovery is
+    best-effort: prefer ``parsed.queries``, else regex-harvest
+    ``"name": seconds`` pairs from the tail.  Returns ({}, None) when
+    nothing is recoverable; the bench must never fail because history
+    is missing."""
+    paths = sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json")))
+    for path in reversed(paths):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        parsed = rec.get("parsed") or {}
+        queries = parsed.get("queries")
+        if isinstance(queries, dict) and queries:
+            return (
+                {k: float(v) for k, v in queries.items()},
+                os.path.basename(path),
+            )
+        tail = rec.get("tail") or ""
+        pairs = re.findall(r'"([a-z0-9_]+)":\s*([0-9]+\.[0-9]+)', tail)
+        # drop harness fields that match the pattern (value/sf live
+        # outside the queries map but share its shape)
+        timings = {
+            k: float(v)
+            for k, v in pairs
+            if k not in ("value", "sf")
+        }
+        if timings:
+            return timings, os.path.basename(path)
+    return {}, None
 
 
 def main() -> None:
@@ -113,6 +153,25 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+
+    # Round-over-round regression diff: queries >20% AND >0.15s slower
+    # than the prior recorded round (both gates — min-of-2 timings on a
+    # shared box still jitter, and 20% of a 50ms query is noise).  A
+    # plan regression thus shows up as a named delta, not a silent
+    # drift of the corpus total.
+    prior, prior_src = load_prior_timings(
+        os.path.dirname(os.path.abspath(__file__))
+    )
+    if prior:
+        regressions = {
+            name: {"prev": prior[name], "now": t}
+            for name, t in timings.items()
+            if name in prior
+            and t > prior[name] * 1.2
+            and t - prior[name] > 0.15
+        }
+        out["regressions"] = regressions
+        out["regressions_vs"] = prior_src
     print(json.dumps(out))
 
 

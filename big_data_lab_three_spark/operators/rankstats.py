@@ -10,11 +10,13 @@ point at 100 TB.  The classic two-phase fix used here:
    ``repartitionByRange`` builds ordered, disjoint key ranges, so
    partition *p* holds keys strictly below partition *p+1*'s and equal
    keys never straddle a boundary;
-2. rank *locally* inside each physical partition (bounded memory — a
-   window partitioned by ``spark_partition_id()``);
-3. aggregate one ``(group, pid) -> count`` row per partition — a tiny
-   frame (``groups × partitions`` rows), cumulate it with a window *on
-   that tiny frame only*, and broadcast-join the offsets back.
+2. sort *within* each partition and read the local position off
+   ``monotonically_increasing_id`` (consecutive from 0 inside a
+   partition) — no window, no second exchange over the data;
+3. aggregate one ``(group, pid) -> (count, min_id)`` row per partition
+   — a tiny frame (``groups × partitions`` rows), cumulate it with a
+   window *on that tiny frame only*, and broadcast-join the offsets
+   back; ``rank = offset + (id - min_id) + 1``.
 
 ``global rank = partition offset + local rank`` is then exact, every
 heavy stage is parallel, and the only single-task work touches the
@@ -61,18 +63,23 @@ def global_ranks(
     spark = df.sparkSession
     p = num_partitions or spark.sparkContext.defaultParallelism
     keys = [*group_cols, *order_cols]
+    # ONE data shuffle total.  The local position within each sorted
+    # partition comes from ``monotonically_increasing_id`` — documented
+    # consecutive-from-zero within a partition — re-based per
+    # ``(group, partition)`` by the min id from the SAME tiny offsets
+    # aggregate that carries the cumulative counts.  The naive
+    # alternative (``row_number() OVER (PARTITION BY _pid)``) costs a
+    # second full exchange (hashpartitioning on _pid) plus a second
+    # sort of data that ``sortWithinPartitions`` already ordered.
     local = (
         df.repartitionByRange(p, *[F.col(c) for c in keys])
+        .sortWithinPartitions(*keys)
         .withColumn("_pid", F.spark_partition_id())
-        .withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.partitionBy(*group_cols, "_pid").orderBy(
-                    *order_cols
-                )
-            ),
-        )
+        .withColumn("_mid", F.monotonically_increasing_id())
     )
+    # Persist: offsets and the main read must see ONE materialization —
+    # _pid/_mid are assignment-time values, and the two consumers must
+    # agree on them.
     local.persist()
     # Tiny frame: one row per (group, physical partition).  The windows
     # below run on THIS frame only — groups × p rows, never the data.
@@ -81,10 +88,14 @@ def global_ranks(
     )
     offsets = (
         local.groupBy(*group_cols, "_pid")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.min("_mid").alias("_min_mid"),
+        )
         .select(
             *group_cols,
             "_pid",
+            "_min_mid",
             F.coalesce(
                 F.sum("_cnt").over(
                     by_group.orderBy("_pid").rowsBetween(
@@ -100,8 +111,9 @@ def global_ranks(
         F.broadcast(offsets), on=[*group_cols, "_pid"], how="inner"
     )
     return joined.withColumn(
-        RANK_COL, F.col("_offset") + F.col("_rn")
-    ).drop("_pid", "_rn", "_offset")
+        RANK_COL,
+        F.col("_offset") + (F.col("_mid") - F.col("_min_mid")) + 1,
+    ).drop("_pid", "_mid", "_min_mid", "_offset")
 
 
 def ntile_from_rank(rank, n, buckets: int):

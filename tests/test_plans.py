@@ -562,16 +562,19 @@ def test_sequence_packing_single_window_pass(spark, sf_dir):
 
 def test_equi_depth_histogram_has_no_global_window(spark, sf_dir):
     """r3 scale fix: the exact equi-depth buckets must come from the
-    distributed rank path (per-``_pid`` local window + broadcast
-    offsets), never a single-task ``ntile() OVER (ORDER BY ...)``."""
-    import re
-
+    distributed rank path (range partition + in-partition sort +
+    broadcast offsets), never a single-task ``ntile() OVER
+    (ORDER BY ...)`` — and the data must shuffle exactly once for the
+    rank (no second hashpartitioning-by-_pid exchange)."""
     df = REG["equi_depth_histogram"].spark(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ntile" not in plan, "global ntile window reintroduced"
-    assert re.search(
-        r"row_number\(\) windowspecdefinition\(_pid", plan
-    ), "local rank window must be partitioned by spark_partition_id"
+    assert "rangepartitioning(o_totalprice" in plan
+    assert "monotonically_increasing_id" in plan
+    # the only _pid-keyed exchange is the tiny offsets aggregate — the
+    # data itself must not be re-sorted/re-windowed after the range
+    # partition (row_number over _pid was the old double-shuffle form)
+    assert "row_number" not in plan
 
 
 def test_quantile_profile_has_no_percentile_buffer(spark, sf_dir):
@@ -579,17 +582,15 @@ def test_quantile_profile_has_no_percentile_buffer(spark, sf_dir):
     must contain neither Spark's exact ``percentile`` (whole-group
     aggregation buffer → OOM at scale) nor a group-partitioned rank
     window (3 returnflag groups → giant window partitions)."""
-    import re
-
     df = REG["quantile_profile"].spark(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "percentile" not in plan, "exact percentile buffer is back"
     assert "ObjectHashAggregate" not in plan, (
         "quantile aggregation left codegen HashAggregate"
     )
-    assert re.search(
-        r"windowspecdefinition\(l_returnflag#\d+, _pid", plan
-    ), "rank window must partition by (group, spark_partition_id)"
+    assert "rangepartitioning(l_returnflag" in plan
+    assert "monotonically_increasing_id" in plan
+    assert "row_number" not in plan  # see equi-depth pin
 
 
 def test_top_supplier_scalar_max_is_broadcast_no_window(spark, sf_dir):
