@@ -21,7 +21,12 @@ from big_data_lab_three_spark.sources.sinks import write_csv
     ids="S1,S2,P8",
     oracle="""
 SELECT count(*) AS n,
-       round(sum(l_extendedprice), 2) AS revenue
+       count(*) AS n_row_ids,
+       count(DISTINCT l_orderkey) AS n_orders,
+       round(sum(l_extendedprice), 2) AS revenue,
+       round(sum(l_quantity), 2) AS total_qty,
+       round(min(l_extendedprice), 2) AS min_price,
+       round(max(l_extendedprice), 2) AS max_price
 FROM lineitem
 WHERE l_quantity < 5
 """,
@@ -29,9 +34,14 @@ WHERE l_quantity < 5
 def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2+P8 — CSV sink with explicit row-id (the pandas ``index=True``
     analogue, reference ``src/preprocess.py:106-119``) then re-read and
-    re-aggregated.  The oracle aggregates the ORIGINAL table — passing
-    proves the round-trip is lossless (Spark's shortest-repr double
-    formatting round-trips exactly)."""
+    re-aggregated.  The oracle computes the same profile from the
+    ORIGINAL table — passing proves the round-trip is lossless column
+    by column (Spark's shortest-repr double formatting round-trips
+    exactly): full-precision sums/extrema of every written column,
+    the key cardinality, and — since the oracle's ``n_row_ids`` is
+    ``count(*)`` — that the sink assigned every row a DISTINCT row id
+    (``monotonically_increasing_id`` ids are partition-gapped, so
+    distinctness, not density, is the contract)."""
     li = table(spark, sf_dir, "lineitem").where(F.col("l_quantity") < 5)
     out = os.path.join(tempfile.mkdtemp(prefix="csv_rt_"), "lineitem_csv")
     write_csv(li.select("l_orderkey", "l_quantity", "l_extendedprice"), out)
@@ -42,7 +52,12 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return back.agg(
         F.count(F.lit(1)).alias("n"),
+        F.countDistinct("row_id").alias("n_row_ids"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
         F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
     )
 
 
