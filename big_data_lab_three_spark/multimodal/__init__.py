@@ -6,11 +6,14 @@ package is the 100 TB-pipeline extension the task brief lists as
 first-class: media rows = (id, media_type, payload binary, meta struct),
 decode/feature-extract/resize/frame-sample as vectorized Pandas stages.
 
-The container has no image/audio codecs, so DECODING is stubbed exactly
-as the brief instructs: :func:`decode.decode_media` raises
-``NotImplementedError`` unless given the deterministic fake codec, and
-every other stage (schema, partitioning, batch shape, UDF signatures,
-frame arithmetic) is real and tested.
+Decoding goes through a codec REGISTRY (:func:`decode.available_decoders`):
+the deterministic ``raw-text`` fake is always present (oracle-checked),
+and PNG/JPEG decoders register themselves when Pillow is importable —
+this container ships without Pillow, so here the real-image paths are
+exercised only by the skip-marked tests, and any non-registered codec
+raises ``NotImplementedError`` loudly.  Every other stage (schema,
+partitioning, batch shape, UDF signatures, frame arithmetic) is real
+and tested either way.
 """
 
 from big_data_lab_three_spark.multimodal.media import (  # noqa: F401
@@ -18,8 +21,10 @@ from big_data_lab_three_spark.multimodal.media import (  # noqa: F401
     media_table_from_documents,
 )
 from big_data_lab_three_spark.multimodal.decode import (  # noqa: F401
+    available_decoders,
     decode_media,
     extract_features,
     frame_sample,
+    pillow_available,
     resize_images,
 )

@@ -6,16 +6,19 @@ binary payloads arrive per Arrow batch, numpy does the per-batch work,
 and multi-row outputs (frame sampling) stream out without ever
 materializing a whole partition.
 
-Codec support is stubbed per the task brief: the only "codec" this
-container can decode is ``raw-text`` (payload bytes are the content);
-any other codec raises ``NotImplementedError`` loudly rather than
-pretending.  Everything around the stub — schemas, batch iteration,
-multi-row emission, partitioning — is real.
+Codec support is a REGISTRY: the deterministic ``raw-text`` fake
+(payload bytes ARE the samples — the oracle-checked path) is always
+present, and real image codecs (``image/png``, ``image/jpeg``) register
+themselves when Pillow is importable — decode to grayscale pixel
+samples, real resample on resize.  A codec with no registered decoder
+raises ``NotImplementedError`` loudly rather than pretending.  The
+Spark-side plumbing — schemas, Arrow batch iteration, multi-row
+emission, partitioning — is identical whichever decoder runs.
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 from typing import TYPE_CHECKING
 
 from pyspark.sql import DataFrame
@@ -26,15 +29,55 @@ if TYPE_CHECKING:  # pandas only imported inside executors at runtime
     import pandas as pd
 
 _FAKE_CODEC = "raw-text"
+_PIL_CODECS = ("image/png", "image/jpeg")
 
 
-def _require_codec(codecs: "pd.Series") -> None:
-    bad = set(codecs.unique()) - {_FAKE_CODEC}
+def pillow_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def available_decoders() -> "dict[str, Callable]":
+    """codec → (payload bytes → 1-D uint8 sample array).
+
+    Built at call time INSIDE the executor task (mapInPandas workers
+    call this per batch-iterator), so codec availability reflects the
+    worker's environment, not the driver's.  ``raw-text`` is the
+    always-present deterministic fake; PNG/JPEG decode to grayscale
+    pixels when Pillow is importable."""
+    import numpy as np
+
+    reg: dict[str, Callable] = {
+        _FAKE_CODEC: lambda p: np.frombuffer(p, dtype=np.uint8)
+    }
+    try:
+        import io
+
+        from PIL import Image
+
+        def _pil_decode(p: bytes):
+            with Image.open(io.BytesIO(p)) as im:
+                return np.asarray(im.convert("L"), dtype=np.uint8).ravel()
+
+        for c in _PIL_CODECS:
+            reg[c] = _pil_decode
+    except ImportError:
+        pass
+    return reg
+
+
+def _require_codec(codecs: "pd.Series", decoders: "dict | None" = None) -> None:
+    have = set(decoders or available_decoders())
+    bad = set(codecs.unique()) - have
     if bad:
         raise NotImplementedError(
-            f"no decoder for codec(s) {sorted(bad)}: real image/audio "
-            "codecs are not available in this container; only the "
-            f"deterministic '{_FAKE_CODEC}' fake is supported"
+            f"no decoder for codec(s) {sorted(bad)}; available: "
+            f"{sorted(have)} (install Pillow to enable "
+            f"{list(_PIL_CODECS)})"
         )
 
 
@@ -50,28 +93,30 @@ DECODED_SCHEMA = T.StructType(
 
 def decode_media(df: DataFrame) -> DataFrame:
     """Decode payloads to sample statistics: (media_id, media_type,
-    n_samples, mean byte level).  The fake decoder treats payload bytes
-    as 8-bit samples; a real one would produce pixel/PCM arrays here
-    with the identical batch structure."""
+    n_samples, mean sample level).  The ``raw-text`` fake treats payload
+    bytes as 8-bit samples; the Pillow codecs (when available) produce
+    grayscale pixel samples through the identical batch structure."""
 
     def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
-        import numpy as np
         import pandas as pd
 
+        decoders = available_decoders()
         for b in batches:
             if len(b) == 0:
                 continue
-            _require_codec(b["codec"])
-            raw = b["payload"]
+            _require_codec(b["codec"], decoders)
+            samples = [
+                decoders[c](p) for c, p in zip(b["codec"], b["payload"])
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": b["media_id"],
                     "media_type": b["media_type"],
-                    "n_samples": raw.map(len).astype("int32"),
-                    "mean_level": raw.map(
-                        lambda p: float(
-                            np.frombuffer(p, dtype=np.uint8).mean()
-                        )
+                    "n_samples": pd.Series(
+                        [len(s) for s in samples], index=b.index
+                    ).astype("int32"),
+                    "mean_level": pd.Series(
+                        [float(s.mean()) for s in samples], index=b.index
                     ),
                 }
             )
@@ -100,23 +145,24 @@ def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
         import numpy as np
         import pandas as pd
 
+        decoders = available_decoders()
         for b in batches:
             if len(b) == 0:
                 continue
-            _require_codec(b["codec"])
-            feats = [
-                (
-                    np.bincount(
-                        # int32 first: uint8 * dim would wrap at 256
-                        np.frombuffer(p, dtype=np.uint8).astype(np.int32)
-                        * dim
-                        // 256,
-                        minlength=dim,
-                    ).astype("float64")
-                    / max(len(p), 1)
-                ).tolist()
-                for p in b["payload"]
-            ]
+            _require_codec(b["codec"], decoders)
+            feats = []
+            for c, p in zip(b["codec"], b["payload"]):
+                s = decoders[c](p)
+                feats.append(
+                    (
+                        np.bincount(
+                            # int32 first: uint8 * dim would wrap at 256
+                            s.astype(np.int32) * dim // 256,
+                            minlength=dim,
+                        ).astype("float64")
+                        / max(len(s), 1)
+                    ).tolist()
+                )
             yield pd.DataFrame(
                 {"media_id": b["media_id"], "features": feats}
             )
@@ -128,35 +174,68 @@ def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
 
 
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize image rows to ``width``×``height``: payload re-sampled to
-    w·h bytes (tile/truncate — the fake for pixel interpolation), meta
-    rewritten.  Non-image rows pass through untouched, so the stage is
-    safe to run on a mixed-modality table."""
+    """Resize image rows to ``width``×``height``, meta rewritten;
+    non-image rows pass through untouched, so the stage is safe to run
+    on a mixed-modality table.
+
+    Per-codec semantics: ``raw-text`` payloads are tiled/truncated to
+    w·h bytes (the deterministic fake for pixel interpolation —
+    oracle-checked); ``image/png``/``image/jpeg`` payloads (Pillow
+    environments) are really decoded, bilinear-resampled, and
+    re-encoded as PNG — the meta codec flips to ``image/png`` and
+    ``n_bytes`` to the encoded size."""
     schema = df.schema
 
     def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         import numpy as np
         import pandas as pd
 
+        decoders = available_decoders()
         target = width * height
+
+        def resize_one(codec: str, p: bytes) -> tuple[str, bytes]:
+            if codec == _FAKE_CODEC:
+                return codec, bytes(
+                    np.resize(np.frombuffer(p, dtype=np.uint8), target)
+                )
+            import io
+
+            from PIL import Image
+
+            with Image.open(io.BytesIO(p)) as im:
+                out = io.BytesIO()
+                im.resize(
+                    (width, height), Image.Resampling.BILINEAR
+                ).save(out, format="PNG")
+                return "image/png", out.getvalue()
+
         for b in batches:
             if len(b) == 0:
                 continue
             img = b["media_type"] == "image"
             if img.any():
-                _require_codec(pd.Series([m["codec"] for m in b.loc[img, "meta"]]))
-            out = b.copy()
-            out.loc[img, "payload"] = out.loc[img, "payload"].map(
-                lambda p: bytes(
-                    np.resize(np.frombuffer(p, dtype=np.uint8), target)
+                _require_codec(
+                    pd.Series([m["codec"] for m in b.loc[img, "meta"]]),
+                    decoders,
                 )
+            out = b.copy()
+            resized = {
+                i: resize_one(out.at[i, "meta"]["codec"], out.at[i, "payload"])
+                for i in out.index[img]
+            }
+            out.loc[img, "payload"] = pd.Series(
+                {i: pb for i, (_, pb) in resized.items()}
             )
-            out.loc[img, "meta"] = out.loc[img, "meta"].map(
-                lambda m: {
-                    **m,
-                    "width": width,
-                    "height": height,
-                    "n_bytes": target,
+            out.loc[img, "meta"] = pd.Series(
+                {
+                    i: {
+                        **out.at[i, "meta"],
+                        "codec": codec,
+                        "width": width,
+                        "height": height,
+                        "n_bytes": len(pb),
+                    }
+                    for i, (codec, pb) in resized.items()
                 }
             )
             yield out

@@ -104,8 +104,9 @@ _DRIVER_ROTATION: tuple[str, ...] = (
     "stratified_sample",
     "pii_scan",
     "contamination_check",
-    # multimodal
-    "multimodal_meta_profile",
+    # multimodal (codec_census supersedes meta_profile's evidence —
+    # same sidecar columns plus codec/resolution breakdown)
+    "multimodal_codec_census",
     "multimodal_decode_stats",
     "multimodal_frame_sample",
     "multimodal_features",

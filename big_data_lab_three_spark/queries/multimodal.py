@@ -64,6 +64,60 @@ def multimodal_meta_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_codec_census",
+    ids="multimodal: per-(modality, codec) metadata census incl. resolutions",
+    oracle=f"""
+WITH media AS (
+  SELECT doc_id AS media_id,
+         ['image','audio','video'][(doc_id % 3) + 1] AS media_type,
+         'raw-text' AS codec,
+         octet_length(encode(text)) AS n_bytes,
+         CASE doc_id % 3 WHEN 0 THEN 64 WHEN 2 THEN 320 END AS width,
+         CASE doc_id % 3 WHEN 0 THEN 32 + doc_id % 32
+                         WHEN 2 THEN 240 END AS height,
+         CASE doc_id % 3 WHEN 1 THEN (1 + doc_id % 10) * 1000
+                         WHEN 2 THEN (1 + doc_id % 30) * 1000 END
+           AS duration_ms
+  FROM documents
+)
+SELECT media_type,
+       codec,
+       count(*) AS n,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(count(DISTINCT width * 100000 + height) AS BIGINT)
+         AS n_resolutions,
+       CAST(max(height) AS INTEGER) AS max_height,
+       round(avg(duration_ms), 4) AS avg_duration_ms
+FROM media
+GROUP BY media_type, codec
+ORDER BY media_type, codec
+""",
+)
+def multimodal_codec_census_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(modality, codec) metadata census — the planning query an
+    ingest pipeline runs before scheduling decode work: row and byte
+    volumes per codec (which decoders are needed, how much compute),
+    distinct resolutions (whether a resize stage can batch uniformly),
+    and duration mass for time-based media.  Pure sidecar arithmetic:
+    the scan prunes the payload column entirely, so at 100 TB this
+    reads metadata-only column chunks, never media bytes."""
+    m = media_table_from_documents(spark, sf_dir)
+    return (
+        m.groupBy("media_type", F.col("meta.codec").alias("codec"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("meta.n_bytes").alias("total_bytes"),
+            F.countDistinct(
+                F.col("meta.width") * 100000 + F.col("meta.height")
+            ).alias("n_resolutions"),
+            F.max("meta.height").alias("max_height"),
+            F.round(F.avg("meta.duration_ms"), 4).alias("avg_duration_ms"),
+        )
+        .orderBy("media_type", "codec")
+    )
+
+
+@register(
     "multimodal_decode_stats",
     ids="multimodal: mapInPandas decode (stub codec) → sample stats",
     oracle=f"""

@@ -91,3 +91,76 @@ def test_frame_sample_schedule(media):
         F.col("n") != F.ceil(F.col("dur") / 500).cast("int")
     ).count() == 0
     assert j.where(F.col("last_ts") >= F.col("dur")).count() == 0
+
+
+def test_available_decoders_always_has_fake():
+    from big_data_lab_three_spark.multimodal import available_decoders
+
+    reg = available_decoders()
+    assert "raw-text" in reg
+    arr = reg["raw-text"](b"\x00\x80\xff")
+    assert list(arr) == [0, 128, 255]
+
+
+_needs_pillow = pytest.mark.skipif(
+    not __import__(
+        "big_data_lab_three_spark.multimodal", fromlist=["pillow_available"]
+    ).pillow_available(),
+    reason="Pillow not installed in this container",
+)
+
+
+@_needs_pillow
+def test_png_payload_decodes_to_pixels(spark):
+    """Real-codec path: a generated PNG decodes to w*h grayscale pixels
+    with the exact mean the source array has."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from big_data_lab_three_spark.multimodal import MEDIA_SCHEMA
+
+    px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    buf = io.BytesIO()
+    Image.fromarray(px, mode="L").save(buf, format="PNG")
+    rows = [
+        (
+            1,
+            "image",
+            bytearray(buf.getvalue()),
+            ("image/png", 8, 8, None, None, len(buf.getvalue())),
+        )
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = decode_media(df).first()
+    assert got.n_samples == 64
+    assert got.mean_level == pytest.approx(float(px.mean()))
+
+
+@_needs_pillow
+def test_png_resize_reencodes_at_target_resolution(spark):
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from big_data_lab_three_spark.multimodal import MEDIA_SCHEMA
+
+    px = np.zeros((16, 16), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(px, mode="L").save(buf, format="PNG")
+    rows = [
+        (
+            1,
+            "image",
+            bytearray(buf.getvalue()),
+            ("image/png", 16, 16, None, None, len(buf.getvalue())),
+        )
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = resize_images(df, 4, 4).first()
+    assert out.meta.width == 4 and out.meta.height == 4
+    assert out.meta.codec == "image/png"
+    with Image.open(io.BytesIO(bytes(out.payload))) as im:
+        assert im.size == (4, 4)
