@@ -64,6 +64,72 @@ def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document repetition and shape signals — the Gopher-style
+    quality rules (Rae et al. 2021, "Scaling Language Models", App. A)
+    a pretraining pipeline applies before anything model-based:
+
+    - ``dup_2gram_frac``: fraction of word-2-grams that are repeats of
+      an earlier 2-gram (boilerplate / keyword-stuffing detector);
+    - ``mean_tok_len``: mean word length (gibberish and symbol-soup
+      drift far from natural-language 3-10);
+    - ``symbol_frac``: non-alphanumeric, non-whitespace characters over
+      all characters (markup and encoding-junk detector).
+
+    One projection pass over built-in array/string expressions — no
+    shuffle, no Python; throughput is scan-bound and scales with
+    executors.  All three are ratios of exact integer counts, so both
+    engines reproduce them bit-for-bit before any rounding."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_toks = F.size(toks)
+    sh2 = shingles(toks, 2)
+    n_sh = F.size(sh2)
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    symbols = F.length(t) - F.length(
+        F.regexp_replace(t, r"[A-Za-z0-9\s]", "")
+    )
+    return df.withColumns(
+        {
+            "n_tokens": n_toks.cast("long"),
+            "dup_2gram_frac": F.when(
+                n_sh > 0,
+                1.0 - F.size(F.array_distinct(sh2)).cast("double") / n_sh,
+            ).otherwise(F.lit(0.0)),
+            "mean_tok_len": F.when(
+                n_toks > 0, tok_chars.cast("double") / n_toks
+            ).otherwise(F.lit(0.0)),
+            "symbol_frac": F.when(
+                F.length(t) > 0,
+                symbols.cast("double") / F.length(t),
+            ).otherwise(F.lit(0.0)),
+        }
+    )
+
+
+# Gopher-inspired keep-rules over repetition_metrics (documented
+# thresholds, tuned to the synthetic corpus's 10-99-token documents).
+GOPHER_MIN_TOKENS = 30
+GOPHER_MEAN_TOK_LEN = (3.0, 12.0)
+GOPHER_MAX_DUP_2GRAM = 0.2
+GOPHER_MAX_SYMBOL = 0.1
+
+
+def gopher_keep(df: DataFrame) -> DataFrame:
+    """Boolean ``keep`` column from the Gopher-style rules — expects
+    :func:`repetition_metrics` columns on ``df``."""
+    lo, hi = GOPHER_MEAN_TOK_LEN
+    return df.withColumn(
+        "keep",
+        (F.col("n_tokens") >= GOPHER_MIN_TOKENS)
+        & F.col("mean_tok_len").between(lo, hi)
+        & (F.col("dup_2gram_frac") <= GOPHER_MAX_DUP_2GRAM)
+        & (F.col("symbol_frac") <= GOPHER_MAX_SYMBOL),
+    )
+
+
 def lang_scores(text: Column) -> dict[str, Column]:
     """Marker-hit count per candidate language (stopword-set heuristic —
     the classic cheap language ID for web-scale corpora)."""

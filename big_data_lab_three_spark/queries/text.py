@@ -671,3 +671,208 @@ def contamination_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_shared_8grams") >= 8)
         .orderBy("corpus_doc", "bench_doc")
     )
+
+
+@register(
+    "repetition_filter",
+    ids="text safety: Gopher-style repetition/shape quality rules (Rae et al. 2021)",
+    oracle=f"""
+WITH seeded AS (
+    SELECT doc_id, lang,
+           CASE WHEN doc_id % 9 = 0
+                THEN text || ' spam spam spam spam spam spam spam spam'
+                WHEN doc_id % 13 = 0
+                THEN text || ' ####$$$$!!!!@@@@%%%%&&&&****(((())))'
+                ELSE text END AS text
+    FROM documents
+), toks AS (
+    SELECT doc_id, lang, text,
+           {_DUCK_TOKS} AS t
+    FROM seeded
+), m AS (
+    SELECT doc_id, lang,
+           len(t) AS n_tokens,
+           CASE WHEN len(t) >= 2 THEN
+             1.0 - CAST(len(list_distinct(
+                 [array_to_string(t[i:i+1], ' ')
+                  for i in range(1, len(t))])) AS DOUBLE)
+                 / (len(t) - 1)
+           ELSE 0.0 END AS dup_2gram_frac,
+           CASE WHEN len(t) > 0 THEN
+             CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+                 / len(t)
+           ELSE 0.0 END AS mean_tok_len,
+           CASE WHEN length(text) > 0 THEN
+             CAST(length(text)
+                  - length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                  AS DOUBLE) / length(text)
+           ELSE 0.0 END AS symbol_frac
+    FROM toks
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN n_tokens >= 30
+                      AND mean_tok_len BETWEEN 3.0 AND 12.0
+                      AND dup_2gram_frac <= 0.2
+                      AND symbol_frac <= 0.1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(avg(dup_2gram_frac), 4) AS avg_dup_2gram,
+       round(avg(symbol_frac), 4) AS avg_symbol_frac,
+       round(max(mean_tok_len), 4) AS max_mean_tok_len
+FROM m
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def repetition_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality filtering census (Rae et al. 2021, App. A):
+    repetition (duplicate word-2-gram fraction), shape (mean word
+    length), and symbol-junk rules, rolled up per language.  Seeding
+    plants both failure modes deterministically — every 9th document
+    gets a repeated-2-gram tail ('spam' x8 pushes dup_2gram_frac past
+    the 0.2 ceiling), every 13th a symbol tail — so the kept/filtered
+    split is non-trivial and exactly recomputable by the oracle.
+
+    Scale shape: pure projection (tokenize + array arithmetic in
+    codegen) + one rollup shuffle of 5 tiny rows per partition — the
+    same embarrassingly-parallel profile as the rest of the quality
+    family.  The pre-aggregation ``keep`` frame IS the filter a real
+    pipeline would write back."""
+    from big_data_lab_three_spark.operators.text import (
+        gopher_keep,
+        repetition_metrics,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    seeded = d.select(
+        "doc_id",
+        "lang",
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" spam spam spam spam spam spam spam spam"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" ####$$$$!!!!@@@@%%%%&&&&****(((())))"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    m = gopher_keep(repetition_metrics(seeded))
+    return (
+        m.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("int")).cast("long").alias("n_kept"),
+            F.round(F.avg("dup_2gram_frac"), 4).alias("avg_dup_2gram"),
+            F.round(F.avg("symbol_frac"), 4).alias("avg_symbol_frac"),
+            F.round(F.max("mean_tok_len"), 4).alias("max_mean_tok_len"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "domain_census",
+    ids="text provenance: URL extraction + registered-domain census",
+    oracle="""
+WITH seeded AS (
+    SELECT doc_id, lang,
+           CASE WHEN doc_id % 7 = 0
+                THEN text || ' see https://sub' || (doc_id % 5)
+                     || '.example-' || (doc_id % 3) || '.org/d/' || doc_id
+                     || ' and http://www.mirror-' || (doc_id % 2)
+                     || '.net/x'
+                ELSE text END AS text
+    FROM documents
+), urls AS (
+    SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^ ]+')) AS url
+    FROM seeded
+), hosts AS (
+    SELECT doc_id,
+           regexp_replace(lower(regexp_extract(url, 'https?://([^/ ]+)', 1)),
+                          '^www\\.', '') AS host
+    FROM urls
+), domains AS (
+    SELECT doc_id,
+           regexp_extract(host, '([A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$', 1)
+             AS domain
+    FROM hosts
+)
+SELECT domain,
+       count(*) AS n_urls,
+       count(DISTINCT doc_id) AS n_docs
+FROM domains
+GROUP BY domain
+ORDER BY domain
+""",
+)
+def domain_census_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL provenance census — the per-registered-domain rollup a
+    pretraining pipeline runs for source weighting, blocklist
+    filtering, and robots accounting.  Seeded URLs (every 7th document
+    carries one https URL with rotating subdomain/domain plus one
+    www-prefixed http URL) make the extraction, host parsing,
+    www-stripping, and eTLD+1-style suffix grouping all observable in
+    the output.
+
+    Scale shape: regexp extraction and host parsing are a generated-
+    column explode in the scan stage (fan-out is map-side, never
+    shuffled); the only exchange carries (domain, doc_id) pairs for the
+    distinct-count rollup — at corpus scale that is the URL table, a
+    small fraction of text volume."""
+    d = table(spark, sf_dir, "documents")
+    seeded = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" see https://sub"),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit(".example-"),
+                (F.col("doc_id") % 3).cast("string"),
+                F.lit(".org/d/"),
+                F.col("doc_id").cast("string"),
+                F.lit(" and http://www.mirror-"),
+                (F.col("doc_id") % 2).cast("string"),
+                F.lit(".net/x"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    urls = seeded.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(r"https?://[^ ]+"), 0
+            )
+        ).alias("url"),
+    )
+    domains = urls.select(
+        "doc_id",
+        F.regexp_extract(
+            F.regexp_replace(
+                F.lower(F.regexp_extract("url", r"https?://([^/ ]+)", 1)),
+                r"^www\.",
+                "",
+            ),
+            r"([A-Za-z0-9-]+\.[A-Za-z0-9-]+)$",
+            1,
+        ).alias("domain"),
+    )
+    return (
+        domains.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy("domain")
+    )
