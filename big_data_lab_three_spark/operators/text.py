@@ -500,12 +500,17 @@ def shard_assignments(
     document in the same shard, which makes shard-level incremental
     re-builds possible.  Writing the shards is then
     ``df.repartition(n_shards, 'shard').write.partitionBy('shard')``."""
-    shard = F.pmod(
-        F.conv(F.substring(md5_hex(F.col(text_col)), 1, 8), 16, 10).cast(
-            "long"
-        ),
-        F.lit(n_shards),
-    )
     return df.select(
-        F.col(id_col).alias("doc_id"), shard.cast("int").alias("shard")
+        F.col(id_col).alias("doc_id"),
+        shard_expr(F.col(text_col), n_shards).alias("shard"),
     )
+
+
+def shard_expr(text: Column, n_shards: int = 64) -> Column:
+    """The shard rule of :func:`shard_assignments` as a reusable column
+    expression — first 8 hex digits of md5(content), mod ``n_shards``
+    (engine-portable; one rule, every consumer)."""
+    return F.pmod(
+        F.conv(F.substring(md5_hex(text), 1, 8), 16, 10).cast("long"),
+        F.lit(n_shards),
+    ).cast("int")

@@ -258,10 +258,9 @@ ORDER BY id
 """
 
 
-def _clusters_seeded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared pair pipeline for the clustering queries: seed two mutated
-    copies per tenth document, then MinHash+LSH candidate pairs with
-    exact-Jaccard rescore."""
+def _clusters_seeded_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded corpus for the clustering queries: every tenth document
+    plus two mutated copies of it (one near-dup clique per source)."""
     d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
     m1 = d.select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
@@ -271,7 +270,13 @@ def _clusters_seeded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 2000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zzz yyy")).alias("text"),
     )
-    base = d.select("doc_id", "text").unionByName(m1).unionByName(m2)
+    return d.select("doc_id", "text").unionByName(m1).unionByName(m2)
+
+
+def _clusters_seeded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared pair pipeline for the clustering queries: the seeded base
+    through MinHash+LSH candidates with exact-Jaccard rescore."""
+    base = _clusters_seeded_base(spark, sf_dir)
     return minhash_lsh_pairs(
         base, num_perms=32, bands=16, jaccard_threshold=0.7
     )
@@ -324,3 +329,95 @@ def dedup_clusters_star_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = _clusters_seeded_pairs(spark, sf_dir)
     return connected_components_star(pairs).orderBy("id")
+
+
+_APPLY_ORACLE = f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id AS id, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' zzz'
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' zzz yyy'
+  FROM documents WHERE doc_id % 10 = 0
+), t AS ({{shingles}}),
+p AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM t a JOIN t b ON a.id < b.id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7
+),
+e AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION
+  SELECT id_b, id_a FROM p
+),
+reach(id, r) AS (
+  SELECT src, src FROM e
+  UNION
+  SELECT e2.src, reach.r FROM e e2 JOIN reach ON e2.dst = reach.id
+),
+labels AS (
+  SELECT id, CAST(min(r) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY id
+),
+dropped AS (SELECT id FROM labels WHERE id != cluster_id)
+SELECT (SELECT count(*) FROM base) AS n_total,
+       (SELECT count(*) FROM labels) AS n_in_clusters,
+       (SELECT count(*) FROM dropped) AS n_dropped,
+       (SELECT count(*) FROM base) - (SELECT count(*) FROM dropped)
+         AS n_kept
+"""
+
+
+@register(
+    "near_dedup_apply",
+    ids="dedup composition: LSH pairs → CC labels → canonical-keep anti-join",
+    oracle=_APPLY_ORACLE.format(shingles=_DUCK_SHINGLES),
+)
+def near_dedup_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step the whole dedup family exists for — actually SHRINKING
+    the corpus: candidate pairs (MinHash+LSH, exact-rescored) →
+    connected-component labels → drop every member that is not its
+    cluster's canonical (minimum) id, via a broadcast anti-join of the
+    label table's non-canonical rows against the corpus.  Documents in
+    no pair are untouched (they never enter the label table).  The
+    seeded corpus (two mutated copies per tenth doc) makes the expected
+    shrinkage exact: one clique per source doc, two dropped per clique.
+
+    Scale shape: the anti-join probe side is (non-canonical id) —
+    cluster-membership-sized, orders of magnitude below the corpus —
+    and the corpus side streams map-side when the drop list broadcasts.
+    The oracle recomputes ground truth via exact all-pairs Jaccard +
+    recursive-CTE closure, so recall, labeling, AND the keep rule are
+    all hash-checked together."""
+    from big_data_lab_three_spark.operators.dedup import (
+        connected_components,
+    )
+
+    base = _clusters_seeded_base(spark, sf_dir)
+    base.persist()
+    labels = connected_components(
+        _clusters_seeded_pairs(spark, sf_dir)
+    )
+    labels.persist()
+    dropped = labels.where(F.col("id") != F.col("cluster_id")).select("id")
+    kept = base.join(
+        F.broadcast(dropped),
+        base["doc_id"] == dropped["id"],
+        "left_anti",
+    )
+    return (
+        base.agg(F.count(F.lit(1)).alias("n_total"))
+        .crossJoin(
+            F.broadcast(
+                labels.agg(F.count(F.lit(1)).alias("n_in_clusters"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(dropped.agg(F.count(F.lit(1)).alias("n_dropped")))
+        )
+        .crossJoin(
+            F.broadcast(kept.agg(F.count(F.lit(1)).alias("n_kept")))
+        )
+    )

@@ -876,3 +876,79 @@ def domain_census_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("domain")
     )
+
+
+@register(
+    "training_order",
+    ids="text: deterministic per-shard training order (seeded content-hash shuffle)",
+    oracle="""
+WITH s AS (
+    SELECT doc_id,
+           CAST(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 64
+                AS INT) AS shard,
+           CAST(('0x' || substr(md5('epoch0:' || text), 1, 15)) AS BIGINT)
+             AS h
+    FROM documents
+), ordered AS (
+    SELECT shard, doc_id, h,
+           row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+             AS pos
+    FROM s
+)
+SELECT shard,
+       count(*) AS n_docs,
+       CAST(min(CASE WHEN pos = 1 THEN doc_id END) AS BIGINT)
+         AS first_doc,
+       CAST(sum(pos * doc_id) AS BIGINT) AS order_checksum
+FROM ordered
+GROUP BY shard
+ORDER BY shard
+""",
+)
+def training_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle — the 'seeded random'
+    permutation a training run needs to be REPRODUCIBLE across reruns,
+    engines, and restarts: within each content-hash shard, documents
+    are ordered by a salted content hash (``md5('epoch0:' || text)`` —
+    change the salt, get an independent permutation for the next
+    epoch).  No RNG state anywhere; the order is a pure function of
+    the bytes.  ``order_checksum`` (Σ position·doc_id) pins the ENTIRE
+    permutation per shard in one value, so the oracle verifies every
+    position without emitting per-doc rows.
+
+    Scale shape: one window per shard — shard count (64 here) is an
+    input knob that GROWS with the corpus (a real run uses thousands),
+    so window partitions stay bounded at epoch-shard size, exactly the
+    unit a trainer streams sequentially anyway."""
+    from big_data_lab_three_spark.operators.text import shard_expr
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id",
+        shard_expr(F.col("text"), 64).alias("shard"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("epoch0:"), F.col("text"))), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    ordered = s.withColumn("pos", F.row_number().over(w))
+    return (
+        ordered.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(F.when(F.col("pos") == 1, F.col("doc_id")))
+            .cast("long")
+            .alias("first_doc"),
+            F.sum(F.col("pos") * F.col("doc_id"))
+            .cast("long")
+            .alias("order_checksum"),
+        )
+        .orderBy("shard")
+    )
