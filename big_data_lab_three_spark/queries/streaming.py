@@ -199,3 +199,39 @@ def streaming_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_table(
         spark, result, f"stream_ijoin_{next(_seq)}", output_mode="append"
     ).orderBy("user_id", "trigger_us", "outcome_us")
+
+
+@register(
+    "streaming_sliding_counts",
+    ids="streaming: sliding event-time window (overlap factor 2) + watermark",
+    oracle="""
+WITH starts AS (
+  SELECT epoch_us(date_trunc('hour', ts) - g.i * INTERVAL 1 HOUR)
+           AS window_start_us,
+         event_type, value
+  FROM events CROSS JOIN generate_series(0, 1) AS g(i)
+)
+SELECT window_start_us,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 4) AS total_value
+FROM starts
+GROUP BY 1, 2
+""",
+)
+def streaming_sliding_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hour windows sliding every hour — the overlapping-window
+    variant of ``streaming_window_counts``: every event lands in
+    exactly window/slide = 2 windows, so streaming state carries 2×
+    the tumbling rows and the watermark's eviction matters
+    proportionally more.  The oracle replays the assignment rule in
+    SQL (each event joined to both its hour-truncated start and the
+    hour before), making the overlap factor itself value-checked,
+    not just the per-window sums."""
+    stream = read_events_stream(spark, sf_dir)
+    result = windowed_event_counts(
+        stream, "2 hours", "4 hours", slide="1 hour"
+    )
+    return run_stream_to_table(
+        spark, result, f"stream_slide_{next(_seq)}", output_mode="complete"
+    )

@@ -67,14 +67,25 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def windowed_event_counts(
-    stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+    stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling event-time window per event_type: count + value sum.
-    The watermark bounds aggregation state: windows older than (max
-    event time − watermark) finalize and evict."""
+    """Tumbling — or, with ``slide``, SLIDING — event-time window per
+    event_type: count + value sum.  The watermark bounds aggregation
+    state: windows older than (max event time − watermark) finalize and
+    evict.  A sliding window assigns each event to
+    ``window/slide`` overlapping windows (state grows by the same
+    factor — the watermark matters proportionally more)."""
+    win = (
+        F.window("ts_utc", window, slide)
+        if slide
+        else F.window("ts_utc", window)
+    )
     return (
         stream.withWatermark("ts_utc", watermark)
-        .groupBy(F.window("ts_utc", window), "event_type")
+        .groupBy(win, "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("value"), 4).alias("total_value"),

@@ -182,3 +182,54 @@ def test_shard_assignment_is_stable_and_in_range(spark, docs):
     assert all(len(s) == 1 for s in by_text.values()), (
         "equal content must land in one shard"
     )
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # group (heavy ties)
+            st.integers(min_value=-5, max_value=5),  # value (heavy ties)
+        ),
+        min_size=0,
+        max_size=40,
+    ),
+    parts=st.integers(min_value=1, max_value=6),
+)
+def test_global_ranks_is_a_permutation_per_group(spark, rows, parts):
+    """For ANY input and partition count, the distributed rank operator
+    must assign each group exactly the ranks 1..n (a permutation —
+    exact, gapless, duplicate-free), `_n` must equal the true group
+    size, and equal values must occupy a contiguous rank range (range
+    partitioning may not split ties across rank discontinuities)."""
+    from collections import Counter
+
+    from big_data_lab_three_spark.operators.rankstats import (
+        N_COL,
+        RANK_COL,
+        global_ranks,
+    )
+
+    df = spark.createDataFrame(
+        [(i, g, v) for i, (g, v) in enumerate(rows)],
+        "id long, g int, v int",
+    )
+    got = global_ranks(
+        df, order_cols=("v",), group_cols=("g",), num_partitions=parts
+    ).collect()
+    sizes = Counter(g for g, _ in rows)
+    by_group: dict[int, list] = {}
+    for r in got:
+        by_group.setdefault(r["g"], []).append(r)
+    assert sum(len(v) for v in by_group.values()) == len(rows)
+    for g, members in by_group.items():
+        n = sizes[g]
+        assert sorted(m[RANK_COL] for m in members) == list(
+            range(1, n + 1)
+        )
+        assert all(m[N_COL] == n for m in members)
+        # ranks must be order-consistent: sort by rank → values ascend
+        vals_by_rank = [
+            m["v"] for m in sorted(members, key=lambda m: m[RANK_COL])
+        ]
+        assert vals_by_rank == sorted(vals_by_rank)
