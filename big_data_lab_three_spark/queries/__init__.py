@@ -86,10 +86,12 @@ _DRIVER_ROTATION: tuple[str, ...] = (
     "dedup_embedding",
     "dedup_clusters",
     "dedup_clusters_star",
-    # similarity / ANN
+    # similarity / ANN (the *_recall variants carry full value oracles —
+    # deterministic exact-duplicate retrieval — vs the originals'
+    # rows-only checks, so they take the driver slots)
     "similarity_topk",
-    "similarity_lsh",
-    "similarity_ivf",
+    "similarity_lsh_recall",
+    "similarity_ivf_recall",
     # text-analysis + training-data pipeline
     "token_count",
     "text_quality",

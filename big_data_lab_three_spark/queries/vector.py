@@ -89,3 +89,81 @@ def similarity_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id",
         F.round("cos_sim", 4).alias("cos_sim"), "rank",
     )
+
+
+@register(
+    "similarity_lsh_recall",
+    ids="similarity: LSH ANN exact-duplicate retrieval (deterministic full oracle)",
+    oracle="""
+SELECT vec_id + 1000000 AS query_id,
+       vec_id AS neighbor_id,
+       CAST(1.0 AS DOUBLE) AS cos_sim,
+       CAST(1 AS INTEGER) AS rank
+FROM embeddings
+WHERE vec_id % 10 = 0
+ORDER BY query_id
+""",
+)
+def similarity_lsh_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The value-checkable slice of hyperplane-LSH ANN: queries are
+    EXACT re-keyed copies of every tenth corpus vector, and an
+    identical vector shares every sign bit, so it collides with its
+    original in EVERY table — recall 1 by construction, not by
+    probability.  With duplicate-free corpus vectors (checked: the
+    testdata has none), cosine 1.0 is the unique maximum, so the
+    top-1 answer is fully deterministic and the whole pipeline —
+    signature computation, multi-table bucket join, candidate dedup,
+    Arrow-batched rescore, ranked window — gets a DuckDB value hash,
+    complementing ``similarity_lsh``'s probabilistic rows-only check."""
+    rng = np.random.default_rng(7)
+    planes = rng.standard_normal((32, 64)).tolist()
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    return (
+        lsh_bucketed_topk(q, e, planes, tables=8, k=1)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_sim", 4).alias("cos_sim"),
+            "rank",
+        )
+        .orderBy("query_id")
+    )
+
+
+@register(
+    "similarity_ivf_recall",
+    ids="similarity: IVF ANN exact-duplicate retrieval (deterministic full oracle)",
+    oracle="""
+SELECT vec_id + 1000000 AS query_id,
+       vec_id AS neighbor_id,
+       CAST(1.0 AS DOUBLE) AS cos_sim,
+       CAST(1 AS INTEGER) AS rank
+FROM embeddings
+WHERE vec_id % 10 = 0
+ORDER BY query_id
+""",
+)
+def similarity_ivf_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF twin of ``similarity_lsh_recall``: an identical vector maps
+    to the same nearest centroid as its original (the seeded quantizer
+    is deterministic), so the original's cell is always probed and
+    exact-duplicate recall is 1 regardless of nprobe.  Pins the
+    KMeans assignment, inverted-file probe, candidate rescore, and
+    ranking with a full value hash."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    return (
+        ivf_topk(q, e, nlist=16, nprobe=4, k=1)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_sim", 4).alias("cos_sim"),
+            "rank",
+        )
+        .orderBy("query_id")
+    )
