@@ -585,30 +585,56 @@ def connected_components(
     instead of re-exchanging each round.  A 100 TB deployment raises
     ``loop_partitions`` to its pair-table size, nothing else changes.
 
-    **Thread-safety**: the loop width is pinned by setting the
-    session-global ``spark.sql.shuffle.partitions`` for the duration of
-    the iteration (per-operation width is not otherwise expressible for
-    groupBy/join exchanges) — any CONCURRENT action on the same
-    SparkSession (another thread, a streaming micro-batch) that shuffles
-    during this window runs at ``loop_partitions`` too.  Call from a
-    dedicated session, or accept the width, or run the loop with
-    ``loop_partitions`` equal to the session default.  The previous
-    value is always restored on exit, including on error.
+    **Thread-safety**: the loop runs in a CLONED SparkSession
+    (``newSession()`` — own SQLConf, shared SparkContext) with
+    ``spark.sql.shuffle.partitions`` pinned there, bridged through
+    global temp views (JVM-side — no data crosses Python), so
+    concurrent work on the caller's session keeps its own shuffle
+    width.  See :func:`_run_at_loop_width`.
     """
+    return _run_at_loop_width(
+        pairs,
+        loop_partitions,
+        lambda p: _connected_components_loop(
+            p, id_a, id_b, max_iters, loop_partitions
+        ),
+    )
+
+
+def _run_at_loop_width(pairs: DataFrame, loop_partitions: int, run):
+    """Execute ``run(pairs)`` with ``spark.sql.shuffle.partitions``
+    pinned to ``loop_partitions`` WITHOUT mutating the caller's session:
+    the loop gets a cloned session (per-session SQLConf, same
+    SparkContext/executors), and frames cross sessions via global temp
+    views — a name bridge, not a data movement.  The upstream pair
+    pipeline is materialized at the CALLER's width first (the MinHash
+    band join etc. must not run with loop-sized reducers), and the
+    result is materialized at LOOP width before being handed back."""
+    import uuid
+
     spark = pairs.sparkSession
-    # Materialize the (possibly corpus-sized) upstream pair pipeline at
-    # the SESSION's shuffle width BEFORE pinning the loop's small one —
-    # otherwise the first in-loop action would run e.g. the MinHash
-    # explode+band join with loop_partitions reducers.
     pairs = pairs.localCheckpoint()
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(loop_partitions))
+    loop_spark = spark.newSession()
+    loop_spark.conf.set(
+        "spark.sql.shuffle.partitions", str(loop_partitions)
+    )
+    tag = uuid.uuid4().hex[:12]
+    in_view, out_view = f"cc_in_{tag}", f"cc_out_{tag}"
+    pairs.createOrReplaceGlobalTempView(in_view)
+    out_made = False
     try:
-        return _connected_components_loop(
-            pairs, id_a, id_b, max_iters, loop_partitions
-        )
+        result = run(loop_spark.table(f"global_temp.{in_view}"))
+        # Force the whole iteration to EXECUTE under the loop session's
+        # width; the caller's session then only scans the checkpointed
+        # result.
+        result = result.localCheckpoint()
+        result.createOrReplaceGlobalTempView(out_view)
+        out_made = True
+        return spark.table(f"global_temp.{out_view}")
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.catalog.dropGlobalTempView(in_view)
+        if out_made:
+            spark.catalog.dropGlobalTempView(out_view)
 
 
 def _connected_components_loop(
@@ -717,21 +743,19 @@ def connected_components_star(
     set-difference join — confirmed by an EXACT set-difference check on
     the terminating round only, so a hash collision can at worst defer
     termination a round, never exit early with wrong labels.
-    ``loop_partitions`` plays the same role — and carries the same
-    session-global ``spark.sql.shuffle.partitions`` thread-safety
-    caveat — as in :func:`connected_components` (iteration tables are
-    pair-bounded, not corpus-bounded).
+    ``loop_partitions`` plays the same role as in
+    :func:`connected_components`, and the width is likewise pinned in
+    an isolated cloned session (:func:`_run_at_loop_width`) —
+    thread-safe with respect to concurrent work on the caller's
+    session (iteration tables are pair-bounded, not corpus-bounded).
     """
-    spark = pairs.sparkSession
-    # See connected_components: upstream pair generation must run at
-    # session width, only the iteration runs at loop width.
-    pairs = pairs.localCheckpoint()
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(loop_partitions))
-    try:
-        return _connected_components_star_loop(pairs, id_a, id_b, max_iters)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return _run_at_loop_width(
+        pairs,
+        loop_partitions,
+        lambda p: _connected_components_star_loop(
+            p, id_a, id_b, max_iters
+        ),
+    )
 
 
 def _connected_components_star_loop(

@@ -269,3 +269,28 @@ def test_interleave_mix_is_proportional_in_prefix(spark):
     for w in range(10):
         window = [lang for _, lang in first[w * 4:(w + 1) * 4]]
         assert window.count("en") == 3 and window.count("fr") == 1
+
+
+def test_connected_components_leaves_caller_conf_alone(spark):
+    """r3: the CC loop pins its shuffle width in a CLONED session —
+    the caller's spark.sql.shuffle.partitions must never change, even
+    transiently observable after the call (the r2 implementation
+    mutated the session-global conf for the loop's duration)."""
+    from big_data_lab_three_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    for fn in (connected_components, connected_components_star):
+        got = {
+            (r.id, r.cluster_id)
+            for r in fn(pairs, loop_partitions=3).collect()
+        }
+        assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+        assert (
+            spark.conf.get("spark.sql.shuffle.partitions") == before
+        )
