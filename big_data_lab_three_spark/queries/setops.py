@@ -175,3 +175,37 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "metric")
     )
+
+
+_GROUPING_SETS_SQL = """
+SELECT CASE WHEN grouping(o_orderstatus) = 0
+            THEN 'by_status' ELSE 'by_priority' END AS plane,
+       coalesce(o_orderstatus, o_orderpriority) AS group_key,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+           AS revenue,
+       count(*) AS orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+ORDER BY plane, group_key
+"""
+
+
+@register(
+    "grouping_sets_revenue",
+    ids="agg: explicit GROUPING SETS (independent subtotal planes) + GROUPING() marker",
+    oracle=_GROUPING_SETS_SQL,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The grouping-sets shape neither ROLLUP nor CUBE can express:
+    exactly the two independent one-column subtotal planes (by status,
+    by priority) with no cross plane and no grand total — one Expand +
+    one hash aggregate instead of two scans unioned.  ``GROUPING()``
+    disambiguates which plane a row belongs to (the correct way —
+    coalescing NULLs alone cannot distinguish a grouping placeholder
+    from a genuinely NULL key).  The SAME ANSI text runs verbatim on
+    both engines (the ``sql_front_door`` pattern), so the grouping-set
+    semantics, marker function, and exact-decimal sums are all
+    value-hash-pinned."""
+    from big_data_lab_three_spark.sources import sql as run_sql
+
+    return run_sql(spark, sf_dir, _GROUPING_SETS_SQL)
