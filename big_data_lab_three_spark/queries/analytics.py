@@ -1667,3 +1667,70 @@ def equi_depth_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "window_range_frames",
+    ids="window: value-based RANGE frames (trailing 7-day revenue over a daily series)",
+    oracle="""
+WITH daily AS (
+    SELECT o_orderpriority,
+           date_diff('day', DATE '1992-01-01', o_orderdate) AS day_n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2)
+                AS DOUBLE) AS day_rev,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY 1, 2
+)
+SELECT o_orderpriority,
+       CAST(day_n AS BIGINT) AS day_n,
+       round(sum(day_rev) OVER w7, 2) AS trailing_7d_rev,
+       CAST(sum(n_orders) OVER w7 AS BIGINT) AS trailing_7d_orders,
+       round(min(day_rev) OVER w7, 2) AS trailing_7d_min_day
+FROM daily
+WINDOW w7 AS (
+    PARTITION BY o_orderpriority ORDER BY day_n
+    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+)
+ORDER BY o_orderpriority, day_n
+""",
+)
+def window_range_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE window frames — the time-series shape ROWS
+    frames get wrong whenever days are missing: ``RANGE BETWEEN 6
+    PRECEDING`` covers the last 7 CALENDAR days of the ordered value,
+    however many rows exist in them.  Computed over a per-(priority,
+    day) pre-aggregate, so (a) the window input is days × priorities,
+    orders of magnitude below the fact table, and (b) the frame has no
+    peer rows — every RANGE aggregate is tie-free and deterministic.
+    One shuffle for the daily rollup; the window reuses the rollup's
+    partitioning requirement on o_orderpriority."""
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            "o_orderpriority",
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1992-01-01").cast("date")
+            ).alias("day_n"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(12,2)")), 2
+            )
+            .cast("double")
+            .alias("day_rev"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    w7 = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day_n")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "o_orderpriority",
+        F.col("day_n").cast("long").alias("day_n"),
+        F.round(F.sum("day_rev").over(w7), 2).alias("trailing_7d_rev"),
+        F.sum("n_orders").over(w7).cast("long").alias("trailing_7d_orders"),
+        F.round(F.min("day_rev").over(w7), 2).alias("trailing_7d_min_day"),
+    ).orderBy("o_orderpriority", "day_n")
