@@ -952,3 +952,99 @@ def training_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@register(
+    "pii_redact",
+    ids="text safety: span-level PII redaction, content-checksum-pinned",
+    oracle="""
+WITH seeded AS (
+    SELECT doc_id, lang,
+           CASE WHEN doc_id % 7 = 0
+                THEN text || ' contact user' || doc_id ||
+                     '@example.com at 10.0.' || (doc_id % 250) ||
+                     '.1 see https://ex.com/d/' || doc_id
+                ELSE text END AS text
+    FROM documents
+), red AS (
+    SELECT doc_id, lang, text,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g'),
+               '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}', '<IP>', 'g'),
+             'https?://[^ ]+', '<URL>', 'g') AS redacted
+    FROM seeded
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN redacted != text THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_redacted,
+       CAST(sum(length(text) - length(redacted)) AS BIGINT)
+         AS chars_removed,
+       CAST(bit_xor(CAST(('0x' || substr(md5(redacted), 1, 15)) AS BIGINT))
+         AS BIGINT) AS content_checksum
+FROM red
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level PII REDACTION — the enforcement half of the safety
+    pass (``pii_scan`` is the detection half): emails, IPv4s, and URLs
+    rewritten to typed placeholder tokens in one chained
+    ``regexp_replace`` projection.  ``content_checksum`` — an
+    order-insensitive xor of each redacted document's truncated-md5 —
+    pins the EXACT BYTES of every redacted text against the oracle,
+    not just how many documents changed; a one-character divergence in
+    any replacement flips the hash.
+
+    Scale shape: identical to the scan — one codegen projection over
+    the corpus, one ~5-group rollup; no shuffle carries text."""
+    d = table(spark, sf_dir, "documents")
+    seeded = d.select(
+        "doc_id",
+        "lang",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"), F.col("doc_id"),
+                F.lit("@example.com at 10.0."), F.col("doc_id") % 250,
+                F.lit(".1 see https://ex.com/d/"), F.col("doc_id"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    ip_re = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+    url_re = r"https?://[^ ]+"
+    red = seeded.withColumn(
+        "redacted",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), email_re, "<EMAIL>"),
+                ip_re,
+                "<IP>",
+            ),
+            url_re,
+            "<URL>",
+        ),
+    )
+    return (
+        red.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                (F.col("redacted") != F.col("text")).cast("int")
+            ).cast("long").alias("n_redacted"),
+            F.sum(F.length("text") - F.length("redacted"))
+            .cast("long")
+            .alias("chars_removed"),
+            F.expr(
+                "bit_xor(cast(conv(substring(md5(redacted), 1, 15), 16, 10)"
+                " as bigint))"
+            ).alias("content_checksum"),
+        )
+        .orderBy("lang")
+    )
