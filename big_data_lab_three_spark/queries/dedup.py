@@ -421,3 +421,105 @@ def near_dedup_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(kept.agg(F.count(F.lit(1)).alias("n_kept")))
         )
     )
+
+
+@register(
+    "dedup_incremental",
+    ids="dedup: incremental batch-vs-corpus admission (exact digest gate → cross-side LSH)",
+    oracle=f"""
+WITH corpus AS (SELECT doc_id AS id, text FROM documents),
+batch AS (
+  SELECT doc_id + 5000000 AS id, text
+  FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id + 5000000, text || ' zz qq'
+  FROM documents WHERE doc_id % 4 = 1
+  UNION ALL
+  SELECT doc_id + 5000000,
+         'fresh doc ' || doc_id || ' standalone content'
+  FROM documents WHERE doc_id % 4 = 2
+),
+surv1 AS (
+  SELECT * FROM batch
+  WHERE md5(text) NOT IN (SELECT md5(text) FROM corpus)
+),
+base AS (SELECT id, text FROM corpus UNION ALL SELECT id, text FROM surv1),
+t AS ({{shingles}}),
+cross_near AS (
+  SELECT DISTINCT b.id
+  FROM t b JOIN t c ON b.id >= 5000000 AND c.id < 5000000
+  WHERE CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(b.sh, c.sh))) >= 0.7
+)
+SELECT (SELECT count(*) FROM batch) AS n_batch,
+       (SELECT count(*) FROM surv1) AS n_after_exact,
+       (SELECT count(*) FROM surv1
+         WHERE id NOT IN (SELECT id FROM cross_near)) AS n_admitted
+""".format(shingles=_DUCK_SHINGLES),
+)
+def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup — the shape a production pipeline
+    actually runs (a NEW batch admitted against an EXISTING corpus,
+    not a one-shot self-dedup): (1) exact gate — batch anti-joined
+    on content digest against the corpus digest set (16-byte keys,
+    never text); (2) near gate — MinHash+LSH candidates restricted to
+    CROSS-side pairs (batch × corpus; id ranges are disjoint so the
+    side test is a pure predicate), exact-Jaccard rescored, any match
+    rejects the batch doc.  The seeded batch has one exact copy, one
+    near-dup, and one genuinely-new doc per corpus stride, so all
+    three admission outcomes are exercised and exactly recomputable.
+
+    Scale shape: the exact gate shuffles digests; the near gate is the
+    standard band join over the union (at 100 TB the corpus side's
+    signatures are PRECOMPUTED and stored — only the batch recomputes,
+    and the band join prunes to colliding buckets)."""
+    d = table(spark, sf_dir, "documents")
+    corpus = d.select("doc_id", "text")
+    batch = (
+        d.where(F.col("doc_id") % 4 == 0)
+        .select((F.col("doc_id") + 5000000).alias("doc_id"), "text")
+        .unionByName(
+            d.where(F.col("doc_id") % 4 == 1).select(
+                (F.col("doc_id") + 5000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zz qq")).alias("text"),
+            )
+        )
+        .unionByName(
+            d.where(F.col("doc_id") % 4 == 2).select(
+                (F.col("doc_id") + 5000000).alias("doc_id"),
+                F.concat(
+                    F.lit("fresh doc "),
+                    F.col("doc_id"),
+                    F.lit(" standalone content"),
+                ).alias("text"),
+            )
+        )
+    )
+    batch.persist()
+    surv1 = batch.join(
+        corpus.select(F.md5("text").alias("_d")).distinct(),
+        F.md5(batch["text"]) == F.col("_d"),
+        "left_anti",
+    )
+    surv1.persist()
+    union = corpus.unionByName(surv1)
+    pairs = minhash_lsh_pairs(
+        union, num_perms=32, bands=16, jaccard_threshold=0.7
+    )
+    flagged = (
+        pairs.where(
+            (F.col("id_a") < 5000000) & (F.col("id_b") >= 5000000)
+        )
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    admitted = surv1.join(F.broadcast(flagged), "doc_id", "left_anti")
+    return (
+        batch.agg(F.count(F.lit(1)).alias("n_batch"))
+        .crossJoin(
+            F.broadcast(surv1.agg(F.count(F.lit(1)).alias("n_after_exact")))
+        )
+        .crossJoin(
+            F.broadcast(admitted.agg(F.count(F.lit(1)).alias("n_admitted")))
+        )
+    )

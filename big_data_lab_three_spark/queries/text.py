@@ -1048,3 +1048,86 @@ def pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "unigram_logprob",
+    ids="text quality: corpus-unigram log-probability score (LM-perplexity proxy)",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, lang, unnest({_DUCK_TOKS}) AS tok
+    FROM documents
+), freq AS (
+    SELECT tok, count(*) AS tf FROM toks GROUP BY tok
+), corpus AS (
+    SELECT CAST(sum(tf) AS DOUBLE) AS total FROM freq
+), scored AS (
+    SELECT t.doc_id, t.lang,
+           avg(ln(f.tf / c.total)) AS avg_logprob,
+           count(*) AS n_toks
+    FROM toks t JOIN freq f ON f.tok = t.tok CROSS JOIN corpus c
+    GROUP BY t.doc_id, t.lang
+)
+SELECT lang,
+       count(*) AS n_docs,
+       round(avg(avg_logprob), 4) AS mean_logprob,
+       round(min(avg_logprob), 4) AS worst_logprob,
+       CAST(sum(CASE WHEN avg_logprob < -8.0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_below_threshold
+FROM scored
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def unigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram log-probability scoring — the model-free stand-in
+    for CCNet-style LM-perplexity filtering: a document whose tokens
+    are rare *in this corpus* scores low (gibberish, wrong-language,
+    boilerplate-ID strings), one whose tokens are common scores high.
+    Two passes over the exploded token table: (1) unigram frequencies
+    (vocabulary-sized aggregate), (2) per-document mean of
+    ``ln(tf / corpus_total)`` via a token-frequency join, then a
+    per-language census with a fixed keep threshold.
+
+    Scale shape: the token explode shuffles once to build the
+    vocabulary table and once for the score join — both keyed on the
+    token, both combiner-friendly (partial aggregation collapses
+    repeats map-side).  At 100 TB the vocabulary table is Zipf-bounded
+    (≪ corpus), and the scoring join is the classic fact-to-dimension
+    shape Spark picks broadcast for when vocab fits.  ``ln`` on
+    identical doubles is bit-identical across engines; the per-doc
+    mean is rounded only after the final census aggregate."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.array_remove(F.split(F.col("text"), r"\s+"), "")
+        ).alias("tok"),
+    )
+    toks.persist()  # feeds the vocab build AND the scoring join
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    total = freq.agg(F.sum("tf").cast("double").alias("total"))
+    scored = (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.avg(F.log(F.col("tf") / F.col("total"))).alias(
+                "avg_logprob"
+            ),
+            F.count(F.lit(1)).alias("n_toks"),
+        )
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("avg_logprob"), 4).alias("mean_logprob"),
+            F.round(F.min("avg_logprob"), 4).alias("worst_logprob"),
+            F.sum(
+                (F.col("avg_logprob") < -8.0).cast("int")
+            ).cast("long").alias("n_below_threshold"),
+        )
+        .orderBy("lang")
+    )
