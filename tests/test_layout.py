@@ -1,0 +1,74 @@
+"""Data-layout verification from the parquet footers themselves.
+
+The Z-order claim is about FILE STATISTICS, not query results — so the
+test opens the written files with pyarrow and measures how much of each
+dimension's range every file spans.  A single-column sort gives narrow
+spans in the sort column and full-width spans in the other; Z-ordering
+must be narrow in BOTH, which is exactly what lets either-dimension
+predicates skip most row groups at scale.
+"""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+
+from big_data_lab_three_spark.sources import table
+from big_data_lab_three_spark.sources.sinks import write_zordered
+
+
+def _mean_span(path: str, col: str, lo: float, hi: float) -> float:
+    """Mean fraction of [lo, hi] covered by each file's min/max stats."""
+    spans = []
+    for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+        meta = pq.ParquetFile(f).metadata
+        fmin, fmax = None, None
+        for rg in range(meta.num_row_groups):
+            for ci in range(meta.num_columns):
+                c = meta.row_group(rg).column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    s = c.statistics
+                    fmin = s.min if fmin is None else min(fmin, s.min)
+                    fmax = s.max if fmax is None else max(fmax, s.max)
+        assert fmin is not None, f"no stats for {col} in {f}"
+        spans.append((float(fmax) - float(fmin)) / (hi - lo))
+    assert spans
+    return sum(spans) / len(spans)
+
+
+def test_zorder_files_are_narrow_in_both_dimensions(spark, sf_dir, tmp_path):
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    row = o.selectExpr(
+        "min(o_custkey) lo_a",
+        "max(o_custkey) hi_a",
+        "min(o_totalprice) lo_b",
+        "max(o_totalprice) hi_b",
+    ).first()
+
+    zpath = str(tmp_path / "zordered")
+    spath = str(tmp_path / "sorted_a")
+    write_zordered(
+        o, zpath, ("o_custkey", "o_totalprice"), num_files=8
+    )
+    (
+        o.repartitionByRange(8, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
+
+    z_a = _mean_span(zpath, "o_custkey", row.lo_a, row.hi_a)
+    z_b = _mean_span(zpath, "o_totalprice", row.lo_b, row.hi_b)
+    s_b = _mean_span(spath, "o_totalprice", row.lo_b, row.hi_b)
+
+    # Z-order: BOTH dims substantially narrower than full width; the
+    # single-column layout leaves the second dim at ~full width.
+    assert z_a < 0.8 and z_b < 0.8, (z_a, z_b)
+    assert s_b > 0.9, s_b
+    assert z_b < s_b * 0.8, (z_b, s_b)
+
+    # and the data round-trips unchanged
+    assert spark.read.parquet(zpath).count() == o.count()
