@@ -266,3 +266,44 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_small_files(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """OPTIMIZE-style compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target_file_bytes)`` right-sized files and
+    atomically swap it into place.  Returns the new file count.
+
+    Small-file sprawl is the classic lakehouse failure mode — streaming
+    and per-batch ingest leave thousands of KB-scale files whose
+    open/footer costs dominate scans and whose listing chokes the
+    driver.  Nightly compaction to ~128 MB (one HDFS block / one scan
+    task) restores scan throughput.  The rewrite goes to a sibling
+    directory first and replaces the original only after success, so a
+    failed compaction never corrupts the table (on object stores, swap
+    the directory pointer / use a format with a transaction log
+    instead of the filesystem rename)."""
+    import math
+    import os
+    import shutil
+
+    total = sum(
+        os.path.getsize(os.path.join(dirpath, f))
+        for dirpath, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    tmp = path.rstrip("/") + "._compacting"
+    # coalesce, not repartition: reducing file count needs no shuffle
+    spark.read.parquet(path).coalesce(n_files).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    old = path.rstrip("/") + "._old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n_files

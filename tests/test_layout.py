@@ -72,3 +72,27 @@ def test_zorder_files_are_narrow_in_both_dimensions(spark, sf_dir, tmp_path):
 
     # and the data round-trips unchanged
     assert spark.read.parquet(zpath).count() == o.count()
+
+
+def test_compaction_reduces_file_count_and_preserves_data(
+    spark, sf_dir, tmp_path
+):
+    from big_data_lab_three_spark.sources.sinks import compact_small_files
+
+    o = table(spark, sf_dir, "orders")
+    path = str(tmp_path / "sprawl")
+    o.repartition(64).write.parquet(path)  # simulate ingest sprawl
+    before = len(glob.glob(f"{path}/part-*.parquet"))
+    assert before >= 32
+    checksum = o.selectExpr(
+        "count(*) n", "round(sum(o_totalprice), 2) s"
+    ).first()
+
+    n = compact_small_files(spark, path, target_file_bytes=1 << 20)
+    after = len(glob.glob(f"{path}/part-*.parquet"))
+    assert after == n < before
+
+    back = spark.read.parquet(path).selectExpr(
+        "count(*) n", "round(sum(o_totalprice), 2) s"
+    ).first()
+    assert (back.n, back.s) == (checksum.n, checksum.s)
