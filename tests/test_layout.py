@@ -96,3 +96,51 @@ def test_compaction_reduces_file_count_and_preserves_data(
         "count(*) n", "round(sum(o_totalprice), 2) s"
     ).first()
     assert (back.n, back.s) == (checksum.n, checksum.s)
+
+
+def test_zorder_skips_row_groups_for_second_dim_predicate(
+    spark, sf_dir, tmp_path
+):
+    """The end-to-end payoff: for a selective predicate on the SECOND
+    dimension, count the rows a min/max-pruning reader must actually
+    scan (row groups whose stats intersect the range).  The z-ordered
+    layout must scan a fraction of what the sorted-by-first-dim layout
+    scans — this is the footer-level arithmetic parquet readers
+    (Spark's included) use for row-group skipping."""
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    zpath = str(tmp_path / "z2")
+    spath = str(tmp_path / "s2")
+    # 32 files → deep enough Morton segments that each file's bounding
+    # box is a small tile; 8 files would leave half-width boxes that a
+    # central band always intersects
+    write_zordered(o, zpath, ("o_custkey", "o_totalprice"), num_files=32)
+    (
+        o.repartitionByRange(32, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
+    b = o.selectExpr(
+        "min(o_totalprice) lo", "max(o_totalprice) hi"
+    ).first()
+    # a ~10%-wide band in the middle of the price range
+    q_lo = b.lo + (b.hi - b.lo) * 0.45
+    q_hi = b.lo + (b.hi - b.lo) * 0.55
+
+    def rows_scanned(path: str) -> int:
+        total = 0
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            meta = pq.ParquetFile(f).metadata
+            for rg in range(meta.num_row_groups):
+                g = meta.row_group(rg)
+                for ci in range(meta.num_columns):
+                    c = g.column(ci)
+                    if c.path_in_schema == "o_totalprice":
+                        s = c.statistics
+                        if s.min <= q_hi and s.max >= q_lo:
+                            total += g.num_rows
+        return total
+
+    z, s = rows_scanned(zpath), rows_scanned(spath)
+    assert s > 0
+    assert z < s * 0.75, (z, s)
