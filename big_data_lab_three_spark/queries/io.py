@@ -88,3 +88,45 @@ def json_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_json_records(spark, path, record_path="X").select(
         F.col("f1").cast("double"), F.col("f2").cast("double")
     )
+
+
+@register(
+    "orc_roundtrip",
+    ids="S1-family: columnar sink/source beyond parquet (ORC write→read→verify)",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+       round(sum(l_extendedprice), 2) AS revenue,
+       round(sum(l_discount), 4) AS total_discount,
+       round(min(l_extendedprice), 2) AS min_price,
+       round(max(l_extendedprice), 2) AS max_price
+FROM lineitem
+WHERE l_quantity >= 45 AND l_discount > 0.05
+""",
+)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip: write a lineitem slice to ORC (zlib, Spark's
+    built-in columnar alternative to parquet), read it back WITH a
+    further predicate, and re-aggregate.  The oracle computes the same
+    profile from the ORIGINAL parquet — passing proves the ORC
+    writer/reader pair is value-lossless for longs and doubles AND that
+    the read-back predicate (``l_discount > 0.05``, applied only on the
+    ORC side in Spark but in the oracle's WHERE) selects the identical
+    row set, i.e. predicate evaluation agrees across the format
+    boundary.  At scale ORC pushes that filter to stripe/row-group
+    indexes exactly like parquet does — the scan-side contract the
+    engine's pushdown guarantees rely on is format-portable."""
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 45)
+    out = os.path.join(tempfile.mkdtemp(prefix="orc_rt_"), "lineitem_orc")
+    li.select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_discount"
+    ).write.mode("overwrite").orc(out)
+    back = spark.read.orc(out).where(F.col("l_discount") > 0.05)
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        F.round(F.sum("l_discount"), 4).alias("total_discount"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )

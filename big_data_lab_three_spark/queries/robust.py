@@ -1,0 +1,427 @@
+"""Robust-statistics query family — winsorized moments, median/MAD
+outlier detection, and sketch-accuracy gating.
+
+The reference's profiling surface is means/stds over columns that
+contain ±inf and heavy tails (SURVEY.md §2.3 A5/A6 — the CICIDS rate
+columns); a production data-quality pass needs the robust versions that
+don't let one corrupt row move the statistic.  All three queries here
+are built on scale-safe primitives:
+
+- exact per-group quantiles come from the distributed-rank machinery
+  (``operators/rankstats.py`` — range partition + local rank +
+  broadcast offsets; no whole-group percentile buffer, no single-task
+  window), the same path ``quantile_profile`` registered in r3;
+- tiny derived frames (per-group bounds/medians) broadcast back onto
+  the fact, so winsorizing/flagging is a map-side projection;
+- the HLL sketch check pins ``approx_count_distinct``'s error INSIDE
+  the value-hashed oracle output, so the mergeable sketch the 100 TB
+  path relies on is itself correctness-gated.
+
+Hash-parity: quantile interpolation mirrors the engines' shared
+``lo + frac·(hi - lo)`` double arithmetic (see ``quantile_profile``);
+clip/flag comparisons use those bit-identical bounds; floating
+aggregates are rounded on both sides; integer counts are cast BIGINT in
+the oracle (DuckDB sums of ints are HUGEINT otherwise).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_lab_three_spark.operators.rankstats import (
+    N_COL,
+    RANK_COL,
+    global_ranks,
+    ntile_from_rank,
+)
+from big_data_lab_three_spark.queries import register
+from big_data_lab_three_spark.sources import table
+
+
+def group_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    probs: dict[str, float],
+) -> DataFrame:
+    """Exact per-group continuous quantiles as a TINY frame — one row
+    per group, one column per entry of ``probs`` (name -> p).
+
+    Ranks come from :func:`global_ranks` (one range-partition shuffle,
+    memory bounded by partition, never by group); each quantile is then
+    the standard interpolation between the two rows flanking
+    ``h = (n-1)·p``, computed with the same double arithmetic Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` use, so exact oracles
+    can pin the result (see ``quantile_profile``,
+    ``queries/analytics.py``).  The output frame has ``len(groups)``
+    rows — broadcast it back to the fact for clipping/flagging."""
+    ranked = global_ranks(
+        df, order_cols=(value_col,), group_cols=tuple(group_cols)
+    )
+    rank, n, v = F.col(RANK_COL), F.col(N_COL), F.col(value_col)
+    aggs = []
+    outs: list[Column] = []
+    for key, p in probs.items():
+        h = (n - 1).cast("double") * F.lit(p)
+        k = F.floor(h)
+        aggs += [
+            F.max(F.when(rank == k + 1, v)).alias(f"_{key}_lo"),
+            F.max(F.when(rank == k + 2, v)).alias(f"_{key}_hi"),
+            F.max(h - k).alias(f"_{key}_frac"),
+        ]
+        lo = F.col(f"_{key}_lo")
+        hi = F.coalesce(F.col(f"_{key}_hi"), F.col(f"_{key}_lo"))
+        outs.append((lo + F.col(f"_{key}_frac") * (hi - lo)).alias(key))
+    return ranked.groupBy(*group_cols).agg(*aggs).select(*group_cols, *outs)
+
+
+@register(
+    "winsorize_stats",
+    ids="agg: winsorized moments per group (exact p05/p95 clip, distributed ranks)",
+    oracle="""
+WITH b AS (
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.05) AS lo,
+           quantile_cont(l_extendedprice, 0.95) AS hi
+    FROM lineitem
+    GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(least(greatest(l.l_extendedprice, b.lo), b.hi)), 4)
+           AS wins_mean,
+       round(stddev_samp(least(greatest(l.l_extendedprice, b.lo), b.hi)), 4)
+           AS wins_std,
+       CAST(sum(CASE WHEN l.l_extendedprice < b.lo THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clip_lo,
+       CAST(sum(CASE WHEN l.l_extendedprice > b.hi THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clip_hi
+FROM lineitem l
+JOIN b USING (l_returnflag)
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+""",
+)
+def winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean/std per return flag: clip ``l_extendedprice`` to
+    its exact per-group [p05, p95] band, then take ordinary moments —
+    the robust location/scale estimate that survives corrupt extreme
+    rows, plus how many rows each tail clipped.
+
+    Scale shape: the bounds frame is 3 rows (via
+    :func:`group_quantiles` — one range shuffle, bounded memory); it
+    broadcasts back so the clip is a map-side ``least/greatest``
+    projection, and the final moments are one partial-aggregated
+    hash agg.  No group ever sits in a single buffer or task.  The clip
+    comparisons use bit-identical bounds on both engines (shared
+    interpolation arithmetic), so the tail counts are exact."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    bounds = group_quantiles(
+        li, "l_extendedprice", ("l_returnflag",), {"lo": 0.05, "hi": 0.95}
+    )
+    v = F.col("l_extendedprice")
+    clipped = li.join(F.broadcast(bounds), "l_returnflag").select(
+        "l_returnflag",
+        F.least(F.greatest(v, F.col("lo")), F.col("hi")).alias("wv"),
+        (v < F.col("lo")).cast("long").alias("clip_lo"),
+        (v > F.col("hi")).cast("long").alias("clip_hi"),
+    )
+    return (
+        clipped.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("wv"), 4).alias("wins_mean"),
+            F.round(F.stddev_samp("wv"), 4).alias("wins_std"),
+            F.sum("clip_lo").alias("n_clip_lo"),
+            F.sum("clip_hi").alias("n_clip_hi"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "anomaly_mad",
+    ids="agg: median/MAD robust outlier flagging (two distributed-rank passes)",
+    oracle="""
+WITH m AS (
+    SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+    FROM lineitem
+    GROUP BY l_returnflag
+), d AS (
+    SELECT l.l_returnflag,
+           abs(l.l_extendedprice - m.med) AS adev,
+           m.med AS med
+    FROM lineitem l
+    JOIN m USING (l_returnflag)
+), md AS (
+    SELECT l_returnflag, quantile_cont(adev, 0.5) AS mad
+    FROM d
+    GROUP BY l_returnflag
+)
+SELECT d.l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       round(min(d.med), 4) AS med,
+       round(min(md.mad), 4) AS mad,
+       CAST(sum(CASE WHEN d.adev > 4.4478 * md.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM d
+JOIN md USING (l_returnflag)
+GROUP BY d.l_returnflag
+ORDER BY d.l_returnflag
+""",
+)
+def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier census per return flag: a row is anomalous when
+    its absolute deviation from the group median exceeds 3 robust
+    standard deviations (3·1.4826·MAD = 4.4478·MAD — the literal is
+    pre-multiplied so both engines evaluate one identical constant).
+    Median/MAD is the estimator pair that keeps a 50% breakdown point —
+    the outliers themselves cannot move the threshold, unlike the
+    mean/std z-score (``zscore_scale``).
+
+    Scale shape: two :func:`group_quantiles` passes (median of values,
+    then median of absolute deviations), each one range-partition
+    shuffle with bounded memory; both tiny per-group frames broadcast
+    back, so flagging is a map-side comparison feeding one partial
+    hash agg.  The MAD pass ranks a DERIVED column (``|x - med|``) —
+    the pattern that shows rank machinery composes: quantiles of
+    expressions, not just of stored columns."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    med = group_quantiles(
+        li, "l_extendedprice", ("l_returnflag",), {"med": 0.5}
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag",
+        "med",
+        F.abs(F.col("l_extendedprice") - F.col("med")).alias("adev"),
+    )
+    mad = group_quantiles(dev, "adev", ("l_returnflag",), {"mad": 0.5})
+    return (
+        dev.join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("med"), 4).alias("med"),
+            F.round(F.min("mad"), 4).alias("mad"),
+            F.sum(
+                (F.col("adev") > F.lit(4.4478) * F.col("mad")).cast("long")
+            ).alias("n_outliers"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "hll_distinct_check",
+    ids="agg: HLL++ approx_count_distinct with in-oracle accuracy gate",
+    oracle="""
+SELECT CAST(count(DISTINCT o_custkey) AS BIGINT)  AS custkeys,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS orderkeys,
+       TRUE AS custkeys_hll_ok,
+       TRUE AS orderkeys_hll_ok
+FROM orders
+""",
+)
+def hll_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts next to an HLL++ sketch accuracy gate.
+
+    ``count(DISTINCT ...)`` is exact but pays a de-dup exchange per
+    column; ``approx_count_distinct`` is the 100 TB path — a fixed-size
+    mergeable HLL++ register set per partition, ONE map-side-combined
+    pass for any number of columns, no distinct shuffle.  The sketch is
+    deterministic for given data (seeded xxHash64, deterministic
+    merge), so the within-5%-of-exact flags are stable booleans the
+    DuckDB oracle pins to TRUE — the sketch's error bound is checked by
+    the same value-hash gate as everything else, not just promised
+    (rsd=0.02 ⇒ 5% ≈ 2.5σ; verified across sf0.001/0.01/0.1).
+    """
+    o = table(spark, sf_dir, "orders")
+    within = lambda approx, exact: (  # noqa: E731
+        F.abs(approx.cast("double") - exact.cast("double"))
+        <= F.lit(0.05) * exact.cast("double")
+    )
+    agg = o.agg(
+        F.countDistinct("o_custkey").alias("custkeys"),
+        F.countDistinct("o_orderkey").alias("orderkeys"),
+        F.approx_count_distinct("o_custkey", 0.02).alias("_a_cust"),
+        F.approx_count_distinct("o_orderkey", 0.02).alias("_a_order"),
+    )
+    return agg.select(
+        "custkeys",
+        "orderkeys",
+        within(F.col("_a_cust"), F.col("custkeys")).alias("custkeys_hll_ok"),
+        within(F.col("_a_order"), F.col("orderkeys")).alias(
+            "orderkeys_hll_ok"
+        ),
+    )
+
+
+@register(
+    "auc_rank",
+    ids="ml-eval: exact distributed ROC-AUC via tie-averaged ranks (Mann-Whitney)",
+    oracle="""
+WITH r AS (
+    SELECT o_totalprice AS score,
+           CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos,
+           rank() OVER (ORDER BY o_totalprice) AS rk,
+           count(*) OVER (PARTITION BY o_totalprice) AS cnt
+    FROM orders
+), t AS (
+    SELECT sum(CASE WHEN pos = 1 THEN rk + (cnt - 1) / 2.0 END) AS rsum,
+           sum(pos) AS np,
+           sum(1 - pos) AS nn
+    FROM r
+)
+SELECT CAST(np AS BIGINT) AS n_pos,
+       CAST(nn AS BIGINT) AS n_neg,
+       round((rsum - np * (np + 1) / 2.0) / (np * nn), 6) AS auc
+FROM t
+""",
+)
+def auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of a score column against a binary label, computed
+    distributed via the Mann-Whitney rank-sum identity:
+    ``AUC = (Σ ranks(positives) − n₊(n₊+1)/2) / (n₊·n₋)`` with
+    tie-averaged ranks.  sklearn's ``roc_auc_score`` (the reference's
+    M7 scoring surface, ``src/train.py``) sorts all scores on one node;
+    this is the shape that evaluates a model over a 100 TB scored
+    corpus without collecting it.
+
+    Tie handling without a second data pass: :func:`global_ranks`
+    assigns arbitrary distinct ranks within a tie group, and the MEAN of
+    those ranks per distinct score equals the tie-averaged rank — so a
+    per-score aggregate (sum of ranks, label counts) feeds the rank-sum
+    directly.  Two shuffles total: the rank's range partition, then a
+    hash agg keyed by distinct score; both partial-aggregated, nothing
+    single-task.  The label here (orderstatus = 'F' vs totalprice) is
+    an arbitrary-but-deterministic fixture — the machinery is the
+    deliverable."""
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("score"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("pos"),
+    )
+    ranked = global_ranks(o, order_cols=("score",))
+    per_score = ranked.groupBy("score").agg(
+        F.avg(F.col(RANK_COL)).alias("arank"),
+        F.sum("pos").alias("np_g"),
+        F.count(F.lit(1)).alias("n_g"),
+    )
+    t = per_score.agg(
+        F.sum(F.col("arank") * F.col("np_g")).alias("rsum"),
+        F.sum("np_g").alias("np"),
+        F.sum(F.col("n_g") - F.col("np_g")).alias("nn"),
+    )
+    np_, nn = F.col("np").cast("double"), F.col("nn").cast("double")
+    return t.select(
+        F.col("np").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        F.round(
+            (F.col("rsum") - np_ * (np_ + 1) / F.lit(2.0)) / (np_ * nn), 6
+        ).alias("auc"),
+    )
+
+
+@register(
+    "gk_quantile_check",
+    ids="agg: approx_percentile (Greenwald-Khanna) with in-oracle rank-error gate",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n,
+       TRUE AS gk_p50_ok,
+       TRUE AS gk_p99_ok
+FROM lineitem
+""",
+)
+def gk_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The approximate-quantile twin of ``hll_distinct_check``: Spark's
+    ``approx_percentile`` (Greenwald-Khanna, accuracy parameter 100 ⇒
+    rank error ≤ n/100) is the mergeable sketch the 100 TB profile path
+    uses where ``quantile_profile``'s exact machinery isn't needed.
+    The sketch is deterministic for given data, so its guarantee is
+    checkable inside the oracle gate: re-rank the value GK returned
+    (one ``count(x ≤ v)`` pass against the broadcast 1-row sketch
+    result) and emit whether the realized rank sits within 2·n/100 of
+    the target — booleans the DuckDB oracle pins to TRUE.  Error-bound
+    verification rides the same value hash as every exact query."""
+    li = table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    sketch = li.agg(
+        F.percentile_approx("l_extendedprice", 0.5, 100).alias("v50"),
+        F.percentile_approx("l_extendedprice", 0.99, 100).alias("v99"),
+    )
+    v = F.col("l_extendedprice")
+    checked = li.crossJoin(F.broadcast(sketch)).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((v <= F.col("v50")).cast("long")).alias("r50"),
+        F.sum((v <= F.col("v99")).cast("long")).alias("r99"),
+    )
+    n = F.col("n").cast("double")
+    tol = F.lit(2.0) * n / F.lit(100.0)
+    return checked.select(
+        "n",
+        (F.abs(F.col("r50").cast("double") - F.lit(0.5) * n) <= tol).alias(
+            "gk_p50_ok"
+        ),
+        (F.abs(F.col("r99").cast("double") - F.lit(0.99) * n) <= tol).alias(
+            "gk_p99_ok"
+        ),
+    )
+
+
+@register(
+    "calibration_bins",
+    ids="ml-eval: score-decile reliability diagram (distributed ntile + per-bin label rate)",
+    oracle="""
+WITH t AS (
+    SELECT o_totalprice AS score,
+           CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos,
+           ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+    FROM orders
+)
+SELECT CAST(bin AS INTEGER) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(score), 4) AS mean_score,
+       round(avg(CAST(pos AS DOUBLE)), 6) AS frac_pos
+FROM t
+GROUP BY bin
+ORDER BY bin
+""",
+)
+def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram over score deciles — the calibration
+    companion to ``auc_rank``: bucket the scored corpus into 10
+    equal-count bins (exact SQL ``ntile`` semantics) and report each
+    bin's mean score against its realized positive rate.  A calibrated
+    model's curve hugs the diagonal; this is the evaluation table a
+    quality-classifier training loop (Gopher/CCNet-style corpus
+    filtering) watches per epoch.
+
+    Scale shape: bin membership comes from the distributed rank path
+    (``global_ranks`` + closed-form ``ntile_from_rank``, one range
+    shuffle, deterministic ``o_orderkey`` tiebreak — never a
+    single-task global window), and the per-bin rollup partial-
+    aggregates into 10 groups."""
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("score"),
+        "o_orderkey",
+        (F.col("o_orderstatus") == "F").cast("int").alias("pos"),
+    )
+    ranked = global_ranks(o, order_cols=("score", "o_orderkey"))
+    binned = ranked.withColumn(
+        "bin",
+        ntile_from_rank(F.col(RANK_COL), F.col(N_COL), 10).cast("int"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("score"), 4).alias("mean_score"),
+            F.round(F.avg(F.col("pos").cast("double")), 6).alias("frac_pos"),
+        )
+        .orderBy("bin")
+    )

@@ -217,3 +217,66 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "event_transitions",
+    ids="window+agg: per-user consecutive-event bigram census (sequence mining)",
+    oracle="""
+WITH ordered AS (
+    SELECT user_id, event_type, epoch_us(ts) AS us,
+           lag(event_type) OVER w AS prev_type,
+           lag(epoch_us(ts)) OVER w AS prev_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+)
+SELECT prev_type,
+       event_type AS next_type,
+       CAST(count(*) AS BIGINT) AS n_transitions,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       round(avg((us - prev_us) / 1000000.0), 4) AS avg_gap_s
+FROM ordered
+WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+ORDER BY prev_type, next_type
+""",
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition census over user event streams: every
+    consecutive ``(prev_event_type, next_event_type)`` pair within a
+    user's timeline, with transition counts, distinct-user reach, and
+    mean inter-event gap — the sequence-mining profile (what follows
+    what, how fast) a behavioral-analytics or session-modeling pipeline
+    derives before training sequence models.
+
+    Scale shape: ONE shuffle — the ``lag`` window partitions by
+    ``user_id`` (high-cardinality, so partitions stay small at any
+    scale; no low-cardinality-window trap), and the bigram rollup is a
+    partial (map-side) aggregate into at most |event_types|² groups.
+    Timestamps are µs-truncated longs (``ts div 1000``) per the
+    temporal-family convention, so ordering and gap arithmetic are
+    engine-portable integer math; the per-row µs→seconds division
+    happens before ``avg`` on both engines so the summation order is
+    the only divergence, absorbed by ``round(4)``."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("ts div 1000").alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .withColumn("prev_us", F.lag("us").over(w))
+        .where(F.col("prev_type").isNotNull())
+    )
+    gap_s = (F.col("us") - F.col("prev_us")) / F.lit(1000000.0)
+    return (
+        pairs.groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.avg(gap_s), 4).alias("avg_gap_s"),
+        )
+        .orderBy("prev_type", "next_type")
+    )

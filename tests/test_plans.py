@@ -626,3 +626,99 @@ def test_simhash_is_bucket_join_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Generate explode" in plan  # per-table segment keying
+
+
+def test_winsorize_bounds_broadcast_no_percentile_buffer(spark, sf_dir):
+    """Robust family: winsorize clip bounds come from the distributed
+    rank path and broadcast back — no exact ``percentile`` buffer, no
+    group-partitioned rank window, and the fact-side clip join must be
+    a broadcast (3-row bounds frame), never a shuffle of lineitem."""
+    df = REG["winsorize_stats"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "percentile" not in plan, "exact percentile buffer is back"
+    assert "rangepartitioning(l_returnflag" in plan
+    assert "row_number" not in plan
+    assert broadcast_join_count(df) >= 1, "bounds frame not broadcast"
+
+
+def test_anomaly_mad_double_rank_broadcasts(spark, sf_dir):
+    """Both quantile passes (median of values, median of |x-med|) must
+    broadcast their tiny per-group frames back; no percentile buffer,
+    no data-sized window."""
+    df = REG["anomaly_mad"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "percentile" not in plan
+    assert broadcast_join_count(df) >= 2, "med/mad frames not broadcast"
+    assert "row_number" not in plan
+
+
+def test_hll_check_is_single_pass_no_expand_explosion(spark, sf_dir):
+    """The HLL sketch columns must ride partial aggregation (HLL++
+    registers merge map-side); the exact countDistincts expand, but the
+    whole query stays one aggregate tree over one orders scan."""
+    df = REG["hll_distinct_check"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1, "orders scanned more than once"
+    assert "approx_count_distinct" in plan
+
+
+def test_event_transitions_single_user_shuffle(spark, sf_dir):
+    """The lag window partitions on high-cardinality user_id and the
+    bigram rollup partial-aggregates: exactly one data shuffle for the
+    window, plus the tiny-group agg exchange and presentation sort."""
+    df = REG["event_transitions"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(user_id" in plan
+    assert shuffle_count(df) <= 3
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """100 TB runtime-filtering guarantee: when a selective filter sits
+    on the build side of a shuffle join, Spark injects a bloom filter
+    (``might_contain``) onto the probe-side scan, so most fact rows die
+    before the exchange instead of shuffling to lose the join.  Pinned
+    here with thresholds forced so the toy inputs qualify; at real
+    scale the defaults trigger on the same shape."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        assert (
+            spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+            == "true"
+        ), "runtime bloom filters must stay enabled engine-wide"
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "10GB",
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        # force a shuffle join: bloom filters only apply when the join
+        # would otherwise move the full probe side
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        o = (
+            table(spark, sf_dir, "orders")
+            .where(F.col("o_totalprice") > 450000)
+            .select("o_orderkey")
+        )
+        li = table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).agg(
+            F.sum("l_extendedprice")
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, (
+            "no bloom filter injected on the probe side"
+        )
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
