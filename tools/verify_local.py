@@ -48,6 +48,16 @@ def main() -> int:
             continue
         try:
             sdf = q.spark(spark, sf_dir)
+            # Plan lint, free at this point: a CartesianProduct (both
+            # sides materialized, no broadcast) in ANY registered plan
+            # is a scale-killer regardless of local correctness.
+            # (BroadcastNestedLoopJoin over a 1-row scalar frame is the
+            # accepted scalar-subquery pattern and stays allowed.)
+            plan = sdf._jdf.queryExecution().executedPlan().toString()
+            if "CartesianProduct" in plan:
+                failures.append((name, "plan lint: CartesianProduct"))
+                print(f"FAIL {name}: plan lint: CartesianProduct in plan")
+                continue
             if q.oracle is None:
                 n = len(sdf.collect())
                 print(f"ok   {name}: rows-only ({n} rows)")
