@@ -280,3 +280,85 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+@register(
+    "snapshot_diff",
+    ids="join: FULL OUTER day-over-day snapshot diff (aggregate-then-join, added/removed/changed)",
+    oracle="""
+WITH d1 AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS val
+    FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-01'
+    GROUP BY event_type
+), d2 AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS val
+    FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-02'
+    GROUP BY event_type
+)
+SELECT coalesce(d1.event_type, d2.event_type) AS event_type,
+       coalesce(d1.n, 0)  AS n_prev,
+       coalesce(d2.n, 0)  AS n_curr,
+       coalesce(d2.n, 0) - coalesce(d1.n, 0) AS delta_n,
+       d1.val AS val_prev,
+       d2.val AS val_curr,
+       CASE WHEN d1.event_type IS NULL THEN 'added'
+            WHEN d2.event_type IS NULL THEN 'removed'
+            WHEN d1.n = d2.n THEN 'same'
+            ELSE 'changed' END AS status
+FROM d1 FULL OUTER JOIN d2 ON d1.event_type = d2.event_type
+ORDER BY event_type
+""",
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day snapshot diff — the ops query behind "what changed
+    since yesterday's run": per-event-type counts/values for two
+    consecutive days, FULL OUTER joined with coalesced keys so types
+    present in only one day surface as ``added``/``removed`` rather
+    than silently dropping (the join type no inner/left shape covers).
+
+    Scale shape: aggregate-then-join — each day's rollup shrinks to
+    ~|event_types| rows BEFORE the full-outer join, so the join touches
+    tiny frames no matter the fact size; the two day filters evaluate
+    in the scan stage.  Dates derive from the µs-truncated UTC instant
+    on both engines (``ts div 1000`` → ``to_date``, matching DuckDB's
+    ``CAST(ts AS DATE)`` on its µs timestamp)."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.to_date(F.timestamp_micros(F.expr("ts div 1000"))).alias("d"),
+    )
+
+    def day(date: str, tag: str) -> DataFrame:
+        return (
+            ev.where(F.col("d") == F.lit(date).cast("date"))
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias(f"n_{tag}"),
+                F.round(F.sum("value"), 2).alias(f"val_{tag}"),
+            )
+        )
+
+    d1 = day("2024-01-01", "prev")
+    d2 = day("2024-01-02", "curr")
+    j = d1.withColumnRenamed("event_type", "et1").join(
+        d2.withColumnRenamed("event_type", "et2"),
+        F.col("et1") == F.col("et2"),
+        "full_outer",
+    )
+    return j.select(
+        F.coalesce("et1", "et2").alias("event_type"),
+        F.coalesce("n_prev", F.lit(0)).alias("n_prev"),
+        F.coalesce("n_curr", F.lit(0)).alias("n_curr"),
+        (F.coalesce("n_curr", F.lit(0)) - F.coalesce("n_prev", F.lit(0))).alias(
+            "delta_n"
+        ),
+        "val_prev",
+        "val_curr",
+        F.when(F.col("et1").isNull(), "added")
+        .when(F.col("et2").isNull(), "removed")
+        .when(F.col("n_prev") == F.col("n_curr"), "same")
+        .otherwise("changed")
+        .alias("status"),
+    ).orderBy("event_type")
