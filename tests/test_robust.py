@@ -1,0 +1,98 @@
+"""Unit-level checks for the robust-statistics family — the DuckDB
+oracle gate pins these queries end-to-end on the driver tables; these
+tests pin the underlying MATH against independent numpy computations on
+adversarial small inputs (ties, tiny groups, single-row groups), where
+rank/interpolation bugs actually live.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_lab_three_spark.queries.robust import group_quantiles
+
+
+def _auc_numpy(scores: list[float], labels: list[int]) -> float:
+    """Tie-averaged Mann-Whitney AUC, computed independently."""
+    order = np.argsort(scores, kind="stable")
+    s = np.asarray(scores, dtype=float)[order]
+    y = np.asarray(labels)[order]
+    ranks = np.empty(len(s))
+    i = 0
+    while i < len(s):
+        j = i
+        while j + 1 < len(s) and s[j + 1] == s[i]:
+            j += 1
+        ranks[i : j + 1] = (i + 1 + j + 1) / 2.0  # average of 1-based ranks
+        i = j + 1
+    np_pos = int(y.sum())
+    nn = len(y) - np_pos
+    rsum = float(ranks[y == 1].sum())
+    return (rsum - np_pos * (np_pos + 1) / 2.0) / (np_pos * nn)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_auc_rank_matches_numpy_with_ties(spark, seed):
+    rng = np.random.default_rng(seed)
+    # integer scores force heavy ties — the case naive rank AUC breaks
+    scores = rng.integers(0, 10, size=400).astype(float).tolist()
+    labels = (rng.random(400) < 0.3).astype(int).tolist()
+    from big_data_lab_three_spark.operators.rankstats import (
+        RANK_COL,
+        global_ranks,
+    )
+
+    df = spark.createDataFrame(
+        list(zip(scores, labels)), "score double, pos int"
+    )
+    ranked = global_ranks(df, order_cols=("score",))
+    per_score = ranked.groupBy("score").agg(
+        F.avg(F.col(RANK_COL)).alias("arank"),
+        F.sum("pos").alias("np_g"),
+        F.count(F.lit(1)).alias("n_g"),
+    )
+    row = per_score.agg(
+        F.sum(F.col("arank") * F.col("np_g")).alias("rsum"),
+        F.sum("np_g").alias("np"),
+        F.sum(F.col("n_g") - F.col("np_g")).alias("nn"),
+    ).first()
+    auc = (row.rsum - row.np * (row.np + 1) / 2.0) / (row.np * row.nn)
+    assert math.isclose(auc, _auc_numpy(scores, labels), rel_tol=1e-12)
+
+
+@pytest.mark.parametrize(
+    "values",
+    [
+        [1.0],  # single row: every quantile is the value itself
+        [3.0, 1.0],  # two rows: pure interpolation
+        [5.0, 5.0, 5.0, 5.0],  # all ties
+        [2.0, 7.5, 7.5, 7.5, 9.0, -1.0, 0.0],  # ties straddling h
+    ],
+)
+def test_group_quantiles_matches_numpy_linear(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    got = group_quantiles(
+        df, "v", (), {"p25": 0.25, "p50": 0.5, "p99": 0.99}
+    ).first()
+    for key, p in (("p25", 0.25), ("p50", 0.5), ("p99", 0.99)):
+        want = float(np.percentile(values, p * 100, method="linear"))
+        assert math.isclose(getattr(got, key), want, rel_tol=1e-12), (
+            f"{key}: {getattr(got, key)} != numpy {want} on {values}"
+        )
+
+
+def test_group_quantiles_per_group_isolation(spark):
+    """Groups must not contaminate each other's quantiles — one huge
+    outlier group next to a tiny group."""
+    rows = [("a", float(i)) for i in range(100)] + [("b", 1e9)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        r.g: r.p50
+        for r in group_quantiles(df, "v", ("g",), {"p50": 0.5}).collect()
+    }
+    assert math.isclose(got["a"], 49.5, rel_tol=1e-12)
+    assert got["b"] == 1e9
