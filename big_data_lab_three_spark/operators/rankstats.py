@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Output column names added by :func:`global_ranks`.
@@ -134,3 +134,46 @@ def ntile_from_rank(rank, n, buckets: int):
     return F.when(
         rank <= boundary, F.floor((rank - 1) / big) + 1
     ).otherwise(r + F.floor((rank - 1 - boundary) / small) + 1)
+
+
+def group_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    probs: dict[str, float],
+    count_col: str | None = None,
+) -> DataFrame:
+    """Exact per-group continuous quantiles as a TINY frame — one row
+    per group, one column per entry of ``probs`` (name -> p), plus the
+    group row count as ``count_col`` when requested.
+
+    Ranks come from :func:`global_ranks` (one range-partition shuffle,
+    memory bounded by partition, never by group); each quantile is then
+    the standard interpolation between the two rows flanking
+    ``h = (n-1)·p``, computed with the same double arithmetic Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` use, so exact oracles
+    can pin the result (the single shared implementation behind
+    ``quantile_profile``, ``winsorize_stats``, ``anomaly_mad``).  The
+    output frame has ``len(groups)`` rows — broadcast it back to the
+    fact for clipping/flagging."""
+    ranked = global_ranks(
+        df, order_cols=(value_col,), group_cols=tuple(group_cols)
+    )
+    rank, n, v = F.col(RANK_COL), F.col(N_COL), F.col(value_col)
+    aggs = []
+    outs: list[Column] = []
+    for key, p in probs.items():
+        h = (n - 1).cast("double") * F.lit(p)
+        k = F.floor(h)
+        aggs += [
+            F.max(F.when(rank == k + 1, v)).alias(f"_{key}_lo"),
+            F.max(F.when(rank == k + 2, v)).alias(f"_{key}_hi"),
+            F.max(h - k).alias(f"_{key}_frac"),
+        ]
+        lo = F.col(f"_{key}_lo")
+        hi = F.coalesce(F.col(f"_{key}_hi"), F.col(f"_{key}_lo"))
+        outs.append((lo + F.col(f"_{key}_frac") * (hi - lo)).alias(key))
+    if count_col is not None:
+        aggs.append(F.max(n).alias(count_col))  # N_COL is constant per group
+        outs.append(F.col(count_col))
+    return ranked.groupBy(*group_cols).agg(*aggs).select(*group_cols, *outs)

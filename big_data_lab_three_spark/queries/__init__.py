@@ -190,6 +190,10 @@ def _driver_verified() -> frozenset[str]:
             if (
                 isinstance(row, dict)
                 and row.get("rows_match")
+                # schema/hash may be absent on rows-only checks, but a
+                # recorded False means the evidence is a FAILURE — such
+                # names must stay in the re-verify prefix
+                and row.get("schema_match") is not False
                 and row.get("hash_match") is not False
                 and not row.get("err")
             ):

@@ -34,6 +34,7 @@ from big_data_lab_three_spark.operators.rankstats import (
     N_COL,
     RANK_COL,
     global_ranks,
+    group_quantiles,
     ntile_from_rank,
 )
 from big_data_lab_three_spark.queries import register
@@ -520,46 +521,29 @@ def quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/rankstats.py) assigns each row its exact per-group rank
     distributed (range partition + local rank + broadcast offsets), and
     the continuous quantile is read off the two rows flanking
-    ``h = (n-1)·p`` per group: ``v_lo + (h - ⌊h⌋)·(v_hi - v_lo)`` —
-    the same interpolation ``percentile``/``quantile_cont`` define, so
+    ``h = (n-1)·p`` per group via the shared
+    ``operators.rankstats.group_quantiles`` helper (also behind
+    ``winsorize_stats``/``anomaly_mad``): ``v_lo + (h-⌊h⌋)·(v_hi-v_lo)``
+    — the same interpolation ``percentile``/``quantile_cont`` define, so
     the exact oracle still pins it.  Memory per task is bounded by the
     range partition, never the group."""
     li = table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
-    ranked = global_ranks(
+    qs = group_quantiles(
         li,
-        order_cols=("l_extendedprice",),
-        group_cols=("l_returnflag",),
+        "l_extendedprice",
+        ("l_returnflag",),
+        {"p50": 0.5, "p90": 0.9, "p99": 0.99},
+        count_col="n",
     )
-    rank, n = F.col(RANK_COL), F.col(N_COL)
-    aggs = [F.count(F.lit(1)).alias("n")]
-    quantiles = []
-    for key, p in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
-        # h mirrors the engines' double arithmetic exactly: both Spark's
-        # `percentile` and DuckDB's `quantile_cont` compute (n-1)*p in
-        # doubles, so agreeing bit-for-bit requires doing the same.
-        h = (n - 1).cast("double") * F.lit(p)
-        k = F.floor(h)  # 0-based index of the lower flanking row
-        v = F.col("l_extendedprice")
-        aggs += [
-            F.max(F.when(rank == k + 1, v)).alias(f"_{key}_lo"),
-            F.max(F.when(rank == k + 2, v)).alias(f"_{key}_hi"),
-            F.max(h - k).alias(f"_{key}_frac"),  # constant per group
-        ]
-        lo = F.col(f"_{key}_lo")
-        hi = F.coalesce(F.col(f"_{key}_hi"), F.col(f"_{key}_lo"))
-        quantiles.append(
-            F.round(
-                lo + F.col(f"_{key}_frac") * (hi - lo), 4
-            ).alias(key)
-        )
-    return (
-        ranked.groupBy("l_returnflag")
-        .agg(*aggs)
-        .select("l_returnflag", *quantiles, "n")
-        .orderBy("l_returnflag")
-    )
+    return qs.select(
+        "l_returnflag",
+        F.round("p50", 4).alias("p50"),
+        F.round("p90", 4).alias("p90"),
+        F.round("p99", 4).alias("p99"),
+        "n",
+    ).orderBy("l_returnflag")
 
 
 @register(

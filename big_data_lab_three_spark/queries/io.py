@@ -16,6 +16,19 @@ from big_data_lab_three_spark.sources import read_json_records, table
 from big_data_lab_three_spark.sources.sinks import write_csv
 
 
+def _scratch(name: str) -> str:
+    """Per-process STABLE scratch path for round-trip sinks.  A fresh
+    ``mkdtemp`` per invocation leaks one table slice per run — bench
+    repeats, verify gates, and A/B rounds each compound it.  A fixed
+    per-process path + ``mode=overwrite`` bounds the footprint to one
+    copy per sink per process; the PID suffix keeps concurrent
+    bench/verify processes from clobbering each other's files
+    mid-read."""
+    d = os.path.join(tempfile.gettempdir(), f"spark_graft_io_{os.getpid()}")
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, name)
+
+
 @register(
     "csv_roundtrip",
     ids="S1,S2,P8",
@@ -43,7 +56,7 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``monotonically_increasing_id`` ids are partition-gapped, so
     distinctness, not density, is the contract)."""
     li = table(spark, sf_dir, "lineitem").where(F.col("l_quantity") < 5)
-    out = os.path.join(tempfile.mkdtemp(prefix="csv_rt_"), "lineitem_csv")
+    out = _scratch("lineitem_csv")
     write_csv(li.select("l_orderkey", "l_quantity", "l_extendedprice"), out)
     back = (
         spark.read.option("header", True)
@@ -82,7 +95,7 @@ def json_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "y": [{"State": 1}, {"State": 0}, {"State": 1}],
     }
-    path = os.path.join(tempfile.mkdtemp(prefix="json_rec_"), "fixture.json")
+    path = _scratch("fixture.json")
     with open(path, "w", encoding="utf-8") as f:
         json.dump(fixture, f)
     return read_json_records(spark, path, record_path="X").select(
@@ -117,7 +130,7 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     indexes exactly like parquet does — the scan-side contract the
     engine's pushdown guarantees rely on is format-portable."""
     li = table(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 45)
-    out = os.path.join(tempfile.mkdtemp(prefix="orc_rt_"), "lineitem_orc")
+    out = _scratch("lineitem_orc")
     li.select(
         "l_orderkey", "l_quantity", "l_extendedprice", "l_discount"
     ).write.mode("overwrite").orc(out)

@@ -26,56 +26,18 @@ the oracle (DuckDB sums of ints are HUGEINT otherwise).
 
 from __future__ import annotations
 
-from collections.abc import Sequence
-
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from big_data_lab_three_spark.operators.rankstats import (
     N_COL,
     RANK_COL,
     global_ranks,
+    group_quantiles,
     ntile_from_rank,
 )
 from big_data_lab_three_spark.queries import register
 from big_data_lab_three_spark.sources import table
-
-
-def group_quantiles(
-    df: DataFrame,
-    value_col: str,
-    group_cols: Sequence[str],
-    probs: dict[str, float],
-) -> DataFrame:
-    """Exact per-group continuous quantiles as a TINY frame — one row
-    per group, one column per entry of ``probs`` (name -> p).
-
-    Ranks come from :func:`global_ranks` (one range-partition shuffle,
-    memory bounded by partition, never by group); each quantile is then
-    the standard interpolation between the two rows flanking
-    ``h = (n-1)·p``, computed with the same double arithmetic Spark's
-    ``percentile`` and DuckDB's ``quantile_cont`` use, so exact oracles
-    can pin the result (see ``quantile_profile``,
-    ``queries/analytics.py``).  The output frame has ``len(groups)``
-    rows — broadcast it back to the fact for clipping/flagging."""
-    ranked = global_ranks(
-        df, order_cols=(value_col,), group_cols=tuple(group_cols)
-    )
-    rank, n, v = F.col(RANK_COL), F.col(N_COL), F.col(value_col)
-    aggs = []
-    outs: list[Column] = []
-    for key, p in probs.items():
-        h = (n - 1).cast("double") * F.lit(p)
-        k = F.floor(h)
-        aggs += [
-            F.max(F.when(rank == k + 1, v)).alias(f"_{key}_lo"),
-            F.max(F.when(rank == k + 2, v)).alias(f"_{key}_hi"),
-            F.max(h - k).alias(f"_{key}_frac"),
-        ]
-        lo = F.col(f"_{key}_lo")
-        hi = F.coalesce(F.col(f"_{key}_hi"), F.col(f"_{key}_lo"))
-        outs.append((lo + F.col(f"_{key}_frac") * (hi - lo)).alias(key))
-    return ranked.groupBy(*group_cols).agg(*aggs).select(*group_cols, *outs)
 
 
 @register(

@@ -79,20 +79,26 @@ print("ABJSON:" + json.dumps(res))
 
 
 def run_side(tree: str, sf_dir: str, names: list[str], inner: int) -> dict:
-    proc = subprocess.run(
-        [
-            sys.executable,
-            "-c",
-            _RUNNER,
-            tree,
-            sf_dir,
-            ",".join(names),
-            str(inner),
-        ],
-        capture_output=True,
-        text=True,
-        timeout=3600,
-    )
+    try:
+        proc = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                _RUNNER,
+                tree,
+                sf_dir,
+                ",".join(names),
+                str(inner),
+            ],
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+    except subprocess.TimeoutExpired:
+        # a hung side must not discard the other rounds' measurements —
+        # report nothing for this pass and keep going
+        sys.stderr.write(f"side timed out after 3600s: {tree}\n")
+        return {}
     for line in reversed(proc.stdout.splitlines()):
         if line.startswith("ABJSON:"):
             return json.loads(line[len("ABJSON:") :])
@@ -136,10 +142,18 @@ def main() -> int:
             fa = f"{a:.3f}" if a is not None else "ERR"
             fb = f"{b:.3f}" if b is not None else "ERR"
             print(f"{k:<32} {fa:>8} {fb:>10} {ratio:>6}")
-        ta = sum(v for v in a_best.values() if v)
-        tb = sum(v for v in b_best.values() if v)
+        # totals over the INTERSECTION only: with no query filter the
+        # current tree may register queries the older ref lacks (or a
+        # query may error on one side), and summing each side over its
+        # own set would report a phantom regression
+        both = [k for k in keys if a_best.get(k) and b_best.get(k)]
+        ta = sum(a_best[k] for k in both)
+        tb = sum(b_best[k] for k in both)
         if ta and tb:
-            print(f"\ntotal A={ta:.2f}s  B={tb:.2f}s  A/B={ta / tb:.2f}")
+            print(
+                f"\ntotal over {len(both)} shared queries: "
+                f"A={ta:.2f}s  B={tb:.2f}s  A/B={ta / tb:.2f}"
+            )
     finally:
         subprocess.run(
             ["git", "-C", REPO, "worktree", "remove", "--force", wt],
