@@ -56,17 +56,17 @@ def main() -> int:
             plan = sdf._jdf.queryExecution().executedPlan().toString()
             if "CartesianProduct" in plan:
                 failures.append((name, "plan lint: CartesianProduct"))
-                print(f"FAIL {name}: plan lint: CartesianProduct in plan")
+                print(f"FAIL {name}: plan lint: CartesianProduct in plan", flush=True)
                 continue
             if q.oracle is None:
                 n = len(sdf.collect())
-                print(f"ok   {name}: rows-only ({n} rows)")
+                print(f"ok   {name}: rows-only ({n} rows)", flush=True)
                 continue
             try:
                 res = con.execute(q.oracle)
             except Exception as e:  # noqa: BLE001
                 failures.append((name, f"duckdb error: {e}"))
-                print(f"FAIL {name}: duckdb error: {e}")
+                print(f"FAIL {name}: duckdb error: {e}", flush=True)
                 continue
             # compare() touches both engines (DuckDB arrow fetch, Spark
             # collect) — label its failures neutrally, not "spark error".
@@ -74,20 +74,20 @@ def main() -> int:
                 problems, n_rows = compare(sdf, res)
             except Exception as e:  # noqa: BLE001
                 failures.append((name, f"compare error: {e}"))
-                print(f"FAIL {name}: compare error: {e}")
+                print(f"FAIL {name}: compare error: {e}", flush=True)
                 continue
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"spark error: {e}"))
-            print(f"FAIL {name}: spark error: {e}")
+            print(f"FAIL {name}: spark error: {e}", flush=True)
             continue
         finally:
             # don't leak persisted intermediates into later queries
             spark.catalog.clearCache()
         if problems:
             failures.append((name, "; ".join(problems)))
-            print(f"FAIL {name}: {'; '.join(problems)}")
+            print(f"FAIL {name}: {'; '.join(problems)}", flush=True)
         else:
-            print(f"ok   {name}: {n_rows} rows match oracle")
+            print(f"ok   {name}: {n_rows} rows match oracle", flush=True)
 
     n_run = len(only) if only else len(registry)
     print(f"\n{n_run - len(failures)}/{n_run} queries ok")
