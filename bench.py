@@ -154,22 +154,35 @@ def main() -> None:
     if errors:
         out["errors"] = errors
 
-    # Round-over-round regression diff: queries >20% AND >0.15s slower
-    # than the prior recorded round (both gates — min-of-2 timings on a
-    # shared box still jitter, and 20% of a 50ms query is noise).  A
-    # plan regression thus shows up as a named delta, not a silent
-    # drift of the corpus total.
+    # Round-over-round regression diff, DRIFT-NORMALIZED: absolute
+    # timings shift 18-30% between rounds with machine state, uniformly
+    # across queries — so the raw >20% rule once flagged 23 "regressions"
+    # that were all the same slower-machine constant.  The median
+    # now/prev ratio across shared queries IS that constant (a plan
+    # regression moves one query, not the median); a query regresses
+    # when it is >20% slower than drift-adjusted expectation AND >0.15s
+    # absolute (20% of a 50ms query is noise).
     prior, prior_src = load_prior_timings(
         os.path.dirname(os.path.abspath(__file__))
     )
-    if prior:
+    shared = {
+        name: t / prior[name]
+        for name, t in timings.items()
+        if name in prior and prior[name] > 0
+    }
+    if shared:
+        drift = sorted(shared.values())[len(shared) // 2]
         regressions = {
-            name: {"prev": prior[name], "now": t}
-            for name, t in timings.items()
-            if name in prior
-            and t > prior[name] * 1.2
-            and t - prior[name] > 0.15
+            name: {
+                "prev": prior[name],
+                "now": timings[name],
+                "ratio_vs_drift": round(r / drift, 3),
+            }
+            for name, r in shared.items()
+            if r > drift * 1.2
+            and timings[name] - prior[name] * drift > 0.15
         }
+        out["machine_drift"] = round(drift, 3)
         out["regressions"] = regressions
         out["regressions_vs"] = prior_src
     print(json.dumps(out))
