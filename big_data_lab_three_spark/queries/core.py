@@ -900,42 +900,42 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT 'l_discount' AS col_name,
        count(l_discount) AS n_rows,
-       CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
-           / count(l_discount) AS mean,
-       sqrt((CAST(sum(CAST(l_discount AS DECIMAL(4,2))
+       round(CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+           / count(l_discount), 6) AS mean,
+       round(sqrt((CAST(sum(CAST(l_discount AS DECIMAL(4,2))
                       * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
              - CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
                * CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
                / count(l_discount))
-            / (count(l_discount) - 1)) AS std,
+            / (count(l_discount) - 1)), 6) AS std,
        min(l_discount) AS min_val,
        max(l_discount) AS max_val
 FROM lineitem
 UNION ALL
 SELECT 'l_extendedprice' AS col_name,
        count(l_extendedprice) AS n_rows,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
-           / count(l_extendedprice) AS mean,
-       sqrt((CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+           / count(l_extendedprice), 6) AS mean,
+       round(sqrt((CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
                       * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
              - CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
                * CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
                / count(l_extendedprice))
-            / (count(l_extendedprice) - 1)) AS std,
+            / (count(l_extendedprice) - 1)), 6) AS std,
        min(l_extendedprice) AS min_val,
        max(l_extendedprice) AS max_val
 FROM lineitem
 UNION ALL
 SELECT 'l_quantity' AS col_name,
        count(l_quantity) AS n_rows,
-       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
-           / count(l_quantity) AS mean,
-       sqrt((CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+           / count(l_quantity), 6) AS mean,
+       round(sqrt((CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
                       * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
              - CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
                * CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
                / count(l_quantity))
-            / (count(l_quantity) - 1)) AS std,
+            / (count(l_quantity) - 1)), 6) AS std,
        min(l_quantity) AS min_val,
        max(l_quantity) AS max_val
 FROM lineitem
@@ -951,11 +951,14 @@ def summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hash-parity technique: mean and std are derived from exact DECIMAL
     sums (``sum(x)``, ``sum(x*x)``) cast to double only once — both
     engines then evaluate the *same* IEEE expression
-    ``(ss - s*s/n)/(n-1)``, so the output doubles are bit-identical with
-    no rounding needed.  A plain ``avg``/``stddev`` would drift an ULP
-    with summation order (and Spark's Welford vs DuckDB's formula differ
-    further).  At 100 TB this stays a single scan-bound pass with a
-    15-value reduce."""
+    ``(ss - s*s/n)/(n-1)`` — plus the corpus-wide derived-value
+    rounding (6 dp).  Exact sums kill the summation-order drift a plain
+    ``avg``/``stddev`` (Spark Welford vs DuckDB formula) would have,
+    but the rounding is still REQUIRED: at sf0.1 the ``sum(x*x)``
+    DECIMAL exceeds 2^53 quanta and the engines' DECIMAL→DOUBLE casts
+    round that conversion differently by one ULP (found by the full
+    sf0.1 gate; invisible at sf0.01).  At 100 TB this stays a single
+    scan-bound pass with a 15-value reduce."""
     li = table(spark, sf_dir, "lineitem")
     cols = [
         ("l_discount", "decimal(4,2)"),
@@ -996,8 +999,8 @@ def summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select(
         "col_name",
         "n_rows",
-        (s / n).alias("mean"),
-        F.sqrt((ss - s * s / n) / (n - 1)).alias("std"),
+        F.round(s / n, 6).alias("mean"),
+        F.round(F.sqrt((ss - s * s / n) / (n - 1)), 6).alias("std"),
         "min_val",
         "max_val",
     ).orderBy("col_name")
@@ -1027,21 +1030,21 @@ WITH m AS (
     FROM lineitem
 )
 SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
-       (n * s_qp - s_q * s_p)
-           / (sqrt(n * ss_q - s_q * s_q) * sqrt(n * ss_p - s_p * s_p))
-           AS corr_xy
+       round((n * s_qp - s_q * s_p)
+           / (sqrt(n * ss_q - s_q * s_q) * sqrt(n * ss_p - s_p * s_p)),
+           12) AS corr_xy
 FROM m
 UNION ALL
 SELECT 'l_quantity' AS col_x, 'l_discount' AS col_y,
-       (n * s_qd - s_q * s_d)
-           / (sqrt(n * ss_q - s_q * s_q) * sqrt(n * ss_d - s_d * s_d))
-           AS corr_xy
+       round((n * s_qd - s_q * s_d)
+           / (sqrt(n * ss_q - s_q * s_q) * sqrt(n * ss_d - s_d * s_d)),
+           12) AS corr_xy
 FROM m
 UNION ALL
 SELECT 'l_extendedprice' AS col_x, 'l_discount' AS col_y,
-       (n * s_pd - s_p * s_d)
-           / (sqrt(n * ss_p - s_p * s_p) * sqrt(n * ss_d - s_d * s_d))
-           AS corr_xy
+       round((n * s_pd - s_p * s_d)
+           / (sqrt(n * ss_p - s_p * s_p) * sqrt(n * ss_d - s_d * s_d)),
+           12) AS corr_xy
 FROM m
 ORDER BY col_x, col_y
 """,
@@ -1055,8 +1058,10 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Hash-parity: moments are exact DECIMAL sums cast to double once;
     both engines then evaluate the same IEEE expression
-    ``(n·sxy − sx·sy) / (√(n·sxx − sx²)·√(n·syy − sy²))``, so the
-    doubles are bit-identical without rounding.  Built-in ``F.corr``
+    ``(n·sxy − sx·sy) / (√(n·sxx − sx²)·√(n·syy − sy²))``, rounded to
+    12 dp — needed because at sf0.1 the second-moment DECIMALs exceed
+    2^53 quanta and the engines' DECIMAL→DOUBLE casts differ by one ULP
+    (full-sf0.1-gate finding).  Built-in ``F.corr``
     (Welford-style, partition-order-dependent) could not hash-match
     DuckDB's ``corr`` — deriving from exact sums is what makes the
     cross-engine check possible.  At 100 TB: one scan-bound pass, a
@@ -1100,7 +1105,7 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.struct(
                         F.lit(x).alias("col_x"),
                         F.lit(y).alias("col_y"),
-                        e.alias("corr_xy"),
+                        F.round(e, 12).alias("corr_xy"),
                     )
                     for x, y, e in pairs
                 ]
