@@ -93,6 +93,10 @@ _FORCE_FRONT: tuple[str, ...] = (
     "quantile_profile",
     "top_supplier",
     "stratified_sample",
+    # r3 output change: derived stats now rounded (the sf0.1 ULP fix) —
+    # r1/r2 green rows pinned the unrounded values
+    "summary_stats",
+    "corr_matrix",
 )
 
 _DRIVER_ROTATION: tuple[str, ...] = (
