@@ -1131,3 +1131,122 @@ def unigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "line_dedup",
+    ids="text: corpus-frequency span removal (C4/RefinedWeb line dedup), checksum-pinned",
+    oracle="""
+WITH w AS (
+    SELECT doc_id, lang,
+           unnest(string_split(text, ' ')) AS word,
+           generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+    FROM documents
+), c AS (
+    SELECT doc_id, lang, pos // 8 AS cid,
+           string_agg(word, ' ' ORDER BY pos) AS chunk
+    FROM w
+    GROUP BY doc_id, lang, pos // 8
+), f AS (
+    SELECT chunk FROM c GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2
+), k AS (
+    SELECT doc_id, lang, cid, chunk,
+           chunk IN (SELECT chunk FROM f) AS dup
+    FROM c
+), clean AS (
+    SELECT doc_id, lang,
+           coalesce(
+               string_agg(chunk, ' ' ORDER BY cid) FILTER (WHERE NOT dup),
+               '') AS text2,
+           count(*) AS n_chunks,
+           sum(CASE WHEN dup THEN 1 ELSE 0 END) AS n_rm
+    FROM k
+    GROUP BY doc_id, lang
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+       CAST(sum(n_rm) AS BIGINT) AS n_removed,
+       CAST(sum(CASE WHEN n_rm > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_docs_changed,
+       CAST(bit_xor(CAST(('0x' || substr(md5(text2), 1, 15)) AS BIGINT))
+           AS BIGINT) AS content_checksum
+FROM clean
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency span removal — the C4 / RefinedWeb "line dedup"
+    pass: segment every document into fixed 8-word spans (the driver
+    corpus has no newlines, so spans stand in for lines), drop every
+    span whose exact text occurs in ≥2 DISTINCT documents corpus-wide,
+    and reassemble the survivors in order.  Boilerplate (headers,
+    navigation, license blobs) dies corpus-wide in one pass; the
+    ``content_checksum`` (order-insensitive xor of each cleaned
+    document's truncated md5, the ``pii_redact`` convention) pins the
+    exact reassembled bytes, not just counts.
+
+    Scale shape: spans come from ``slice``/``transform`` over the split
+    array — a generated-column explode, NO shuffle to build them; the
+    span-frequency aggregate shuffles 16-byte md5 digests, never span
+    text; the frequent set (boilerplate is rare by count) BROADCASTS
+    back, so flagging is map-side; reassembly is one doc_id shuffle with
+    per-doc ``array_sort(collect_list(struct))`` bounded by document
+    length.  Two data shuffles total, both carrying bounded payloads."""
+    d = table(spark, sf_dir, "documents")
+    arr = F.split(F.col("text"), " ")
+    nchunks = F.ceil(F.size(arr) / F.lit(8)).cast("int")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), nchunks - 1),
+        lambda i: F.array_join(F.slice(arr, i * 8 + 1, 8), " "),
+    )
+    c = d.select(
+        "doc_id", "lang", F.posexplode(chunk_arr).alias("cid", "chunk")
+    )
+    frequent = (
+        c.groupBy(F.md5("chunk").alias("dig"))
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") >= 2)
+        .select("dig")
+    )
+    flagged = c.join(
+        F.broadcast(frequent), F.md5(c["chunk"]) == F.col("dig"), "left"
+    ).select(
+        "doc_id",
+        "lang",
+        "cid",
+        "chunk",
+        F.col("dig").isNotNull().alias("dup"),
+    )
+    clean = flagged.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("dup").cast("long")).alias("n_rm"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("dup"), F.struct("cid", "chunk")
+                        )
+                    )
+                ),
+                lambda s: s.chunk,
+            ),
+            " ",
+        ).alias("text2"),
+    )
+    return (
+        clean.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chunks").alias("n_chunks"),
+            F.sum("n_rm").alias("n_removed"),
+            F.sum((F.col("n_rm") > 0).cast("long")).alias("n_docs_changed"),
+            F.expr(
+                "bit_xor(cast(conv(substring(md5(text2), 1, 15), 16, 10)"
+                " as bigint))"
+            ).alias("content_checksum"),
+        )
+        .orderBy("lang")
+    )

@@ -722,3 +722,16 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_line_dedup_shuffles_digests_broadcasts_frequents(spark, sf_dir):
+    """C4-style span dedup: span construction is a generated-column
+    explode (no shuffle to build spans), the frequency aggregate keys
+    on md5 digests (16-byte shuffle payload, never span text), and the
+    frequent set broadcasts back for map-side flagging."""
+    df = REG["line_dedup"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate posexplode" in plan
+    assert "md5" in plan
+    assert broadcast_join_count(df) >= 1, "frequent-span set not broadcast"
+    assert "CartesianProduct" not in plan
