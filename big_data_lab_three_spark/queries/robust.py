@@ -387,3 +387,92 @@ def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "revenue_trend",
+    ids="ml-eval: distributed OLS trend over daily revenue (exact moment sums)",
+    oracle="""
+WITH d AS (
+    SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               - 9300 AS x,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(19,2))
+               AS y
+    FROM orders
+    GROUP BY 1
+), m AS (
+    SELECT count(*) AS n,
+           CAST(sum(x) AS DOUBLE) AS sx,
+           CAST(sum(x * x) AS DOUBLE) AS sxx,
+           CAST(sum(y) AS DOUBLE) AS sy,
+           CAST(sum(y * y) AS DOUBLE) AS syy,
+           CAST(sum(x * y) AS DOUBLE) AS sxy
+    FROM d
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
+           AS intercept,
+       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM m
+""",
+)
+def revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed simple linear regression: the OLS slope / intercept /
+    R² of daily order revenue against time — the trend fit a forecast
+    or drift-monitor job runs over the whole history without collecting
+    it (sklearn's ``LinearRegression`` — the reference's M3 family —
+    fits in driver memory; this fits from five moment sums).
+
+    Numerics, applying the sf0.1 ULP lesson (see ``summary_stats``):
+    x is the epoch day CENTERED by a fixed literal (−9300, mid-range of
+    the 1992-1998 order dates) so the ``n·Σxy − Σx·Σy`` cancellation
+    keeps ~8 more significant bits; all five moments are EXACT (integer
+    x sums, DECIMAL y/xy sums) cast to double once; both engines then
+    evaluate the identical IEEE formula and the outputs carry the
+    corpus-wide derived-value rounding.  The daily total is DECIMAL(19,2)
+    — width > 18 forces DuckDB's int128 physical type so ``y*y`` widens
+    to DECIMAL(38,4) instead of overflowing int64 at sf0.1.
+
+    Scale shape: one shuffle to the ~2400-day rollup (map-side partial
+    into day groups), then a 5-value reduce — the same
+    one-pass-plus-tiny-reduce shape as ``summary_stats``, however large
+    orders grows."""
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            (
+                F.datediff(
+                    F.to_date("o_orderdate"),
+                    F.lit("1970-01-01").cast("date"),
+                ).cast("long")
+                - 9300
+            ).alias("x")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("decimal(19,2)")
+            .alias("y")
+        )
+    )
+    m = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sxx = F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    slope = num / den
+    return m.select(
+        F.col("n").alias("n_days"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 4).alias("intercept"),
+        F.round(num * num / (den * (n * syy - sy * sy)), 6).alias("r2"),
+    )
