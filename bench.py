@@ -183,6 +183,18 @@ def main() -> None:
             and timings[name] - prior[name] * drift > 0.15
         }
         out["machine_drift"] = round(drift, 3)
+        # The median CANNOT distinguish machine state from a regression
+        # that slows EVERY query (a session-conf or engine-level change)
+        # — both raise all ratios uniformly.  Surface the ambiguity
+        # instead of absorbing it: a large drift value demands the
+        # same-day A/B (tools/ab_bench.py vs the prior commit), which
+        # is immune to machine state by construction.
+        if drift > 1.2:
+            out["drift_note"] = (
+                f"median ratio {drift:.2f} vs {prior_src} — machine "
+                "state OR a global regression; confirm with "
+                "tools/ab_bench.py before trusting either reading"
+            )
         out["regressions"] = regressions
         out["regressions_vs"] = prior_src
     print(json.dumps(out))

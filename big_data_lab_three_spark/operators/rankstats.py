@@ -155,9 +155,17 @@ def group_quantiles(
     can pin the result (the single shared implementation behind
     ``quantile_profile``, ``winsorize_stats``, ``anomaly_mad``).  The
     output frame has ``len(groups)`` rows — broadcast it back to the
-    fact for clipping/flagging."""
+    fact for clipping/flagging.
+
+    NULL ``value_col`` rows are dropped first — ``quantile_cont`` /
+    ``percentile`` ignore NULLs, but ``global_ranks`` sorts them FIRST,
+    which would hand low-p quantiles a NULL flanking row and shift every
+    other quantile; ``count_col`` therefore counts NON-NULL values
+    (``count(value_col)`` semantics, not ``count(*)``)."""
     ranked = global_ranks(
-        df, order_cols=(value_col,), group_cols=tuple(group_cols)
+        df.where(F.col(value_col).isNotNull()),
+        order_cols=(value_col,),
+        group_cols=tuple(group_cols),
     )
     rank, n, v = F.col(RANK_COL), F.col(N_COL), F.col(value_col)
     aggs = []

@@ -129,12 +129,13 @@ _DRIVER_ROTATION: tuple[str, ...] = (
     "pii_scan",
     "contamination_check",
     # multimodal (codec_census supersedes meta_profile's evidence —
-    # same sidecar columns plus codec/resolution breakdown)
+    # same sidecar columns plus codec/resolution breakdown;
+    # frame_sample/resize ceded their prefix slots to the two
+    # rounding-changed EDA queries in _FORCE_FRONT — they follow
+    # immediately after the 50-name driver sample)
     "multimodal_codec_census",
     "multimodal_decode_stats",
-    "multimodal_frame_sample",
     "multimodal_features",
-    "multimodal_resize",
     # streaming (rows-only or full oracle as registered)
     "streaming_window_counts",
     "streaming_sessionize",
@@ -181,8 +182,12 @@ def _driver_verified() -> frozenset[str]:
     root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
-    ok: set[str] = set()
-    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+    # LATEST round wins per name: an old green row must not mask a later
+    # recorded failure (the regressed query has to re-enter the driver
+    # re-verify prefix), so verdicts are collected in round order and
+    # overwritten.
+    verdict: dict[str, bool] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
                 rec = json.load(f)
@@ -191,18 +196,18 @@ def _driver_verified() -> frozenset[str]:
         if not isinstance(rec, dict):
             continue
         for name, row in rec.items():
-            if (
-                isinstance(row, dict)
-                and row.get("rows_match")
+            if not isinstance(row, dict):
+                continue
+            verdict[name] = bool(
+                row.get("rows_match")
                 # schema/hash may be absent on rows-only checks, but a
                 # recorded False means the evidence is a FAILURE — such
                 # names must stay in the re-verify prefix
                 and row.get("schema_match") is not False
                 and row.get("hash_match") is not False
                 and not row.get("err")
-            ):
-                ok.add(name)
-    return frozenset(ok)
+            )
+    return frozenset(n for n, good in verdict.items() if good)
 
 
 def load_all() -> dict[str, Query]:

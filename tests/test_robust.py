@@ -96,3 +96,17 @@ def test_group_quantiles_per_group_isolation(spark):
     }
     assert math.isclose(got["a"], 49.5, rel_tol=1e-12)
     assert got["b"] == 1e9
+
+
+def test_group_quantiles_ignores_nulls_like_quantile_cont(spark):
+    """NULLs must not shift quantiles (quantile_cont/percentile ignore
+    them) nor poison low-p flanking rows — global_ranks sorts NULLs
+    first, so the helper has to drop them before ranking."""
+    rows = [("a", v) for v in [None, None, 1.0, 2.0, 3.0, 4.0, None]]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = group_quantiles(
+        df, "v", ("g",), {"p0": 0.0, "p50": 0.5}, count_col="n"
+    ).first()
+    assert got.p0 == 1.0  # a NULL flanking row would make this None
+    assert math.isclose(got.p50, 2.5, rel_tol=1e-12)
+    assert got.n == 4  # count(v) semantics, not count(*)
