@@ -735,3 +735,18 @@ def test_line_dedup_shuffles_digests_broadcasts_frequents(spark, sf_dir):
     assert "md5" in plan
     assert broadcast_join_count(df) >= 1, "frequent-span set not broadcast"
     assert "CartesianProduct" not in plan
+
+
+def test_snapshot_diff_aggregates_before_full_outer(spark, sf_dir):
+    """Day-over-day diff must shrink each day to its per-type rollup
+    BEFORE the full-outer join — the join may only ever see
+    aggregate-sized inputs, so a SortMergeJoin/ShuffledHashJoin over
+    raw events (fact-sized full outer) must not appear."""
+    df = REG["snapshot_diff"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FullOuter" in plan
+    # both join inputs are post-aggregation: the HashAggregates sit
+    # BELOW the join in the tree, i.e. the string order shows the join
+    # above at least two aggregates
+    assert plan.count("HashAggregate") >= 4  # 2 sides × partial+final
+    assert "CartesianProduct" not in plan
