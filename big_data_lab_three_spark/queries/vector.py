@@ -167,3 +167,65 @@ def similarity_ivf_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@register(
+    "array_funcs_census",
+    ids="§2.6 array family: higher-order functions over embedding arrays (transform/aggregate/exists/filter)",
+    oracle="""
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(min(len(embedding)) AS INTEGER) AS dim_min,
+       CAST(max(len(embedding)) AS INTEGER) AS dim_max,
+       round(avg(CAST(list_max(embedding) AS DOUBLE)), 4) AS mean_max_elem,
+       round(avg(CAST(list_min(embedding) AS DOUBLE)), 4) AS mean_min_elem,
+       round(avg(CAST(embedding[1] AS DOUBLE)), 4) AS mean_first_elem,
+       CAST(sum(CASE WHEN len(list_filter(embedding, x -> x > 1.5)) > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_with_spike,
+       CAST(sum(len(list_filter(embedding, x -> x < 0)) ) AS BIGINT)
+           AS n_negative_elems
+FROM embeddings
+GROUP BY label
+ORDER BY label
+""",
+)
+def array_funcs_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array-function census over the embedding column —
+    the §2.6 family the reference never needs (pandas has no array
+    column) but any vector-bearing corpus does: ``array_max/min``,
+    element extraction, ``exists`` (any element above a spike
+    threshold), and ``filter``+``size`` (per-vector negative-element
+    count), rolled up per label.
+
+    Every array op here evaluates INSIDE whole-stage codegen as a pure
+    projection — no explode, no shuffle of unrolled elements (64×
+    row-count rows at 100 TB); the only exchange is the ~|labels|-group
+    rollup.  Comparisons use exact float predicates and extractions
+    (element_at is Spark's 1-based twin of DuckDB's ``embedding[1]``),
+    so only the averaged extrema carry the corpus float-rounding."""
+    e = table(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    return (
+        e.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min(F.size(v)).alias("dim_min"),
+            F.max(F.size(v)).alias("dim_max"),
+            F.round(F.avg(F.array_max(v).cast("double")), 4).alias(
+                "mean_max_elem"
+            ),
+            F.round(F.avg(F.array_min(v).cast("double")), 4).alias(
+                "mean_min_elem"
+            ),
+            F.round(F.avg(F.element_at(v, 1).cast("double")), 4).alias(
+                "mean_first_elem"
+            ),
+            F.sum(
+                F.exists(v, lambda x: x > 1.5).cast("long")
+            ).alias("n_with_spike"),
+            F.sum(
+                F.size(F.filter(v, lambda x: x < 0)).cast("long")
+            ).alias("n_negative_elems"),
+        )
+        .orderBy("label")
+    )
