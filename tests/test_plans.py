@@ -750,3 +750,13 @@ def test_snapshot_diff_aggregates_before_full_outer(spark, sf_dir):
     # above at least two aggregates
     assert plan.count("HashAggregate") >= 4  # 2 sides × partial+final
     assert "CartesianProduct" not in plan
+
+
+def test_constraint_audit_is_single_scan(spark, sf_dir):
+    """All constraint rules must fuse into conditional sums over ONE
+    lineitem scan (the oracle's per-rule scans are SQL clarity only);
+    adding a rule may never add a pass."""
+    df = REG["constraint_audit"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1, "rules split into scans"
+    assert "Generate inline" in plan  # wide→tall unpivot, no union
