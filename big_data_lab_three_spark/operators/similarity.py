@@ -34,6 +34,7 @@ __all__ = [
     "hyperplane_keys",
     "ivf_topk",
     "lsh_bucketed_topk",
+    "pq_topk",
 ]
 
 
@@ -343,6 +344,165 @@ def lsh_bucketed_topk(
     )
     scored = cosine_score_pairs(
         candidates, "qvec", "cvec", ["query_id", "neighbor_id"]
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    k: int = 5,
+    candidates: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+    max_iter: int = 8,
+) -> DataFrame:
+    """Product-quantization ANN (FAISS ``IndexPQ`` shape) — the
+    memory-compression scale path next to LSH (bucket pruning) and IVF
+    (cell pruning): each d-dim float vector is stored as ``m`` one-byte
+    codes (d=64, m=8 → 8 bytes vs 256), so the candidate scan reads
+    ~3% of the bytes a brute-force pass would.
+
+    1. Train ``m`` per-subspace codebooks (``ksub`` centroids over each
+       d/m-dim slice) with driver-side Lloyd's on a capped seeded
+       sample — the FAISS practice, same rationale as ``ivf_topk``'s
+       coarse quantizer: the trainer output is a few KB however big the
+       corpus is.
+    2. ONE ``mapInPandas`` pass over the corpus encodes each batch
+       (argmin per subspace) and scores it against every query via the
+       ADC lookup table (``tables[q][m][code]`` = squared distance of
+       the query's m-th slice to that centroid; approx distance is an
+       m-term table sum — no float vector math per pair), keeping the
+       per-batch top-``candidates`` per query.
+    3. Global top-``candidates`` per query (window over the small
+       candidate table), then EXACT cosine rescore over the original
+       vectors + rank — approximation affects only candidate choice,
+       never reported scores (same contract as LSH/IVF here).
+
+    Exact-duplicate guarantee (what ``similarity_pq_recall`` pins): a
+    vector identical to a query attains the per-subspace minimum of
+    every ADC table term, so its table-sum is the global LOWER BOUND of
+    approximate distances — only same-code vectors can tie, therefore
+    the duplicate always survives both top-``candidates`` cuts, and the
+    exact rescore ranks it first.
+
+    At 100 TB: codebooks + ADC tables ride the task closure (KBs), the
+    corpus scan reads (id, 8 codes) — encoded once at ingest in a real
+    deployment — and the only shuffle is the candidate window + rescore
+    join, all bounded by ``queries × candidates``."""
+    import numpy as np
+
+    dsub_rows = corpus.select(F.col(vec_col).alias("_v")).limit(
+        max(ksub * 10_000, 100_000)
+    )
+    sample = np.asarray(
+        [r["_v"] for r in dsub_rows.collect()], dtype=np.float64
+    )
+    sample /= np.maximum(
+        np.linalg.norm(sample, axis=1, keepdims=True), 1e-12
+    )
+    d = sample.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.default_rng(seed)
+    books = []  # m × ksub × dsub
+    for j in range(m):
+        sub = sample[:, j * dsub : (j + 1) * dsub]
+        centers = sub[
+            rng.choice(len(sub), size=min(ksub, len(sub)), replace=False)
+        ].copy()
+        for _ in range(max_iter):
+            d2 = ((sub[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(centers)):
+                members = sub[assign == c]
+                if len(members):
+                    centers[c] = members.mean(axis=0)
+        books.append(centers)
+    books_arr = np.stack(books)  # (m, ksub, dsub)
+
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    ).collect()
+    q_ids = np.asarray([r["query_id"] for r in q_rows])
+    q_mat = np.asarray([r["qvec"] for r in q_rows], dtype=np.float64)
+    q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
+    # ADC tables: tables[q, j, c] = ||q_slice_j - books[j][c]||²
+    tables = (
+        (q_mat.reshape(len(q_mat), m, 1, dsub) - books_arr[None]) ** 2
+    ).sum(axis=3)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType(), True),
+            T.StructField("neighbor_id", T.LongType(), True),
+            T.StructField("approx_d", T.DoubleType(), True),
+        ]
+    )
+
+    def scan(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as np
+        import pandas as pd
+
+        for b in batches:
+            if len(b) == 0:
+                continue
+            ids = b["neighbor_id"].to_numpy()
+            x = _stack(b["cvec"])
+            x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            xs = x.reshape(len(x), m, 1, dsub)
+            codes = ((xs - books_arr[None]) ** 2).sum(axis=3).argmin(axis=2)
+            # approx[i, q] = Σ_j tables[q, j, codes[i, j]]
+            approx = tables[:, np.arange(m)[None, :], codes].sum(axis=2).T
+            c_eff = min(candidates, len(ids))
+            rows = []
+            for qi in range(len(q_ids)):
+                order = np.lexsort((ids, approx[:, qi]))[:c_eff]
+                rows.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": q_ids[qi],
+                            "neighbor_id": ids[order],
+                            "approx_d": approx[order, qi],
+                        }
+                    )
+                )
+            yield pd.concat(rows, ignore_index=True)
+
+    cand = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        )
+        .mapInPandas(scan, out_schema)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_d"), F.asc("neighbor_id")
+    )
+    top_cand = (
+        cand.withColumn("_r", F.row_number().over(wc))
+        .where(F.col("_r") <= candidates)
+        .drop("_r", "approx_d")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    pairs = top_cand.join(c, "neighbor_id").join(F.broadcast(q), "query_id")
+    scored = cosine_score_pairs(
+        pairs, "qvec", "cvec", ["query_id", "neighbor_id"]
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")

@@ -10,6 +10,7 @@ from big_data_lab_three_spark.operators.similarity import (
     brute_force_topk,
     ivf_topk,
     lsh_bucketed_topk,
+    pq_topk,
 )
 from big_data_lab_three_spark.queries import register
 from big_data_lab_three_spark.sources import table
@@ -228,4 +229,61 @@ def array_funcs_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_negative_elems"),
         )
         .orderBy("label")
+    )
+
+
+@register(
+    "similarity_pq",
+    ids="similarity: product-quantization ANN (8-byte codes, ADC scan) — probabilistic top-k",
+)
+def similarity_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN over the shared deterministic query sample (every 100th
+    vector, the ``similarity_topk`` baseline's set) — rows-only here
+    (candidate choice is approximate); accuracy evidence lives in
+    ``similarity_pq_recall``'s full oracle and the pytest recall gate
+    against the brute-force baseline."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 100 == 0)
+    return pq_topk(q, e, m=8, ksub=16, k=5).select(
+        "query_id",
+        "neighbor_id",
+        F.round("cos_sim", 4).alias("cos_sim"),
+        "rank",
+    ).orderBy("query_id", "rank")
+
+
+@register(
+    "similarity_pq_recall",
+    ids="similarity: PQ ANN exact-duplicate retrieval (deterministic full oracle)",
+    oracle="""
+SELECT vec_id + 1000000 AS query_id,
+       vec_id AS neighbor_id,
+       CAST(1.0 AS DOUBLE) AS cos_sim,
+       CAST(1 AS INTEGER) AS rank
+FROM embeddings
+WHERE vec_id % 10 = 0
+ORDER BY query_id
+""",
+)
+def similarity_pq_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ twin of the LSH/IVF recall queries: an identical vector
+    attains the per-subspace minimum of every ADC table term, so its
+    approximate distance is the global lower bound — it survives every
+    candidate cut deterministically (only same-code vectors can tie),
+    and the exact rescore ranks it first.  Pins codebook training,
+    encoding, the ADC scan, candidate cuts, and rescore under a full
+    value hash."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    return (
+        pq_topk(q, e, m=8, ksub=16, k=1)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_sim", 4).alias("cos_sim"),
+            "rank",
+        )
+        .orderBy("query_id")
     )

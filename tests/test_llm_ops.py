@@ -89,6 +89,27 @@ def test_ivf_similarity_recall_against_brute_force(spark, sf_dir):
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
 
 
+def test_pq_similarity_recall_against_brute_force(spark, sf_dir):
+    """PQ candidates come from 8-byte-code ADC distances; with 64
+    candidates re-ranked exactly, a solid fraction of the true top-5
+    must survive, and returned ranks must be dense per query."""
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in REG["similarity_topk"].spark(spark, sf_dir).collect()
+    }
+    approx_rows = REG["similarity_pq"].spark(spark, sf_dir).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in approx_rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall > 0.3, f"PQ recall {recall:.2f} too low"
+    per_query = {}
+    for r in approx_rows:
+        assert 1 <= r.rank <= 5
+        assert -1.0001 <= r.cos_sim <= 1.0001
+        per_query.setdefault(r.query_id, []).append(r.rank)
+    for ranks in per_query.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
 def test_brute_force_near_dup_caps_driver_materialization(spark, sf_dir):
     """The brute-force baseline must refuse a frame larger than its
     explicit cap instead of silently collecting a corpus to the driver."""
