@@ -47,6 +47,7 @@ _MODULES = (
     "big_data_lab_three_spark.queries.setops",
     "big_data_lab_three_spark.queries.robust",
     "big_data_lab_three_spark.queries.governance",
+    "big_data_lab_three_spark.queries.graph",
     "big_data_lab_three_spark.queries.io",
     "big_data_lab_three_spark.queries.text",
     "big_data_lab_three_spark.queries.dedup",
