@@ -476,3 +476,54 @@ def revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((sy - slope * sx) / n, 4).alias("intercept"),
         F.round(num * num / (den * (n * syy - sy * sy)), 6).alias("r2"),
     )
+
+
+@register(
+    "freq_items_check",
+    ids="agg: heavy-hitters sketch (lossy counting) with in-oracle no-false-negative gate",
+    oracle="""
+WITH f AS (
+    SELECT o_orderpriority, count(*) AS n,
+           count(*) * 1.0 / (SELECT count(*) FROM orders) AS frac
+    FROM orders
+    GROUP BY o_orderpriority
+)
+SELECT CAST(count(*) AS BIGINT) AS n_heavy_true,
+       TRUE AS all_heavy_in_sketch
+FROM f
+WHERE frac > 0.1
+""",
+)
+def freq_items_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitters via ``DataFrame.stat.freqItems`` (the
+    Karp/Demaine-Lopez-Ortiz/Munro streaming lossy-counting algorithm —
+    one pass, fixed memory, mergeable) gated in-oracle: the algorithm
+    GUARANTEES every value with frequency above the support threshold
+    appears in its output under ANY partitioning/merge order (false
+    positives possible, false negatives not), so "every truly >10%
+    value is in the 5%-support sketch" is a deterministic boolean the
+    DuckDB oracle pins TRUE — robust even if the driver's session
+    partitions the scan differently.  Third sketch-accuracy gate next
+    to HLL (``hll_distinct_check``) and GK (``gk_quantile_check``);
+    at 100 TB this is how per-column top-value profiling runs without a
+    per-column groupBy exchange."""
+    o = table(spark, sf_dir, "orders")
+    sketch_row = o.stat.freqItems(["o_orderpriority"], support=0.05)
+    sketch = sketch_row.select(
+        F.explode("o_orderpriority_freqItems").alias("val")
+    )
+    total = o.count()
+    heavy = (
+        o.groupBy(F.col("o_orderpriority").alias("val"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 0.1 * total)
+    )
+    joined = heavy.join(
+        F.broadcast(sketch.withColumn("_hit", F.lit(1))), "val", "left"
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_heavy_true"),
+        (F.sum(F.coalesce("_hit", F.lit(0))) == F.count(F.lit(1))).alias(
+            "all_heavy_in_sketch"
+        ),
+    )
