@@ -760,3 +760,32 @@ def test_constraint_audit_is_single_scan(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan parquet") == 1, "rules split into scans"
     assert "Generate inline" in plan  # wide→tall unpivot, no union
+
+
+def test_observation_metrics_piggyback_on_one_pass(spark, sf_dir):
+    """Operational pattern for 100 TB jobs: data-quality counters ride
+    the SAME action as the work (``df.observe``) instead of a second
+    scan — the fused constraint_audit idea applied to any query's
+    existing pass.  Verify the observed metrics agree with separately
+    computed truth."""
+    from pyspark.sql import Observation
+
+    li = table(spark, sf_dir, "lineitem")
+    obs = Observation("quality")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum((F.col("l_discount") > 0.1).cast("long")).alias(
+            "discount_violations"
+        ),
+    )
+    # the "real work": an aggregate the pipeline would run anyway
+    revenue = observed.agg(F.sum("l_extendedprice")).first()[0]
+    assert revenue > 0
+    got = obs.get
+    truth = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("l_discount") > 0.1).cast("long")).alias("v"),
+    ).first()
+    assert got["rows_seen"] == truth.n
+    assert got["discount_violations"] == truth.v
