@@ -89,16 +89,12 @@ def register(name: str, ids: str = "", oracle: str | None = None):
 # reshuffle needed.  This is presentation only: every entry remains
 # registered and locally gated either way.
 _FORCE_FRONT: tuple[str, ...] = (
-    # r3 plan rewrites (scale-safe paths registered) — driver rows from
-    # r1/r2 predate these plans
-    "equi_depth_histogram",
-    "quantile_profile",
-    "top_supplier",
-    "stratified_sample",
-    # r3 output change: derived stats now rounded (the sf0.1 ULP fix) —
-    # r1/r2 green rows pinned the unrounded values
-    "summary_stats",
-    "corr_matrix",
+    # empty as of r4: all six r3 plan-rewrite / rounding-change entries
+    # (equi_depth_histogram, quantile_profile, top_supplier,
+    # stratified_sample, summary_stats, corr_matrix) went fully green in
+    # CORRECTNESS_r03.json, so per the contract above they rejoin the
+    # verified backlog and their six prefix slots go to never-verified
+    # names.
 )
 
 _DRIVER_ROTATION: tuple[str, ...] = (

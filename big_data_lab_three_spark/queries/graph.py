@@ -62,9 +62,14 @@ def triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     LOWEST-degree vertex of the pair, so a celebrity vertex of degree D
     generates O(D) directed wedges instead of O(D²): the quadratic
     blowup a power-law graph inflicts on the naive join moves to the
-    bounded low-degree side.  Three shuffles total (edge dedup, wedge
-    join on src, closure join on the (b,c) key); the degree table rides
-    a broadcast.  ``n_wedges`` comes from the closed-form Σd(d−1)/2 on
+    bounded low-degree side.  Shuffles: edge dedup, the two
+    degree-annotation joins, the wedge join on src, and the closure
+    join on the (b,c) key.  The degree joins deliberately carry NO
+    broadcast hint: ``deg`` is |V|-sized (part-key cardinality — beyond
+    any broadcast threshold on a 100 TB co-occurrence graph), so they
+    shuffle on the vertex key and AQE is free to promote them only when
+    the realized size is actually small.  ``n_wedges`` comes from the
+    closed-form Σd(d−1)/2 on
     the tiny degree table, and the coefficient is 3·triangles/wedges."""
     o = table(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1995-03-01").cast("timestamp"))
@@ -101,11 +106,11 @@ def triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     # direct each edge low→high by the (degree, id) total order
     ed = (
         edges.join(
-            F.broadcast(deg.withColumnRenamed("vertex", "u").withColumnRenamed("d", "du")),
+            deg.withColumnRenamed("vertex", "u").withColumnRenamed("d", "du"),
             "u",
         )
         .join(
-            F.broadcast(deg.withColumnRenamed("vertex", "v").withColumnRenamed("d", "dv")),
+            deg.withColumnRenamed("vertex", "v").withColumnRenamed("d", "dv"),
             "v",
         )
         .select(

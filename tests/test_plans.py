@@ -789,3 +789,22 @@ def test_observation_metrics_piggyback_on_one_pass(spark, sf_dir):
     ).first()
     assert got["rows_seen"] == truth.n
     assert got["discount_violations"] == truth.v
+
+
+def test_triangle_census_degree_join_not_broadcast(spark, sf_dir):
+    """r4 scale fix: the degree table is |V|-sized (part-key
+    cardinality on a 100 TB co-occurrence graph), so the two
+    degree-annotation joins must NOT carry a planner broadcast hint —
+    they shuffle on the vertex key, and only AQE may promote them at
+    runtime when the realized size is small.  The tiny 1-row aggregate
+    crossJoins at the end remain broadcasts by design."""
+    df = REG["triangle_census"].spark(spark, sf_dir)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    # optimizedPlan shows hint-driven ResolvedHint/JoinHint markers;
+    # with the hints removed, no broadcast hint may survive on the
+    # vertex-keyed joins (the scalar crossJoins hint 1-row frames only).
+    assert logical.count("broadcast") <= 2, (
+        "degree-table broadcast hint reintroduced:\n" + logical
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
