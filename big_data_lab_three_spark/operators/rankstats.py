@@ -161,7 +161,18 @@ def group_quantiles(
     ``percentile`` ignore NULLs, but ``global_ranks`` sorts them FIRST,
     which would hand low-p quantiles a NULL flanking row and shift every
     other quantile; ``count_col`` therefore counts NON-NULL values
-    (``count(value_col)`` semantics, not ``count(*)``)."""
+    (``count(value_col)`` semantics, not ``count(*)``).
+
+    ORACLE CONTRACT for callers on NULLABLE columns: because of the
+    drop above, (a) ``count_col`` must be pinned oracle-side as
+    ``count(value_col)``, never ``count(*)``, and (b) a group whose
+    values are ALL NULL produces NO output row here, whereas a SQL
+    ``GROUP BY`` keeps it with NULL quantiles — pair this operator with
+    a ``HAVING count(value_col) > 0`` (or an inner join back to the
+    group list) on the oracle side.  The registered callers
+    (``quantile_profile``, ``winsorize_stats``, ``anomaly_mad``,
+    ``calibration_bins``) all run on NOT-NULL driver columns, where the
+    two conventions coincide."""
     ranked = global_ranks(
         df.where(F.col(value_col).isNotNull()),
         order_cols=(value_col,),

@@ -373,10 +373,15 @@ def pq_topk(
     ~3% of the bytes a brute-force pass would.
 
     1. Train ``m`` per-subspace codebooks (``ksub`` centroids over each
-       d/m-dim slice) with driver-side Lloyd's on a capped seeded
-       sample — the FAISS practice, same rationale as ``ivf_topk``'s
-       coarse quantizer: the trainer output is a few KB however big the
-       corpus is.
+       d/m-dim slice) with driver-side Lloyd's on a capped
+       CONTENT-KEYED sample (``xxhash64(id) mod step == 0`` with step
+       sized from a cheap count, then an id-ordered cap) — the FAISS
+       practice, same rationale as ``ivf_topk``'s coarse quantizer: the
+       trainer output is a few KB however big the corpus is.  The
+       content keying makes the codebooks a pure function of the DATA:
+       a bare ``limit`` samples whatever files the scan lists first, so
+       recompaction or repartitioning would silently retrain different
+       codebooks.
     2. ONE ``mapInPandas`` pass over the corpus encodes each batch
        (argmin per subspace) and scores it against every query via the
        ADC lookup table (``tables[q][m][code]`` = squared distance of
@@ -401,8 +406,19 @@ def pq_topk(
     join, all bounded by ``queries × candidates``."""
     import numpy as np
 
-    dsub_rows = corpus.select(F.col(vec_col).alias("_v")).limit(
-        max(ksub * 10_000, 100_000)
+    cap = max(ksub * 10_000, 100_000)
+    # Deterministic content-keyed sample: hash-mod the id down to ~cap
+    # rows (pure function of the data, invariant to file layout), then
+    # an id-ORDERED cap — the residual limit is deterministic because
+    # the sort key is unique.  The count is an id-only scan, ~free on
+    # parquet at any scale.
+    n_corpus = corpus.select(id_col).count()
+    step = max(1, n_corpus // cap)
+    dsub_rows = (
+        corpus.select(F.col(id_col).alias("_i"), F.col(vec_col).alias("_v"))
+        .where(F.pmod(F.xxhash64(F.col("_i"), F.lit(seed)), F.lit(step)) == 0)
+        .orderBy("_i")
+        .limit(cap)
     )
     sample = np.asarray(
         [r["_v"] for r in dsub_rows.collect()], dtype=np.float64

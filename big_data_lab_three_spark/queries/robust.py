@@ -307,10 +307,17 @@ def gk_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses where ``quantile_profile``'s exact machinery isn't needed.
     The sketch is deterministic for given data, so its guarantee is
     checkable inside the oracle gate: re-rank the value GK returned
-    (one ``count(x ≤ v)`` pass against the broadcast 1-row sketch
-    result) and emit whether the realized rank sits within 2·n/100 of
-    the target — booleans the DuckDB oracle pins to TRUE.  Error-bound
-    verification rides the same value hash as every exact query."""
+    (one pass computing both ``count(x < v)`` and ``count(x ≤ v)``
+    against the broadcast 1-row sketch result) and emit whether the
+    value's REALIZED RANK INTERVAL — ``[count(<v)+1, count(≤v)]``, the
+    set of ranks a tied value legitimately occupies — overlaps the
+    tolerance band ``target ± 2·n/100``.  Gating on the upper rank
+    alone would flip to FALSE on coarse-valued columns where a single
+    tie run is wider than the band even though GK's rank guarantee
+    holds (a returned value inside a huge tie run has SOME rank within
+    ε·n of the target; ``count(≤v)`` is merely the largest of them).
+    Booleans the DuckDB oracle pins to TRUE; error-bound verification
+    rides the same value hash as every exact query."""
     li = table(spark, sf_dir, "lineitem").select("l_extendedprice")
     sketch = li.agg(
         F.percentile_approx("l_extendedprice", 0.5, 100).alias("v50"),
@@ -319,19 +326,24 @@ def gk_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = F.col("l_extendedprice")
     checked = li.crossJoin(F.broadcast(sketch)).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum((v <= F.col("v50")).cast("long")).alias("r50"),
-        F.sum((v <= F.col("v99")).cast("long")).alias("r99"),
+        F.sum((v < F.col("v50")).cast("long")).alias("lt50"),
+        F.sum((v <= F.col("v50")).cast("long")).alias("le50"),
+        F.sum((v < F.col("v99")).cast("long")).alias("lt99"),
+        F.sum((v <= F.col("v99")).cast("long")).alias("le99"),
     )
     n = F.col("n").cast("double")
     tol = F.lit(2.0) * n / F.lit(100.0)
+
+    def interval_ok(lt: str, le: str, q: float):
+        target = F.lit(q) * n
+        lo = F.col(lt).cast("double") + F.lit(1.0)  # smallest tied rank
+        hi = F.col(le).cast("double")  # largest tied rank
+        return (lo <= target + tol) & (hi >= target - tol)
+
     return checked.select(
         "n",
-        (F.abs(F.col("r50").cast("double") - F.lit(0.5) * n) <= tol).alias(
-            "gk_p50_ok"
-        ),
-        (F.abs(F.col("r99").cast("double") - F.lit(0.99) * n) <= tol).alias(
-            "gk_p99_ok"
-        ),
+        interval_ok("lt50", "le50", 0.5).alias("gk_p50_ok"),
+        interval_ok("lt99", "le99", 0.99).alias("gk_p99_ok"),
     )
 
 
