@@ -33,18 +33,24 @@ def test_minhash_lsh_finds_all_seeded_near_dups(spark, sf_dir):
 
 
 def test_lsh_similarity_recall_against_brute_force(spark, sf_dir):
-    exact = {
-        (r.query_id, r.neighbor_id)
-        for r in REG["similarity_topk"].spark(spark, sf_dir).collect()
-    }
-    approx_rows = REG["similarity_lsh"].spark(spark, sf_dir).collect()
-    approx = {(r.query_id, r.neighbor_id) for r in approx_rows}
-    # 6 hyperplanes / 64 buckets over 500 vecs: candidates are scarce, so
-    # demand sane behavior, not exact recall: some overlap with the exact
-    # top-k and correct per-query ranking invariants.
-    assert len(approx) > 0
-    recall = len(exact & approx) / len(exact)
-    assert recall > 0.1
+    """The registered query is now the one-row recall-audit gate (r4);
+    per-row ranking invariants move to the operator itself."""
+    import numpy as np
+
+    from big_data_lab_three_spark.operators.similarity import (
+        lsh_bucketed_topk,
+    )
+
+    audit = REG["similarity_lsh"].spark(spark, sf_dir).collect()
+    assert len(audit) == 1
+    assert audit[0].recall_floor_ok and audit[0].scores_match_exact
+
+    rng = np.random.default_rng(7)
+    planes = rng.standard_normal((32, 64)).tolist()
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 100 == 0)
+    approx_rows = lsh_bucketed_topk(q, e, planes, tables=8, k=5).collect()
+    assert len(approx_rows) > 0
     for r in approx_rows:
         assert 1 <= r.rank <= 5
         assert -1.0001 <= r.cos_sim <= 1.0001
@@ -70,16 +76,17 @@ def test_embedding_near_dup_threshold_separates(spark, sf_dir):
 
 
 def test_ivf_similarity_recall_against_brute_force(spark, sf_dir):
-    exact = {
-        (r.query_id, r.neighbor_id)
-        for r in REG["similarity_topk"].spark(spark, sf_dir).collect()
-    }
-    approx_rows = REG["similarity_ivf"].spark(spark, sf_dir).collect()
-    approx = {(r.query_id, r.neighbor_id) for r in approx_rows}
-    # probing 4/16 cells: every query must produce candidates and a
-    # meaningful fraction of the exact top-k must survive.
-    recall = len(exact & approx) / len(exact)
-    assert recall > 0.3, f"IVF recall {recall:.2f} too low"
+    """Audit gate booleans + per-query dense-rank invariants on the
+    operator output (registered query is the one-row gate since r4)."""
+    from big_data_lab_three_spark.operators.similarity import ivf_topk
+
+    audit = REG["similarity_ivf"].spark(spark, sf_dir).collect()
+    assert len(audit) == 1
+    assert audit[0].recall_floor_ok and audit[0].scores_match_exact
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 100 == 0)
+    approx_rows = ivf_topk(q, e, nlist=16, nprobe=4, k=5).collect()
     per_query = {}
     for r in approx_rows:
         assert 1 <= r.rank <= 5
@@ -91,16 +98,17 @@ def test_ivf_similarity_recall_against_brute_force(spark, sf_dir):
 
 def test_pq_similarity_recall_against_brute_force(spark, sf_dir):
     """PQ candidates come from 8-byte-code ADC distances; with 64
-    candidates re-ranked exactly, a solid fraction of the true top-5
-    must survive, and returned ranks must be dense per query."""
-    exact = {
-        (r.query_id, r.neighbor_id)
-        for r in REG["similarity_topk"].spark(spark, sf_dir).collect()
-    }
-    approx_rows = REG["similarity_pq"].spark(spark, sf_dir).collect()
-    approx = {(r.query_id, r.neighbor_id) for r in approx_rows}
-    recall = len(exact & approx) / len(exact)
-    assert recall > 0.3, f"PQ recall {recall:.2f} too low"
+    candidates re-ranked exactly, the audit gate must pass, and the
+    operator's returned ranks must be dense per query."""
+    from big_data_lab_three_spark.operators.similarity import pq_topk
+
+    audit = REG["similarity_pq"].spark(spark, sf_dir).collect()
+    assert len(audit) == 1
+    assert audit[0].recall_floor_ok and audit[0].scores_match_exact
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 100 == 0)
+    approx_rows = pq_topk(q, e, m=8, ksub=16, k=5).collect()
     per_query = {}
     for r in approx_rows:
         assert 1 <= r.rank <= 5
