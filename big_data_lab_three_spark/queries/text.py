@@ -12,6 +12,8 @@ from pyspark.sql import functions as F
 
 from big_data_lab_three_spark.operators.text import (
     BPE_ISH_PATTERN,
+    bm25_topk,
+    ngram_counts,
     fingerprint,
     lang_id_table,
     chunk_documents,
@@ -22,6 +24,7 @@ from big_data_lab_three_spark.operators.text import (
     tfidf_top_terms,
     token_count,
 )
+from big_data_lab_three_spark.functions.text import tokens
 from big_data_lab_three_spark.queries import register
 from big_data_lab_three_spark.sources import table
 
@@ -1249,4 +1252,159 @@ def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("content_checksum"),
         )
         .orderBy("lang")
+    )
+
+
+@register(
+    "bm25_rank",
+    ids="text: Okapi BM25 retrieval ranking for a fixed query (lexical search baseline)",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+), base AS (
+    SELECT doc_id, len(toks) AS dl FROM t
+), st AS (
+    SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base
+), tk AS (
+    SELECT doc_id, unnest(toks) AS term FROM t
+), tf AS (
+    SELECT tk.doc_id, term, count(*) AS tf, max(base.dl) AS dl
+    FROM tk JOIN base USING (doc_id)
+    WHERE term IN ('spark', 'hash', 'merge')
+    GROUP BY tk.doc_id, term
+), dfreq AS (
+    SELECT term, count(*) AS df FROM tf GROUP BY term
+), scored AS (
+    SELECT doc_id,
+           round(sum(
+               ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+               * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           ), 4) AS bm25
+    FROM tf JOIN dfreq USING (term) CROSS JOIN st
+    GROUP BY doc_id
+)
+SELECT doc_id, bm25, CAST(rn AS INT) AS rank
+FROM (
+    SELECT doc_id, bm25,
+           row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rn
+    FROM scored
+)
+WHERE rn <= 20
+ORDER BY rank
+""",
+)
+def bm25_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents for the fixed query ``spark hash merge`` under
+    Okapi BM25 (k1=1.2, b=0.75) — see ``operators.text.bm25_topk`` for
+    the formula and the map-side-posting-filter scale shape.  The
+    oracle replays the identical arithmetic; scores round(4) before
+    ranking on both engines so the selected set is engine-portable."""
+    d = table(spark, sf_dir, "documents")
+    return bm25_topk(d, ["spark", "hash", "merge"], k=20).select(
+        "doc_id", "bm25", "rank"
+    ).orderBy("rank")
+
+
+@register(
+    "ngram_census",
+    ids="text: corpus bigram census (top-30 by occurrence) — LM estimation / boilerplate mining table",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+), b AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i + 1]))
+               AS ngram
+    FROM t
+), c AS (
+    SELECT ngram,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM b GROUP BY ngram
+)
+SELECT ngram, n_occurrences, n_docs, CAST(rn AS INT) AS rank
+FROM (
+    SELECT *, row_number() OVER (
+        ORDER BY n_occurrences DESC, ngram) AS rn
+    FROM c
+)
+WHERE rn <= 30
+ORDER BY rank
+""",
+)
+def ngram_census_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 corpus bigrams with occurrence counts and document reach
+    — the n-gram table contamination checks and boilerplate mining read
+    (see ``operators.text.ngram_counts``: generated-column explode, one
+    partial-aggregating rollup shuffle, no token self-join).  Counts
+    are exact integers, so ranking with the bigram tiebreak is fully
+    deterministic."""
+    d = table(spark, sf_dir, "documents")
+    c = ngram_counts(d, n=2)
+    top = c.orderBy(F.desc("n_occurrences"), "ngram").limit(30)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n_occurrences"), "ngram")
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).orderBy("rank")
+
+
+@register(
+    "token_entropy",
+    ids="text: per-document token-distribution Shannon entropy + type-token ratio (gibberish/boilerplate filter)",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+), tk AS (
+    SELECT doc_id, unnest(toks) AS term FROM t
+), tf AS (
+    SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS c
+    FROM tk GROUP BY doc_id, term
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy,
+       round(count(*) / sum(c), 6) AS type_token_ratio
+FROM tf
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def token_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution plus the
+    type-token ratio — the statistical gibberish/boilerplate filters a
+    pretraining pipeline applies next to the Gopher rules: near-zero
+    entropy flags repeated-token spam, abnormally HIGH entropy with low
+    TTR never co-occurs (entropy ≤ ln(types)), and low TTR alone flags
+    template boilerplate.  Computed via the factored identity
+    H = ln(n) − (Σ c·ln c)/n, so one (doc, term) rollup feeds both
+    metrics.
+
+    Scale shape: explode → two partial-aggregating shuffles, keyed by
+    (doc_id, term) then doc_id — both high-cardinality keys; no window,
+    no driver materialization.  Docs with zero tokens drop out of the
+    explode on both engines.  The per-doc Σ c·ln c sums in engine
+    order → round(6)."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    tf = (
+        d.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    n = F.sum("c")
+    return (
+        tf.groupBy("doc_id")
+        .agg(
+            n.cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.round(
+                F.log(n) - F.sum(F.col("c") * F.log("c")) / n, 6
+            ).alias("entropy"),
+            F.round(F.count(F.lit(1)) / n, 6).alias("type_token_ratio"),
+        )
+        .orderBy("doc_id")
     )

@@ -808,3 +808,74 @@ def test_triangle_census_degree_join_not_broadcast(spark, sf_dir):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_posting_filter_and_broadcasts(spark, sf_dir):
+    """r4: BM25 must broadcast the |terms|-row df table and the 1-row
+    (N, avgdl) scalar; document length must be a projection carried
+    through the explode (no corpus-wide length join), so the plan
+    keeps to the posting rollup + tiny-frame shuffles."""
+    df = REG["bm25_rank"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert broadcast_join_count(df) >= 2  # dfreq + (N, avgdl) scalar
+    assert "Generate explode" in plan
+    assert "CartesianProduct" not in plan
+    # the term IN (...) posting filter must sit under the explode,
+    # before any exchange — grep the filter below the generate
+    assert plan.index("Generate explode") > plan.index("Filter")
+
+
+def test_ngram_census_generated_column_no_self_join(spark, sf_dir):
+    """r4: bigrams come from a generated-column explode, never a
+    token-table self-join; the rollup partial-aggregates map-side."""
+    df = REG["ngram_census"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("FileScan parquet") == 1  # one documents scan
+
+
+def test_token_entropy_two_rollups_no_window(spark, sf_dir):
+    df = REG["token_entropy"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition" not in plan
+    n = shuffle_count(df)
+    # loader spread() + (doc,term) rollup + doc rollup + sort
+    assert n <= 4, f"(doc,term) + doc rollup + sort, saw {n} shuffles"
+
+
+def test_skyline_local_prune_then_broadcast_rejoin(spark, sf_dir):
+    """r4: the SFS shape — Arrow-batched local prune feeding the tiny
+    exact sweep, with the skyline pairs BROADCAST back to part (the
+    fact side never shuffles for the rejoin)."""
+    df = REG["skyline_pareto"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert broadcast_join_count(df) >= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_pagerank_iterations_reuse_persisted_graph(spark, sf_dir):
+    """r4: the 3 rank iterations must re-read the PERSISTED edge/degree
+    tables (InMemoryTableScan), not re-run the co-occurrence self-join
+    per iteration; no |V|-sized broadcast hint (AQE may still promote
+    at runtime when realized sizes are small)."""
+    df = REG["pagerank_check"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # localCheckpoint truncation: the returned plan must START from the
+    # checkpointed iteration-3 RDD — a 3-iteration join chain in the
+    # final plan would mean lineage is compounding per iteration.
+    assert "Scan ExistingRDD" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert shuffle_count(df) <= 1  # only the presentation sort
+
+
+def test_time_weighted_avg_user_partitioned_window(spark, sf_dir):
+    """r4: the lead() window must partition by high-cardinality
+    user_id (never an unpartitioned global sort), and the rollup is a
+    partial aggregate into |event_types| groups."""
+    df = REG["time_weighted_avg"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(user_id" in plan
+    n = shuffle_count(df)
+    assert n <= 3, f"window + rollup + sort, saw {n}"
