@@ -8,10 +8,13 @@ materializing a whole partition.
 
 Codec support is a REGISTRY: the deterministic ``raw-text`` fake
 (payload bytes ARE the samples — the oracle-checked path) is always
-present, and real image codecs (``image/png``, ``image/jpeg``) register
-themselves when Pillow is importable — decode to grayscale pixel
-samples, real resample on resize.  A codec with no registered decoder
-raises ``NotImplementedError`` loudly rather than pretending.  The
+present, and real image codecs register themselves by availability —
+``image/png``+``image/jpeg`` via Pillow when importable, and
+``image/png`` via the vendored pure-Python codec
+(:mod:`big_data_lab_three_spark.multimodal.png`) otherwise, so the
+real decode path (parse → inflate → unfilter → grayscale pixels) runs
+in every environment.  A codec with no registered decoder raises
+``NotImplementedError`` loudly rather than pretending.  The
 Spark-side plumbing — schemas, Arrow batch iteration, multi-row
 emission, partitioning — is identical whichever decoder runs.
 """
@@ -48,7 +51,9 @@ def available_decoders() -> "dict[str, Callable]":
     call this per batch-iterator), so codec availability reflects the
     worker's environment, not the driver's.  ``raw-text`` is the
     always-present deterministic fake; PNG/JPEG decode to grayscale
-    pixels when Pillow is importable."""
+    pixels when Pillow is importable, and PNG alone falls back to the
+    vendored pure-Python codec (``multimodal/png.py``) so the real
+    decode path is never environment-gated."""
     import numpy as np
 
     reg: dict[str, Callable] = {
@@ -66,7 +71,12 @@ def available_decoders() -> "dict[str, Callable]":
         for c in _PIL_CODECS:
             reg[c] = _pil_decode
     except ImportError:
-        pass
+        from big_data_lab_three_spark.multimodal.png import (
+            decode_png,
+            to_gray,
+        )
+
+        reg["image/png"] = lambda p: to_gray(decode_png(bytes(p))).ravel()
     return reg
 
 
@@ -180,10 +190,11 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
 
     Per-codec semantics: ``raw-text`` payloads are tiled/truncated to
     w·h bytes (the deterministic fake for pixel interpolation —
-    oracle-checked); ``image/png``/``image/jpeg`` payloads (Pillow
-    environments) are really decoded, bilinear-resampled, and
-    re-encoded as PNG — the meta codec flips to ``image/png`` and
-    ``n_bytes`` to the encoded size."""
+    oracle-checked); ``image/png``/``image/jpeg`` payloads are really
+    decoded, bilinear-resampled, and re-encoded as PNG — via Pillow
+    when importable, else the vendored PNG codec (PNG only) — the meta
+    codec flips to ``image/png`` and ``n_bytes`` to the encoded
+    size."""
     schema = df.schema
 
     def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
@@ -198,9 +209,19 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
                 return codec, bytes(
                     np.resize(np.frombuffer(p, dtype=np.uint8), target)
                 )
-            import io
+            try:
+                import io
 
-            from PIL import Image
+                from PIL import Image
+            except ImportError:
+                from big_data_lab_three_spark.multimodal.png import (
+                    bilinear_resize,
+                    decode_png,
+                    encode_png,
+                )
+
+                resized = bilinear_resize(decode_png(bytes(p)), width, height)
+                return "image/png", encode_png(resized)
 
             with Image.open(io.BytesIO(p)) as im:
                 out = io.BytesIO()

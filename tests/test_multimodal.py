@@ -102,34 +102,40 @@ def test_available_decoders_always_has_fake():
     assert list(arr) == [0, 128, 255]
 
 
-_needs_pillow = pytest.mark.skipif(
-    not __import__(
-        "big_data_lab_three_spark.multimodal", fromlist=["pillow_available"]
-    ).pillow_available(),
-    reason="Pillow not installed in this container",
-)
+def _png_bytes(px):
+    """PNG bytes for a uint8 array — via Pillow when importable (so the
+    vendored decoder gets cross-validated against a C implementation's
+    output), else the vendored encoder."""
+    try:
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(px, mode="L").save(buf, format="PNG")
+        return buf.getvalue()
+    except ImportError:
+        from big_data_lab_three_spark.multimodal.png import encode_png
+
+        return encode_png(px)
 
 
-@_needs_pillow
 def test_png_payload_decodes_to_pixels(spark):
-    """Real-codec path: a generated PNG decodes to w*h grayscale pixels
-    with the exact mean the source array has."""
-    import io
-
+    """Real-codec path (Pillow OR the vendored pure-Python codec): a
+    generated PNG decodes to w*h grayscale pixels with the exact mean
+    the source array has."""
     import numpy as np
-    from PIL import Image
 
     from big_data_lab_three_spark.multimodal import MEDIA_SCHEMA
 
     px = np.arange(64, dtype=np.uint8).reshape(8, 8)
-    buf = io.BytesIO()
-    Image.fromarray(px, mode="L").save(buf, format="PNG")
+    payload = _png_bytes(px)
     rows = [
         (
             1,
             "image",
-            bytearray(buf.getvalue()),
-            ("image/png", 8, 8, None, None, len(buf.getvalue())),
+            bytearray(payload),
+            ("image/png", 8, 8, None, None, len(payload)),
         )
     ]
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
@@ -138,29 +144,158 @@ def test_png_payload_decodes_to_pixels(spark):
     assert got.mean_level == pytest.approx(float(px.mean()))
 
 
-@_needs_pillow
 def test_png_resize_reencodes_at_target_resolution(spark):
-    import io
-
     import numpy as np
-    from PIL import Image
 
     from big_data_lab_three_spark.multimodal import MEDIA_SCHEMA
+    from big_data_lab_three_spark.multimodal.png import decode_png
 
     px = np.zeros((16, 16), dtype=np.uint8)
-    buf = io.BytesIO()
-    Image.fromarray(px, mode="L").save(buf, format="PNG")
+    payload = _png_bytes(px)
     rows = [
         (
             1,
             "image",
-            bytearray(buf.getvalue()),
-            ("image/png", 16, 16, None, None, len(buf.getvalue())),
+            bytearray(payload),
+            ("image/png", 16, 16, None, None, len(payload)),
         )
     ]
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     out = resize_images(df, 4, 4).first()
     assert out.meta.width == 4 and out.meta.height == 4
     assert out.meta.codec == "image/png"
-    with Image.open(io.BytesIO(bytes(out.payload))) as im:
-        assert im.size == (4, 4)
+    assert out.meta.n_bytes == len(bytes(out.payload))
+    resized = decode_png(bytes(out.payload))
+    assert resized.shape == (4, 4)
+    assert (resized == 0).all()  # constant image resamples to itself
+
+
+def test_vendored_png_roundtrip_all_color_types():
+    import numpy as np
+
+    from big_data_lab_three_spark.multimodal.png import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(3)
+    for shape in [(8, 8), (5, 7, 2), (5, 7, 3), (4, 6, 4)]:
+        a = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        b = decode_png(encode_png(a))
+        assert b.shape == a.shape and (a == b).all()
+
+
+def test_vendored_png_unfilters_all_five_filters():
+    """Hand-filter scanlines straight from the PNG spec formulas (one
+    row per filter type) and assert the decoder's unfilter inverts
+    them — independent of the encoder, which only emits filter 0."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from big_data_lab_three_spark.multimodal.png import decode_png
+
+    rng = np.random.default_rng(5)
+    w, h = 4, 5
+    px = rng.integers(0, 256, size=(h, w), dtype=np.uint8).astype(int)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    rows, prev = [], [0] * w
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        cur = list(px[y])
+        left = lambda i: cur[i - 1] if i else 0  # noqa: E731
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = [(cur[i] - left(i)) & 0xFF for i in range(w)]
+        elif f == 2:
+            filt = [(cur[i] - prev[i]) & 0xFF for i in range(w)]
+        elif f == 3:
+            filt = [
+                (cur[i] - ((left(i) + prev[i]) // 2)) & 0xFF for i in range(w)
+            ]
+        else:
+            filt = [
+                (cur[i] - paeth(left(i), prev[i], prev[i - 1] if i else 0))
+                & 0xFF
+                for i in range(w)
+            ]
+        rows.append(bytes([f]) + bytes(filt))
+        prev = cur
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(t, b):
+        return (
+            struct.pack(">I", len(b)) + t + b
+            + struct.pack(">I", zlib.crc32(t + b))
+        )
+
+    data = (
+        sig
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + chunk(b"IEND", b"")
+    )
+    assert (decode_png(data) == px).all()
+
+
+def test_vendored_png_rejects_unsupported_loudly():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from big_data_lab_three_spark.multimodal.png import (
+        decode_png,
+        encode_png,
+    )
+
+    good = encode_png(np.zeros((2, 2), dtype=np.uint8))
+    with _pytest.raises(ValueError):
+        decode_png(b"GIF89a" + good)
+
+    def chunk(t, b):
+        return (
+            struct.pack(">I", len(b)) + t + b
+            + struct.pack(">I", zlib.crc32(t + b))
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    interlaced = (
+        sig
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00\x00\x00"))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(NotImplementedError):
+        decode_png(interlaced)
+    deep = (
+        sig
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(NotImplementedError):
+        decode_png(deep)
+
+
+def test_decoder_registry_always_serves_png():
+    """The real-codec path must exist in EVERY environment: Pillow when
+    importable, the vendored codec otherwise."""
+    import numpy as np
+
+    from big_data_lab_three_spark.multimodal import available_decoders
+    from big_data_lab_three_spark.multimodal.png import encode_png
+
+    reg = available_decoders()
+    assert "image/png" in reg
+    px = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    got = reg["image/png"](encode_png(px))
+    assert got.shape == (48,)
+    assert (got == px.ravel()).all()
