@@ -59,3 +59,43 @@ def test_runtime_stays_sublinear_in_sf(spark, name):
         f"(x{ratio:.0f} for 100x data) — superlinear growth, check for "
         "an unbounded candidate set / window partition / agg buffer"
     )
+
+
+SF1 = "/root/repo/.scratch/sf1"
+
+
+@pytest.mark.parametrize(
+    "name", ("pricing_summary", "quantile_profile", "dedup_minhash_lsh")
+)
+def test_runtime_stays_sublinear_one_more_decade(spark, name):
+    """sf0.1 → sf1 (10× more data, ~6M lineitem rows): one extra decade
+    on the most data-bound and quadratic-risk shapes.  The sf1 tier is
+    locally generated (``tools/make_sf1.py`` — replicated sf0.1 with
+    disjoint key offsets; magnitude-faithful, see its docstring), so
+    this gate SKIPS cleanly when it hasn't been built rather than
+    failing fresh checkouts."""
+    import os
+
+    if not os.path.exists(os.path.join(SF1, "lineitem.parquet")):
+        pytest.skip("sf1 tier not generated (python tools/make_sf1.py)")
+    q = load_all()[name]
+
+    def timed(sf_dir: str) -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            q.spark(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        return best
+
+    timed(BIG)  # warm-up
+    t_mid = timed(BIG)
+    t_big = timed(SF1)
+    ratio = t_big / max(t_mid, 0.05)
+    # 10× data must cost well under 10×; 6 leaves noise headroom while
+    # still catching quadratic candidate growth (which would be ~100×).
+    assert ratio < 6.0, (
+        f"{name}: {t_mid:.3f}s @ sf0.1 -> {t_big:.3f}s @ sf1 "
+        f"(x{ratio:.1f} for 10x data) — superlinear growth"
+    )
