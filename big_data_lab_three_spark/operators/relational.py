@@ -222,3 +222,52 @@ def salted_join(
         how,
     )
     return joined.drop(b["_salt"]).drop(s["_salt"])
+
+
+def skyline_2d(
+    df: DataFrame, minimize_col: str, maximize_col: str
+) -> DataFrame:
+    """2-D skyline (Pareto frontier): rows no other row dominates,
+    where q dominates p iff q.minimize ≤ p.minimize AND q.maximize ≥
+    p.maximize with at least one strict.  Equal points never dominate
+    each other, so duplicates of a frontier point all survive.
+
+    Distributed sort-filter-skyline shape (Börzsönyi et al., ICDE'01):
+
+    1. LOCAL PRUNE (``mapInPandas`` per input partition): sort by
+       (minimize asc, maximize desc), drop rows strictly below the
+       partition's running max — conservative, keeps every global
+       candidate, shrinks each partition to its local frontier
+       (O(log n) expected rows for independent dimensions).
+    2. EXACT SWEEP on the tiny pruned union: one (minimize)-grouped
+       max aggregate, then the strictly-smaller running max via a
+       single ordered window with a −1 row lag frame.  The global
+       window is safe ONLY because the prune ran first.
+    3. REJOIN: the frontier (minimize, maximize) pairs broadcast back
+       to the input so every matching row (duplicates included)
+       surfaces — the fact side never shuffles.
+
+    Output: the input rows that are on the frontier, original schema.
+    Comparisons are pass-through (no arithmetic) — engine-portable."""
+    lo, hi = minimize_col, maximize_col
+
+    def local_prune(batches):
+        for b in batches:
+            if len(b) == 0:
+                continue
+            s = b.sort_values([lo, hi], ascending=[True, False])
+            cummax_before = s[hi].cummax().shift(1)
+            yield s[~(s[hi] < cummax_before)]
+
+    pruned = df.mapInPandas(local_prune, schema=df.schema)
+    per_key = pruned.groupBy(lo).agg(F.max(hi).alias("_best"))
+    w = Window.orderBy(lo).rowsBetween(Window.unboundedPreceding, -1)
+    sky = (
+        per_key.withColumn("_cm", F.max("_best").over(w))
+        .where(F.col("_cm").isNull() | (F.col("_best") > F.col("_cm")))
+        .select(F.col(lo).alias("_lo"), F.col("_best"))
+    )
+    return df.join(
+        F.broadcast(sky),
+        (df[lo] == sky["_lo"]) & (df[hi] == sky["_best"]),
+    ).select(*[df[c] for c in df.columns])

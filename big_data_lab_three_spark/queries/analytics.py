@@ -37,6 +37,7 @@ from big_data_lab_three_spark.operators.rankstats import (
     group_quantiles,
     ntile_from_rank,
 )
+from big_data_lab_three_spark.operators.relational import skyline_2d
 from big_data_lab_three_spark.queries import register
 from big_data_lab_three_spark.sources import table
 
@@ -1736,70 +1737,18 @@ ORDER BY p.p_partkey
 """,
 )
 def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skyline (Pareto frontier) of ``part`` under (minimize
-    retail price, maximize size): every part no other part dominates —
-    the multi-criteria shortlist operator (Börzsönyi et al., ICDE'01).
-    The oracle states dominance declaratively (quadratic NOT EXISTS —
-    fine for DuckDB at oracle scale, lethal at 100 TB).
-
-    Distributed plan (sort-filter-skyline shape):
-
-    1. LOCAL PRUNE — ``mapInPandas`` per input partition: sort by
-       (price asc, size desc) and drop rows whose size is strictly
-       below the running max (those are dominated by an
-       already-better-or-equal-priced row IN THE SAME partition).
-       Conservative — keeps every global-skyline candidate plus ties
-       the final pass resolves — and shrinks each partition to its
-       local frontier (O(log n) expected rows for independent dims).
-    2. EXACT SWEEP on the pruned union: dedup to one (price,
-       max-size) row per price (distributed aggregate), then the
-       strictly-cheaper running max via one ordered window WITH A
-       LAG FRAME (rowsBetween −1) — safe as a global window only
-       because it runs on the tiny pruned frontier, which is why the
-       prune comes first.
-    3. REJOIN — the skyline (price, size) pairs broadcast back to
-       ``part`` so duplicate frontier points all surface, matching the
-       oracle's NOT-EXISTS semantics (equal points don't dominate
-       each other).
-
-    All comparisons are on pass-through values (no arithmetic), so no
-    rounding is needed for hash parity."""
-    import pandas as pd  # noqa: F401 — mapInPandas batch type
-
+    """Skyline (Pareto frontier) of ``part`` under (minimize retail
+    price, maximize size): every part no other part dominates — the
+    multi-criteria shortlist operator.  The oracle states dominance
+    declaratively (quadratic NOT EXISTS — fine for DuckDB at oracle
+    scale, lethal at 100 TB); the engine path is
+    :func:`operators.relational.skyline_2d` — distributed
+    sort-filter-skyline: mapInPandas local prune per partition, exact
+    sweep on the tiny pruned frontier, broadcast rejoin (see its
+    docstring for why each stage scales).  The same operator is
+    property-tested against the quadratic definition on arbitrary
+    point sets (tests/test_properties.py)."""
     part = table(spark, sf_dir, "part").select(
         "p_partkey", "p_size", "p_retailprice"
     )
-
-    def local_prune(batches):
-        for b in batches:
-            if len(b) == 0:
-                continue
-            s = b.sort_values(
-                ["p_retailprice", "p_size"], ascending=[True, False]
-            )
-            cummax_before = (
-                s["p_size"].cummax().shift(1, fill_value=-(10**9))
-            )
-            yield s[s["p_size"] >= cummax_before]
-
-    pruned = part.mapInPandas(local_prune, schema=part.schema)
-    per_price = pruned.groupBy("p_retailprice").agg(
-        F.max("p_size").alias("best_size")
-    )
-    w = Window.orderBy("p_retailprice").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    sky = (
-        per_price.withColumn("cm", F.max("best_size").over(w))
-        .where(F.col("cm").isNull() | (F.col("best_size") > F.col("cm")))
-        .select("p_retailprice", "best_size")
-    )
-    return (
-        part.join(
-            F.broadcast(sky),
-            (part["p_retailprice"] == sky["p_retailprice"])
-            & (part["p_size"] == sky["best_size"]),
-        )
-        .select(part["p_partkey"], part["p_size"], part["p_retailprice"])
-        .orderBy("p_partkey")
-    )
+    return skyline_2d(part, "p_retailprice", "p_size").orderBy("p_partkey")

@@ -233,3 +233,106 @@ def test_global_ranks_is_a_permutation_per_group(spark, rows, parts):
             m["v"] for m in sorted(members, key=lambda m: m[RANK_COL])
         ]
         assert vals_by_rank == sorted(vals_by_rank)
+
+
+@SETTINGS
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),  # price
+            st.integers(min_value=0, max_value=20),  # size
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_skyline_matches_quadratic_definition(spark, pts):
+    """For ANY point set, the distributed SFS skyline (local prune +
+    exact sweep + rejoin) must equal the quadratic dominance
+    definition — including duplicate points, which never dominate each
+    other and must all surface."""
+    rows = [(i, int(s), float(p)) for i, (p, s) in enumerate(pts)]
+    df = spark.createDataFrame(
+        rows, "p_partkey long, p_size int, p_retailprice double"
+    ).repartition(3)
+
+    # quadratic ground truth
+    def dominated(i):
+        pi, si = pts[i]
+        return any(
+            (pq <= pi and sq >= si and (pq < pi or sq > si))
+            for pq, sq in pts
+        )
+
+    expect = sorted(i for i in range(len(pts)) if not dominated(i))
+
+    from big_data_lab_three_spark.operators.relational import skyline_2d
+
+    got = sorted(
+        r.p_partkey for r in skyline_2d(
+            df, "p_retailprice", "p_size"
+        ).collect()
+    )
+    assert got == expect
+
+
+@SETTINGS
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "bb", "ccc", "d"]), min_size=0, max_size=8
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_ngram_counts_match_python_reference(spark, docs):
+    """Bigram census over arbitrary token streams ≡ a direct Python
+    count: every adjacent pair, docs shorter than n contribute
+    nothing, reach counts distinct docs."""
+    from collections import Counter
+
+    from big_data_lab_three_spark.operators.text import ngram_counts
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.ngram: (r.n_occurrences, r.n_docs)
+        for r in ngram_counts(df, n=2).collect()
+    }
+    occ, reach = Counter(), {}
+    for i, toks in enumerate(docs):
+        grams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        occ.update(grams)
+        for g in set(grams):
+            reach.setdefault(g, set()).add(i)
+    expect = {g: (occ[g], len(reach[g])) for g in occ}
+    assert got == expect
+
+
+@SETTINGS
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=255),
+            st.integers(min_value=0, max_value=255),
+        ),
+        min_size=4,
+        max_size=16,
+    )
+)
+def test_vendored_png_roundtrip_property(spark, data):
+    """encode∘decode is the identity for any uint8 grayscale image
+    (shape inferred from the sample list)."""
+    import numpy as np
+
+    from big_data_lab_three_spark.multimodal.png import (
+        decode_png,
+        encode_png,
+    )
+
+    flat = np.asarray([v for pair in data for v in pair], dtype=np.uint8)
+    w = 2
+    a = flat.reshape(-1, w)
+    b = decode_png(encode_png(a))
+    assert b.shape == a.shape and (a == b).all()
