@@ -565,6 +565,11 @@ def bm25_topk(
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
     )
+    # tf feeds BOTH the df aggregate and the score join — persist the
+    # (small: docs containing query terms) posting table so the corpus
+    # is not re-scanned per branch (SCALE.md "compute shared
+    # intermediates once").
+    tf.persist()
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
         F.lit(1.0)

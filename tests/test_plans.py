@@ -820,6 +820,9 @@ def test_bm25_posting_filter_and_broadcasts(spark, sf_dir):
     assert broadcast_join_count(df) >= 2  # dfreq + (N, avgdl) scalar
     assert "Generate explode" in plan
     assert "CartesianProduct" not in plan
+    # the posting table feeds both the df aggregate and the score join
+    # — must be persisted, not recomputed per branch (extra corpus scan)
+    assert "InMemoryTableScan" in plan
     # the term IN (...) posting filter must sit under the explode,
     # before any exchange — grep the filter below the generate
     assert plan.index("Generate explode") > plan.index("Filter")
