@@ -25,6 +25,5 @@ from big_data_lab_three_spark.multimodal.decode import (  # noqa: F401
     decode_media,
     extract_features,
     frame_sample,
-    pillow_available,
     resize_images,
 )

@@ -35,15 +35,6 @@ _FAKE_CODEC = "raw-text"
 _PIL_CODECS = ("image/png", "image/jpeg")
 
 
-def pillow_available() -> bool:
-    try:
-        import PIL  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
-
-
 def available_decoders() -> "dict[str, Callable]":
     """codec → (payload bytes → 1-D uint8 sample array).
 

@@ -248,7 +248,17 @@ def skyline_2d(
        surfaces — the fact side never shuffles.
 
     Output: the input rows that are on the frontier, original schema.
-    Comparisons are pass-through (no arithmetic) — engine-portable."""
+    Comparisons are pass-through (no arithmetic) — engine-portable.
+
+    ORACLE CONTRACT for callers on NULLABLE columns: rows with NULL in
+    either skyline column are silently DROPPED here (the max aggregate
+    ignores them and the equality rejoin never matches NULL), whereas
+    a SQL NOT-EXISTS dominance oracle KEEPS them (NULL comparisons are
+    UNKNOWN, so no dominator is ever found).  Pair this operator with
+    an explicit ``WHERE both IS NOT NULL`` on the oracle side, or
+    pre-filter NULLs on both.  The registered caller
+    (``skyline_pareto``) runs on NOT-NULL part columns, where the two
+    conventions coincide."""
     lo, hi = minimize_col, maximize_col
 
     def local_prune(batches):

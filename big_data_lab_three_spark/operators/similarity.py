@@ -375,7 +375,7 @@ def pq_topk(
     1. Train ``m`` per-subspace codebooks (``ksub`` centroids over each
        d/m-dim slice) with driver-side Lloyd's on a capped
        CONTENT-KEYED sample (``xxhash64(id) mod step == 0`` with step
-       sized from a cheap count, then an id-ordered cap) — the FAISS
+       sized from a cheap count, then a hash-ordered cap) — the FAISS
        practice, same rationale as ``ivf_topk``'s coarse quantizer: the
        trainer output is a few KB however big the corpus is.  The
        content keying makes the codebooks a pure function of the DATA:
@@ -407,17 +407,20 @@ def pq_topk(
     import numpy as np
 
     cap = max(ksub * 10_000, 100_000)
-    # Deterministic content-keyed sample: hash-mod the id down to ~cap
-    # rows (pure function of the data, invariant to file layout), then
-    # an id-ORDERED cap — the residual limit is deterministic because
-    # the sort key is unique.  The count is an id-only scan, ~free on
+    # Deterministic content-keyed sample: hash-mod the id down to
+    # between cap and 2·cap rows (pure function of the data, invariant
+    # to file layout), then cap by HASH order (id tiebreak) — ordering
+    # by the hash keeps the residual cut content-keyed too; an id-
+    # ordered cut would bias the codebooks toward the oldest id prefix
+    # on time-ordered corpora.  The count is an id-only scan, ~free on
     # parquet at any scale.
     n_corpus = corpus.select(id_col).count()
     step = max(1, n_corpus // cap)
+    h = F.xxhash64(F.col("_i"), F.lit(seed))
     dsub_rows = (
         corpus.select(F.col(id_col).alias("_i"), F.col(vec_col).alias("_v"))
-        .where(F.pmod(F.xxhash64(F.col("_i"), F.lit(seed)), F.lit(step)) == 0)
-        .orderBy("_i")
+        .where(F.pmod(h, F.lit(step)) == 0)
+        .orderBy(h, F.col("_i"))
         .limit(cap)
     )
     sample = np.asarray(

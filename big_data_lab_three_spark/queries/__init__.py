@@ -127,10 +127,7 @@ _DRIVER_ROTATION: tuple[str, ...] = (
     "pii_scan",
     "contamination_check",
     # multimodal (codec_census supersedes meta_profile's evidence —
-    # same sidecar columns plus codec/resolution breakdown;
-    # frame_sample/resize ceded their prefix slots to the two
-    # rounding-changed EDA queries in _FORCE_FRONT — they follow
-    # immediately after the 50-name driver sample)
+    # same sidecar columns plus codec/resolution breakdown)
     "multimodal_codec_census",
     "multimodal_decode_stats",
     "multimodal_features",

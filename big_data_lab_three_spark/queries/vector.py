@@ -96,14 +96,23 @@ def _ann_recall_audit(
 ) -> DataFrame:
     """One-row audit of an ANN result against the exact baseline:
     pinnable sizes, a recall@5 floor, and an independent JVM-side
-    rescore check of every reported cosine (the numpy/Arrow rescore and
-    the codegen ``zip_with`` dot product must agree to 1e-4 — the
-    reported scores are rounded to 4 decimals).
+    rescore check of every reported cosine: the numpy/Arrow rescore
+    (float32 inputs upcast to float64, engine-order summation) and the
+    codegen ``zip_with`` double-precision dot product must agree to
+    1e-4 — loose enough for float32-vs-float64 accumulation differences
+    on 64-dim unit vectors (~1e-6), tight enough that a wrong pair or a
+    sign/normalization bug (≥1e-2) always trips it.
 
     Scale shape: ``exact`` is the broadcast-queries brute-force pass
     (linear in corpus, no corpus shuffle), the hit join is bounded by
     |queries|·k rows, and the score cross-check joins the tiny ANN
-    result back to corpus/query vectors on their keys."""
+    result back to corpus/query vectors on their keys.  Both inputs
+    are persisted: each feeds two audit branches, and exchange reuse
+    across mapInPandas stages is not guaranteed — without the persist
+    a failed reuse would run the ANN pipeline and the baseline twice
+    each."""
+    ann.persist()
+    exact.persist()
     hits = ann.select("query_id", "neighbor_id").join(
         exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
     )

@@ -321,7 +321,7 @@ def test_ngram_counts_match_python_reference(spark, docs):
         max_size=16,
     )
 )
-def test_vendored_png_roundtrip_property(spark, data):
+def test_vendored_png_roundtrip_property(data):
     """encode∘decode is the identity for any uint8 grayscale image
     (shape inferred from the sample list)."""
     import numpy as np
