@@ -205,3 +205,64 @@ def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
     corpus also runs here verbatim, modulo dialect."""
     register_views(spark, sf_dir)
     return spark.sql(query)
+
+
+_MEDIA_EXT_CODECS = {
+    "png": ("image", "image/png"),
+    "jpg": ("image", "image/jpeg"),
+    "jpeg": ("image", "image/jpeg"),
+    "txt": ("image", "raw-text"),  # the deterministic test codec
+    "wav": ("audio", "audio/wav"),
+    "mp4": ("video", "video/mp4"),
+}
+
+
+def read_media_dir(spark: SparkSession, path: str) -> DataFrame:
+    """Media-file ingest via Spark's built-in ``binaryFile`` source:
+    one row per file with the payload as a binary column — the ingest
+    half of the multimodal pipeline (the processing half is
+    ``multimodal.decode``'s Arrow-batched stages, whose codec registry
+    decides per-row whether a payload is decodable).
+
+    Output conforms to ``multimodal.MEDIA_SCHEMA``: media_id is a
+    portable content+name hash (xxhash64 of path ⊕ length — stable
+    across re-listing orders), media_type/codec come from the file
+    extension, and dimension metadata is left NULL for the decode
+    stage to fill (a real catalog stores it; ingest does not sniff).
+
+    At 100 TB: ``binaryFile`` splits by FILE (each blob is one row,
+    never split mid-payload), honors ``pathGlobFilter`` /
+    ``recursiveFileLookup``, prunes the ``content`` column when a query
+    reads only metadata (length/path census costs no byte reads), and
+    rides the same `spark.sql.files.maxPartitionBytes` packing as any
+    file source — blobs stay columnar, never shuffle (SCALE.md
+    multimodal rules)."""
+    raw = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(path)
+    )
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    kv = F.create_map(
+        *[
+            F.lit(x)
+            for pair in (
+                (e, f"{t}\x00{c}") for e, (t, c) in _MEDIA_EXT_CODECS.items()
+            )
+            for x in pair
+        ]
+    )
+    tc = F.split(kv[ext], "\x00")
+    return raw.where(kv[ext].isNotNull()).select(
+        F.xxhash64("path", "length").alias("media_id"),
+        F.element_at(tc, 1).alias("media_type"),
+        F.col("content").alias("payload"),
+        F.struct(
+            F.element_at(tc, 2).alias("codec"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.col("length").alias("n_bytes"),
+        ).alias("meta"),
+    )

@@ -299,3 +299,74 @@ def test_decoder_registry_always_serves_png():
     got = reg["image/png"](encode_png(px))
     assert got.shape == (48,)
     assert (got == px.ravel()).all()
+
+
+def test_binaryfile_ingest_to_decode_end_to_end(spark, tmp_path):
+    """The full multimodal loop on REAL files: PNGs written to disk →
+    ``binaryFile`` ingest (one row per file, extension-derived codec,
+    MEDIA_SCHEMA conform) → Arrow-batched decode through the codec
+    registry → exact pixel statistics."""
+    import numpy as np
+
+    from big_data_lab_three_spark.multimodal import MEDIA_SCHEMA
+    from big_data_lab_three_spark.multimodal.png import encode_png
+    from big_data_lab_three_spark.sources.readers import read_media_dir
+
+    arrays = {
+        "flat.png": np.full((4, 6), 200, dtype=np.uint8),
+        "ramp.png": np.arange(64, dtype=np.uint8).reshape(8, 8),
+    }
+    sub = tmp_path / "nested"
+    sub.mkdir()
+    (tmp_path / "flat.png").write_bytes(encode_png(arrays["flat.png"]))
+    (sub / "ramp.png").write_bytes(encode_png(arrays["ramp.png"]))
+    (tmp_path / "ignored.csv").write_text("not,media\n")
+
+    media = read_media_dir(spark, str(tmp_path))
+    # conform on names + types (binaryFile's columns are nullable, so
+    # nullability flags legitimately differ from the synthetic table's;
+    # simpleString compares structure without them)
+    assert media.schema.simpleString() == MEDIA_SCHEMA.simpleString()
+    rows = media.collect()
+    assert len(rows) == 2  # the csv is filtered out
+    assert {r.meta.codec for r in rows} == {"image/png"}
+    assert all(r.meta.n_bytes == len(bytes(r.payload)) for r in rows)
+    assert len({r.media_id for r in rows}) == 2
+
+    stats = {
+        r.media_id: r for r in decode_media(media).collect()
+    }
+    by_bytes = {
+        r.meta.n_bytes: r.media_id
+        for r in rows
+    }
+    # identify files by their encoded size (deterministic encoder)
+    for name, px in arrays.items():
+        enc_len = len(encode_png(px))
+        mid = by_bytes[enc_len]
+        got = stats[mid]
+        assert got.n_samples == px.size
+        assert got.mean_level == pytest.approx(float(px.mean()))
+
+
+def test_binaryfile_metadata_query_prunes_content(spark, tmp_path):
+    """A length/path census over the media dir must not read payload
+    bytes: the binaryFile scan's ReadSchema should exclude `content`
+    when only metadata is selected."""
+    import numpy as np
+
+    from big_data_lab_three_spark.multimodal.png import encode_png
+    from big_data_lab_three_spark.sources.readers import read_media_dir
+
+    (tmp_path / "a.png").write_bytes(
+        encode_png(np.zeros((2, 2), dtype=np.uint8))
+    )
+    census = read_media_dir(spark, str(tmp_path)).select(
+        "media_id", F.col("meta.n_bytes").alias("n_bytes")
+    )
+    plan = census._jdf.queryExecution().executedPlan().toString()
+    scan = next(
+        ln for ln in plan.splitlines() if "FileScan binaryFile" in ln
+    )
+    assert "content" not in scan.split("ReadSchema")[-1]
+    assert census.count() == 1
