@@ -123,3 +123,43 @@ def test_multimodel_reference_api(spark, labeled, tmp_path):
     assert mm.d_tree(max_depth=3)
     result = mm.predict("d_tree", "smoke")
     assert 0.0 <= result["test_score"] <= 1.0
+
+
+def test_fold_assignments_partition_and_are_stable(labeled):
+    from big_data_lab_three_spark.ml import fold_assignments
+
+    k = 5
+    folded = fold_assignments(labeled, k=k)
+    n = labeled.count()
+    sizes = {
+        r.fold: r.n
+        for r in folded.groupBy("fold").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # every row in exactly one fold; all folds populated and roughly even
+    assert sum(sizes.values()) == n
+    assert set(sizes) == set(range(k))
+    assert max(sizes.values()) < 2 * min(sizes.values())
+    # deterministic: recomputation agrees row-for-row
+    a = fold_assignments(labeled, k=k).withColumnRenamed("fold", "f2")
+    assert folded.join(a, labeled.columns).where(
+        F.col("fold") != F.col("f2")
+    ).count() == 0
+    # seed changes the assignment
+    b = fold_assignments(labeled, k=k, seed=1).withColumnRenamed("fold", "f3")
+    assert folded.join(b, labeled.columns).where(
+        F.col("fold") != F.col("f3")
+    ).count() > 0
+
+
+def test_cross_validate_reports_sane_folds(labeled):
+    from big_data_lab_three_spark.ml import cross_validate
+
+    results = cross_validate(
+        labeled.limit(2000), FEATURES, model_type="d_tree", k=3
+    )
+    assert [r["fold"] for r in results] == [0, 1, 2]
+    total = results[0]["n_train"] + results[0]["n_test"]
+    for r in results:
+        assert r["n_train"] + r["n_test"] == total
+        assert r["n_test"] > 0
+        assert 0.0 <= r["accuracy"] <= 1.0
