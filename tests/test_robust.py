@@ -110,3 +110,50 @@ def test_group_quantiles_ignores_nulls_like_quantile_cont(spark):
     assert got.p0 == 1.0  # a NULL flanking row would make this None
     assert math.isclose(got.p50, 2.5, rel_tol=1e-12)
     assert got.n == 4  # count(v) semantics, not count(*)
+
+
+def test_pagerank_mass_conserves_and_degree_correlates(spark, sf_dir):
+    """Invariants the chained-CTE oracle can't state directly: total
+    rank mass is conserved (Σr = 1 — no dangling vertices in the
+    co-occurrence graph), every rank is positive and bounded below by
+    the teleport floor 0.15/n, and rank orders with degree at the top
+    (the max-degree vertex outranks the median vertex)."""
+    from big_data_lab_three_spark.queries import load_all
+
+    rows = load_all()["pagerank_check"].spark(spark, sf_dir).collect()
+    n = len(rows)
+    total = sum(r.pagerank for r in rows)
+    assert abs(total - 1.0) < 1e-4, f"rank mass {total} != 1"
+    assert all(r.pagerank >= 0.15 / n - 1e-9 for r in rows)
+    by_deg = sorted(rows, key=lambda r: r.degree)
+    assert by_deg[-1].pagerank > by_deg[n // 2].pagerank
+
+
+def test_time_weighted_avg_bounds_and_totals(spark, sf_dir):
+    """TWA must sit inside the per-type min/max value envelope, and
+    interval counts must total events-minus-users (each user
+    contributes exactly n_events-1 intervals)."""
+    from pyspark.sql import functions as F
+
+    from big_data_lab_three_spark.queries import load_all
+    from big_data_lab_three_spark.sources import table
+
+    rows = load_all()["time_weighted_avg"].spark(spark, sf_dir).collect()
+    ev = table(spark, sf_dir, "events")
+    totals = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("u"),
+    ).first()
+    assert sum(r.n_intervals for r in rows) == totals.n - totals.u
+    env = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    for r in rows:
+        # intervals carry the CURRENT event's value, so the average of
+        # any type's intervals stays inside the global value envelope
+        lo = min(e.lo for e in env.values())
+        hi = max(e.hi for e in env.values())
+        assert lo - 1e-9 <= r.twa_value <= hi + 1e-9
