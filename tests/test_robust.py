@@ -157,3 +157,54 @@ def test_time_weighted_avg_bounds_and_totals(spark, sf_dir):
         lo = min(e.lo for e in env.values())
         hi = max(e.hi for e in env.values())
         assert lo - 1e-9 <= r.twa_value <= hi + 1e-9
+
+
+def test_count_min_sketch_bounds_and_exact_merge(spark, sf_dir):
+    """CMS contract on real data: estimates never under-count, respect
+    the (e/w)·N error bound for every queried key, and per-shard
+    sketches merge EXACTLY into the whole-corpus sketch."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from big_data_lab_three_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+    from big_data_lab_three_spark.sources import table
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("k")
+    )
+    kw = dict(depth=4, width=1024, seed=7)
+    sketch = cms_build(li, "k", **kw)
+    sketch.persist()
+    assert sketch.count() <= 4 * 1024
+
+    truth = li.groupBy("k").agg(F.count(F.lit(1)).alias("true_n"))
+    keys = truth.select("k")
+    est = cms_estimate(sketch, keys, "k", **kw)
+    joined = truth.join(est, "k")
+    n_total = li.count()
+    bound = math.e / 1024 * n_total
+    bad = joined.where(
+        (F.col("cms_count") < F.col("true_n"))
+        | (F.col("cms_count") > F.col("true_n") + F.lit(bound))
+    ).count()
+    assert bad == 0, f"{bad} keys outside CMS bounds"
+
+    # shard-and-merge equals whole-corpus build, counter for counter
+    a = li.where(F.col("k") % 2 == 0)
+    b = li.where(F.col("k") % 2 != 0)
+    merged = cms_merge(cms_build(a, "k", **kw), cms_build(b, "k", **kw))
+    diff = (
+        merged.withColumnRenamed("c", "cm")
+        .join(sketch, ["d", "w"], "full_outer")
+        .where(
+            F.coalesce("cm", F.lit(0)) != F.coalesce("c", F.lit(0))
+        )
+        .count()
+    )
+    assert diff == 0
+    sketch.unpersist()
