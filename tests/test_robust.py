@@ -208,3 +208,35 @@ def test_count_min_sketch_bounds_and_exact_merge(spark, sf_dir):
     )
     assert diff == 0
     sketch.unpersist()
+
+
+def test_hll_shard_union_matches_whole_corpus(spark, sf_dir):
+    """Mergeable-sketch story #2 (built-in DataSketches HLL next to the
+    relational CMS): per-shard hll_sketch_agg united via hll_union_agg
+    must estimate the same cardinality as the whole-corpus sketch —
+    the property that lets a 1000-executor job sketch per partition
+    and reduce, and lets INCREMENTAL pipelines maintain stored
+    sketches by union instead of re-scanning history."""
+    from pyspark.sql import functions as F
+
+    from big_data_lab_three_spark.sources import table
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("k")
+    )
+    whole = li.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("k")).alias("n")
+    ).first()
+    shards = [li.where(F.col("k") % 3 == i) for i in range(3)]
+    sketches = [
+        s.agg(F.hll_sketch_agg("k").alias("s")) for s in shards
+    ]
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionAll(s)
+    merged = u.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("s")).alias("n")
+    ).first()
+    assert merged.n == whole.n  # identical sketch state, not just close
+    exact = li.distinct().count()
+    assert abs(merged.n - exact) / exact < 0.05
