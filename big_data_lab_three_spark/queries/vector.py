@@ -106,13 +106,14 @@ def _ann_recall_audit(
     Scale shape: ``exact`` is the broadcast-queries brute-force pass
     (linear in corpus, no corpus shuffle), the hit join is bounded by
     |queries|·k rows, and the score cross-check joins the tiny ANN
-    result back to corpus/query vectors on their keys.  Both inputs
-    are persisted: each feeds two audit branches, and exchange reuse
-    across mapInPandas stages is not guaranteed — without the persist
-    a failed reuse would run the ANN pipeline and the baseline twice
-    each."""
-    ann.persist()
-    exact.persist()
+    result back to corpus/query vectors on their keys.  ``ann`` and
+    ``exact`` each feed two audit branches; Spark's ReuseExchange
+    deduplicates those subplans ON ITS OWN here (measured: adding
+    ``persist()`` on both made all three audits 1.30–1.44× SLOWER —
+    same-day A/B r4 — because the cache materialization is pure
+    overhead once reuse fires), so they are deliberately NOT
+    persisted.  If a future Spark version stops reusing these
+    mapInPandas subplans, re-measure before re-adding persists."""
     hits = ann.select("query_id", "neighbor_id").join(
         exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
     )
