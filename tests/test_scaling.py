@@ -90,12 +90,19 @@ def test_runtime_stays_sublinear_one_more_decade(spark, name):
         return best
 
     timed(BIG)  # warm-up
-    t_mid = timed(BIG)
-    t_big = timed(SF1)
-    ratio = t_big / max(t_mid, 0.05)
     # 10× data must cost well under 10×; 6 leaves noise headroom while
     # still catching quadratic candidate growth (which would be ~100×).
+    # One full re-measure on failure: inside the 32-thread full suite
+    # this box has produced one-off 6×+ readings from scheduler
+    # contention alone (EXPERIMENTS.md r4 note); a real quadratic
+    # blow-up reproduces, noise doesn't.
+    for attempt in (1, 2):
+        t_mid = timed(BIG)
+        t_big = timed(SF1)
+        ratio = t_big / max(t_mid, 0.05)
+        if ratio < 6.0:
+            break
     assert ratio < 6.0, (
         f"{name}: {t_mid:.3f}s @ sf0.1 -> {t_big:.3f}s @ sf1 "
-        f"(x{ratio:.1f} for 10x data) — superlinear growth"
+        f"(x{ratio:.1f} for 10x data, twice) — superlinear growth"
     )
