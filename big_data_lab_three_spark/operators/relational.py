@@ -281,3 +281,47 @@ def skyline_2d(
         F.broadcast(sky),
         (df[lo] == sky["_lo"]) & (df[hi] == sky["_best"]),
     ).select(*[df[c] for c in df.columns])
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_cols: Sequence[str],
+    seed: str = "es1",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — the
+    Efraimidis–Spirakis (2006) one-pass scheme: each row gets priority
+    ``u^(1/w)`` for a uniform ``u`` and weight ``w``; the k rows with
+    the highest priorities are a weighted sample without replacement.
+    The training-data-mix primitive ("sample 10M docs ∝ quality
+    score") next to the equal-probability content-hash holdout
+    (``stratified_sample``).
+
+    ``u`` is NOT random: it derives from md5 of the key columns + the
+    seed tag (first 15 hex digits → uniform in (0,1]) — so the sample
+    is a pure function of the DATA, reproducible across runs, engines
+    (md5 is bit-portable; an ANSI-SQL oracle can recompute it),
+    partitionings, and file layouts, and changes wholesale with the
+    seed tag.  Equivalently rank by ``ln(u)/w`` (monotone transform —
+    avoids underflow for tiny weights).
+
+    Scale shape: priority is one codegen projection; top-k is
+    ``orderBy·limit`` (per-partition top-k, then merge — never a
+    global window over the corpus).  Zero-or-negative weights are
+    excluded (they can never be sampled under ES semantics)."""
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
+    hex15 = F.substring(F.md5(F.encode(F.concat(key, F.lit(seed)), "UTF-8")), 1, 15)
+    # (int+1) / 16^15 ∈ (0, 1] — the +1 excludes u=0 (ln(0) = -inf)
+    u = (F.conv(hex15, 16, 10).cast("double") + 1.0) / F.lit(
+        float(16**15)
+    )
+    w = F.col(weight_col).cast("double")
+    pri = F.log(u) / w
+    return (
+        df.where(w > 0)
+        .withColumn("_pri", pri)
+        .orderBy(F.desc("_pri"), *key_cols)
+        .limit(k)
+        .drop("_pri")
+    )

@@ -336,3 +336,63 @@ def test_vendored_png_roundtrip_property(data):
     a = flat.reshape(-1, w)
     b = decode_png(encode_png(a))
     assert b.shape == a.shape and (a == b).all()
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),  # key
+            st.floats(
+                min_value=0.01, max_value=100.0,
+                allow_nan=False, allow_infinity=False,
+            ),
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    ),
+    k=st.integers(min_value=1, max_value=10),
+)
+def test_weighted_sample_matches_python_reference(spark, rows, k):
+    """The Efraimidis-Spirakis sample is a PURE FUNCTION of the data:
+    an independent Python implementation of the same md5-derived
+    priority rule must select the identical k rows."""
+    import hashlib
+    import math
+
+    from big_data_lab_three_spark.operators.relational import (
+        weighted_sample,
+    )
+
+    df = spark.createDataFrame(rows, "key long, w double").repartition(3)
+    got = sorted(
+        r.key for r in weighted_sample(df, k, "w", ["key"]).collect()
+    )
+
+    def pri(key, w):
+        hex15 = hashlib.md5(f"{key}es1".encode()).hexdigest()[:15]
+        u = (int(hex15, 16) + 1.0) / 16**15
+        return math.log(u) / w
+
+    expect = sorted(
+        key
+        for key, _ in sorted(
+            rows, key=lambda t: (-pri(t[0], t[1]), t[0])
+        )[:k]
+    )
+    assert got == expect
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """Statistical sanity on structured input: with two weight classes
+    1000:1, a k covering half the heavy class must be all-heavy (the
+    probability of any light row outranking a heavy one is ~1e-3)."""
+    from big_data_lab_three_spark.operators.relational import (
+        weighted_sample,
+    )
+
+    rows = [(i, 1000.0 if i < 40 else 0.001) for i in range(400)]
+    df = spark.createDataFrame(rows, "key long, w double")
+    got = weighted_sample(df, 20, "w", ["key"]).collect()
+    assert all(r.key < 40 for r in got)
