@@ -150,10 +150,14 @@ def group_quantiles(
     Ranks come from :func:`global_ranks` (one range-partition shuffle,
     memory bounded by partition, never by group); each quantile is then
     the standard interpolation between the two rows flanking
-    ``h = (n-1)·p``, computed with the same double arithmetic Spark's
-    ``percentile`` and DuckDB's ``quantile_cont`` use, so exact oracles
-    can pin the result (the single shared implementation behind
-    ``quantile_profile``, ``winsorize_stats``, ``anomaly_mad``).  The
+    ``h = (n-1)·p``, computed with DuckDB ``quantile_cont``'s exact
+    double arithmetic — ``lo·(⌈h⌉-h) + hi·(h-⌊h⌋)``, ``lo`` alone when
+    ``h`` is integral — so exact (unrounded) oracles can pin the result
+    bit-for-bit (property-tested against DuckDB on arbitrary inputs in
+    ``tests/test_rankstats.py``; the algebraically equal
+    ``lo + frac·(hi-lo)`` differs by 1 ULP on real inputs).  This is
+    the single shared implementation behind ``quantile_profile``,
+    ``winsorize_stats``, ``anomaly_mad``.  The
     output frame has ``len(groups)`` rows — broadcast it back to the
     fact for clipping/flagging.
 
@@ -187,11 +191,19 @@ def group_quantiles(
         aggs += [
             F.max(F.when(rank == k + 1, v)).alias(f"_{key}_lo"),
             F.max(F.when(rank == k + 2, v)).alias(f"_{key}_hi"),
+            # DuckDB's Interpolator weights, each one FP subtraction:
+            # RN-FRN and CRN-RN (NOT 1-frac, which can differ by an ULP)
             F.max(h - k).alias(f"_{key}_frac"),
+            F.max((k + 1).cast("double") - h).alias(f"_{key}_lw"),
         ]
         lo = F.col(f"_{key}_lo")
         hi = F.coalesce(F.col(f"_{key}_hi"), F.col(f"_{key}_lo"))
-        outs.append((lo + F.col(f"_{key}_frac") * (hi - lo)).alias(key))
+        frac = F.col(f"_{key}_frac")
+        outs.append(
+            F.when(frac == 0, lo)
+            .otherwise(lo * F.col(f"_{key}_lw") + hi * frac)
+            .alias(key)
+        )
     if count_col is not None:
         aggs.append(F.max(n).alias(count_col))  # N_COL is constant per group
         outs.append(F.col(count_col))
