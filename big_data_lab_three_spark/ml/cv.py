@@ -36,16 +36,33 @@ def fold_assignments(
     key_cols: list[str] | None = None,
     seed: int = 0,
     fold_col: str = "fold",
+    portable: bool = False,
 ) -> DataFrame:
-    """Attach a deterministic fold id in ``[0, k)``: xxhash64 of the
-    key columns (all columns when unspecified) and the seed, mod k.
+    """Attach a deterministic fold id in ``[0, k)``: a content hash of
+    the key columns (all columns when unspecified) and the seed, mod k.
     Pure projection — evaluated in the scan stage wherever it's used
-    as a filter."""
+    as a filter.
+
+    ``portable=False`` (default) hashes with ``xxhash64`` — fastest,
+    but Spark-specific.  ``portable=True`` derives the fold from md5
+    (bit-identical in every engine), so any system — including the
+    DuckDB oracle — can recompute membership to audit train/test
+    leakage: ``('0x' || substr(md5(key || '|cv' || seed), 1, 15))
+    :: BIGINT % k`` is the exact ANSI-ish twin."""
     keys = key_cols if key_cols else df.columns
-    return df.withColumn(
-        fold_col,
-        F.pmod(F.xxhash64(*keys, F.lit(seed)), F.lit(k)).cast("int"),
-    )
+    if portable:
+        tag = F.concat_ws(
+            "\x1f", *[F.col(c).cast("string") for c in keys]
+        )
+        h15 = F.substring(
+            F.md5(F.encode(F.concat(tag, F.lit(f"|cv{seed}")), "UTF-8")),
+            1,
+            15,
+        )
+        fold = F.conv(h15, 16, 10).cast("long") % F.lit(k)
+    else:
+        fold = F.pmod(F.xxhash64(*keys, F.lit(seed)), F.lit(k))
+    return df.withColumn(fold_col, fold.cast("int"))
 
 
 def cross_validate(

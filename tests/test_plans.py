@@ -882,3 +882,55 @@ def test_time_weighted_avg_user_partitioned_window(spark, sf_dir):
     assert "windowspecdefinition(user_id" in plan
     n = shuffle_count(df)
     assert n <= 3, f"window + rollup + sort, saw {n}"
+
+
+def test_weighted_sample_is_takeordered_no_shuffle(spark, sf_dir):
+    """r4-late: Efraimidis-Spirakis top-k must compile to
+    TakeOrderedAndProject (per-partition heaps + k-row merge) — never a
+    global sort, a window, or any data exchange."""
+    from big_data_lab_three_spark.plans.inspect import exchange_args
+
+    df = REG["weighted_sample_topk"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    # the gated spread() round-robin of a single-row-group local scan
+    # is exempt (same carve-out as the dedup shuffle pin)
+    keyed = [a for a in exchange_args(df) if "RoundRobinPartitioning" not in a]
+    assert not keyed, f"priority top-k shuffled data: {keyed}"
+
+
+def test_cms_joins_broadcast_the_sketches(spark, sf_dir):
+    """r4-late: both sketch point-query joins must broadcast the
+    KB-sized counter tables — a sort-merge join would shuffle the
+    (tiny) key frame AND the sketch for nothing."""
+    df = REG["cms_heavy_hitters"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert broadcast_join_count(df) >= 2, "sketch joins not broadcast"
+    assert "SortMergeJoin" not in plan
+
+
+def test_cv_fold_assignment_is_scan_stage_projection(spark, sf_dir):
+    """r4-late: portable fold assignment must be a pure projection —
+    the only exchanges are the 5-group census aggregate and the
+    orderBy; no window, no join, no assignment-table materialization."""
+    df = REG["cv_fold_balance"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Join" not in plan
+    assert shuffle_count(df) <= 2, "fold census should be agg+sort only"
+
+
+def test_png_stats_blobs_never_shuffle(spark, sf_dir):
+    """r4-late: the encode and decode MapInPandas stages must be
+    back-to-back with no exchange between them — PNG payloads stay in
+    the partition where they were built; only (bucket, partials)
+    shuffle."""
+    from big_data_lab_three_spark.plans.inspect import exchange_inputs
+
+    df = REG["png_pixel_stats"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 2
+    for cols in exchange_inputs(df):
+        assert not any("payload" in c for c in cols), (
+            f"PNG payload crossed an exchange: {cols}"
+        )
