@@ -396,3 +396,98 @@ def test_weighted_sample_prefers_heavy_rows(spark):
     df = spark.createDataFrame(rows, "key long, w double")
     got = weighted_sample(df, 20, "w", ["key"]).collect()
     assert all(r.key < 40 for r in got)
+
+
+@SETTINGS
+@given(
+    keys=st.lists(
+        st.integers(min_value=-(2**40), max_value=2**40),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+    k=st.integers(min_value=2, max_value=9),
+    seed=st.integers(min_value=0, max_value=3),
+)
+def test_portable_fold_matches_duckdb_twin(spark, keys, k, seed):
+    """The portable=True fold rule's documented DuckDB twin —
+    ``('0x' || substr(md5(key || '|cv' || seed), 1, 15))::BIGINT % k``
+    — must assign the IDENTICAL fold to every key (negative keys
+    included): the engine-independent-membership claim cv.py makes,
+    differential-tested on arbitrary inputs rather than just the
+    fixture tables."""
+    import duckdb
+
+    from big_data_lab_three_spark.ml.cv import fold_assignments
+
+    df = spark.createDataFrame([(x,) for x in keys], "key long")
+    got = {
+        r.key: r.fold
+        for r in fold_assignments(
+            df, k=k, key_cols=["key"], seed=seed, portable=True
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (key BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(x,) for x in keys])
+    expect = dict(
+        con.execute(
+            f"""
+            SELECT key,
+                   CAST(CAST(('0x' || substr(
+                        md5(CAST(key AS VARCHAR) || '|cv{seed}'), 1, 15))
+                    AS BIGINT) % {k} AS INTEGER)
+            FROM t
+            """
+        ).fetchall()
+    )
+    assert got == expect
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**40), max_value=2**40),  # key
+            st.integers(min_value=-5, max_value=10_000),  # int weight
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    k=st.integers(min_value=1, max_value=12),
+)
+def test_weighted_sample_matches_duckdb_oracle_formula(spark, rows, k):
+    """The registered oracle's SQL re-derivation of the ES sample
+    (hex-cast, +1, /16^15, ln, /w, top-k) must select the identical
+    key set on arbitrary data — including parity of the w>0 exclusion
+    rule.  Integer weights keep the two engines' value representations
+    identical; ln/division are IEEE-identical on identical inputs."""
+    import duckdb
+
+    from big_data_lab_three_spark.operators.relational import (
+        weighted_sample,
+    )
+
+    df = spark.createDataFrame(rows, "key long, w long").repartition(3)
+    got = sorted(r.key for r in weighted_sample(df, k, "w", ["key"]).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (key BIGINT, w BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    expect = sorted(
+        x
+        for (x,) in con.execute(
+            f"""
+            SELECT key FROM t
+            WHERE w > 0
+            ORDER BY ln((CAST(CAST(('0x' || substr(
+                             md5(CAST(key AS VARCHAR) || 'es1'), 1, 15))
+                         AS BIGINT) AS DOUBLE) + 1.0)
+                        / 1152921504606846976.0)
+                     / CAST(w AS DOUBLE) DESC,
+                     key
+            LIMIT {k}
+            """
+        ).fetchall()
+    )
+    assert got == expect
