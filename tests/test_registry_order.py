@@ -58,3 +58,38 @@ def test_rotation_priority_within_unverified():
         if n in REGISTRY and n not in verified and n not in _FORCE_FRONT
     ]
     assert names[: len(rotation_unverified)] == rotation_unverified
+
+
+def test_extras_module_names_trail_other_unverified():
+    """``queries.extras`` is imported LAST so that registering a query
+    mid-round can never displace an already-queued name from the
+    driver's 50-name prefix: among never-verified names, every
+    non-extras name must precede every extras name.  (Once a round's
+    CORRECTNESS record verifies the older names, extras entries
+    entering the prefix is the intended drain behavior.)"""
+    import big_data_lab_three_spark.queries.extras as extras
+
+    extras_names = {
+        q.name for q in REGISTRY.values()
+        if getattr(q.spark, "__module__", "") == extras.__name__
+    }
+    assert extras_names, "extras module registered nothing?"
+    verified = _driver_verified()
+    unverified = [
+        n
+        for n in load_all()
+        if n not in _FORCE_FRONT and n not in verified
+    ]
+    first_extra = min(
+        (unverified.index(n) for n in extras_names if n in unverified),
+        default=len(unverified),
+    )
+    stragglers = [
+        n
+        for n in unverified[first_extra:]
+        if n not in extras_names
+    ]
+    assert not stragglers, (
+        f"non-extras unverified names ordered after an extras name: "
+        f"{stragglers} — they fell out of the driver prefix"
+    )
