@@ -31,6 +31,9 @@ QUERIES = (
     "strip_conform",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    # r4-late: three sketch builds + estimates over lineitem — the
+    # counter-key-space exchange bound is the scaling claim to hold
+    "cms_heavy_hitters",
 )
 MAX_RATIO = 30.0
 
