@@ -209,12 +209,23 @@ def hll_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(approx.cast("double") - exact.cast("double"))
         <= F.lit(0.05) * exact.cast("double")
     )
-    agg = o.agg(
+    # The exact and approx sides are DELIBERATELY separate aggregates
+    # (1-row × 1-row cross-join, the accepted tiny-crossJoin pattern):
+    # fusing them makes Catalyst's multi-distinct Expand rewrite key the
+    # partial stage by (o_orderkey, o_custkey, gid) WHILE carrying the
+    # ~800-word HLL++ register buffers per group — ≈3 GB through the
+    # exchange at sf0.1 for two 8-byte answers (measured 3.8s → 0.8s
+    # same-day).  Split, the approx pass partial-combines ONE global
+    # sketch per column and the Expand carries only counts.
+    exact = o.agg(
         F.countDistinct("o_custkey").alias("custkeys"),
         F.countDistinct("o_orderkey").alias("orderkeys"),
+    )
+    approx = o.agg(
         F.approx_count_distinct("o_custkey", 0.02).alias("_a_cust"),
         F.approx_count_distinct("o_orderkey", 0.02).alias("_a_order"),
     )
+    agg = exact.crossJoin(approx)
     return agg.select(
         "custkeys",
         "orderkeys",

@@ -654,12 +654,27 @@ def test_anomaly_mad_double_rank_broadcasts(spark, sf_dir):
 
 def test_hll_check_is_single_pass_no_expand_explosion(spark, sf_dir):
     """The HLL sketch columns must ride partial aggregation (HLL++
-    registers merge map-side); the exact countDistincts expand, but the
-    whole query stays one aggregate tree over one orders scan."""
+    registers merge map-side, ONE global sketch per column).  r4-late
+    revision: the original single-scan fused form was itself the
+    pathology — Catalyst's multi-distinct Expand rewrite dragged the
+    register buffers through the per-key partial stage (see
+    test_hll_check_exchanges_stay_narrow).  The contract now: at most
+    two narrow scans (exact side + approx side), approx aggregation
+    present, and the approx partial stage keyed by NOTHING (global
+    sketch), i.e. no HashAggregate keyed on the distinct columns may
+    compute approx_count_distinct."""
     df = REG["hll_distinct_check"].spark(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("FileScan parquet") == 1, "orders scanned more than once"
+    assert plan.count("FileScan parquet") <= 2, "more than two orders scans"
     assert "approx_count_distinct" in plan
+    import re
+
+    for m in re.finditer(r"HashAggregate\(keys=\[([^\]]*)\][^\n]*", plan):
+        if "approx_count_distinct" in m.group(0):
+            assert "o_custkey" not in m.group(1), (
+                "approx sketch computed per distinct key — register "
+                "buffers will cross the exchange again"
+            )
 
 
 def test_event_transitions_single_user_shuffle(spark, sf_dir):
@@ -934,3 +949,20 @@ def test_png_stats_blobs_never_shuffle(spark, sf_dir):
         assert not any("payload" in c for c in cols), (
             f"PNG payload crossed an exchange: {cols}"
         )
+
+
+def test_hll_check_exchanges_stay_narrow(spark, sf_dir):
+    """r4-late: fusing the multi-distinct exact side with
+    approx_count_distinct made Catalyst's Expand rewrite push the
+    ~800-word HLL++ register buffers through the per-key partial stage
+    (≈3 GB exchanged at sf0.1 for two scalars; measured 3.8s→0.8s
+    split).  Pin the fix: no exchange in the plan may carry the sketch
+    register array — every exchange stays a handful of columns."""
+    from big_data_lab_three_spark.plans.inspect import exchange_inputs
+
+    df = REG["hll_distinct_check"].spark(spark, sf_dir)
+    widths = [len(cols) for cols in exchange_inputs(df)]
+    assert widths and max(widths) < 50, (
+        f"an exchange carries {max(widths)} columns — HLL registers "
+        "are crossing the wire again"
+    )
