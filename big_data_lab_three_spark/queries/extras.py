@@ -355,3 +355,120 @@ def media_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("mean_level"), 6).alias("min_level"),
         F.round(F.max("mean_level"), 6).alias("max_level"),
     )
+
+
+@register(
+    "dup_cluster_census",
+    ids="dedup: exact-duplicate cluster-size census (linear oracle — the sf1-verifiable dedup shape)",
+    oracle="""
+SELECT sz,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(sz) AS BIGINT) AS n_docs
+FROM (
+    SELECT CAST(count(*) AS BIGINT) AS sz
+    FROM (
+        SELECT text FROM documents
+        UNION ALL
+        SELECT text FROM documents WHERE doc_id % 7 = 0
+    )
+    GROUP BY md5(text)
+)
+GROUP BY sz
+ORDER BY sz
+""",
+)
+def dup_cluster_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate cluster-size distribution — the first dedup
+    report every corpus audit produces (how much of the corpus is
+    copies, and in how large cliques).  A seeded replica of every 7th
+    document guarantees multi-member clusters at every SF; natural
+    duplicates (sf0.1 has 8) fold in identically on both engines.
+
+    Unlike the near-dup family, BOTH sides of this check are linear —
+    digest groupBy, then a size rollup — so it is the dedup query that
+    runs the full value oracle at the sf1 tier (where the replicated
+    texts make all-pairs ground truths quadratic; see EXPERIMENTS.md).
+
+    Scale shape: the first exchange carries 16-byte digests (never
+    text), partial-aggregated map-side; the second carries
+    |distinct sizes| rows."""
+    d = table(spark, sf_dir, "documents", spread_ok=False)
+    seeded = d.select("text").unionByName(
+        d.where(F.col("doc_id") % 7 == 0).select("text")
+    )
+    sizes = seeded.groupBy(
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("_d")
+    ).agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        sizes.groupBy("sz")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("sz").alias("n_docs"),
+        )
+        .orderBy("sz")
+    )
+
+
+_DIM = 64  # embeddings fixture dimension (pinned by array_funcs_census)
+_CENTROID_ORACLE = """
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       round(sqrt({norm_terms}), 4) AS centroid_norm,
+       round(({mean_terms}) / {dim}, 4) AS centroid_mean,
+       round(greatest({avg_terms}), 4) AS centroid_max
+FROM embeddings
+GROUP BY label
+ORDER BY label
+""".format(
+    norm_terms=" + ".join(
+        f"pow(avg(embedding[{i}]), 2)" for i in range(1, _DIM + 1)
+    ),
+    mean_terms=" + ".join(
+        f"avg(embedding[{i}])" for i in range(1, _DIM + 1)
+    ),
+    avg_terms=", ".join(
+        f"avg(embedding[{i}])" for i in range(1, _DIM + 1)
+    ),
+    dim=float(_DIM),
+)
+
+
+@register(
+    "label_centroids",
+    ids="vector: per-label centroid aggregation without explode (class prototypes / drift monitoring)",
+    oracle=_CENTROID_ORACLE,
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids — the class-prototype /
+    drift-monitoring aggregate (and k-means' update step): elementwise
+    mean over every vector of a label, reported as centroid norm, mean
+    component, and max component.
+
+    Scale shape: the naive plan explodes 64× the row count and
+    shuffles (label, dim) pairs; here each dimension is its own
+    ``avg(element_at(v, i))`` inside ONE hash aggregate — 64 parallel
+    aggregates, partial-combined map-side, pure codegen, no explode,
+    one |labels|-group exchange.  The oracle spells the identical 64
+    per-dimension averages in SQL, so the elementwise arithmetic is
+    value-checked end to end (the derived norm/mean/max are rounded:
+    per-dimension sums commute differently across engines)."""
+    e = table(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    avgs = [
+        F.avg(F.element_at(v, i).cast("double")).alias(f"_a{i}")
+        for i in range(1, _DIM + 1)
+    ]
+    acols = [F.col(f"_a{i}") for i in range(1, _DIM + 1)]
+    norm = None
+    mean = None
+    for c in acols:
+        norm = F.pow(c, 2) if norm is None else norm + F.pow(c, 2)
+        mean = c if mean is None else mean + c
+    agg = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"), *avgs)
+    return agg.select(
+        "label",
+        "n_vecs",
+        F.round(F.sqrt(norm), 4).alias("centroid_norm"),
+        F.round(mean / F.lit(float(_DIM)), 4).alias("centroid_mean"),
+        F.round(F.greatest(*acols), 4).alias("centroid_max"),
+    ).orderBy("label")

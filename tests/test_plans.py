@@ -966,3 +966,33 @@ def test_hll_check_exchanges_stay_narrow(spark, sf_dir):
         f"an exchange carries {max(widths)} columns — HLL registers "
         "are crossing the wire again"
     )
+
+
+def test_dup_census_shuffles_digests_not_text(spark, sf_dir):
+    """r4-late: the cluster-size census's keyed exchanges carry the
+    16-byte digest (and counts), never document text."""
+    from big_data_lab_three_spark.plans.inspect import (
+        exchange_args,
+        exchange_inputs,
+    )
+
+    df = REG["dup_cluster_census"].spark(spark, sf_dir)
+    keyed = [
+        cols
+        for args, cols in zip(exchange_args(df), exchange_inputs(df))
+        if "RoundRobinPartitioning" not in args
+    ]
+    assert keyed, "census plan lost its digest shuffle"
+    assert all(not any(c.startswith("text") for c in cols) for cols in keyed), (
+        f"census shuffle carries raw text: {keyed}"
+    )
+
+
+def test_label_centroids_no_explode(spark, sf_dir):
+    """r4-late: the centroid aggregate must stay 64 parallel avg
+    aggregates in one pass — no Generate (explode) node, no (label,
+    dim) shuffle of unrolled elements, at most agg + sort exchanges."""
+    df = REG["label_centroids"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan, "centroid plan explodes the vectors"
+    assert shuffle_count(df) <= 2, "centroid plan shuffles unrolled data"
