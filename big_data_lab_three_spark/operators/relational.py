@@ -283,6 +283,23 @@ def skyline_2d(
     ).select(*[df[c] for c in df.columns])
 
 
+def es_priority(weight_col: str, key_cols: Sequence[str], seed: str):
+    """Efraimidis–Spirakis sampling priority as a pure Column:
+    ``ln(u)/w`` with ``u`` md5-derived from the key columns + seed tag
+    (first 15 hex digits, +1, /16^15 ∈ (0,1] — engine-bit-portable;
+    the SQL twin is ``ln((('0x' || substr(md5(k || seed), 1, 15))
+    ::BIGINT::DOUBLE + 1.0) / 16^15) / w``).  Shared by
+    :func:`weighted_sample` (global top-k) and
+    :func:`group_weighted_sample` (per-stratum top-k)."""
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
+    hex15 = F.substring(
+        F.md5(F.encode(F.concat(key, F.lit(seed)), "UTF-8")), 1, 15
+    )
+    # (int+1) / 16^15 ∈ (0, 1] — the +1 excludes u=0 (ln(0) = -inf)
+    u = (F.conv(hex15, 16, 10).cast("double") + 1.0) / F.lit(float(16**15))
+    return F.log(u) / F.col(weight_col).cast("double")
+
+
 def weighted_sample(
     df: DataFrame,
     k: int,
@@ -310,18 +327,47 @@ def weighted_sample(
     ``orderBy·limit`` (per-partition top-k, then merge — never a
     global window over the corpus).  Zero-or-negative weights are
     excluded (they can never be sampled under ES semantics)."""
-    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
-    hex15 = F.substring(F.md5(F.encode(F.concat(key, F.lit(seed)), "UTF-8")), 1, 15)
-    # (int+1) / 16^15 ∈ (0, 1] — the +1 excludes u=0 (ln(0) = -inf)
-    u = (F.conv(hex15, 16, 10).cast("double") + 1.0) / F.lit(
-        float(16**15)
-    )
     w = F.col(weight_col).cast("double")
-    pri = F.log(u) / w
     return (
         df.where(w > 0)
-        .withColumn("_pri", pri)
+        .withColumn("_pri", es_priority(weight_col, key_cols, seed))
         .orderBy(F.desc("_pri"), *key_cols)
         .limit(k)
         .drop("_pri")
+    )
+
+
+def group_weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_cols: Sequence[str],
+    group_cols: Sequence[str],
+    seed: str = "es1",
+) -> DataFrame:
+    """Per-stratum weighted sampling without replacement: the k
+    highest Efraimidis–Spirakis priorities WITHIN each ``group_cols``
+    group — "sample k documents per language ∝ quality", the
+    stratified counterpart of :func:`weighted_sample` and the
+    data-mix-construction primitive (fixed per-stratum budgets with
+    weighted selection inside each stratum).  Deterministic for the
+    same reason: priorities are a pure md5 function of the data.
+
+    Scale shape: priority is a scan projection; selection is one
+    ``row_number`` window partitioned by the strata — one exchange
+    keyed on ``group_cols``, per-group sort, nothing global.  With
+    MANY strata (languages × sources × shards) the exchange balances
+    naturally; for a FEW huge strata, pre-prune with a per-partition
+    local top-k (the ``skew_salted_join`` two-phase idiom) before the
+    window — the priorities make the two phases agree exactly."""
+    w = F.col(weight_col).cast("double")
+    win = Window.partitionBy(*group_cols).orderBy(
+        F.desc("_pri"), *key_cols
+    )
+    return (
+        df.where(w > 0)
+        .withColumn("_pri", es_priority(weight_col, key_cols, seed))
+        .withColumn("_rn", F.row_number().over(win))
+        .where(F.col("_rn") <= k)
+        .drop("_pri", "_rn")
     )

@@ -472,3 +472,48 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean / F.lit(float(_DIM)), 4).alias("centroid_mean"),
         F.round(F.greatest(*acols), 4).alias("centroid_max"),
     ).orderBy("label")
+
+
+@register(
+    "group_weighted_sample",
+    ids="sampling: per-stratum Efraimidis-Spirakis (fixed per-language budgets, weighted within)",
+    oracle="""
+SELECT lang, doc_id, n_chars
+FROM (
+    SELECT lang, doc_id, n_chars,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY ln((CAST(CAST(('0x' || substr(
+                                md5(CAST(doc_id AS VARCHAR) || 'es1'),
+                                1, 15)) AS BIGINT) AS DOUBLE) + 1.0)
+                           / 1152921504606846976.0)
+                        / CAST(n_chars AS DOUBLE) DESC,
+                        doc_id
+           ) AS rn
+    FROM documents
+    WHERE n_chars > 0
+)
+WHERE rn <= 5
+ORDER BY lang, doc_id
+""",
+)
+def group_weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five documents PER LANGUAGE sampled ∝ ``n_chars`` — the
+    stratified data-mix primitive (fixed per-stratum budgets, weighted
+    selection within each stratum) via
+    ``operators.relational.group_weighted_sample``.  The oracle
+    re-derives the identical per-language samples from the md5
+    priority formula with its own window.
+
+    Scale shape: one exchange keyed on the strata for the
+    ``row_number`` window; priorities are a scan projection (see the
+    operator docstring for the few-huge-strata pre-prune idiom)."""
+    from big_data_lab_three_spark.operators.relational import (
+        group_weighted_sample,
+    )
+
+    d = table(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+    return group_weighted_sample(
+        d, 5, weight_col="n_chars", key_cols=["doc_id"],
+        group_cols=["lang"], seed="es1",
+    ).orderBy("lang", "doc_id")

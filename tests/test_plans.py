@@ -996,3 +996,18 @@ def test_label_centroids_no_explode(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Generate" not in plan, "centroid plan explodes the vectors"
     assert shuffle_count(df) <= 2, "centroid plan shuffles unrolled data"
+
+
+def test_group_weighted_sample_windows_on_strata(spark, sf_dir):
+    """r4-late: the per-stratum sample must be ONE row_number window
+    partitioned by the strata — no global (unpartitioned) window, no
+    extra data exchange beyond the strata key + presentation sort."""
+    from big_data_lab_three_spark.plans.inspect import exchange_args
+
+    df = REG["group_weighted_sample"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(lang" in plan
+    # spread()'s round-robin on the single-row-group local scan is
+    # exempt (same carve-out as the other sampling pins)
+    keyed = [a for a in exchange_args(df) if "RoundRobinPartitioning" not in a]
+    assert len(keyed) <= 2, f"extra keyed exchanges: {keyed}"
