@@ -26,6 +26,21 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _sampled_knn_radius(pts, k: int) -> float:
+    """95th-percentile k-th-NN Euclidean distance within a (small) point
+    sample — the finite ``approxSimilarityJoin`` radius for
+    :func:`smote`.  Returns +inf when the sample is too small for a
+    k-NN estimate (candidate pairs are then trivially bounded)."""
+    import numpy as np
+
+    pts = np.asarray(pts, dtype=np.float64)
+    if len(pts) <= k + 1:
+        return float("inf")
+    d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(axis=2)
+    kth = np.sqrt(np.partition(d2, k, axis=1)[:, k])  # k-th NN (self=0th)
+    return float(np.quantile(kth, 0.95)) or 1.0
+
+
 def _class_counts(df: DataFrame, label_col: str) -> dict:
     return {
         r[label_col]: r["n"]
@@ -80,7 +95,14 @@ def smote(
 
     1. approx k-NN within the minority class via
        BucketedRandomProjectionLSH self-join (LSH buckets shuffle only
-       minority rows — never the majority),
+       minority rows — never the majority).  The join radius is FINITE,
+       estimated from a bounded sample (≤ ``radius_sample`` rows): the
+       95th percentile of sampled k-th-NN distances.  An infinite radius
+       would keep every LSH bucket collision, degrading toward quadratic
+       pairs inside hot buckets at large minority sizes; the sampled
+       radius bounds candidate pairs while the sample's sparsity makes
+       the estimate conservative (sample k-NN distances upper-bound
+       full-data ones).
     2. per base row keep the k nearest (window on distance),
     3. pick a neighbor and an interpolation λ ∈ (0,1) deterministically
        from ``xxhash64(base_id, neighbor_id, replica)`` — seed-stable
@@ -90,7 +112,11 @@ def smote(
 
     Output: input rows + synthetic minority rows (same schema:
     features_col + label_col only for synthetic rows' other columns =
-    NULL-free subset — callers select the needed columns first).
+    NULL-free subset — callers select the needed columns first).  If the
+    finite radius leaves some isolated base rows with zero neighbors and
+    the interpolated pool comes up short, the remainder is topped up by
+    deterministic duplication of minority rows so the class balance is
+    still exact.
     """
     counts = _class_counts(df, label_col)
     if minority_class is None:
@@ -115,9 +141,23 @@ def smote(
         seed=seed,
     )
     model = lsh.fit(minority)
-    # Self-join: pairs within the widest reasonable radius; window keeps k.
+
+    # Finite join radius from a bounded sample: collect ≤ radius_sample
+    # minority vectors (deterministic hash order) and take the 95th
+    # percentile of each sampled point's k-th-NN distance within the
+    # sample.  Sample sparsity upper-bounds the true k-NN distance, so
+    # the radius is generous without being infinite.
+    radius_sample = 500
+    sampled = (
+        minority.select(vector_to_array(features_col).alias("__arr"), "__id")
+        .orderBy(F.xxhash64("__id", F.lit(seed)))
+        .limit(radius_sample)
+        .collect()
+    )
+    radius = _sampled_knn_radius([r["__arr"] for r in sampled], k)
+
     pairs = model.approxSimilarityJoin(
-        minority, minority, float("inf"), distCol="__dist"
+        minority, minority, radius, distCol="__dist"
     ).where(F.col("datasetA.__id") != F.col("datasetB.__id"))
 
     w = Window.partitionBy("datasetA.__id").orderBy(
@@ -126,22 +166,26 @@ def smote(
     knn = (
         pairs.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= k)
+        .withColumn("__cnt", F.count(F.lit(1)).over(Window.partitionBy("datasetA.__id")))
         .select(
             F.col("datasetA.__id").alias("base_id"),
             F.col(f"datasetA.{features_col}").alias("base_vec"),
             F.col("datasetB.__id").alias("nbr_id"),
             F.col(f"datasetB.{features_col}").alias("nbr_vec"),
             "__rn",
+            "__cnt",
         )
     )
 
     # Replicate each base row ceil(n_need/n_min) times, then keep n_need.
+    # Neighbor choice is modulo the base row's ACTUAL neighbor count (≤ k)
+    # so bases with fewer-than-k in-radius neighbors still contribute.
     reps = -(-n_need // n_min)
     replicas = knn.sparkSession.range(reps).withColumnRenamed("id", "__rep")
     replicated = knn.crossJoin(F.broadcast(replicas))
     h = F.xxhash64("base_id", "nbr_id", "__rep", F.lit(seed))
     chosen = replicated.where(
-        F.pmod(F.xxhash64("base_id", "__rep", F.lit(seed)), F.lit(k))
+        F.pmod(F.xxhash64("base_id", "__rep", F.lit(seed)), F.col("__cnt"))
         == F.col("__rn") - 1
     )
     lam = (F.pmod(h, F.lit(10_000)) + 0.5) / 10_000.0
@@ -157,4 +201,21 @@ def smote(
         )
         .limit(n_need)
     )
-    return df.select(*base_cols).unionByName(synthetic)
+    # Exact-balance guarantee: isolated bases (zero in-radius neighbors)
+    # can leave the interpolated pool short — top up with deterministic
+    # duplicates of minority rows.
+    n_synth = synthetic.count()
+    out = df.select(*base_cols).unionByName(synthetic)
+    if n_synth < n_need:
+        # duplicate full passes first if one pass is not enough
+        short = n_need - n_synth
+        while short > n_min:
+            out = out.unionByName(minority.select(*base_cols))
+            short -= n_min
+        topup = (
+            minority.select(*base_cols)
+            .orderBy(F.xxhash64("__id", F.lit(seed + 1)))
+            .limit(short)
+        )
+        out = out.unionByName(topup)
+    return out

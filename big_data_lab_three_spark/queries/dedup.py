@@ -513,7 +513,10 @@ def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
-    admitted = surv1.join(F.broadcast(flagged), "doc_id", "left_anti")
+    # No broadcast hint on `flagged`: it is O(batch)-sized, so a static
+    # hint would be wrong for corpus-sized batches — AQE promotes it to a
+    # broadcast at runtime when it is actually small.
+    admitted = surv1.join(flagged, "doc_id", "left_anti")
     return (
         batch.agg(F.count(F.lit(1)).alias("n_batch"))
         .crossJoin(

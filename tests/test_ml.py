@@ -77,6 +77,50 @@ def test_smote_generates_interpolated_minority(spark, labeled):
     assert max(counts.values()) == min(counts.values())  # exactly balanced
 
 
+def test_smote_radius_is_finite_and_bounds_candidates():
+    """The LSH self-join radius must be finite for any non-trivial
+    minority class (an infinite radius keeps every bucket collision →
+    quadratic pairs in hot buckets).  The sampled-quantile estimate
+    should cover typical k-NN distances (≥ the true k-th NN for most
+    points) without ballooning to the data diameter."""
+    import numpy as np
+
+    from big_data_lab_three_spark.ml.balance import _sampled_knn_radius
+
+    rng = np.random.default_rng(7)
+    pts = rng.normal(size=(400, 4))
+    r = _sampled_knn_radius(pts, k=5)
+    assert np.isfinite(r) and r > 0
+    # radius stays local: far below the cloud's diameter
+    diam = np.linalg.norm(pts.max(axis=0) - pts.min(axis=0))
+    assert r < diam / 2
+    # ...but covers at least 90% of true 5-th-NN distances
+    d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(axis=2)
+    kth = np.sqrt(np.partition(d2, 5, axis=1)[:, 5])
+    assert (kth <= r).mean() >= 0.90
+    # tiny sample → inf (pair count trivially bounded)
+    assert _sampled_knn_radius(pts[:3], k=5) == float("inf")
+
+
+def test_smote_balances_exactly_with_isolated_outlier(spark):
+    """An isolated minority point beyond the finite radius must not
+    break the exact-balance guarantee (top-up path)."""
+    from pyspark.ml.functions import array_to_vector
+
+    rows = (
+        [(float(i % 7), float(i % 5), 0) for i in range(60)]
+        + [(float(i % 3), float(i % 4), 1) for i in range(9)]
+        + [(500.0, 500.0, 1)]  # isolated outlier in the minority class
+    )
+    df = spark.createDataFrame(rows, "x double, y double, label int").select(
+        array_to_vector(F.array("x", "y")).alias("features"), "label"
+    )
+    out = smote(df, minority_class=1, k=3)
+    counts = {r["label"]: r["n"] for r in
+              out.groupBy("label").agg(F.count("*").alias("n")).collect()}
+    assert counts[0] == counts[1]
+
+
 @pytest.mark.parametrize("model_type", ["log_reg", "rand_forest", "gnb", "d_tree"])
 def test_train_all_reference_models(labeled, model_type):
     params = {

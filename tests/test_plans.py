@@ -1011,3 +1011,19 @@ def test_group_weighted_sample_windows_on_strata(spark, sf_dir):
     # exempt (same carve-out as the other sampling pins)
     keyed = [a for a in exchange_args(df) if "RoundRobinPartitioning" not in a]
     assert len(keyed) <= 2, f"extra keyed exchanges: {keyed}"
+
+
+def test_dedup_incremental_no_static_broadcast_of_flagged(spark, sf_dir):
+    """r5: the near-gate anti-join's `flagged` side is O(batch)-sized,
+    so a static broadcast hint would be wrong for corpus-sized batches.
+    Pin: the optimized logical plan carries NO user broadcast hint on
+    that join (AQE may still promote it at runtime — that's the point)."""
+    df = REG["dedup_incremental"].spark(spark, sf_dir)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    # the three 1-row aggregate crossJoin broadcasts are expected; the
+    # anti-join on doc_id must not carry a static hint.  User hints
+    # surface as ResolvedHint/UnresolvedHint in the analyzed plan.
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    hints = [ln for ln in analyzed.splitlines() if "Hint" in ln]
+    anti_hints = [h for h in hints if "doc_id" in h]
+    assert not anti_hints, f"static broadcast on the anti-join side: {anti_hints}"
