@@ -203,19 +203,37 @@ def smote(
     )
     # Exact-balance guarantee: isolated bases (zero in-radius neighbors)
     # can leave the interpolated pool short — top up with deterministic
-    # duplicates of minority rows.
+    # duplicates of minority rows.  `synthetic` is persisted before the
+    # count so the LSH self-join pipeline is computed once: the caller's
+    # final action reads the cached rows instead of recomputing the join
+    # (callers may `.unpersist()` the returned frame's cached lineage
+    # after materializing).
+    synthetic = synthetic.persist()
     n_synth = synthetic.count()
     out = df.select(*base_cols).unionByName(synthetic)
     if n_synth < n_need:
-        # duplicate full passes first if one pass is not enough
         short = n_need - n_synth
-        while short > n_min:
-            out = out.unionByName(minority.select(*base_cols))
-            short -= n_min
+        # Full duplicate passes as ONE crossJoin against a broadcast
+        # range (mirroring the `replicas` pattern above) — a Python
+        # while-loop of unionByName would create O(short/n_min) plan
+        # nodes and risk Catalyst analysis blowup when the pool is badly
+        # short relative to a small minority class.
+        passes = (short - 1) // n_min
+        rem = short - passes * n_min  # final partial pass, in [1, n_min]
+        if passes:
+            pass_ids = minority.sparkSession.range(passes).withColumnRenamed(
+                "id", "__pass"
+            )
+            full_passes = (
+                minority.select(*base_cols)
+                .crossJoin(F.broadcast(pass_ids))
+                .select(*base_cols)
+            )
+            out = out.unionByName(full_passes)
         topup = (
             minority.select(*base_cols)
             .orderBy(F.xxhash64("__id", F.lit(seed + 1)))
-            .limit(short)
+            .limit(rem)
         )
         out = out.unionByName(topup)
     return out

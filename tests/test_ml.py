@@ -121,6 +121,32 @@ def test_smote_balances_exactly_with_isolated_outlier(spark):
     assert counts[0] == counts[1]
 
 
+def test_smote_topup_multi_pass_is_single_plan(spark, monkeypatch):
+    """When EVERY minority base is isolated (zero in-radius pairs) and the
+    shortfall spans many full minority passes, the top-up must still
+    balance exactly — via ONE crossJoin against a broadcast range, not a
+    unionByName per pass (O(short/n_min) plan nodes would blow up
+    Catalyst analysis for a tiny minority class)."""
+    import big_data_lab_three_spark.ml.balance as bal
+    from pyspark.ml.functions import array_to_vector
+
+    # force zero LSH pairs: all minority points far apart, radius pinned tiny
+    monkeypatch.setattr(bal, "_sampled_knn_radius", lambda pts, k: 0.01)
+    rows = [(float(i % 9), float(i // 9), 0) for i in range(50)] + [
+        (1000.0 * i, -1000.0 * i, 1) for i in range(1, 5)
+    ]
+    df = spark.createDataFrame(rows, "x double, y double, label int").select(
+        array_to_vector(F.array("x", "y")).alias("features"), "label"
+    )
+    out = bal.smote(df, minority_class=1, k=3)
+    # 46-row shortfall over a 4-row minority = 11 full passes + 2 → the
+    # old while-loop would have built 11 unionByName nodes
+    assert "Union" in out._jdf.queryExecution().analyzed().toString()
+    counts = {r["label"]: r["n"] for r in
+              out.groupBy("label").agg(F.count("*").alias("n")).collect()}
+    assert counts[0] == counts[1] == 50
+
+
 @pytest.mark.parametrize("model_type", ["log_reg", "rand_forest", "gnb", "d_tree"])
 def test_train_all_reference_models(labeled, model_type):
     params = {
