@@ -294,6 +294,108 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_bucket_keys(
+    sigs: DataFrame, max_hamming: int = 3, blocks: int | None = None
+) -> DataFrame:
+    """Pigeonhole bucket keys for a SimHash signature table — the
+    candidate-generation half of :func:`simhash_pairs`, exposed so
+    census/audit queries can inspect the bucket structure WITHOUT the
+    pair join (the join is the only quadratic-risk step; everything
+    here is a projection + explode, linear at any corpus size).
+
+    Input: ``(id, sig)``; output: ``(id, sig, t, k)`` — one row per
+    (document, table), where table ``t`` keys on a distinct combination
+    of ``blocks - max_hamming`` signature segments and ``k`` packs those
+    segments' bits.  Any pair within Hamming ``max_hamming`` shares
+    (t, k) for some t — recall 1 by the pigeonhole argument (Manku et
+    al., WWW'07)."""
+    from itertools import combinations
+
+    d = max_hamming
+    b = blocks if blocks is not None else d + 1
+    if b < d + 1 or _SIMHASH_BITS % b != 0:
+        raise ValueError(
+            f"blocks must be >= max_hamming+1 and divide {_SIMHASH_BITS}"
+        )
+    seg_bits = _SIMHASH_BITS // b
+    seg_mask = (1 << seg_bits) - 1
+
+    def combo_key(combo: tuple[int, ...]):
+        key = F.lit(0).cast("long")
+        for i in combo:
+            seg = F.shiftright("sig", i * seg_bits).bitwiseAND(
+                F.lit(seg_mask)
+            )
+            key = F.shiftleft(key, seg_bits) + seg
+        return key
+
+    return sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"), combo_key(c).alias("k")
+                    )
+                    for t, c in enumerate(combinations(range(b), b - d))
+                ]
+            )
+        ).alias("tk"),
+    ).select("id", "sig", F.col("tk.t").alias("t"), F.col("tk.k").alias("k"))
+
+
+def portable_minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perms: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Engine-portable MinHash signatures as ``(id, m0..m{P-1})``: the
+    permutation-i hash of shingle ``s`` is the 60-bit truncated md5 of
+    ``s || '|' || i`` — bit-identical in DuckDB as
+    ``('0x' || substr(md5(s || '|' || i), 1, 15))::BIGINT`` — so a SQL
+    oracle can recompute signatures LINEARLY (docs × shingles × perms),
+    unlike the xxhash64 production path (:func:`minhash_signatures`)
+    whose correctness witness is the quadratic all-pairs Jaccard.
+
+    Same scale shape as the production path: explode to (id, shingle,
+    perm) rows, one hash-aggregate with ``num_perms`` conditional mins;
+    map-side partial aggregation collapses each document to one
+    signature row before the shuffle.  md5-per-(shingle, perm) costs
+    ~P× the xxhash64 path — use it for audit/census queries, not the
+    hot dedup path."""
+    hashed = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(shingles(tokens(F.col(text_col)), shingle_k)).alias(
+                "s"
+            ),
+        )
+        .select(
+            "id",
+            "s",
+            F.explode(F.sequence(F.lit(0), F.lit(num_perms - 1))).alias("i"),
+        )
+        .select(
+            "id",
+            "i",
+            F.conv(
+                F.substring(F.md5(F.concat_ws("|", "s", "i")), 1, 15), 16, 10
+            )
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    return hashed.groupBy("id").agg(
+        *[
+            F.min(F.when(F.col("i") == j, F.col("h"))).alias(f"m{j}")
+            for j in range(num_perms)
+        ]
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -318,26 +420,6 @@ def simhash_pairs(
     is the price of bounded buckets, the plan shape is unchanged.
     Shuffles carry (id, sig, table, key) — never text.
     """
-    from itertools import combinations
-
-    d = max_hamming
-    b = blocks if blocks is not None else d + 1
-    if b < d + 1 or _SIMHASH_BITS % b != 0:
-        raise ValueError(
-            f"blocks must be >= max_hamming+1 and divide {_SIMHASH_BITS}"
-        )
-    seg_bits = _SIMHASH_BITS // b
-    seg_mask = (1 << seg_bits) - 1
-
-    def combo_key(combo: tuple[int, ...]):
-        key = F.lit(0).cast("long")
-        for i in combo:
-            seg = F.shiftright("sig", i * seg_bits).bitwiseAND(
-                F.lit(seg_mask)
-            )
-            key = F.shiftleft(key, seg_bits) + seg
-        return key
-
     # Shingle-level (not token-level) simhash: token sets collapse
     # when the corpus shares one vocabulary; shingles are
     # order-sensitive and spread unrelated docs to Hamming ≈ 32.
@@ -345,20 +427,7 @@ def simhash_pairs(
     # Signature table feeds both sides of the self-join — persist so the
     # explode + 64-sum aggregation runs once, not twice (measured 2x).
     sigs = sigs.persist()
-    keyed = sigs.select(
-        "id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("t"), combo_key(c).alias("k")
-                    )
-                    for t, c in enumerate(combinations(range(b), b - d))
-                ]
-            )
-        ).alias("tk"),
-    ).select("id", "sig", F.col("tk.t").alias("t"), F.col("tk.k").alias("k"))
+    keyed = simhash_bucket_keys(sigs, max_hamming=max_hamming, blocks=blocks)
     a, bb = keyed.alias("a"), keyed.alias("b")
     return (
         a.join(

@@ -517,3 +517,409 @@ def group_weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, 5, weight_col="n_chars", key_cols=["doc_id"],
         group_cols=["lang"], seed="es1",
     ).orderBy("lang", "doc_id")
+
+
+@register(
+    "simhash_band_census",
+    ids="dedup: SimHash pigeonhole bucket-size census (linear oracle — the sf1-scale witness for the simhash family)",
+    oracle="""
+WITH base AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 7 = 0
+), tok AS (
+  SELECT id, list_filter(regexp_split_to_array(text, '\\s+'),
+                         x -> x != '') AS toks
+  FROM base
+), sh AS (
+  SELECT id,
+         unnest([array_to_string(toks[i:i+2], ' ')
+                 for i in range(1, len(toks) - 1)]) AS s
+  FROM tok
+), h AS (
+  SELECT id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h FROM sh
+), votes AS (
+  SELECT id, g.b AS b,
+         sum(CASE WHEN (h >> g.b) & 1 = 1 THEN 1 ELSE -1 END) AS c
+  FROM h CROSS JOIN generate_series(0, 59) AS g(b)
+  GROUP BY id, g.b
+), sig AS (
+  SELECT id,
+         CAST(sum(CASE WHEN c > 0 THEN CAST(1 AS BIGINT) << b
+                       ELSE 0 END) AS BIGINT) AS sig
+  FROM votes GROUP BY id
+), keys AS (
+  SELECT id, CAST(g.t AS INTEGER) AS t,
+         (sig >> (g.t * 15)) & 32767 AS k
+  FROM sig CROSS JOIN generate_series(0, 3) AS g(t)
+), buckets AS (
+  SELECT t, k, count(*) AS sz FROM keys GROUP BY t, k
+)
+SELECT t, CAST(sz AS BIGINT) AS bucket_size,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(sz) AS BIGINT) AS n_docs
+FROM buckets
+GROUP BY t, sz
+ORDER BY t, bucket_size
+""",
+)
+def simhash_band_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-size distribution of the SimHash pigeonhole tables over
+    the FULL corpus (+ exact-duplicate seeds, ``doc_id % 7``): per
+    table ``t`` (4 tables keyed on one 15-bit signature segment), how
+    many buckets hold 1, 2, … documents.
+
+    This is the LINEAR-oracle witness for the simhash family at large
+    SF: ``dedup_simhash``'s all-pairs oracle goes quadratic on sf1's
+    10×-replicated texts, while this census recomputes the 60-bit
+    md5-portable signatures AND the exact bucket structure with one
+    GROUP BY per stage — docs × shingles work on both engines, no pair
+    join anywhere.  A value-hash match pins signature bits and
+    candidate-generation keying end-to-end; the pair stage it omits is
+    exactly the part ``dedup_simhash`` already value-checks at driver
+    scale.
+
+    Scale shape: explode + two hash-aggregates; shuffles carry
+    (id, 60 counters) then (t, k) longs — never text.  The exact-copy
+    seeds guarantee size-≥2 buckets in every table at every SF."""
+    from big_data_lab_three_spark.operators.dedup import (
+        simhash_bucket_keys,
+        simhash_signatures,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    seeded = d.unionByName(
+        d.where(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 3000000).alias("doc_id"), "text"
+        )
+    )
+    sigs = simhash_signatures(seeded, shingle_k=3)
+    keyed = simhash_bucket_keys(sigs, max_hamming=3)
+    buckets = keyed.groupBy("t", "k").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        buckets.groupBy("t", F.col("sz").alias("bucket_size"))
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("sz").alias("n_docs"),
+        )
+        .orderBy("t", "bucket_size")
+    )
+
+
+@register(
+    "minhash_band_census",
+    ids="dedup: portable-MinHash band bucket-size census (linear oracle — the sf1-scale witness for the minhash family)",
+    oracle="""
+WITH base AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000, text || ' zzz'
+  FROM documents WHERE doc_id % 7 = 0
+), tok AS (
+  SELECT id, list_filter(regexp_split_to_array(text, '\\s+'),
+                         x -> x != '') AS toks
+  FROM base
+), sh AS (
+  SELECT id,
+         unnest([array_to_string(toks[i:i+2], ' ')
+                 for i in range(1, len(toks) - 1)]) AS s
+  FROM tok
+), hp AS (
+  SELECT id, g.i AS i,
+         CAST(('0x' || substr(md5(s || '|' || CAST(g.i AS VARCHAR)),
+                              1, 15)) AS BIGINT) AS h
+  FROM sh CROSS JOIN generate_series(0, 7) AS g(i)
+), sig AS (
+  SELECT id,
+         min(h) FILTER (WHERE i = 0) AS m0,
+         min(h) FILTER (WHERE i = 1) AS m1,
+         min(h) FILTER (WHERE i = 2) AS m2,
+         min(h) FILTER (WHERE i = 3) AS m3,
+         min(h) FILTER (WHERE i = 4) AS m4,
+         min(h) FILTER (WHERE i = 5) AS m5,
+         min(h) FILTER (WHERE i = 6) AS m6,
+         min(h) FILTER (WHERE i = 7) AS m7
+  FROM hp GROUP BY id
+), banded AS (
+  SELECT id, b.band AS band,
+         CAST(('0x' || substr(md5(
+             CASE b.band
+               WHEN 0 THEN CAST(m0 AS VARCHAR) || ',' || CAST(m1 AS VARCHAR)
+               WHEN 1 THEN CAST(m2 AS VARCHAR) || ',' || CAST(m3 AS VARCHAR)
+               WHEN 2 THEN CAST(m4 AS VARCHAR) || ',' || CAST(m5 AS VARCHAR)
+               ELSE CAST(m6 AS VARCHAR) || ',' || CAST(m7 AS VARCHAR)
+             END), 1, 15)) AS BIGINT) AS k
+  FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band)
+), buckets AS (
+  SELECT band, k, count(*) AS sz FROM banded GROUP BY band, k
+)
+SELECT CAST(band AS INTEGER) AS band, CAST(sz AS BIGINT) AS bucket_size,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(sz) AS BIGINT) AS n_docs
+FROM buckets
+GROUP BY band, sz
+ORDER BY band, bucket_size
+""",
+)
+def minhash_band_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-size distribution of MinHash LSH bands over the FULL
+    corpus (+ near-duplicate seeds: ``doc_id % 7`` copies with one
+    appended token) using the ENGINE-PORTABLE md5 minhash
+    (``operators.dedup.portable_minhash_signatures``, 8 perms → 4
+    bands × 2 rows).
+
+    This is the LINEAR-oracle witness for the minhash family at large
+    SF: the production pipeline's correctness oracle
+    (``dedup_minhash_lsh``) is the exact all-pairs Jaccard — quadratic
+    on sf1's replicated texts — while this census recomputes signatures
+    and band buckets with docs × shingles × perms work only.  A
+    value-hash match pins the shingle→minhash→band keying exactly;
+    near-dup seeds make the histogram discriminating (a one-token edit
+    preserves some band minima but not others, so seeded pairs collide
+    in SOME bands — sizes 2+ — while unrelated docs stay singletons).
+
+    Scale shape: explode to (id, shingle, perm), ONE map-side-combining
+    hash-aggregate to 8 minima per doc, band keys as a projection, then
+    two small GROUP BYs; shuffles carry ids + longs, never text."""
+    from big_data_lab_three_spark.operators.dedup import (
+        portable_minhash_signatures,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    seeded = d.unionByName(
+        d.where(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 3000000).alias("doc_id"),
+            F.concat("text", F.lit(" zzz")).alias("text"),
+        )
+    )
+    sig = portable_minhash_signatures(seeded, num_perms=8, shingle_k=3)
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(",", f"m{2 * b}", f"m{2 * b + 1}")),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("k"),
+        )
+        for b in range(4)
+    ]
+    banded = sig.select(
+        "id", F.explode(F.array(*bands)).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.k").alias("k"))
+    buckets = banded.groupBy("band", "k").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return (
+        buckets.groupBy("band", F.col("sz").alias("bucket_size"))
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("sz").alias("n_docs"),
+        )
+        .orderBy("band", "bucket_size")
+    )
+
+
+@register(
+    "ivf_assign_census",
+    ids="similarity: content-keyed nearest-centroid assignment census (linear oracle — the sf1-scale witness for the IVF family)",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+), s AS (
+  SELECT vec_id AS seed_id, CAST(embedding AS DOUBLE[]) AS sv
+  FROM embeddings WHERE vec_id < 8
+), sc AS (
+  SELECT vec_id, seed_id,
+         round(list_dot_product(ev, sv)
+               / (sqrt(list_dot_product(ev, ev))
+                  * sqrt(list_dot_product(sv, sv))), 6) AS cq
+  FROM v CROSS JOIN s
+), best AS (
+  SELECT vec_id, seed_id, cq,
+         row_number() OVER (
+             PARTITION BY vec_id ORDER BY cq DESC, seed_id ASC) AS rn
+  FROM sc
+)
+SELECT seed_id AS cluster_id,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       round(avg(cq), 4) AS avg_cos,
+       min(vec_id) AS min_vec,
+       max(vec_id) AS max_vec
+FROM best WHERE rn = 1
+GROUP BY seed_id
+ORDER BY cluster_id
+""",
+)
+def ivf_assign_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer assignment census with a CONTENT-KEYED
+    codebook: the 8 centroids are the embeddings with ``vec_id < 8``
+    (deterministic, recomputable by any engine — no sampled k-means
+    state), every vector is assigned to its max-cosine centroid
+    (tie → lowest seed), and the output is per-cluster size, mean
+    cosine, and vec_id extrema.
+
+    This is the LINEAR-oracle witness for the IVF/ANN family at large
+    SF: the recall-audit oracles (``similarity_ivf``/``_pq``) need the
+    exact all-pairs baseline — quadratic — while this census costs
+    rows × 8 on both engines and pins the distributed
+    nearest-centroid assignment (the partitioning step every IVF build
+    rests on) with a full value oracle.  Cosines are quantized to 6
+    decimals BEFORE the argmax on both sides so the comparison is
+    engine-portable; cross-centroid gaps sit far above 1e-6 for random
+    vectors, and exact quantized ties fall to the seed-id tiebreak.
+
+    Scale shape: the 8-row codebook broadcasts; the ×8 expansion is
+    collapsed by a map-side-combining ``max(struct)`` partial aggregate
+    BEFORE the only wide exchange, which carries one
+    (vec_id, cq, seed) row per vector; the census aggregate is 8 rows.
+    At 100 TB this is exactly the IVF build's assignment pass."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ev")
+    )
+    seeds = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("seed_id"), F.col("ev").alias("sv")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cq = F.round(
+        dot(F.col("ev"), F.col("sv"))
+        / (
+            F.sqrt(dot(F.col("ev"), F.col("ev")))
+            * F.sqrt(dot(F.col("sv"), F.col("sv")))
+        ),
+        6,
+    )
+    scored = e.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "seed_id",
+        cq.alias("cq"),
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max(
+            F.struct(
+                F.col("cq").alias("cq"),
+                (-F.col("seed_id")).alias("negseed"),
+            )
+        ).alias("b")
+    )
+    return (
+        best.select(
+            "vec_id",
+            (-F.col("b.negseed")).alias("cluster_id"),
+            F.col("b.cq").alias("cq"),
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("cq"), 4).alias("avg_cos"),
+            F.min("vec_id").alias("min_vec"),
+            F.max("vec_id").alias("max_vec"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+@register(
+    "embedding_sign_census",
+    ids="dedup: hyperplane-sign bucket census over embeddings (linear oracle — the sf1-scale witness for embedding-LSH)",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+), s AS (
+  SELECT vec_id AS seed_id, CAST(embedding AS DOUBLE[]) AS sv
+  FROM embeddings WHERE vec_id < 8
+), bits AS (
+  SELECT vec_id, seed_id,
+         CASE WHEN list_dot_product(ev, sv) > 0
+              THEN CAST(1 AS BIGINT) << CAST(seed_id AS INTEGER)
+              ELSE 0 END AS bit
+  FROM v CROSS JOIN s
+), keys AS (
+  SELECT vec_id, CAST(sum(bit) AS BIGINT) AS bucket
+  FROM bits GROUP BY vec_id
+), buckets AS (
+  SELECT bucket, count(*) AS sz FROM keys GROUP BY bucket
+)
+SELECT CAST(sz AS BIGINT) AS bucket_size,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(sz) AS BIGINT) AS n_vecs,
+       CAST(min(bucket) AS BIGINT) AS min_bucket,
+       CAST(max(bucket) AS BIGINT) AS max_bucket
+FROM buckets
+GROUP BY sz
+ORDER BY bucket_size
+""",
+)
+def embedding_sign_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucket-size census over embeddings with
+    CONTENT-DERIVED hyperplanes: the normals are the 8 embeddings with
+    ``vec_id < 8`` (no RNG state to share with the oracle), a vector's
+    bucket is the 8-bit sign pattern of its dot products against them,
+    and the output is the bucket-size histogram plus bucket-id extrema.
+
+    This is the LINEAR-oracle witness for the embedding-LSH near-dup
+    family at large SF: ``dedup_embedding``'s all-pairs cosine oracle
+    goes quadratic on sf1's 10×-replicated vectors, while this census
+    costs rows × 8 dot products on both engines and pins the
+    sign-bucket structure that hyperplane LSH
+    (``operators.similarity.hyperplane_keys``) rests on — identical
+    vectors land in identical buckets, so sf1's replication shows up as
+    size-≥10 buckets in the histogram.
+
+    Sign portability: a dot product is identically zero only for
+    orthogonal-by-construction data (random floats: never), so
+    ``> 0`` agrees across engines despite summation-order ULPs.
+
+    Scale shape: 8-row broadcast, ×8 expansion collapsed by map-side
+    partial ``sum`` before the per-vector exchange, then two tiny
+    aggregates; shuffles carry (vec_id, long) pairs only."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ev")
+    )
+    seeds = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("seed_id"), F.col("ev").alias("sv")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    bit = F.when(
+        dot(F.col("ev"), F.col("sv")) > 0,
+        # SQL shiftleft takes a column shift amount (the DataFrame
+        # helper F.shiftleft only accepts a Python int)
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(seed_id AS INT))"),
+    ).otherwise(F.lit(0).cast("long"))
+    keys = (
+        e.crossJoin(F.broadcast(seeds))
+        .select("vec_id", bit.alias("bit"))
+        .groupBy("vec_id")
+        .agg(F.sum("bit").alias("bucket"))
+    )
+    buckets = keys.groupBy("bucket").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        buckets.groupBy(F.col("sz").alias("bucket_size"))
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("sz").alias("n_vecs"),
+            F.min("bucket").alias("min_bucket"),
+            F.max("bucket").alias("max_bucket"),
+        )
+        .orderBy("bucket_size")
+    )

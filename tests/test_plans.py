@@ -1030,3 +1030,58 @@ def test_dedup_incremental_no_static_broadcast_of_flagged(spark, sf_dir):
         f"expected exactly the 2 aggregate crossJoin broadcast hints, "
         f"found {n_hints} ResolvedHints"
     )
+
+
+def test_census_queries_shuffle_keys_not_payloads(spark, sf_dir):
+    """r6: the four linear-oracle census queries (the sf1-scale
+    witnesses for the simhash / minhash / IVF / embedding-LSH families)
+    must shuffle ids + longs only — never document text, never raw
+    embedding arrays past the scoring stage."""
+    from big_data_lab_three_spark.plans.inspect import (
+        exchange_args,
+        exchange_inputs,
+    )
+
+    for name, banned in [
+        ("simhash_band_census", "text"),
+        ("minhash_band_census", "text"),
+        ("ivf_assign_census", "ev"),
+        ("embedding_sign_census", "ev"),
+    ]:
+        df = REG[name].spark(spark, sf_dir)
+        keyed = [
+            cols
+            for args, cols in zip(exchange_args(df), exchange_inputs(df))
+            if "RoundRobinPartitioning" not in args
+        ]
+        assert keyed, f"{name}: lost its keyed aggregate exchange"
+        offenders = [
+            cols
+            for cols in keyed
+            if any(c.startswith(banned) for c in cols)
+        ]
+        assert not offenders, f"{name}: shuffle carries {banned}: {offenders}"
+
+
+def test_assignment_census_broadcasts_codebook_and_preaggregates(spark, sf_dir):
+    """r6: ivf_assign_census's ×8 expansion must come from a BROADCAST
+    of the 8-row codebook (no shuffle of the corpus for the join) and
+    collapse via partial aggregation before the per-vector exchange —
+    the plan shape of a 100 TB IVF assignment pass."""
+    from big_data_lab_three_spark.plans.inspect import shuffle_count
+
+    # allowed exchanges: per-vector agg, census agg(s), presentation
+    # sort — only the first is data-sized; embedding_sign_census has one
+    # more because it aggregates bucket→size→histogram in two steps
+    for name, max_shuffles in [
+        ("ivf_assign_census", 3),
+        ("embedding_sign_census", 4),
+    ]:
+        df = REG[name].spark(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, (
+            f"{name}: codebook join is not a broadcast"
+        )
+        assert shuffle_count(df) <= max_shuffles, (
+            f"{name}: too many exchanges ({shuffle_count(df)})"
+        )
