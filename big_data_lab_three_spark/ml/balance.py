@@ -203,12 +203,13 @@ def smote(
     )
     # Exact-balance guarantee: isolated bases (zero in-radius neighbors)
     # can leave the interpolated pool short — top up with deterministic
-    # duplicates of minority rows.  `synthetic` is persisted before the
-    # count so the LSH self-join pipeline is computed once: the caller's
-    # final action reads the cached rows instead of recomputing the join
-    # (callers may `.unpersist()` the returned frame's cached lineage
-    # after materializing).
-    synthetic = synthetic.persist()
+    # duplicates of minority rows.  `synthetic` is localCheckpointed
+    # (eager) before the count so the LSH self-join pipeline is computed
+    # exactly once; unlike `.persist()` the blocks are released by the
+    # ContextCleaner as soon as the frame becomes unreachable, so
+    # repeated smote() calls don't accumulate cached blocks for the
+    # session lifetime.
+    synthetic = synthetic.localCheckpoint(eager=True)
     n_synth = synthetic.count()
     out = df.select(*base_cols).unionByName(synthetic)
     if n_synth < n_need:

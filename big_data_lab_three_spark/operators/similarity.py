@@ -250,15 +250,31 @@ def ivf_topk(
     ~100k vectors to the driver (a few tens of MB) instead of running
     ``nlist × max_iter`` distributed jobs whose result is a matrix of a
     few KB.  Assignment — the part proportional to corpus size — stays
-    fully distributed (:func:`_cell_keys`)."""
+    fully distributed (:func:`_cell_keys`).
+
+    The training sample is CONTENT-KEYED (same scheme as
+    :func:`pq_topk`'s codebook sampler): ``xxhash64(id) mod step == 0``
+    with ``step`` sized from a cheap id-only count, then a hash-ordered
+    cap.  A bare ``limit`` would take whatever partitions respond first
+    — on a time-ordered 100 TB corpus the codebook would silently skew
+    toward the earliest files/epoch, and recompaction would retrain a
+    different quantizer from identical data."""
     import numpy as np
 
-    train = corpus.select(F.col(vec_col).alias("_v"))
+    cap = max(nlist * 10_000, 100_000)
+    train = corpus.select(
+        F.col(id_col).alias("_i"), F.col(vec_col).alias("_v")
+    )
     if train_fraction < 1.0:
         train = train.sample(fraction=train_fraction, seed=seed)
-    # Hard cap on what reaches the driver, whatever the caller passed —
-    # the quantizer can't use more than ~10k samples per centroid anyway.
-    train = train.limit(max(nlist * 10_000, 100_000))
+    n_train = train.select("_i").count()
+    step = max(1, n_train // cap)
+    h = F.xxhash64(F.col("_i"), F.lit(seed))
+    train = (
+        train.where(F.pmod(h, F.lit(step)) == 0)
+        .orderBy(h, F.col("_i"))
+        .limit(cap)
+    )
     sample = np.asarray(
         [r["_v"] for r in train.collect()], dtype=np.float64
     )

@@ -93,12 +93,14 @@ def register(name: str, ids: str = "", oracle: str | None = None):
 # reshuffle needed.  This is presentation only: every entry remains
 # registered and locally gated either way.
 _FORCE_FRONT: tuple[str, ...] = (
-    # empty as of r4: all six r3 plan-rewrite / rounding-change entries
-    # (equi_depth_histogram, quantile_profile, top_supplier,
-    # stratified_sample, summary_stats, corr_matrix) went fully green in
-    # CORRECTNESS_r03.json, so per the contract above they rejoin the
-    # verified backlog and their six prefix slots go to never-verified
-    # names.
+    # r7 plan changes — re-verify even though green rows exist:
+    # ivf_topk's coarse-quantizer sample became content-keyed (hash-mod
+    # + hash-order, operators/similarity.py) → both IVF queries re-run;
+    # ivf_assign_census switched avg_cos to exact integer aggregation
+    # (sum(round(cq·1e6)) / n, both engines).
+    "similarity_ivf_recall",
+    "similarity_ivf",
+    "ivf_assign_census",
 )
 
 _DRIVER_ROTATION: tuple[str, ...] = (

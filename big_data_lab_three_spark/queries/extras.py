@@ -749,7 +749,8 @@ WITH v AS (
 )
 SELECT seed_id AS cluster_id,
        CAST(count(*) AS BIGINT) AS n_vecs,
-       round(avg(cq), 4) AS avg_cos,
+       round(CAST(sum(CAST(round(cq * 1000000.0) AS BIGINT)) AS DOUBLE)
+             / count(*) / 1000000.0, 4) AS avg_cos,
        min(vec_id) AS min_vec,
        max(vec_id) AS max_vec
 FROM best WHERE rn = 1
@@ -774,6 +775,11 @@ def ivf_assign_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimals BEFORE the argmax on both sides so the comparison is
     engine-portable; cross-centroid gaps sit far above 1e-6 for random
     vectors, and exact quantized ties fall to the seed-id tiebreak.
+    ``avg_cos`` is aggregated EXACTLY from the quantized values —
+    ``sum(round(cq·1e6) as long)`` (order-independent integer sum) then
+    one double division per group — because a float ``avg`` has
+    nondeterministic partial-sum order and a group mean near a 5e-5
+    rounding boundary could flip the 4th decimal between engines.
 
     Scale shape: the 8-row codebook broadcasts; the ×8 expansion is
     collapsed by a map-side-combining ``max(struct)`` partial aggregate
@@ -819,12 +825,17 @@ def ivf_assign_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         best.select(
             "vec_id",
             (-F.col("b.negseed")).alias("cluster_id"),
-            F.col("b.cq").alias("cq"),
+            F.round(F.col("b.cq") * 1e6).cast("long").alias("cql"),
         )
         .groupBy("cluster_id")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
-            F.round(F.avg("cq"), 4).alias("avg_cos"),
+            F.round(
+                F.sum("cql").cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1000000.0),
+                4,
+            ).alias("avg_cos"),
             F.min("vec_id").alias("min_vec"),
             F.max("vec_id").alias("max_vec"),
         )

@@ -140,8 +140,15 @@ def test_smote_topup_multi_pass_is_single_plan(spark, monkeypatch):
     )
     out = bal.smote(df, minority_class=1, k=3)
     # 46-row shortfall over a 4-row minority = 11 full passes + 2 → the
-    # old while-loop would have built 11 unionByName nodes
-    assert "Union" in out._jdf.queryExecution().analyzed().toString()
+    # old while-loop would have built 11 unionByName nodes.  Pin the
+    # shape: the full passes must come from a Join over the broadcast
+    # __pass range, and the Union count must stay O(1) (base ∪ synth,
+    # ∪ full passes, ∪ remainder = at most 3) regardless of pass count.
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "__pass" in analyzed and "Join" in analyzed
+    assert 1 <= analyzed.count("Union") <= 3, (
+        f"expected O(1) Union nodes, got {analyzed.count('Union')}"
+    )
     counts = {r["label"]: r["n"] for r in
               out.groupBy("label").agg(F.count("*").alias("n")).collect()}
     assert counts[0] == counts[1] == 50
