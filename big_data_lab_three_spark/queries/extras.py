@@ -934,3 +934,279 @@ def embedding_sign_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_size")
     )
+
+
+@register(
+    "cc_chain_census",
+    ids="dedup: planted-chain connected-components census (linear oracle — the sf1-scale witness for iterative CC)",
+    oracle="""
+WITH m AS (
+  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 97 AS b,
+         count(*) AS sz, min(doc_id) AS mn
+  FROM documents
+  GROUP BY 1
+  HAVING count(*) >= 2
+)
+SELECT CAST(sz AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(sz) AS BIGINT) AS n_docs,
+       CAST(sum(mn) AS BIGINT) AS sum_cluster_id
+FROM m GROUP BY sz ORDER BY cluster_size
+""",
+)
+def cc_chain_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-CHAIN census for the large-star/small-star connected
+    components: every document is assigned a bucket by portable md5
+    arithmetic, consecutive doc_ids within a bucket are linked into a
+    PATH graph (diameter = bucket size — the worst case for label
+    propagation, the exact shape the O(log n) contraction exists for),
+    the REAL ``connected_components_star`` operator resolves the
+    components, and the output is the cluster-size histogram with the
+    sum of canonical labels.
+
+    This is the LINEAR-oracle witness for the iterative-CC family at
+    large SF: ``dedup_clusters``/``_star``'s ground-truth oracle is a
+    recursive-CTE transitive closure over all-pairs Jaccard — quadratic
+    on sf1's corpus — while here the planted components ARE the md5
+    buckets, so the oracle just groups by bucket: size = bucket count,
+    canonical label = bucket min.  ``sum_cluster_id`` pins the actual
+    labels the operator emitted (any mislabeled node changes the sum),
+    not just the size distribution; singleton buckets produce no edge
+    and are excluded on both sides.
+
+    Scale shape: the edge build is one window ``lag`` over
+    (bucket, doc_id); the iteration runs on the pair-bounded edge table
+    at pinned loop width (see ``connected_components_star``) and
+    converges in O(log diameter) contraction rounds — ~500-long chains
+    at sf1 resolve in ~10 rounds where propagation would need 500."""
+    from pyspark.sql.window import Window
+
+    from big_data_lab_three_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    b = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 97
+    )
+    keyed = d.select("doc_id", b.alias("b"))
+    w = Window.partitionBy("b").orderBy("doc_id")
+    edges = keyed.select(
+        F.lag("doc_id").over(w).alias("id_a"),
+        F.col("doc_id").alias("id_b"),
+    ).where(F.col("id_a").isNotNull())
+    labels = connected_components_star(edges, max_iters=40)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return (
+        sizes.groupBy(F.col("sz").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("sz").alias("n_docs"),
+            F.sum("cluster_id").alias("sum_cluster_id"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+@register(
+    "cc_star_census",
+    ids="dedup: planted-star connected-components census (linear oracle — min-label propagation witness)",
+    oracle="""
+WITH m AS (
+  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 's'), 1, 15))
+              AS BIGINT) % 53 AS b,
+         count(*) AS sz, min(doc_id) AS mn
+  FROM documents
+  GROUP BY 1
+  HAVING count(*) >= 2
+)
+SELECT CAST(sz AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(sz) AS BIGINT) AS n_docs,
+       CAST(sum(mn) AS BIGINT) AS sum_cluster_id
+FROM m GROUP BY sz ORDER BY cluster_size
+""",
+)
+def cc_star_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-STAR census for min-label-propagation connected
+    components — the complement of ``cc_chain_census``: documents are
+    bucketed by (differently-salted) md5 arithmetic, every non-minimum
+    member is linked directly to its bucket's minimum id (a STAR —
+    diameter 2, the shallow shape near-dup cliques collapse to, where
+    propagation converges in 2 rounds), the REAL
+    ``connected_components`` operator labels the graph, and the output
+    is the same histogram + label-sum census.
+
+    Together the two censuses give BOTH independent CC implementations
+    a linear-oracle witness at sf1 on their respective favorable
+    shapes, value-pinning emitted labels (via ``sum_cluster_id``)
+    against planted ground truth the oracle derives by grouping — no
+    transitive closure anywhere.
+
+    Scale shape: hub extraction is one groupBy(min) over (bucket, id)
+    pairs, broadcast back over the bucket key; the propagation loop
+    touches only the edge table at pinned loop width."""
+    from big_data_lab_three_spark.operators.dedup import (
+        connected_components,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("s"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 53
+    )
+    keyed = d.select("doc_id", b.alias("b"))
+    hubs = keyed.groupBy("b").agg(F.min("doc_id").alias("hub"))
+    edges = (
+        keyed.join(F.broadcast(hubs), "b")
+        .where(F.col("doc_id") != F.col("hub"))
+        .select(F.col("hub").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    labels = connected_components(edges)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return (
+        sizes.groupBy(F.col("sz").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("sz").alias("n_docs"),
+            F.sum("cluster_id").alias("sum_cluster_id"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+@register(
+    "jaccard_pair_census",
+    ids="dedup: planted-pair exact n-gram Jaccard census (linear oracle — the sf1-scale witness for the Jaccard rescore)",
+    oracle="""
+WITH seeds AS (
+  SELECT doc_id AS id, text, 'hi' AS level, text || ' zzz' AS vtext
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id, text, 'lo', text || ' qq rr ss tt ww vv uu aa'
+  FROM documents WHERE doc_id % 7 = 3
+), tok AS (
+  SELECT id, level,
+         list_filter(regexp_split_to_array(text, '\\s+'),
+                     x -> x != '') AS ta,
+         list_filter(regexp_split_to_array(vtext, '\\s+'),
+                     x -> x != '') AS tb
+  FROM seeds
+), sets AS (
+  SELECT id, level,
+         list_distinct([array_to_string(ta[i:i+2], ' ')
+                        for i in range(1, len(ta) - 1)]) AS sha,
+         list_distinct([array_to_string(tb[i:i+2], ' ')
+                        for i in range(1, len(tb) - 1)]) AS shb
+  FROM tok
+  WHERE len(ta) >= 3
+), j AS (
+  SELECT id, level,
+         CAST(len(list_intersect(sha, shb)) AS DOUBLE)
+           / len(list_distinct(list_concat(sha, shb))) AS jac
+  FROM sets
+)
+SELECT level, CAST(floor(jac * 20) AS INTEGER) AS band,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(id) AS BIGINT) AS sum_id_a,
+       CAST(sum(CAST(round(jac * 1000000.0) AS BIGINT)) AS BIGINT)
+         AS sum_j_micro
+FROM j GROUP BY level, band ORDER BY level, band
+""",
+)
+def jaccard_pair_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-pair exact-Jaccard census: two mutation levels are
+    seeded over the corpus (``doc_id % 7 == 0`` → one appended token,
+    J ≈ n/(n+2); ``doc_id % 7 == 3`` → eight appended tokens,
+    J ≈ n/(n+10)), each (original, variant) pair is rescored with the
+    REAL shingle pipeline (``functions.text.tokens``/``shingles`` +
+    array_intersect/union — the exact expressions
+    ``ngram_jaccard_pairs`` and the MinHash rescore stage evaluate),
+    and the census reports per (level, 0.05-wide Jaccard band): pair
+    count, sum of original ids, and the EXACT integer sum of the
+    µ-quantized Jaccards.
+
+    This is the LINEAR-oracle witness for the Jaccard family at large
+    SF: ``dedup_ngram_jaccard``/``near_dedup_apply``'s oracles join all
+    pairs — quadratic — while the planted pairs here are keyed by id
+    arithmetic, so both engines do docs/7 × 2 set comparisons.
+    ``sum_j_micro`` is an order-independent sum of
+    ``round(J·1e6)`` longs, so a single pair's Jaccard deviating
+    anywhere in the corpus breaks the hash — per-pair exactness with an
+    aggregate-sized result.  The quantized values are deterministic
+    cross-engine: each J is ONE int/int double division (correctly
+    rounded, no aggregation-order dependence).
+
+    Scale shape: the rescore is an id-equi-join of the variant
+    shingle-set table against the base table — the same key→payload
+    lookup shape as ``minhash_lsh_pairs``' rescore stage — followed by
+    a two-level aggregate; no pair explosion anywhere."""
+    from big_data_lab_three_spark.functions.text import shingles, tokens
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    hi = d.where(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("orig_id"),
+        F.lit("hi").alias("level"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("vtext"),
+    )
+    lo = d.where(F.col("doc_id") % 7 == 3).select(
+        F.col("doc_id").alias("orig_id"),
+        F.lit("lo").alias("level"),
+        F.concat(
+            F.col("text"), F.lit(" qq rr ss tt ww vv uu aa")
+        ).alias("vtext"),
+    )
+    base_sets = (
+        d.where((F.col("doc_id") % 7).isin(0, 3))
+        .select(
+            "doc_id",
+            F.array_distinct(
+                shingles(tokens(F.col("text")), 3)
+            ).alias("sh_a"),
+        )
+        .where(F.size("sh_a") > 0)
+    )
+    var_sets = hi.unionByName(lo).select(
+        "orig_id",
+        "level",
+        F.array_distinct(shingles(tokens(F.col("vtext")), 3)).alias("sh_b"),
+    )
+    joined = base_sets.join(
+        var_sets, base_sets["doc_id"] == var_sets["orig_id"]
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = inter.cast("double") / union
+    scored = joined.select(
+        "level",
+        F.floor(jac * 20).cast("int").alias("band"),
+        F.col("doc_id").alias("id_a"),
+        F.round(jac * 1e6).cast("long").alias("j_micro"),
+    )
+    return (
+        scored.groupBy("level", "band")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("id_a").alias("sum_id_a"),
+            F.sum("j_micro").alias("sum_j_micro"),
+        )
+        .orderBy("level", "band")
+    )

@@ -1085,3 +1085,49 @@ def test_assignment_census_broadcasts_codebook_and_preaggregates(spark, sf_dir):
         assert shuffle_count(df) <= max_shuffles, (
             f"{name}: too many exchanges ({shuffle_count(df)})"
         )
+
+
+def test_jaccard_pair_census_joins_by_id_never_cartesian(spark, sf_dir):
+    """r7: the planted-pair rescore must be an id-equi-join of shingle
+    SET tables (the MinHash-rescore lookup shape) — no pair explosion,
+    and raw document text never crosses an exchange (the set projection
+    happens scan-side)."""
+    from big_data_lab_three_spark.plans.inspect import (
+        exchange_args,
+        exchange_inputs,
+    )
+
+    df = REG["jaccard_pair_census"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan
+    # spread()'s round-robin on the single-row-group local scan is
+    # exempt (same carve-out as the sampling pins); every KEYED exchange
+    # must carry ids / aggregates — not text, not shingle arrays (which
+    # are ~3× the text; Catalyst correctly defers the set projection
+    # past any shuffle).
+    keyed = [
+        cols
+        for args, cols in zip(exchange_args(df), exchange_inputs(df))
+        if "RoundRobinPartitioning" not in args
+    ]
+    for cols in keyed:
+        offenders = [
+            c for c in cols if c.startswith(("text", "vtext", "sh_"))
+        ]
+        assert not offenders, f"document payload in keyed exchange: {cols}"
+
+
+def test_cc_censuses_post_iteration_plan_is_label_sized(spark, sf_dir):
+    """r7: the planted-shape CC censuses hand the caller a plan that
+    scans the CHECKPOINTED label table (the iteration already ran at
+    pinned loop width inside the operator) and aggregates it — a
+    bounded number of exchanges over (cluster_id, size) longs, with no
+    join or window left corpus-side."""
+    for name in ("cc_chain_census", "cc_star_census"):
+        df = REG[name].spark(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert shuffle_count(df) <= 4, (
+            f"{name}: census tail has {shuffle_count(df)} exchanges"
+        )
