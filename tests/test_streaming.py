@@ -222,3 +222,87 @@ def test_interval_join_state_survives_batch_boundary(spark, sf_dir, tmp_path):
     }
     assert len(multi) > 0
     assert multi == single
+
+
+def test_checkpoint_recovery_restart_with_new_files(spark, sf_dir, tmp_path):
+    """Stop/restart-from-checkpoint recovery — the contract the 100 TB
+    streaming story leans on, which the batch-boundary tests above do
+    NOT cover: phase 1 drains two chronological shards through the
+    stateful sessionizer into the durable foreachBatch parquet sink
+    (``AvailableNow`` termination = a clean stop), a THIRD shard lands
+    AFTER the stop, and a brand-new query object restarts from the SAME
+    checkpoint.  Recovery must (a) not replay the committed shards —
+    exactly-once, pinned by duplicate-freedom of the appended sink —
+    and (b) restore the state store, so sessions spanning the
+    stop/restart boundary merge exactly as in an uninterrupted run."""
+    from big_data_lab_three_spark.streaming.jobs import (
+        run_stream_foreach_batch_parquet,
+    )
+
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    ts = t["ts"].cast("int64")
+    q1 = int(pc.quantile(ts, q=1 / 3)[0].as_py())
+    q2 = int(pc.quantile(ts, q=2 / 3)[0].as_py())
+    shards = [
+        t.filter(pc.less_equal(ts, q1)),
+        t.filter(pc.and_(pc.greater(ts, q1), pc.less_equal(ts, q2))),
+        t.filter(pc.greater(ts, q2)),
+    ]
+    d = str(tmp_path / "stream_src")
+    os.makedirs(d)
+    paths = [f"{d}/events{i}.parquet" for i in range(3)]
+    for i in range(2):
+        pq.write_table(shards[i], paths[i], version="2.6")
+        os.utime(paths[i], ((i + 1) * 1_000_000,) * 2)
+
+    out = str(tmp_path / "sessions_parquet")
+    ckpt = str(tmp_path / "ckpt")
+    got1 = run_stream_foreach_batch_parquet(
+        spark,
+        sessionize(_stream(spark, d), gap_minutes=720),
+        out,
+        ckpt,
+        output_mode="append",
+    )
+    n_phase1 = got1.count()
+
+    # the stream is stopped; now the third shard lands
+    pq.write_table(shards[2], paths[2], version="2.6")
+    os.utime(paths[2], (3_000_000,) * 2)
+
+    got2 = run_stream_foreach_batch_parquet(
+        spark,
+        sessionize(_stream(spark, d), gap_minutes=720),
+        out,
+        ckpt,
+        output_mode="append",
+    )
+    # Compare session CONTENT — (user, boundaries, count, sum) — not
+    # the session_id counter: the stop's trailing no-data batch fires
+    # event-time timeouts for every past-due key (correctly: their gap
+    # HAS passed, so the emitted boundaries match the uninterrupted
+    # run), and `state.remove()` discards the per-user counter with the
+    # state, so post-restart sessions renumber from 1.  Stable-across-
+    # restart ids would have to be content-derived (e.g. keyed on
+    # (user_id, start_us)) instead of a volatile counter — the
+    # boundaries below prove exactly that content contract holds.
+    cols = ("user_id", "n_events", "total_value", "start_us", "end_us")
+    multi = sorted(
+        (r.user_id, r.n_events, round(r.total_value, 4), r.start_us, r.end_us)
+        for r in got2.select(*cols).collect()
+    )
+    single = sorted(
+        (r.user_id, r.n_events, round(r.total_value, 4), r.start_us, r.end_us)
+        for r in REG["streaming_sessionize"]
+        .spark(spark, sf_dir)
+        .select(*cols)
+        .collect()
+    )
+    # exactly-once: a replayed shard would duplicate its sessions
+    # ((user_id, start_us) is unique per true session)
+    assert len(multi) == len({(m[0], m[3]) for m in multi})
+    # restored state + new shard: identical to the uninterrupted answer
+    assert multi == single
+    # the restart genuinely processed the new shard (phase 1 alone is
+    # incomplete — trailing sessions were still open at the stop)
+    assert 0 < n_phase1 < len(multi)
