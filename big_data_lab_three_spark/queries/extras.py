@@ -1210,3 +1210,205 @@ def jaccard_pair_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("level", "band")
     )
+
+
+@register(
+    "repeated_span_census",
+    ids="dedup: cross-document repeated-span census (exact-substring dedup shape, linear oracle)",
+    oracle="""
+WITH base AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 5000000, text FROM documents WHERE doc_id % 13 = 0
+), tok AS (
+  SELECT id, list_filter(regexp_split_to_array(text, '\\s+'),
+                         x -> x != '') AS toks
+  FROM base
+), spans AS (
+  SELECT id,
+         unnest([array_to_string(toks[i:i+7], ' ')
+                 for i in range(1, len(toks) - 6)]) AS span
+  FROM tok
+), per_span AS (
+  SELECT span,
+         count(DISTINCT id) AS n_docs,
+         count(*) AS n_occ
+  FROM spans GROUP BY span
+  HAVING count(DISTINCT id) >= 2
+)
+SELECT CAST(n_docs AS BIGINT) AS docs_per_span,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(n_occ) AS BIGINT) AS total_occurrences
+FROM per_span GROUP BY n_docs ORDER BY docs_per_span
+""",
+)
+def repeated_span_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document REPEATED-SPAN census — the exact-substring dedup
+    primitive ("Deduplicating Training Data Makes Language Models
+    Better", Lee et al., 2022: repeated spans across documents are the
+    memorization risk exact-dedup misses): every 8-token window of
+    every document (+ full-copy seeds, ``doc_id % 13``) is hashed, and
+    spans occurring in ≥2 distinct documents are rolled into a
+    histogram of (documents-per-span → span count, total occurrences).
+    A real pipeline would use these span hashes to mask or drop the
+    repeated regions; the census pins the detection math.
+
+    Linear both sides: docs × spans rows, two hash aggregates, no pair
+    join (a suffix-array formulation is the compact-index alternative;
+    the hashed-window formulation is the shuffle-friendly one).  The
+    full-copy seeds guarantee ≥2-doc spans at every SF; natural
+    cross-doc repeats count identically in both engines because the
+    grouping key is the span CONTENT (Spark groups on its md5 — same
+    partition function, 16-byte shuffle rows).
+
+    Scale shape: explode + groupBy(span_md5) with map-side partial
+    aggregation — the shuffle carries (16-byte digest, id) rows, never
+    text windows; the census aggregate is histogram-sized."""
+    from big_data_lab_three_spark.functions.text import shingles, tokens
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    seeded = d.unionByName(
+        d.where(F.col("doc_id") % 13 == 0).select(
+            (F.col("doc_id") + 5000000).alias("doc_id"), "text"
+        )
+    )
+    spans = seeded.select(
+        F.col("doc_id").alias("id"),
+        F.explode(shingles(tokens(F.col("text")), 8)).alias("span"),
+    ).select("id", F.md5(F.encode("span", "UTF-8")).alias("span_h"))
+    per_span = (
+        spans.groupBy("span_h")
+        .agg(
+            F.countDistinct("id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+    return (
+        per_span.groupBy(F.col("n_docs").alias("docs_per_span"))
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("n_occ").alias("total_occurrences"),
+        )
+        .orderBy("docs_per_span")
+    )
+
+
+@register(
+    "semantic_prune_census",
+    ids="dedup: SemDeDup-style cluster-then-prune census (linear oracle)",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+), s AS (
+  SELECT vec_id AS seed_id, CAST(embedding AS DOUBLE[]) AS sv
+  FROM embeddings WHERE vec_id < 8
+), sc AS (
+  SELECT vec_id, seed_id,
+         round(list_dot_product(ev, sv)
+               / (sqrt(list_dot_product(ev, ev))
+                  * sqrt(list_dot_product(sv, sv))), 6) AS cq
+  FROM v CROSS JOIN s
+), best AS (
+  SELECT vec_id, seed_id, cq,
+         row_number() OVER (
+             PARTITION BY vec_id ORDER BY cq DESC, seed_id ASC) AS rn
+  FROM sc
+), flagged AS (
+  SELECT vec_id, seed_id AS cluster_id, cq,
+         CASE WHEN cq >= 0.95 AND vec_id != seed_id
+              THEN 1 ELSE 0 END AS pruned
+  FROM best WHERE rn = 1
+)
+SELECT cluster_id,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(pruned) AS BIGINT) AS n_pruned,
+       CAST(count(*) - sum(pruned) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN pruned = 1 THEN vec_id ELSE 0 END) AS BIGINT)
+         AS sum_pruned_ids
+FROM flagged GROUP BY cluster_id ORDER BY cluster_id
+""",
+)
+def semantic_prune_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning census (Abbas et al., 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication" — cluster the embedding space, then drop members too
+    similar to their cluster representative): vectors are assigned to
+    their max-cosine content-keyed centroid (same deterministic 8-seed
+    codebook as ``ivf_assign_census``), and any member with cosine
+    ≥ 0.95 to its cluster's seed — other than the seed itself — is
+    marked pruned.  Output: per-cluster member/pruned/kept counts plus
+    the sum of pruned ids (pins exactly WHICH vectors prune, not just
+    how many).
+
+    At the replicated sf1 tier every seed's exact copies land in its
+    cluster at quantized cosine 1.0 and prune — the precise behavior
+    SemDeDup exists for — while the unreplicated SFs pin the
+    no-false-positive side (random vectors stay far below 0.95).
+    Linear both sides: rows × 8 assignment cosines, threshold, one
+    8-group aggregate; the cosine quantization (6 decimals before
+    compare) makes the threshold engine-portable.
+
+    Scale shape: identical to the IVF assignment pass — 8-row codebook
+    broadcast, map-side partial ``max(struct)`` before the per-vector
+    exchange — plus a constant-size census aggregate.  At 100 TB this
+    is one corpus scan; the prune list would be anti-joined against
+    the corpus exactly like ``near_dedup_apply``."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ev")
+    )
+    seeds = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("seed_id"), F.col("ev").alias("sv")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cq = F.round(
+        dot(F.col("ev"), F.col("sv"))
+        / (
+            F.sqrt(dot(F.col("ev"), F.col("ev")))
+            * F.sqrt(dot(F.col("sv"), F.col("sv")))
+        ),
+        6,
+    )
+    scored = e.crossJoin(F.broadcast(seeds)).select(
+        "vec_id", "seed_id", cq.alias("cq")
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max(
+            F.struct(
+                F.col("cq").alias("cq"),
+                (-F.col("seed_id")).alias("negseed"),
+            )
+        ).alias("b")
+    )
+    flagged = best.select(
+        "vec_id",
+        (-F.col("b.negseed")).alias("cluster_id"),
+        F.when(
+            (F.col("b.cq") >= 0.95)
+            & (F.col("vec_id") != -F.col("b.negseed")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("pruned"),
+    )
+    return (
+        flagged.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("pruned").alias("n_pruned"),
+            (F.count(F.lit(1)) - F.sum("pruned")).alias("n_kept"),
+            F.sum(
+                F.when(F.col("pruned") == 1, F.col("vec_id")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("sum_pruned_ids"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -1131,3 +1131,43 @@ def test_cc_censuses_post_iteration_plan_is_label_sized(spark, sf_dir):
         assert shuffle_count(df) <= 4, (
             f"{name}: census tail has {shuffle_count(df)} exchanges"
         )
+
+
+def test_repeated_span_census_shuffles_digests_not_spans(spark, sf_dir):
+    """r7: the repeated-span detection must group on the 16-byte span
+    md5 — neither raw text nor the exploded span strings may cross a
+    keyed exchange (the 100 TB shuffle-volume contract of hashed-window
+    substring dedup)."""
+    from big_data_lab_three_spark.plans.inspect import (
+        exchange_args,
+        exchange_inputs,
+    )
+
+    df = REG["repeated_span_census"].spark(spark, sf_dir)
+    keyed = [
+        cols
+        for args, cols in zip(exchange_args(df), exchange_inputs(df))
+        if "RoundRobinPartitioning" not in args
+    ]
+    assert keyed, "lost the span-digest aggregate exchange"
+    for cols in keyed:
+        offenders = [c for c in cols if c.startswith(("text", "span"))
+                     and not c.startswith("span_h")]
+        assert not offenders, f"span/text payload in exchange: {cols}"
+
+
+def test_semantic_prune_census_broadcasts_codebook(spark, sf_dir):
+    """r7: the SemDeDup-style prune must reuse the IVF assignment plan
+    shape — 8-row codebook broadcast, map-side partial max before the
+    per-vector exchange, constant-size census — never a shuffle of the
+    corpus for the centroid join."""
+    from big_data_lab_three_spark.plans.inspect import shuffle_count
+
+    df = REG["semantic_prune_census"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert (
+        "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    ), "codebook join is not a broadcast"
+    assert shuffle_count(df) <= 3, (
+        f"too many exchanges ({shuffle_count(df)})"
+    )
