@@ -1412,3 +1412,129 @@ def semantic_prune_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@register(
+    "pq_code_census",
+    ids="similarity: content-keyed product-quantization code census (linear oracle — the sf1-scale witness for the PQ family)",
+    oracle="""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> x / sqrt(list_dot_product(
+                                 CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[])))) AS ev
+  FROM embeddings
+), s AS (
+  SELECT vec_id AS code,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> x / sqrt(list_dot_product(
+                                 CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[])))) AS sv
+  FROM embeddings WHERE vec_id < 16
+), d AS (
+  SELECT vec_id, CAST(g.j AS INTEGER) AS subspace, code,
+         round(list_dot_product(ev[g.j*8+1 : g.j*8+8],
+                                ev[g.j*8+1 : g.j*8+8])
+               - 2 * list_dot_product(ev[g.j*8+1 : g.j*8+8],
+                                      sv[g.j*8+1 : g.j*8+8])
+               + list_dot_product(sv[g.j*8+1 : g.j*8+8],
+                                  sv[g.j*8+1 : g.j*8+8]), 6) AS dq
+  FROM v CROSS JOIN s CROSS JOIN generate_series(0, 7) AS g(j)
+), best AS (
+  SELECT vec_id, subspace, code, dq,
+         row_number() OVER (
+             PARTITION BY vec_id, subspace
+             ORDER BY dq ASC, code ASC) AS rn
+  FROM d
+)
+SELECT subspace, code,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(vec_id) AS BIGINT) AS sum_vec_ids
+FROM best WHERE rn = 1
+GROUP BY subspace, code
+ORDER BY subspace, code
+""",
+)
+def pq_code_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ENCODE census with content-keyed codebooks:
+    the 16 per-subspace centroids of subspace ``j`` are the j-th
+    8-dim slices of the (unit-normalized) embeddings with
+    ``vec_id < 16`` — deterministic, recomputable by any engine, no
+    k-means state — and every vector is encoded as its min-squared-
+    distance code per subspace (tie → lowest code).  Output: per
+    (subspace, code) member count and the sum of member vec_ids (any
+    single mis-encoded vector anywhere breaks the hash).
+
+    This closes the witness matrix for the ANN stack at large SF:
+    ``similarity_pq``/``_recall`` pin the end-to-end PQ pipeline with
+    recall audits at driver scale, but their exact-baseline oracles go
+    quadratic on sf1 — while this census costs rows × 8 subspaces × 16
+    codes on both engines and value-pins the ENCODE step (argmin per
+    subspace — the pass a 100 TB deployment runs once at ingest and
+    every ADC scan depends on).  Distances are quantized to 6 decimals
+    before the argmin on both sides via the same dot-product
+    primitives the IVF census already proved engine-portable; exact
+    quantized ties fall to the code-id tiebreak.
+
+    Scale shape: the 16-row codebook broadcasts; the ×(8·16) expansion
+    collapses through a map-side partial ``min(struct)`` before the
+    per-(vector, subspace) exchange; the census aggregate is 128 rows.
+    Cites the same ADC construction as ``operators.similarity.pq_topk``
+    (Jégou et al., "Product Quantization for Nearest Neighbor
+    Search")."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("raw")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def unit(col):
+        n = F.sqrt(dot(col, col))
+        return F.transform(col, lambda x: x / n)
+
+    ev = e.select("vec_id", unit(F.col("raw")).alias("ev"))
+    seeds = ev.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("code"), F.col("ev").alias("sv")
+    )
+    pairs = ev.crossJoin(F.broadcast(seeds))
+    subs = []
+    for j in range(8):
+        a = F.slice("ev", j * 8 + 1, 8)
+        b = F.slice("sv", j * 8 + 1, 8)
+        dq = F.round(dot(a, a) - 2 * dot(a, b) + dot(b, b), 6)
+        subs.append(
+            F.struct(
+                F.lit(j).alias("subspace"),
+                dq.alias("dq"),
+            )
+        )
+    scored = pairs.select(
+        "vec_id",
+        "code",
+        F.explode(F.array(*subs)).alias("s"),
+    ).select(
+        "vec_id",
+        F.col("s.subspace").alias("subspace"),
+        F.col("code").alias("code"),
+        F.col("s.dq").alias("dq"),
+    )
+    best = scored.groupBy("vec_id", "subspace").agg(
+        F.min(
+            F.struct(F.col("dq").alias("dq"), F.col("code").alias("code"))
+        ).alias("b")
+    )
+    return (
+        best.select("vec_id", "subspace", F.col("b.code").alias("code"))
+        .groupBy("subspace", "code")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("vec_id").alias("sum_vec_ids"),
+        )
+        .orderBy("subspace", "code")
+    )

@@ -1171,3 +1171,20 @@ def test_semantic_prune_census_broadcasts_codebook(spark, sf_dir):
     assert shuffle_count(df) <= 3, (
         f"too many exchanges ({shuffle_count(df)})"
     )
+
+
+def test_pq_code_census_broadcasts_codebook_and_preaggregates(spark, sf_dir):
+    """r7: the PQ encode census must broadcast the 16-row codebook and
+    collapse the ×(8·16) expansion through map-side partial min before
+    the per-(vector, subspace) exchange — the plan shape of a 100 TB
+    encode-at-ingest pass."""
+    from big_data_lab_three_spark.plans.inspect import shuffle_count
+
+    df = REG["pq_code_census"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert (
+        "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    ), "codebook join is not a broadcast"
+    assert shuffle_count(df) <= 3, (
+        f"too many exchanges ({shuffle_count(df)})"
+    )
