@@ -1418,28 +1418,24 @@ def semantic_prune_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pq_code_census",
     ids="similarity: content-keyed product-quantization code census (linear oracle — the sf1-scale witness for the PQ family)",
     oracle="""
-WITH v AS (
-  SELECT vec_id,
-         list_transform(CAST(embedding AS DOUBLE[]),
-                        x -> x / sqrt(list_dot_product(
-                                 CAST(embedding AS DOUBLE[]),
-                                 CAST(embedding AS DOUBLE[])))) AS ev
-  FROM embeddings
+WITH r AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw FROM embeddings
+), v AS (
+  SELECT vec_id, raw,
+         sqrt(list_dot_product(raw, raw)) AS vn,
+         [list_dot_product(raw[j*8+1 : j*8+8], raw[j*8+1 : j*8+8])
+            / list_dot_product(raw, raw) for j in range(0, 8)] AS pa
+  FROM r
 ), s AS (
-  SELECT vec_id AS code,
-         list_transform(CAST(embedding AS DOUBLE[]),
-                        x -> x / sqrt(list_dot_product(
-                                 CAST(embedding AS DOUBLE[]),
-                                 CAST(embedding AS DOUBLE[])))) AS sv
-  FROM embeddings WHERE vec_id < 16
+  SELECT vec_id AS code, raw AS sraw, vn AS sn, pa AS pb
+  FROM v WHERE vec_id < 16
 ), d AS (
   SELECT vec_id, CAST(g.j AS INTEGER) AS subspace, code,
-         round(list_dot_product(ev[g.j*8+1 : g.j*8+8],
-                                ev[g.j*8+1 : g.j*8+8])
-               - 2 * list_dot_product(ev[g.j*8+1 : g.j*8+8],
-                                      sv[g.j*8+1 : g.j*8+8])
-               + list_dot_product(sv[g.j*8+1 : g.j*8+8],
-                                  sv[g.j*8+1 : g.j*8+8]), 6) AS dq
+         round(pa[g.j+1]
+               - 2 * (list_dot_product(raw[g.j*8+1 : g.j*8+8],
+                                       sraw[g.j*8+1 : g.j*8+8])
+                      / (vn * sn))
+               + pb[g.j+1], 6) AS dq
   FROM v CROSS JOIN s CROSS JOIN generate_series(0, 7) AS g(j)
 ), best AS (
   SELECT vec_id, subspace, code, dq,
@@ -1477,6 +1473,16 @@ def pq_code_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     primitives the IVF census already proved engine-portable; exact
     quantized ties fall to the code-id tiebreak.
 
+    Arithmetic layout (identical on both engines, so the doubles agree
+    bit-for-bit): distances expand over RAW dot products —
+    ``dq_j = da_j/|v|² − 2·dab_j/(|v|·|s|) + db_j/|s|²`` — with the
+    per-row terms (norm, the 8 normalized self-dots) hoisted into the
+    scan projection BEFORE the codebook crossJoin.  A per-element
+    ``transform`` normalization would be re-inlined by projection
+    collapse into every one of the 16×8 slice expressions
+    (higher-order array functions are CodegenFallback — interpreted),
+    which measured ~3× slower at sf0.1.
+
     Scale shape: the 16-row codebook broadcasts; the ×(8·16) expansion
     collapses through a map-side partial ``min(struct)`` before the
     per-(vector, subspace) exchange; the census aggregate is 128 rows.
@@ -1494,20 +1500,37 @@ def pq_code_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
 
-    def unit(col):
-        n = F.sqrt(dot(col, col))
-        return F.transform(col, lambda x: x / n)
-
-    ev = e.select("vec_id", unit(F.col("raw")).alias("ev"))
-    seeds = ev.where(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("code"), F.col("ev").alias("sv")
+    n2 = dot(F.col("raw"), F.col("raw"))
+    v = e.select(
+        "vec_id",
+        "raw",
+        F.sqrt(n2).alias("vn"),
+        *[
+            (
+                dot(
+                    F.slice("raw", j * 8 + 1, 8),
+                    F.slice("raw", j * 8 + 1, 8),
+                )
+                / n2
+            ).alias(f"pa{j}")
+            for j in range(8)
+        ],
     )
-    pairs = ev.crossJoin(F.broadcast(seeds))
+    seeds = v.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("code"),
+        F.col("raw").alias("sraw"),
+        F.col("vn").alias("sn"),
+        *[F.col(f"pa{j}").alias(f"pb{j}") for j in range(8)],
+    )
+    pairs = v.crossJoin(F.broadcast(seeds))
     subs = []
     for j in range(8):
-        a = F.slice("ev", j * 8 + 1, 8)
-        b = F.slice("sv", j * 8 + 1, 8)
-        dq = F.round(dot(a, a) - 2 * dot(a, b) + dot(b, b), 6)
+        dab = dot(
+            F.slice("raw", j * 8 + 1, 8), F.slice("sraw", j * 8 + 1, 8)
+        ) / (F.col("vn") * F.col("sn"))
+        dq = F.round(
+            F.col(f"pa{j}") - 2 * dab + F.col(f"pb{j}"), 6
+        )
         subs.append(
             F.struct(
                 F.lit(j).alias("subspace"),
