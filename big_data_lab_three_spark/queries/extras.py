@@ -32,6 +32,63 @@ if TYPE_CHECKING:  # executor-side imports happen inside the stages
     import pandas as pd
 
 
+def _dot(a, b):
+    """Left-to-right fold dot product over ``array<double>`` columns.
+    Matches DuckDB's ``list_dot_product`` bit-for-bit in practice (the
+    census oracles compare the two at four scale factors), which is
+    what lets quantize-then-compare thresholds stay engine-portable."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _nearest_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared content-keyed centroid-assignment pass behind
+    ``ivf_assign_census`` and ``semantic_prune_census``: every
+    embedding is assigned to its max-cosine seed (the 8 embeddings
+    with ``vec_id < 8``; cosines quantized to 6 decimals BEFORE the
+    argmax so the comparison is engine-portable, ties → lowest seed).
+    Returns ``(vec_id, cluster_id, cq)``.
+
+    Scale shape: 8-row codebook broadcast; the ×8 expansion collapses
+    through a map-side partial ``max(struct)`` before the only wide
+    exchange, which carries one row per vector."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ev")
+    )
+    seeds = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("seed_id"), F.col("ev").alias("sv")
+    )
+    cq = F.round(
+        _dot(F.col("ev"), F.col("sv"))
+        / (
+            F.sqrt(_dot(F.col("ev"), F.col("ev")))
+            * F.sqrt(_dot(F.col("sv"), F.col("sv")))
+        ),
+        6,
+    )
+    scored = e.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "seed_id",
+        cq.alias("cq"),
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max(
+            F.struct(
+                F.col("cq").alias("cq"),
+                (-F.col("seed_id")).alias("negseed"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "vec_id",
+        (-F.col("b.negseed")).alias("cluster_id"),
+        F.col("b.cq").alias("cq"),
+    )
+
+
 @register(
     "cms_heavy_hitters",
     ids="sketches: Count-Min point queries + exact shard-merge audit",
@@ -786,46 +843,12 @@ def ivf_assign_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE the only wide exchange, which carries one
     (vec_id, cq, seed) row per vector; the census aggregate is 8 rows.
     At 100 TB this is exactly the IVF build's assignment pass."""
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("ev")
-    )
-    seeds = e.where(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("seed_id"), F.col("ev").alias("sv")
-    )
-
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    cq = F.round(
-        dot(F.col("ev"), F.col("sv"))
-        / (
-            F.sqrt(dot(F.col("ev"), F.col("ev")))
-            * F.sqrt(dot(F.col("sv"), F.col("sv")))
-        ),
-        6,
-    )
-    scored = e.crossJoin(F.broadcast(seeds)).select(
-        "vec_id",
-        "seed_id",
-        cq.alias("cq"),
-    )
-    best = scored.groupBy("vec_id").agg(
-        F.max(
-            F.struct(
-                F.col("cq").alias("cq"),
-                (-F.col("seed_id")).alias("negseed"),
-            )
-        ).alias("b")
-    )
     return (
-        best.select(
+        _nearest_seed(spark, sf_dir)
+        .select(
             "vec_id",
-            (-F.col("b.negseed")).alias("cluster_id"),
-            F.round(F.col("b.cq") * 1e6).cast("long").alias("cql"),
+            "cluster_id",
+            F.round(F.col("cq") * 1e6).cast("long").alias("cql"),
         )
         .groupBy("cluster_id")
         .agg(
@@ -904,15 +927,8 @@ def embedding_sign_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("seed_id"), F.col("ev").alias("sv")
     )
 
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
     bit = F.when(
-        dot(F.col("ev"), F.col("sv")) > 0,
+        _dot(F.col("ev"), F.col("sv")) > 0,
         # SQL shiftleft takes a column shift amount (the DataFrame
         # helper F.shiftleft only accepts a Python int)
         F.expr("shiftleft(CAST(1 AS BIGINT), CAST(seed_id AS INT))"),
@@ -1354,45 +1370,12 @@ def semantic_prune_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange — plus a constant-size census aggregate.  At 100 TB this
     is one corpus scan; the prune list would be anti-joined against
     the corpus exactly like ``near_dedup_apply``."""
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("ev")
-    )
-    seeds = e.where(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("seed_id"), F.col("ev").alias("sv")
-    )
-
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    cq = F.round(
-        dot(F.col("ev"), F.col("sv"))
-        / (
-            F.sqrt(dot(F.col("ev"), F.col("ev")))
-            * F.sqrt(dot(F.col("sv"), F.col("sv")))
-        ),
-        6,
-    )
-    scored = e.crossJoin(F.broadcast(seeds)).select(
-        "vec_id", "seed_id", cq.alias("cq")
-    )
-    best = scored.groupBy("vec_id").agg(
-        F.max(
-            F.struct(
-                F.col("cq").alias("cq"),
-                (-F.col("seed_id")).alias("negseed"),
-            )
-        ).alias("b")
-    )
-    flagged = best.select(
+    flagged = _nearest_seed(spark, sf_dir).select(
         "vec_id",
-        (-F.col("b.negseed")).alias("cluster_id"),
+        "cluster_id",
         F.when(
-            (F.col("b.cq") >= 0.95)
-            & (F.col("vec_id") != -F.col("b.negseed")),
+            (F.col("cq") >= 0.95)
+            & (F.col("vec_id") != F.col("cluster_id")),
             F.lit(1),
         )
         .otherwise(F.lit(0))
@@ -1493,21 +1476,14 @@ def pq_code_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("raw")
     )
 
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    n2 = dot(F.col("raw"), F.col("raw"))
+    n2 = _dot(F.col("raw"), F.col("raw"))
     v = e.select(
         "vec_id",
         "raw",
         F.sqrt(n2).alias("vn"),
         *[
             (
-                dot(
+                _dot(
                     F.slice("raw", j * 8 + 1, 8),
                     F.slice("raw", j * 8 + 1, 8),
                 )
@@ -1525,7 +1501,7 @@ def pq_code_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = v.crossJoin(F.broadcast(seeds))
     subs = []
     for j in range(8):
-        dab = dot(
+        dab = _dot(
             F.slice("raw", j * 8 + 1, 8), F.slice("sraw", j * 8 + 1, 8)
         ) / (F.col("vn") * F.col("sn"))
         dq = F.round(
