@@ -34,6 +34,16 @@ QUERIES = (
     # r4-late: three sketch builds + estimates over lineitem — the
     # counter-key-space exchange bound is the scaling claim to hold
     "cms_heavy_hitters",
+    # r7: the heavier census witnesses — span explode + digest rollup,
+    # planted-pair shingle join, and the ×(8·16) PQ encode expansion
+    # must all stay linear in the corpus
+    "repeated_span_census",
+    "jaccard_pair_census",
+    "pq_code_census",
+    # r7: iterative CC on planted chains — rounds grow with log(chain
+    # length), so the 100× data ratio must stay scheduler-bounded, not
+    # edge-table-bounded
+    "cc_chain_census",
 )
 MAX_RATIO = 30.0
 
@@ -68,7 +78,19 @@ SF1 = "/root/repo/.scratch/sf1"
 
 
 @pytest.mark.parametrize(
-    "name", ("pricing_summary", "quantile_profile", "dedup_minhash_lsh")
+    "name",
+    (
+        "pricing_summary",
+        "quantile_profile",
+        "dedup_minhash_lsh",
+        # r7: the two heaviest linear census witnesses ride the decade
+        # gate too (the iterative CC censuses are excluded here — their
+        # round count grows with log(chain length), so a fixed wall-time
+        # ratio ceiling would flake; their sf1 evidence is the oracle
+        # value gate instead)
+        "repeated_span_census",
+        "pq_code_census",
+    ),
 )
 def test_runtime_stays_sublinear_one_more_decade(spark, name):
     """sf0.1 → sf1 (10× more data, ~6M lineitem rows): one extra decade
