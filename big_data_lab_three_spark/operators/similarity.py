@@ -33,9 +33,90 @@ __all__ = [
     "cosine_score_pairs",
     "hyperplane_keys",
     "ivf_topk",
+    "ivfpq_topk",
     "lsh_bucketed_topk",
     "pq_topk",
 ]
+
+
+def _content_keyed_sample(train: DataFrame, cap: int, seed: int):
+    """Collect a deterministic CONTENT-KEYED training sample as an
+    L2-normalized float64 matrix.  ``train`` must expose ``_i`` (id) and
+    ``_v`` (vector).  ``xxhash64(id) mod step == 0`` with ``step`` sized
+    from a cheap id-only count thins to between ``cap`` and ``2·cap``
+    rows (a pure function of the DATA, invariant to file layout), then a
+    hash-ordered cut (id tiebreak) caps it — ordering by the hash keeps
+    the residual cut content-keyed too; an id- or partition-ordered cut
+    would bias codebooks toward the oldest id prefix / earliest files on
+    a time-ordered 100 TB corpus, and recompaction would silently
+    retrain a different quantizer from identical data."""
+    import numpy as np
+
+    n_train = train.select("_i").count()
+    step = max(1, n_train // cap)
+    h = F.xxhash64(F.col("_i"), F.lit(seed))
+    rows = (
+        train.where(F.pmod(h, F.lit(step)) == 0)
+        .orderBy(h, F.col("_i"))
+        .limit(cap)
+    )
+    sample = np.asarray([r["_v"] for r in rows.collect()], dtype=np.float64)
+    sample /= np.maximum(
+        np.linalg.norm(sample, axis=1, keepdims=True), 1e-12
+    )
+    return sample
+
+
+def _spherical_kmeans(sample, nlist: int, seed: int, max_iter: int):
+    """Driver-side spherical Lloyd's over a (normalized) sample matrix:
+    seeded init, dot-product assignment, re-normalized means.  A coarse
+    quantizer does not need convergence — cells only need to be
+    reasonable; recall comes from ``nprobe``.  Output is a unit-norm
+    (nlist, d) matrix, a pure function of (sample, seed)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    centers_m = sample[
+        rng.choice(len(sample), size=min(nlist, len(sample)), replace=False)
+    ].copy()
+    for _ in range(max_iter):
+        assign = np.argmax(sample @ centers_m.T, axis=1)
+        for j in range(len(centers_m)):
+            members = sample[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                centers_m[j] = c / max(np.linalg.norm(c), 1e-12)
+    return centers_m
+
+
+def _train_pq_books(mat, m: int, ksub: int, seed: int, max_iter: int):
+    """Driver-side per-subspace Lloyd's: ``m`` codebooks of ``ksub``
+    centroids over each d/m-dim slice of ``mat`` (FAISS ``IndexPQ``
+    training).  One seeded generator drives all ``m`` inits in
+    sequence, so the stacked (m, ksub, dsub) output is a pure function
+    of (mat, m, ksub, seed)."""
+    import numpy as np
+
+    d = mat.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.default_rng(seed)
+    books = []  # m × ksub × dsub
+    for j in range(m):
+        sub = mat[:, j * dsub : (j + 1) * dsub]
+        centers = sub[
+            rng.choice(len(sub), size=min(ksub, len(sub)), replace=False)
+        ].copy()
+        for _ in range(max_iter):
+            d2 = ((sub[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(centers)):
+                members = sub[assign == c]
+                if len(members):
+                    centers[c] = members.mean(axis=0)
+        books.append(centers)
+    return np.stack(books)
 
 
 def _stack(col: "pd.Series"):
@@ -253,48 +334,20 @@ def ivf_topk(
     fully distributed (:func:`_cell_keys`).
 
     The training sample is CONTENT-KEYED (same scheme as
-    :func:`pq_topk`'s codebook sampler): ``xxhash64(id) mod step == 0``
-    with ``step`` sized from a cheap id-only count, then a hash-ordered
-    cap.  A bare ``limit`` would take whatever partitions respond first
-    — on a time-ordered 100 TB corpus the codebook would silently skew
-    toward the earliest files/epoch, and recompaction would retrain a
-    different quantizer from identical data."""
-    import numpy as np
-
+    :func:`pq_topk`'s codebook sampler — shared
+    :func:`_content_keyed_sample`): a bare ``limit`` would take whatever
+    partitions respond first — on a time-ordered 100 TB corpus the
+    codebook would silently skew toward the earliest files/epoch, and
+    recompaction would retrain a different quantizer from identical
+    data."""
     cap = max(nlist * 10_000, 100_000)
     train = corpus.select(
         F.col(id_col).alias("_i"), F.col(vec_col).alias("_v")
     )
     if train_fraction < 1.0:
         train = train.sample(fraction=train_fraction, seed=seed)
-    n_train = train.select("_i").count()
-    step = max(1, n_train // cap)
-    h = F.xxhash64(F.col("_i"), F.lit(seed))
-    train = (
-        train.where(F.pmod(h, F.lit(step)) == 0)
-        .orderBy(h, F.col("_i"))
-        .limit(cap)
-    )
-    sample = np.asarray(
-        [r["_v"] for r in train.collect()], dtype=np.float64
-    )
-    sample /= np.maximum(
-        np.linalg.norm(sample, axis=1, keepdims=True), 1e-12
-    )
-    rng = np.random.default_rng(seed)
-    centers_m = sample[
-        rng.choice(len(sample), size=min(nlist, len(sample)), replace=False)
-    ].copy()
-    # A coarse quantizer does not need convergence — cells only need to
-    # be reasonable; recall comes from nprobe.
-    for _ in range(max_iter):
-        assign = np.argmax(sample @ centers_m.T, axis=1)
-        for j in range(len(centers_m)):
-            members = sample[assign == j]
-            if len(members):
-                c = members.mean(axis=0)
-                centers_m[j] = c / max(np.linalg.norm(c), 1e-12)
-    centers = centers_m.tolist()
+    sample = _content_keyed_sample(train, cap, seed)
+    centers = _spherical_kmeans(sample, nlist, seed, max_iter).tolist()
 
     cb = _cell_keys(
         corpus.select(
@@ -423,48 +476,13 @@ def pq_topk(
     import numpy as np
 
     cap = max(ksub * 10_000, 100_000)
-    # Deterministic content-keyed sample: hash-mod the id down to
-    # between cap and 2·cap rows (pure function of the data, invariant
-    # to file layout), then cap by HASH order (id tiebreak) — ordering
-    # by the hash keeps the residual cut content-keyed too; an id-
-    # ordered cut would bias the codebooks toward the oldest id prefix
-    # on time-ordered corpora.  The count is an id-only scan, ~free on
-    # parquet at any scale.
-    n_corpus = corpus.select(id_col).count()
-    step = max(1, n_corpus // cap)
-    h = F.xxhash64(F.col("_i"), F.lit(seed))
-    dsub_rows = (
-        corpus.select(F.col(id_col).alias("_i"), F.col(vec_col).alias("_v"))
-        .where(F.pmod(h, F.lit(step)) == 0)
-        .orderBy(h, F.col("_i"))
-        .limit(cap)
+    sample = _content_keyed_sample(
+        corpus.select(F.col(id_col).alias("_i"), F.col(vec_col).alias("_v")),
+        cap,
+        seed,
     )
-    sample = np.asarray(
-        [r["_v"] for r in dsub_rows.collect()], dtype=np.float64
-    )
-    sample /= np.maximum(
-        np.linalg.norm(sample, axis=1, keepdims=True), 1e-12
-    )
-    d = sample.shape[1]
-    if d % m:
-        raise ValueError(f"dim {d} not divisible by m={m}")
-    dsub = d // m
-    rng = np.random.default_rng(seed)
-    books = []  # m × ksub × dsub
-    for j in range(m):
-        sub = sample[:, j * dsub : (j + 1) * dsub]
-        centers = sub[
-            rng.choice(len(sub), size=min(ksub, len(sub)), replace=False)
-        ].copy()
-        for _ in range(max_iter):
-            d2 = ((sub[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            for c in range(len(centers)):
-                members = sub[assign == c]
-                if len(members):
-                    centers[c] = members.mean(axis=0)
-        books.append(centers)
-    books_arr = np.stack(books)  # (m, ksub, dsub)
+    dsub = sample.shape[1] // m
+    books_arr = _train_pq_books(sample, m, ksub, seed, max_iter)
 
     q_rows = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
@@ -513,6 +531,183 @@ def pq_topk(
                     )
                 )
             yield pd.concat(rows, ignore_index=True)
+
+    cand = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        )
+        .mapInPandas(scan, out_schema)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_d"), F.asc("neighbor_id")
+    )
+    top_cand = (
+        cand.withColumn("_r", F.row_number().over(wc))
+        .where(F.col("_r") <= candidates)
+        .drop("_r", "approx_d")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    pairs = top_cand.join(c, "neighbor_id").join(F.broadcast(q), "query_id")
+    scored = cosine_score_pairs(
+        pairs, "qvec", "cvec", ["query_id", "neighbor_id"]
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    nlist: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    k: int = 5,
+    candidates: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+    max_iter: int = 8,
+) -> DataFrame:
+    """Combined IVF-PQ ANN (FAISS ``IndexIVFPQ`` shape) — the index
+    virtually every production billion-scale vector deployment runs,
+    composing the two prunings this module already has separately:
+    the coarse quantizer prunes WHICH vectors are scored (only
+    ``nprobe`` of ``nlist`` cells), and PQ prunes the BYTES per scored
+    vector (``m`` one-byte codes instead of d floats).
+
+    1. Train on one content-keyed sample (:func:`_content_keyed_sample`):
+       a spherical-KMeans coarse quantizer (:func:`_spherical_kmeans`),
+       then ``m`` PQ codebooks over the sample's RESIDUALS
+       (vector − its nearest centroid, :func:`_train_pq_books`) —
+       residual encoding is what distinguishes IVFPQ from flat PQ: the
+       residual distribution is tighter than the raw one, so the same
+       code budget quantizes finer.
+    2. Collect the query set; each query probes its ``nprobe`` nearest
+       cells and precomputes one ADC table PER PROBED CELL from its
+       residual against THAT cell's centroid
+       (``tables[q][probe][j][c] = ||(q − centroid)_j − books[j][c]||²``).
+    3. ONE ``mapInPandas`` pass over the corpus assigns each vector to
+       its nearest cell, encodes its residual, and scores it against
+       exactly the queries probing that cell via the m-term table sum —
+       keeping per-batch top-``candidates`` per query.
+    4. Global top-``candidates`` per query, exact cosine rescore on the
+       original vectors, rank — identical contract to LSH/IVF/PQ here:
+       approximation affects only the candidate set, never reported
+       scores.
+
+    Exact-duplicate property (what ``similarity_ivfpq_recall`` pins):
+    a duplicate lands in its query's FIRST probed cell (same argmax
+    over the same centroids), its residual equals the query's residual
+    there, so its table sum is the per-term minimum — the strict lower
+    bound over ITS cell's candidates, exactly :func:`pq_topk`'s
+    argument cell-locally.  Candidates from the query's other probed
+    cells carry ADC estimates of their true (positive) distances, so
+    out-scoring the duplicate's pure-quantization-noise sum requires
+    quantization error exceeding a true distance — with a
+    ``candidates``-deep cut the duplicate survives to the exact
+    rescore, which ranks it first; the whole pipeline is seeded and
+    deterministic, so the recall query re-verifies this at every SF.
+
+    At 100 TB: centroids + codebooks + ADC tables ride the task closure
+    (KBs); the corpus pass reads each partition once (in a real
+    deployment the (cell, codes) pairs are materialized at ingest and
+    the scan prunes to probed cells via cell-partitioned files); the
+    only shuffles are the bounded candidate window and rescore joins
+    (≤ queries × candidates rows)."""
+    import numpy as np
+
+    cap = max(max(nlist, ksub) * 10_000, 100_000)
+    sample = _content_keyed_sample(
+        corpus.select(F.col(id_col).alias("_i"), F.col(vec_col).alias("_v")),
+        cap,
+        seed,
+    )
+    centers_m = _spherical_kmeans(sample, nlist, seed, max_iter)
+    s_assign = np.argmax(sample @ centers_m.T, axis=1)
+    books_arr = _train_pq_books(
+        sample - centers_m[s_assign], m, ksub, seed, max_iter
+    )
+    dsub = sample.shape[1] // m
+
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    ).collect()
+    q_ids = np.asarray([r["query_id"] for r in q_rows])
+    q_mat = np.asarray([r["qvec"] for r in q_rows], dtype=np.float64)
+    q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
+    nq = len(q_ids)
+    probe = np.argsort(-(q_mat @ centers_m.T), axis=1)[:, :nprobe]  # (nq, p)
+    # Per-(query, probed cell) ADC tables from the query's residual
+    # against that cell's centroid: (nq, nprobe, m, ksub).
+    qr = q_mat[:, None, :] - centers_m[probe]
+    tables = (
+        (qr.reshape(nq, nprobe, m, 1, dsub) - books_arr[None, None]) ** 2
+    ).sum(axis=4)
+    # Inverted probe map: cell -> [(query index, probe slot), ...].
+    probers: dict[int, list[tuple[int, int]]] = {}
+    for qi in range(nq):
+        for pi in range(nprobe):
+            probers.setdefault(int(probe[qi, pi]), []).append((qi, pi))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType(), True),
+            T.StructField("neighbor_id", T.LongType(), True),
+            T.StructField("approx_d", T.DoubleType(), True),
+        ]
+    )
+
+    def scan(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as np
+        import pandas as pd
+
+        for b in batches:
+            if len(b) == 0:
+                continue
+            ids = b["neighbor_id"].to_numpy()
+            x = _stack(b["cvec"])
+            x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            cell = np.argmax(x @ centers_m.T, axis=1)
+            r = x - centers_m[cell]
+            codes = (
+                (r.reshape(len(x), m, 1, dsub) - books_arr[None]) ** 2
+            ).sum(axis=3).argmin(axis=2)  # (n, m)
+            c_eff = min(candidates, len(ids))
+            rows = []
+            for c in np.unique(cell):
+                hits = probers.get(int(c))
+                if not hits:
+                    continue
+                mask = cell == c
+                m_ids, m_codes = ids[mask], codes[mask]
+                for qi, pi in hits:
+                    approx = tables[qi, pi][
+                        np.arange(m)[None, :], m_codes
+                    ].sum(axis=1)
+                    order = np.lexsort((m_ids, approx))[:c_eff]
+                    rows.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": q_ids[qi],
+                                "neighbor_id": m_ids[order],
+                                "approx_d": approx[order],
+                            }
+                        )
+                    )
+            if rows:
+                yield pd.concat(rows, ignore_index=True)
 
     cand = (
         corpus.select(

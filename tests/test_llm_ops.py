@@ -118,6 +118,41 @@ def test_pq_similarity_recall_against_brute_force(spark, sf_dir):
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
 
 
+def test_ivfpq_similarity_recall_against_brute_force(spark, sf_dir):
+    """IVF-PQ composes cell pruning with residual-PQ byte compression;
+    the audit gate (recall floor + independent rescore check) must pass
+    and ranks must be dense per query — and an exact duplicate must
+    come back at rank 1 (its ADC table sum is the strict lower bound
+    within its own probed cell, see ivfpq_topk's docstring)."""
+    from big_data_lab_three_spark.operators.similarity import ivfpq_topk
+
+    audit = REG["similarity_ivfpq"].spark(spark, sf_dir).collect()
+    assert len(audit) == 1
+    assert audit[0].recall_floor_ok and audit[0].scores_match_exact
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 100 == 0)
+    approx_rows = ivfpq_topk(
+        q, e, nlist=16, nprobe=4, m=8, ksub=64, k=5, candidates=256
+    ).collect()
+    per_query = {}
+    for r in approx_rows:
+        assert 1 <= r.rank <= 5
+        assert -1.0001 <= r.cos_sim <= 1.0001
+        per_query.setdefault(r.query_id, []).append(r.rank)
+    for ranks in per_query.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+    dup_q = e.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    top1 = ivfpq_topk(
+        dup_q, e, nlist=16, nprobe=4, m=8, ksub=64, k=1, candidates=256
+    ).collect()
+    assert all(r.query_id - 1000000 == r.neighbor_id for r in top1)
+    assert all(r.cos_sim > 0.9999 for r in top1)
+
+
 def test_brute_force_near_dup_caps_driver_materialization(spark, sf_dir):
     """The brute-force baseline must refuse a frame larger than its
     explicit cap instead of silently collecting a corpus to the driver."""

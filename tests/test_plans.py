@@ -97,6 +97,42 @@ def test_broadcast_hint_survives_in_similarity(spark, sf_dir):
     assert broadcast_join_count(df) >= 1
 
 
+def test_ivfpq_candidate_shuffle_is_bounded_and_rescore_broadcasts(
+    spark, sf_dir
+):
+    """IVF-PQ's scale contract: the corpus crosses the Python worker
+    ONCE (one mapInPandas scan that assigns + encodes + ADC-scores),
+    the candidate exchanges carry only (query_id, neighbor_id[,
+    approx_d]) — never an embedding array — and the rescore joins the
+    tiny candidate set back to vectors with the query side broadcast.
+    No CartesianProduct anywhere."""
+    from big_data_lab_three_spark.operators.similarity import ivfpq_topk
+    from big_data_lab_three_spark.plans.inspect import (
+        exchange_inputs,
+        explain_str,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 100 == 0)
+    df = ivfpq_topk(q, e, nlist=16, nprobe=4, m=8, ksub=64, k=5,
+                    candidates=256)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("ArrowEvalPython") <= 0  # no row-at-a-time UDFs
+    assert broadcast_join_count(df) >= 1, "query rescore side not broadcast"
+    cand_exchanges = [
+        cols
+        for cols in exchange_inputs(df)
+        if any("approx_d" in c for c in cols)
+    ]
+    assert cand_exchanges, "ADC candidate shuffle missing from plan"
+    for cols in cand_exchanges:
+        joined = " ".join(cols)
+        assert "qvec" not in joined and "cvec" not in joined, (
+            f"raw vectors in the ADC candidate shuffle: {cols}"
+        )
+
+
 def test_semi_join_is_semi_and_keys_only(spark, sf_dir):
     """EXISTS must plan as a LeftSemi join, and the lineitem side of the
     shuffle must carry only join/filter keys — never payload columns."""
