@@ -3,7 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from big_data_lab_three_spark.operators.similarity import (
@@ -13,7 +13,9 @@ from big_data_lab_three_spark.operators.similarity import (
     lsh_bucketed_topk,
     pq_topk,
 )
+from big_data_lab_three_spark.operators.text import bm25_topk
 from big_data_lab_three_spark.queries import register
+from big_data_lab_three_spark.queries.text import _DUCK_TOKS
 from big_data_lab_three_spark.sources import table
 
 
@@ -465,4 +467,161 @@ def similarity_ivfpq_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
         .orderBy("query_id")
+    )
+
+
+@register(
+    "hybrid_rrf_rank",
+    ids="retrieval: hybrid lexical+vector search — BM25 and cosine legs fused by reciprocal-rank fusion (RRF, k=60)",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+), base AS (
+    SELECT doc_id, len(toks) AS dl FROM t
+), st AS (
+    SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base
+), tk AS (
+    SELECT doc_id, unnest(toks) AS term FROM t
+), tf AS (
+    SELECT tk.doc_id, term, count(*) AS tf, max(base.dl) AS dl
+    FROM tk JOIN base USING (doc_id)
+    WHERE term IN ('spark', 'hash', 'merge')
+    GROUP BY tk.doc_id, term
+), dfreq AS (
+    SELECT term, count(*) AS df FROM tf GROUP BY term
+), lexscore AS (
+    SELECT doc_id,
+           round(sum(
+               ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+               * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           ), 4) AS bm25
+    FROM tf JOIN dfreq USING (term) CROSS JOIN st
+    GROUP BY doc_id
+), lex AS (
+    SELECT doc_id, CAST(rn AS INT) AS lex_rank FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rn
+        FROM lexscore)
+    WHERE rn <= 50
+), qv AS (
+    SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0
+), vecscore AS (
+    SELECT vec_id AS doc_id,
+           list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv.v) AS cos
+    FROM embeddings, qv WHERE vec_id <> 0
+), vec AS (
+    SELECT doc_id, CAST(rn AS INT) AS vec_rank FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS rn
+        FROM vecscore)
+    WHERE rn <= 50
+), fused AS (
+    SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+           lex.lex_rank AS lex_rank, vec.vec_rank AS vec_rank,
+           round(COALESCE(1.0 / (60 + lex.lex_rank), 0.0)
+                 + COALESCE(1.0 / (60 + vec.vec_rank), 0.0), 6) AS rrf
+    FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+)
+SELECT doc_id, lex_rank, vec_rank, rrf, CAST(rn AS INT) AS rank
+FROM (
+    SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rn FROM fused
+)
+WHERE rn <= 20
+ORDER BY rank
+""",
+)
+def hybrid_rrf_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval, the RAG-era front door: the top-50 lexical leg
+    (Okapi BM25 for the fixed query ``spark hash merge`` — see
+    ``operators.text.bm25_topk``) and the top-50 dense leg (exact
+    cosine against doc 0's embedding, ``vec_id`` aligned with
+    ``doc_id`` in the testdata) are fused by reciprocal-rank fusion
+    (Cormack et al. 2009): ``score(d) = Σ_leg 1/(60 + rank_leg(d))``,
+    missing legs contribute 0.  RRF needs no score calibration between
+    BM25 and cosine — only ranks cross the fusion, which is why it is
+    the default hybrid combiner in production search engines.
+
+    Engine portability: both legs rank deterministically (BM25 rounds
+    to 4 decimals before ranking, doc_id tiebreaks everywhere), the RRF
+    sum is two exact rationals of small integers evaluated in float64
+    identically on both engines, and the fused top-20 re-ranks with a
+    doc_id tiebreak.
+
+    Scale shape: each leg is its own bounded pipeline (map-side posting
+    filter + broadcast stats for BM25, broadcast-query matmul scan for
+    the dense leg); the fusion joins two ≤50-row frames — at 100 TB the
+    legs dominate and the fusion is free."""
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    lex = bm25_topk(d, ["spark", "hash", "merge"], k=50).select(
+        "doc_id", F.col("rank").alias("lex_rank")
+    )
+    qv = e.where(F.col("vec_id") == 0)
+    vec = brute_force_topk(qv, e, k=50).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("vec_rank"),
+    )
+    fused = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "vec_rank",
+        F.round(
+            F.coalesce(
+                F.lit(1.0) / (F.lit(60) + F.col("lex_rank")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(60) + F.col("vec_rank")), F.lit(0.0)
+            ),
+            6,
+        ).alias("rrf"),
+    )
+    top = fused.orderBy(F.desc("rrf"), "doc_id").limit(20)
+    w = Window.orderBy(F.desc("rrf"), "doc_id")
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).orderBy("rank")
+
+
+@register(
+    "filtered_ann_topk",
+    ids="retrieval: metadata-filtered vector search (label predicate pushed to the scan, then exact top-k)",
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id % 100 = 0
+), c AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE label = 3
+), s AS (
+  SELECT query_id, neighbor_id,
+         list_cosine_similarity(qv, cv) AS cos
+  FROM c, q
+  WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, round(cos, 4) AS cos_sim,
+       CAST(rn AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+  FROM s
+)
+WHERE rn <= 5
+""",
+)
+def filtered_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search — the production shape behind
+    "nearest neighbors WHERE label = 3" (tenant, language, or license
+    filters on a vector index).  This is PRE-filter semantics: the
+    predicate restricts the corpus BEFORE the similarity scan, so top-k
+    is exact over the eligible set (post-filtering an unfiltered ANN
+    result can starve a query whose neighbors all fail the predicate —
+    the classic filtered-search bug).  The plan pin asserts the label
+    predicate reaches the parquet scan: at 100 TB a label-partitioned
+    corpus turns it into partition pruning and the scan never reads
+    ineligible row groups."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 100 == 0)
+    return brute_force_topk(q, e.where(F.col("label") == 3), k=5).select(
+        "query_id",
+        "neighbor_id",
+        F.round("cos_sim", 4).alias("cos_sim"),
+        "rank",
     )

@@ -153,6 +153,45 @@ def test_ivfpq_similarity_recall_against_brute_force(spark, sf_dir):
     assert all(r.cos_sim > 0.9999 for r in top1)
 
 
+def test_hybrid_rrf_fuses_both_legs(spark, sf_dir):
+    """RRF output must carry contributions from BOTH legs: every row's
+    rrf equals 1/(60+lex) + 1/(60+vec) for its (possibly null) leg
+    ranks, at least one doc must appear in both legs at rank ≤ 50, and
+    fused ordering must be rrf-desc with doc_id tiebreak."""
+    rows = REG["hybrid_rrf_rank"].spark(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        expect = sum(
+            1.0 / (60 + rk)
+            for rk in (r.lex_rank, r.vec_rank)
+            if rk is not None
+        )
+        assert abs(r.rrf - round(expect, 6)) < 1e-9
+        assert r.lex_rank is not None or r.vec_rank is not None
+    assert any(
+        r.lex_rank is not None and r.vec_rank is not None for r in rows
+    ), "no doc ranked by both legs — fusion degenerate on this corpus"
+    keys = [(-r.rrf, r.doc_id) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_filtered_ann_respects_predicate(spark, sf_dir):
+    """Every neighbor returned by the filtered search must satisfy the
+    metadata predicate (pre-filter semantics, never post-filter)."""
+    from big_data_lab_three_spark.sources import table as t
+
+    rows = REG["filtered_ann_topk"].spark(spark, sf_dir).collect()
+    assert rows
+    eligible = {
+        r.vec_id
+        for r in t(spark, sf_dir, "embeddings")
+        .where(F.col("label") == 3)
+        .select("vec_id")
+        .collect()
+    }
+    assert all(r.neighbor_id in eligible for r in rows)
+
+
 def test_brute_force_near_dup_caps_driver_materialization(spark, sf_dir):
     """The brute-force baseline must refuse a frame larger than its
     explicit cap instead of silently collecting a corpus to the driver."""

@@ -133,6 +133,39 @@ def test_ivfpq_candidate_shuffle_is_bounded_and_rescore_broadcasts(
         )
 
 
+def test_filtered_ann_pushes_label_predicate(spark, sf_dir):
+    """Pre-filter vector search must push the label predicate into the
+    parquet scan (at 100 TB with a label-partitioned corpus this is
+    partition pruning — the scan never reads ineligible row groups)."""
+    df = REG["filtered_ann_topk"].spark(spark, sf_dir)
+    assert any("label" in f for f in pushed_filters(df)), (
+        "label filter not pushed to the embeddings scan"
+    )
+    assert broadcast_join_count(df) >= 1  # query side still broadcast
+
+
+def test_hybrid_rrf_legs_stay_bounded(spark, sf_dir):
+    """RRF fusion joins two ≤50-row leg frames; raw text may only ride
+    the scan-side round-robin spread — every HASH shuffle (the BM25
+    rollups and the fusion join itself) must carry keys and ranks
+    only."""
+    from big_data_lab_three_spark.plans.inspect import (
+        exchange_args,
+        exchange_inputs,
+    )
+
+    df = REG["hybrid_rrf_rank"].spark(spark, sf_dir)
+    hashed = [
+        cols
+        for args, cols in zip(exchange_args(df), exchange_inputs(df))
+        if "RoundRobinPartitioning" not in args
+    ]
+    assert hashed, "no hash shuffle in the hybrid plan"
+    for cols in hashed:
+        joined = " ".join(cols)
+        assert "text" not in joined, f"raw text in fusion exchange: {cols}"
+
+
 def test_semi_join_is_semi_and_keys_only(spark, sf_dir):
     """EXISTS must plan as a LeftSemi join, and the lineitem side of the
     shuffle must carry only join/filter keys — never payload columns."""
