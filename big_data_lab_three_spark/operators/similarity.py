@@ -35,8 +35,117 @@ __all__ = [
     "ivf_topk",
     "ivfpq_topk",
     "lsh_bucketed_topk",
+    "mmr_select",
     "pq_topk",
 ]
+
+
+def mmr_select(
+    cand: DataFrame,
+    pairs: DataFrame,
+    k_select: int = 10,
+    lam: float = 0.7,
+    mu: float = 0.3,
+) -> DataFrame:
+    """Maximal-marginal-relevance selection (Carbonell & Goldstein
+    1998) — the diversification re-rank between retrieval and a
+    context window: greedily pick the candidate maximizing
+    ``λ·sim(q,d) − μ·max_{s∈S} sim(d,s)`` (max over the already
+    selected set S; 0 when S is empty), so near-duplicate hits don't
+    crowd out coverage.  μ is an EXPLICIT literal rather than the
+    textbook ``1−λ`` because ``1.0 − 0.7`` is 0.30000000000000004 in
+    IEEE double while a SQL oracle's literal ``0.3`` is a different
+    double — the two weights must parse from the same decimal text on
+    both engines or rounded scores can diverge at .5e-6 boundaries.
+
+    Inputs: ``cand`` = (query_id, id, simq) — the per-query candidate
+    pool with query similarities; ``pairs`` = (query_id, ia, ib, sim)
+    — pairwise candidate similarities within each query's pool.  Both
+    are grouped by query_id and handed to ONE Arrow batch per query via
+    ``cogroup().applyInPandas``: the greedy loop is inherently
+    sequential, but it runs over a ≤|pool|² float matrix PER QUERY —
+    bounded work distributed across queries, never a driver loop.
+
+    Engine determinism (what the recursive-CTE oracle replays): simq
+    and sim arrive pre-rounded from the caller, every MMR score is
+    ``round(λ·simq − (1−λ)·maxsim, 6)`` before comparison, and ties
+    break on id — so the pick sequence is a pure function of the
+    rounded inputs on any engine.
+
+    Returns (query_id, id, mmr_score, pick) with pick = 1..k_select."""
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType(), True),
+            T.StructField("id", T.LongType(), True),
+            T.StructField("mmr_score", T.DoubleType(), True),
+            T.StructField("pick", T.IntegerType(), True),
+        ]
+    )
+
+    def greedy(key, cand_pdf: "pd.DataFrame", pair_pdf: "pd.DataFrame"):
+        import numpy as np
+        import pandas as pd
+
+        if len(cand_pdf) == 0:
+            return pd.DataFrame(
+                {"query_id": [], "id": [], "mmr_score": [], "pick": []}
+            )
+        c = cand_pdf.sort_values("id").reset_index(drop=True)
+        ids = c["id"].to_numpy()
+        simq = c["simq"].to_numpy(dtype=np.float64)
+        n = len(ids)
+        pos = {int(i): p for p, i in enumerate(ids)}
+        sim = np.zeros((n, n), dtype=np.float64)
+        for ia, ib, s in zip(
+            pair_pdf["ia"], pair_pdf["ib"], pair_pdf["sim"]
+        ):
+            pa, pb = pos.get(int(ia)), pos.get(int(ib))
+            if pa is not None and pb is not None:
+                sim[pa, pb] = s
+        def round_half_away(x):
+            # numpy's np.round is half-EVEN; SQL round() (Spark and
+            # DuckDB alike) is half-AWAY-from-zero.  Scores sit on
+            # exact .5e-6 boundaries often enough (the inputs are
+            # 6-decimal-rounded) that the argmax must use the SQL rule.
+            return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+        picked: list[int] = []
+        scores: list[float] = []
+        avail = np.ones(n, dtype=bool)
+        # -inf, not 0: cosine similarities can be NEGATIVE, and the MMR
+        # redundancy term is the true max over the selected set — a 0
+        # floor would silently erase the bonus for being ANTI-correlated
+        # with everything already picked.  The empty-set step applies no
+        # penalty at all (score = λ·simq), matching the oracle's
+        # base-case branch.
+        maxsim = np.full(n, -np.inf)
+        for step in range(min(k_select, n)):
+            if step == 0:
+                mmr = round_half_away(lam * simq)
+            else:
+                mmr = round_half_away(lam * simq - mu * maxsim)
+            mmr_masked = np.where(avail, mmr, -np.inf)
+            best = mmr_masked.max()
+            # id tiebreak: ids are sorted ascending, argmax takes first
+            j = int(np.argmax(mmr_masked == best))
+            picked.append(j)
+            scores.append(float(mmr[j]))
+            avail[j] = False
+            maxsim = np.maximum(maxsim, sim[:, j])
+        return pd.DataFrame(
+            {
+                "query_id": key[0],
+                "id": ids[picked],
+                "mmr_score": scores,
+                "pick": np.arange(1, len(picked) + 1, dtype=np.int32),
+            }
+        )
+
+    return (
+        cand.groupBy("query_id")
+        .cogroup(pairs.groupBy("query_id"))
+        .applyInPandas(greedy, out_schema)
+    )
 
 
 def _content_keyed_sample(train: DataFrame, cap: int, seed: int):

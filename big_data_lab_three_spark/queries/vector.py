@@ -8,9 +8,11 @@ from pyspark.sql import functions as F
 
 from big_data_lab_three_spark.operators.similarity import (
     brute_force_topk,
+    cosine_score_pairs,
     ivf_topk,
     ivfpq_topk,
     lsh_bucketed_topk,
+    mmr_select,
     pq_topk,
 )
 from big_data_lab_three_spark.operators.text import bm25_topk
@@ -625,3 +627,107 @@ def filtered_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cos_sim", 4).alias("cos_sim"),
         "rank",
     )
+
+
+@register(
+    "mmr_rerank",
+    ids="retrieval: maximal-marginal-relevance diversification re-rank (greedy λ·rel − μ·redundancy) — iterative algorithm under a recursive-CTE value oracle",
+    oracle="""
+WITH RECURSIVE q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+), scored AS (
+  SELECT vec_id AS id,
+         round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6)
+             AS simq
+  FROM embeddings, q WHERE vec_id <> 0
+), cand AS (
+  SELECT id, simq FROM (
+    SELECT *, row_number() OVER (ORDER BY simq DESC, id) AS rn FROM scored
+  ) WHERE rn <= 20
+), pair AS (
+  SELECT a.id AS ia, b.id AS ib,
+         round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                      CAST(eb.embedding AS DOUBLE[])), 6)
+             AS sim
+  FROM cand a JOIN cand b ON a.id <> b.id
+  JOIN embeddings ea ON ea.vec_id = a.id
+  JOIN embeddings eb ON eb.vec_id = b.id
+), pick(step, id, mmr_score, sel) AS (
+  SELECT 1, t.id, t.s, [t.id] FROM (
+    SELECT id, round(0.7 * simq, 6) AS s FROM cand
+    ORDER BY round(0.7 * simq, 6) DESC, id LIMIT 1
+  ) t
+  UNION ALL
+  SELECT p.step + 1, nxt.id, nxt.s, list_append(p.sel, nxt.id)
+  FROM pick p, LATERAL (
+    SELECT c.id,
+           round(0.7 * c.simq - 0.3 * (
+              SELECT max(sim) FROM pair
+              WHERE ia = c.id AND list_contains(p.sel, ib)), 6) AS s
+    FROM cand c WHERE NOT list_contains(p.sel, c.id)
+    ORDER BY s DESC, c.id LIMIT 1
+  ) nxt
+  WHERE p.step < 10
+)
+SELECT id AS vec_id, mmr_score, CAST(step AS INT) AS pick
+FROM pick ORDER BY pick
+""",
+)
+def mmr_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification over the top-20 cosine pool for query
+    vector 0: greedily select 10 results maximizing
+    ``0.7·sim(q,d) − 0.3·max_{s∈selected} sim(d,s)`` — the re-rank a
+    retrieval stack runs between ANN and a context window so
+    near-duplicate hits don't crowd out coverage.
+
+    The iterative-algorithm class usually gets a rows-only check; here
+    the DuckDB twin replays the greedy loop EXACTLY with a recursive
+    CTE (the selected set rides a list column, each step's argmax is a
+    LATERAL order-by-limit-1), so the pick sequence, scores, and order
+    all hash.  Portability: every similarity is rounded to 6 decimals
+    before entering the recursion, each MMR score re-rounds with SQL
+    half-away rounding on both engines (see ``mmr_select``), weights
+    0.7/0.3 parse from identical decimal text, ids break all ties.
+
+    Scale shape: candidate gen is the broadcast-query matmul scan;
+    pairwise sims are a ≤20²-row join; the sequential greedy runs in
+    ONE Arrow batch per query via ``cogroup().applyInPandas`` —
+    distributed across queries, bounded per query, never a driver
+    loop."""
+    e = table(spark, sf_dir, "embeddings")
+    qv = e.where(F.col("vec_id") == 0).select(
+        F.lit(0).cast("long").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+    c = e.where(F.col("vec_id") != 0).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("cvec")
+    )
+    scored = cosine_score_pairs(
+        c.crossJoin(F.broadcast(qv)), "qvec", "cvec", ["query_id", "id"],
+        score_col="simq",
+    ).withColumn("simq", F.round("simq", 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("simq"), F.asc("id"))
+    cand = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= 20)
+        .drop("_r")
+    )
+    va = e.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    vb = e.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    pool_a = cand.select("query_id", F.col("id").alias("ia")).join(
+        va, "ia"
+    )
+    pool_b = cand.select("query_id", F.col("id").alias("ib")).join(
+        vb, "ib"
+    )
+    pairs = cosine_score_pairs(
+        pool_a.join(pool_b, "query_id").where(F.col("ia") != F.col("ib")),
+        "va", "vb", ["query_id", "ia", "ib"], score_col="sim",
+    ).withColumn("sim", F.round("sim", 6))
+    sel = mmr_select(
+        cand.select("query_id", "id", "simq"), pairs,
+        k_select=10, lam=0.7, mu=0.3,
+    )
+    return sel.select(
+        F.col("id").alias("vec_id"), "mmr_score", "pick"
+    ).orderBy("pick")

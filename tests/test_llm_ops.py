@@ -175,6 +175,47 @@ def test_hybrid_rrf_fuses_both_legs(spark, sf_dir):
     assert keys == sorted(keys)
 
 
+def test_mmr_select_diversifies(spark, sf_dir):
+    """Synthetic pool with known geometry: two near-identical top
+    candidates and one weaker-but-orthogonal one.  Relevance-only
+    ranking returns the near-duplicate second; MMR (λ=0.7, μ=0.3) must
+    defer it behind the orthogonal pick.  Also pins the negative-sim
+    contract: an ANTI-correlated candidate's redundancy term must stay
+    negative (a 0-floor bug would demote it)."""
+    from big_data_lab_three_spark.operators.similarity import mmr_select
+
+    # simq: a=.95, b=.94 (near-dup of a), c=.60 (orthogonal), d=.50
+    # (anti-correlated with everything picked)
+    cand = spark.createDataFrame(
+        [(0, 1, 0.95), (0, 2, 0.94), (0, 3, 0.60), (0, 4, 0.50)],
+        "query_id long, id long, simq double",
+    )
+    sims = {
+        (1, 2): 0.99, (1, 3): 0.0, (1, 4): -0.8,
+        (2, 3): 0.0, (2, 4): -0.8, (3, 4): -0.8,
+    }
+    pairs = spark.createDataFrame(
+        [
+            (0, a, b, s)
+            for (x, y), s in sims.items()
+            for a, b in ((x, y), (y, x))
+        ],
+        "query_id long, ia long, ib long, sim double",
+    )
+    rows = {
+        r.pick: r
+        for r in mmr_select(cand, pairs, k_select=4, lam=0.7, mu=0.3)
+        .collect()
+    }
+    assert rows[1].id == 1  # pure relevance
+    # near-dup of 1 scores .7*.94-.3*.99=.361; orthogonal c scores
+    # .7*.60-0=.42; anti-correlated d scores .7*.50+.3*.8=.59 — the
+    # negative redundancy term must PROMOTE d above both
+    assert rows[2].id == 4 and abs(rows[2].mmr_score - 0.59) < 1e-9
+    assert rows[3].id == 3
+    assert rows[4].id == 2  # the near-duplicate comes last
+
+
 def test_filtered_ann_respects_predicate(spark, sf_dir):
     """Every neighbor returned by the filtered search must satisfy the
     metadata predicate (pre-filter semantics, never post-filter)."""
