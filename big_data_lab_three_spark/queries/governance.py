@@ -196,3 +196,142 @@ def pseudonymize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "k_anonymity_census",
+    ids="privacy: k-anonymity equivalence-class census over quasi-identifiers (re-identification risk audit)",
+    oracle="""
+WITH classes AS (
+    SELECT c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal / 2000) AS BIGINT) AS acctbal_band,
+           CAST(count(*) AS BIGINT) AS class_size
+    FROM customer
+    GROUP BY 1, 2, 3
+)
+SELECT CASE WHEN class_size = 1 THEN '1'
+            WHEN class_size <= 4 THEN '2-4'
+            WHEN class_size <= 9 THEN '5-9'
+            ELSE '10+' END AS size_band,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(class_size) AS BIGINT) AS n_records,
+       CAST(min(class_size) AS BIGINT) AS min_class_size
+FROM classes
+GROUP BY 1
+ORDER BY size_band
+""",
+)
+def k_anonymity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) over the quasi-identifier tuple
+    (nation, market segment, account-balance band): every record in an
+    equivalence class of size k is re-identifiable to 1-in-k, so the
+    class-size distribution IS the re-identification risk profile — the
+    '1' band is the set of uniquely-identifiable records a release
+    policy must suppress or generalize.
+
+    Scale shape: one partial-aggregating shuffle keyed by the QI tuple
+    (bounded by the QI domain, not the record count), then a ~4-row
+    band rollup.  The acctbal band uses ``floor(x / 2000)`` — exact in
+    IEEE doubles on both engines — so class membership is
+    engine-portable without rounding conventions."""
+    c = table(spark, sf_dir, "customer")
+    classes = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias(
+            "acctbal_band"
+        ),
+    ).agg(F.count(F.lit(1)).alias("class_size"))
+    band = (
+        F.when(F.col("class_size") == 1, "1")
+        .when(F.col("class_size") <= 4, "2-4")
+        .when(F.col("class_size") <= 9, "5-9")
+        .otherwise("10+")
+    )
+    return (
+        classes.groupBy(band.alias("size_band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum("class_size").alias("n_records"),
+            F.min("class_size").alias("min_class_size"),
+        )
+        .orderBy("size_band")
+    )
+
+
+@register(
+    "dp_count_release",
+    ids="privacy: differentially-private count release — seeded Laplace noise via md5 inverse-CDF (deterministic, engine-portable)",
+    oracle="""
+WITH agg AS (
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_true
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+), seeded AS (
+    SELECT c_nationkey, n_true,
+           CAST(('0x' || substr(md5('dp-v1|' || CAST(c_nationkey AS VARCHAR)),
+                                1, 13)) AS BIGINT)
+               / 4503599627370496.0 AS u
+    FROM agg
+)
+SELECT c_nationkey, n_true,
+       round(n_true - sign(u - 0.5)
+             * ln(greatest(1 - 2 * abs(u - 0.5), 1e-15)), 4) AS dp_count
+FROM seeded
+ORDER BY c_nationkey
+""",
+)
+def dp_count_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private per-nation order counts: Laplace(b=1/ε,
+    ε=1) noise via the inverse-CDF transform ``−b·sign(u−½)·
+    ln(1−2|u−½|)``, with u drawn from a SEEDED md5 of the release key —
+    deterministic, so the release is reproducible AND value-oracle
+    checkable, exactly how a production pipeline derives per-key noise
+    from a release-version seed (new release ⇒ new seed ⇒ fresh draw).
+    n_true rides along for audit; a real release drops it.
+
+    Engine portability: the md5-hex → BIGINT → [0,1) uniform is
+    bit-identical on both engines (the established fingerprint idiom);
+    ``ln`` is the one transcendental — same class as BM25's idf, where
+    round(4) has held across every SF and round.  The ``greatest(...,
+    1e-15)`` guard caps the one-in-2⁵² u≈0 draw instead of emitting
+    ±inf.
+
+    Scale shape: the noise math is a pure projection on an
+    ~|nations|-row aggregate; the only real work is the orders⊳customer
+    join, which broadcasts nothing here but partial-aggregates the
+    count before the exchange."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    agg = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_true"))
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("dp-v1|"),
+                        F.col("c_nationkey").cast("string"),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4503599627370496.0)
+    )
+    centered = u - F.lit(0.5)
+    noise = -F.signum(centered) * F.log(
+        F.greatest(F.lit(1.0) - 2 * F.abs(centered), F.lit(1e-15))
+    )
+    return agg.select(
+        "c_nationkey",
+        "n_true",
+        F.round(F.col("n_true") + noise, 4).alias("dp_count"),
+    ).orderBy("c_nationkey")
