@@ -143,3 +143,53 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("l_extendedprice"), 2).alias("min_price"),
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
     )
+
+
+@register(
+    "partitioned_prune_roundtrip",
+    ids="S1-family: hive-partitioned parquet layout write→read with partition pruning (the 100 TB access-path contract)",
+    oracle="""
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+FROM orders
+WHERE year(o_orderdate) IN (1994, 1995)
+GROUP BY 1
+ORDER BY o_year
+""",
+)
+def partitioned_prune_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned layout round-trip: write orders partitioned by
+    order YEAR (the canonical time-partitioned ingest layout), read the
+    directory back, and aggregate ONLY two partitions.  The oracle
+    recomputes from the original parquet, so passing proves the
+    partition column round-trips losslessly through the directory
+    encoding AND the pruned read selects exactly the original rows.
+
+    This is the single most important layout decision at 100 TB: a
+    year (or date) partition key turns every time-bounded query into a
+    directory prune — the scan lists 2 of ~7 partitions and never opens
+    the rest (the plan pin asserts ``PartitionFilters`` carries the
+    year predicate, i.e. pruning happens at PLANNING time, not as a
+    row-level filter).  Partition count stays bounded (years, not
+    days·customers) — the classic over-partitioning trap (millions of
+    tiny files) is the inverse failure mode, documented here as the
+    reason the key is coarse."""
+    o = table(spark, sf_dir, "orders")
+    out = _scratch("orders_by_year")
+    o.withColumn(
+        "o_year", F.year("o_orderdate").cast("int")
+    ).write.mode("overwrite").partitionBy("o_year").parquet(out)
+    back = spark.read.parquet(out).where(
+        F.col("o_year").isin(1994, 1995)
+    )
+    return (
+        back.groupBy(F.col("o_year").cast("int").alias("o_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+        .orderBy("o_year")
+    )

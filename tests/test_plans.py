@@ -166,6 +166,22 @@ def test_hybrid_rrf_legs_stay_bounded(spark, sf_dir):
         assert "text" not in joined, f"raw text in fusion exchange: {cols}"
 
 
+def test_partitioned_roundtrip_prunes_at_planning_time(spark, sf_dir):
+    """The year predicate on the hive-partitioned read-back must appear
+    as a PartitionFilter (directory prune at planning time), not a
+    row-level data filter over all partitions."""
+    from big_data_lab_three_spark.plans.inspect import explain_str
+
+    df = REG["partitioned_prune_roundtrip"].spark(spark, sf_dir)
+    plan = explain_str(df)
+    part = [
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    ]
+    assert part and any("o_year" in ln for ln in part), (
+        f"year predicate not in PartitionFilters: {part}"
+    )
+
+
 def test_semi_join_is_semi_and_keys_only(spark, sf_dir):
     """EXISTS must plan as a LeftSemi join, and the lineitem side of the
     shuffle must carry only join/filter keys — never payload columns."""
