@@ -1537,3 +1537,131 @@ def pq_code_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("subspace", "code")
     )
+
+
+@register(
+    "cluster_quality_census",
+    ids="similarity: per-cluster assignment-quality census (mean cosine + best-vs-second margin) — the SemDeDup cluster-quality audit",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+), s AS (
+  SELECT vec_id AS seed_id, CAST(embedding AS DOUBLE[]) AS sv
+  FROM embeddings WHERE vec_id < 8
+), sc AS (
+  SELECT vec_id, seed_id,
+         round(list_dot_product(ev, sv)
+               / (sqrt(list_dot_product(ev, ev))
+                  * sqrt(list_dot_product(sv, sv))), 6) AS cq
+  FROM v CROSS JOIN s
+), ranked AS (
+  SELECT vec_id, seed_id, cq,
+         row_number() OVER (
+             PARTITION BY vec_id ORDER BY cq DESC, seed_id ASC) AS rn
+  FROM sc
+), pv AS (
+  SELECT b.vec_id, b.seed_id AS cluster_id,
+         CAST(round(b.cq * 1000000.0) AS BIGINT) AS cql,
+         CAST(round(b.cq * 1000000.0) AS BIGINT)
+           - CAST(round(s2.cq * 1000000.0) AS BIGINT) AS mgl
+  FROM ranked b
+  JOIN ranked s2 ON b.vec_id = s2.vec_id AND s2.rn = 2
+  WHERE b.rn = 1
+)
+SELECT cluster_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       round(CAST(sum(cql) AS BIGINT) / count(*) / 1000000.0, 4)
+           AS avg_cos,
+       round(CAST(sum(mgl) AS BIGINT) / count(*) / 1000000.0, 4)
+           AS avg_margin,
+       CAST(sum(CASE WHEN mgl < 10000 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_ambiguous
+FROM pv
+GROUP BY cluster_id
+ORDER BY cluster_id
+""",
+)
+def cluster_quality_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality audit over the content-keyed assignment (same
+    8-seed codebook as ``ivf_assign_census``): per cluster, the mean
+    cosine to the assigned centroid AND the mean best-vs-second-best
+    MARGIN — the silhouette-style signal a SemDeDup/IVF build monitors.
+    A cluster with high ``avg_cos`` but low ``avg_margin`` sits on a
+    centroid boundary (its members would reassign under small codebook
+    drift); ``n_ambiguous`` counts members within 0.01 of the decision
+    boundary — the reassignment-risk population.
+
+    Everything after the quantized cosines is INTEGER-exact: margins
+    are differences of ``round(cq·1e6)`` longs (no float subtraction of
+    rounded values), and both means are order-independent integer sums
+    with one double division — the ``ivf_assign_census`` convention, so
+    the hash is safe at any SF.
+
+    Scale shape: the 8-row codebook broadcasts; the top-2 selection
+    aggregates a ``sort_array(collect_list(...))`` whose payload is
+    bounded by the CODEBOOK size (8 structs per vector), not the corpus
+    — the exchange carries one bounded row per vector, then an 8-row
+    census."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ev")
+    )
+    seeds = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("seed_id"), F.col("ev").alias("sv")
+    )
+    cq = F.round(
+        _dot(F.col("ev"), F.col("sv"))
+        / (
+            F.sqrt(_dot(F.col("ev"), F.col("ev")))
+            * F.sqrt(_dot(F.col("sv"), F.col("sv")))
+        ),
+        6,
+    )
+    scored = e.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "seed_id",
+        cq.alias("cq"),
+    )
+    top2 = scored.groupBy("vec_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("cq").alias("cq"),
+                    (-F.col("seed_id")).alias("negseed"),
+                )
+            ),
+            asc=False,
+        ).alias("arr")
+    )
+    first = F.element_at("arr", 1)
+    second = F.element_at("arr", 2)
+    per_vec = top2.select(
+        "vec_id",
+        (-first.getField("negseed")).alias("cluster_id"),
+        F.round(first.getField("cq") * 1e6).cast("long").alias("cql"),
+        (
+            F.round(first.getField("cq") * 1e6).cast("long")
+            - F.round(second.getField("cq") * 1e6).cast("long")
+        ).alias("mgl"),
+    )
+    return (
+        per_vec.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(
+                F.sum("cql").cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1000000.0),
+                4,
+            ).alias("avg_cos"),
+            F.round(
+                F.sum("mgl").cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1000000.0),
+                4,
+            ).alias("avg_margin"),
+            F.sum((F.col("mgl") < 10000).cast("long")).alias(
+                "n_ambiguous"
+            ),
+        )
+        .orderBy("cluster_id")
+    )

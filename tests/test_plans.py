@@ -1132,6 +1132,9 @@ def test_census_queries_shuffle_keys_not_payloads(spark, sf_dir):
         ("minhash_band_census", "text"),
         ("ivf_assign_census", "ev"),
         ("embedding_sign_census", "ev"),
+        # r7-late: the top-2 margin census — its collect_list payload
+        # is codebook-bounded (cq, seed) structs, never raw vectors
+        ("cluster_quality_census", "ev"),
     ]:
         df = REG[name].spark(spark, sf_dir)
         keyed = [
