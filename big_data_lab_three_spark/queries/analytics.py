@@ -1752,3 +1752,65 @@ def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey", "p_size", "p_retailprice"
     )
     return skyline_2d(part, "p_retailprice", "p_size").orderBy("p_partkey")
+
+
+@register(
+    "target_encode",
+    ids="ml-features: smoothed target (mean) encoding of a categorical column — the leakage-aware feature-engineering table",
+    oracle="""
+WITH g AS (
+    SELECT sum(o_totalprice) / count(*) AS gmean FROM orders
+), cat AS (
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(o_totalprice) AS s
+    FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority,
+       n,
+       round(s / n, 4) AS cat_mean,
+       round((s + 10 * gmean) / (n + 10), 4) AS encoded,
+       round((s + 10 * gmean) / (n + 10) - gmean, 4) AS shift_vs_global
+FROM cat CROSS JOIN g
+ORDER BY o_orderpriority
+""",
+)
+def target_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding (the standard mean-encoding feature for
+    gradient-boosted and linear models): each category's encoding is
+    the Bayesian shrinkage ``(Σy_c + m·ȳ) / (n_c + m)`` with m=10 — a
+    rare category pulls toward the global mean instead of memorizing
+    its few targets, which is the leakage-control half of the
+    technique.  ``shift_vs_global`` surfaces how far each category
+    moves the prior, the quantity a feature audit reviews.
+
+    Scale shape: one partial-aggregating rollup keyed by the category
+    plus a 1-row global aggregate broadcast into the projection — two
+    scans collapse to one exchange each, no window, no row-level
+    output (the per-row encoded column at 100 TB is a broadcast map
+    join of THIS table, not a recompute)."""
+    o = table(spark, sf_dir, "orders")
+    g = o.agg(
+        (F.sum("o_totalprice") / F.count(F.lit(1))).alias("gmean")
+    )
+    cat = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_totalprice").alias("s"),
+    )
+    return (
+        cat.crossJoin(F.broadcast(g))
+        .select(
+            "o_orderpriority",
+            "n",
+            F.round(F.col("s") / F.col("n"), 4).alias("cat_mean"),
+            F.round(
+                (F.col("s") + 10 * F.col("gmean")) / (F.col("n") + 10), 4
+            ).alias("encoded"),
+            F.round(
+                (F.col("s") + 10 * F.col("gmean")) / (F.col("n") + 10)
+                - F.col("gmean"),
+                4,
+            ).alias("shift_vs_global"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -1408,3 +1408,71 @@ def token_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "zipf_fit",
+    ids="text: Zipf rank-frequency power-law fit (log-log OLS slope over the top-100 terms) — corpus-health diagnostic",
+    oracle=f"""
+WITH tk AS (
+    SELECT unnest({_DUCK_TOKS}) AS term FROM documents
+), freq AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS f
+    FROM tk GROUP BY term
+), ranked AS (
+    SELECT term, f,
+           row_number() OVER (ORDER BY f DESC, term) AS r
+    FROM freq
+), top AS (
+    SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(f AS DOUBLE)) AS y
+    FROM ranked WHERE r <= 100
+)
+SELECT CAST(100 AS BIGINT) AS n_terms,
+       round((sum(x * y) - sum(x) * sum(y) / 100)
+             / (sum(x * x) - sum(x) * sum(x) / 100), 4) AS zipf_slope,
+       round((sum(y) - ((sum(x * y) - sum(x) * sum(y) / 100)
+             / (sum(x * x) - sum(x) * sum(x) / 100)) * sum(x)) / 100, 4)
+           AS intercept
+FROM top
+""",
+)
+def zipf_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit: OLS slope of ln(frequency) on ln(rank) over
+    the top-100 terms — natural text sits near slope −1; a corpus
+    polluted with template boilerplate flattens (repeated terms inflate
+    the head) and machine-generated spam steepens.  One of the cheap
+    whole-corpus health diagnostics a pretraining pipeline tracks
+    between snapshots.
+
+    The rank table is fully deterministic (integer frequencies, term
+    tiebreak); the closed-form OLS runs over exactly 100 (x, y) pairs,
+    so the only engine variance is float sum order over 100 terms —
+    round(4) on slope and intercept, same convention as the corpus
+    moment queries.
+
+    Scale shape: one explode → one (term) partial-aggregating rollup →
+    a top-100 ``orderBy·limit`` (per-partition top-k merge, no global
+    window over the vocabulary) → a 100-row aggregate."""
+    d = table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    top = freq.orderBy(F.desc("f"), "term").limit(100)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("f"), "term")
+    xy = top.withColumn("r", F.row_number().over(w)).select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("f").cast("double")).alias("y"),
+    )
+    n = F.lit(100.0)
+    sx, sy = F.sum("x"), F.sum("y")
+    sxy, sxx = F.sum(F.col("x") * F.col("y")), F.sum(F.col("x") * F.col("x"))
+    slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    return xy.agg(
+        F.lit(100).cast("long").alias("n_terms"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 4).alias("intercept"),
+    )
