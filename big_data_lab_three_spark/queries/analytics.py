@@ -1814,3 +1814,79 @@ def target_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "copurchase_topk",
+    ids="analytics: market-basket co-purchase top-3 per part (self-join on basket key, bounded pair fan-out)",
+    oracle="""
+WITH basket AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM basket a JOIN basket b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+), sym AS (
+    SELECT pa AS part, pb AS other, n_orders FROM pairs
+    UNION ALL
+    SELECT pb AS part, pa AS other, n_orders FROM pairs
+), ranked AS (
+    SELECT part, other, n_orders,
+           row_number() OVER (
+               PARTITION BY part
+               ORDER BY n_orders DESC, other ASC) AS rn
+    FROM sym WHERE n_orders >= 2
+)
+SELECT part, other, n_orders, CAST(rn AS INT) AS rank
+FROM ranked WHERE rn <= 3
+ORDER BY part, rank
+""",
+)
+def copurchase_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-purchase affinity: for every part, the top-3 parts
+    most often sharing an order with it (≥2 co-occurrences) — the
+    classic market-basket / "customers also bought" table.
+
+    Scale shape: the pair generation is a self-join keyed on the BASKET
+    id, so fan-out per order is C(items, 2) with items ≤ 7 in this
+    schema — bounded per basket, linear overall (the trap at 100 TB is
+    pairing on the ITEM side, which explodes on popular items; keying
+    on the basket avoids it).  The ``pa < pb`` canonical orientation
+    halves the pair table; symmetry is restored by a cheap union of
+    projections of the AGGREGATED pair counts, not of the raw pairs.
+    All values are exact integers with id tiebreaks — no rounding
+    conventions needed anywhere."""
+    li = table(spark, sf_dir, "lineitem")
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    a = basket.select(
+        "l_orderkey", F.col("l_partkey").alias("pa")
+    )
+    b = basket.select(
+        "l_orderkey", F.col("l_partkey").alias("pb")
+    )
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    sym = pairs.select(
+        F.col("pa").alias("part"), F.col("pb").alias("other"), "n_orders"
+    ).unionByName(
+        pairs.select(
+            F.col("pb").alias("part"),
+            F.col("pa").alias("other"),
+            "n_orders",
+        )
+    )
+    w = Window.partitionBy("part").orderBy(
+        F.desc("n_orders"), F.asc("other")
+    )
+    return (
+        sym.where(F.col("n_orders") >= 2)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .orderBy("part", "rank")
+    )

@@ -426,3 +426,162 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "lttb_downsample",
+    ids="temporal: per-user LTTB time-series downsampling (largest-triangle-three-buckets) — iterative algorithm under a recursive-CTE value oracle",
+    oracle="""
+WITH RECURSIVE pts AS (
+  SELECT user_id, epoch_us(ts) AS xus,
+         CAST(round(value * 10000) AS BIGINT) AS yq,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         min(epoch_us(ts)) OVER (PARTITION BY user_id) AS x0
+  FROM events
+), p AS (
+  SELECT user_id, rn, n, xus - x0 AS xr, yq FROM pts
+), interior AS (
+  SELECT *, CAST(floor(CAST((rn - 2) * 6 AS DOUBLE) / (n - 2)) AS BIGINT)
+             AS b
+  FROM p WHERE rn > 1 AND rn < n
+), bstat AS (
+  SELECT user_id, b, CAST(count(*) AS BIGINT) AS nb,
+         CAST(sum(xr) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy
+  FROM interior GROUP BY 1, 2
+), lastp AS (
+  SELECT user_id, xr AS lx, yq AS ly FROM p WHERE rn = n
+), sel(user_id, k, xr, yq) AS (
+  SELECT user_id, 1, xr, yq FROM p WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.k + 1, nxt.xr, nxt.yq
+  FROM sel s
+  JOIN lastp lp ON lp.user_id = s.user_id
+  LEFT JOIN bstat nb ON nb.user_id = s.user_id AND nb.b = s.k, LATERAL (
+    SELECT c.xr, c.yq
+    FROM interior c
+    WHERE c.user_id = s.user_id AND c.b = s.k - 1
+    ORDER BY floor(abs(
+        (CAST(s.xr AS DOUBLE)
+           - COALESCE(CAST(nb.sx AS DOUBLE) / nb.nb, CAST(lp.lx AS DOUBLE)))
+        * (CAST(c.yq AS DOUBLE) / 10000 - CAST(s.yq AS DOUBLE) / 10000)
+      - (CAST(s.xr AS DOUBLE) - CAST(c.xr AS DOUBLE))
+        * (COALESCE(CAST(nb.sy AS DOUBLE) / nb.nb / 10000,
+                    CAST(lp.ly AS DOUBLE) / 10000)
+           - CAST(s.yq AS DOUBLE) / 10000)
+      ) * 1000000 + 0.5) DESC, c.xr ASC
+    LIMIT 1
+  ) nxt
+  WHERE s.k <= 6
+)
+SELECT user_id, CAST(k AS INT) AS pick, xr AS x_us,
+       round(CAST(yq AS DOUBLE) / 10000, 4) AS y
+FROM sel
+UNION ALL
+SELECT user_id, CAST(8 AS INT) AS pick, lx AS x_us,
+       round(CAST(ly AS DOUBLE) / 10000, 4) AS y
+FROM lastp
+ORDER BY user_id, pick
+""",
+)
+def lttb_downsample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013)
+    — the visually-faithful time-series reducer every monitoring stack
+    ships: each user's series collapses to 8 points (endpoints kept;
+    each of 6 equal interior buckets contributes the point maximizing
+    the triangle area with the PREVIOUSLY selected point and the NEXT
+    bucket's centroid — a sequential dependency like MMR's, replayed
+    exactly by the oracle's recursive CTE, which advances every user
+    one bucket per iteration).
+
+    Engine portability is integer-first: x is the exact µs offset from
+    the series start (``ts div 1000``, matching ``epoch_us``), y is
+    quantized to ``round(value·1e4)`` longs, and bucket centroids are
+    integer sums with one double division — so the triangle-area
+    expression evaluates the SAME doubles on both engines; areas are
+    floor-quantized to 1e-6 with the x-offset tiebreak before argmax.
+
+    Scale shape: per-user series are BOUNDED (users grow with the
+    corpus, points-per-user don't), so the sequential selection runs
+    in one Arrow batch per user via ``applyInPandas`` — the same
+    bounded-group contract as sessionization; everything upstream is
+    two windows over a (user)-keyed exchange."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("ts div 1000").alias("xus"),
+        F.round(F.col("value") * 10000).cast("long").alias("yq"),
+    )
+    w = Window.partitionBy("user_id").orderBy("xus")
+    ws = Window.partitionBy("user_id")
+    p = e.select(
+        "user_id",
+        "xus",
+        "yq",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(ws).alias("n"),
+        F.min("xus").over(ws).alias("x0"),
+    ).select(
+        "user_id", "rn", "n", (F.col("xus") - F.col("x0")).alias("xr"), "yq"
+    )
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("pick", T.IntegerType(), True),
+            T.StructField("x_us", T.LongType(), True),
+            T.StructField("y", T.DoubleType(), True),
+        ]
+    )
+
+    def lttb(key, pdf):
+        import math
+
+        import pandas as pd
+
+        pdf = pdf.sort_values("rn").reset_index(drop=True)
+        n = len(pdf)
+        xr = [int(v) for v in pdf["xr"]]
+        yq = [int(v) for v in pdf["yq"]]
+        rows = [(key[0], 1, xr[0], round(yq[0] / 10000, 4))]
+        # interior bucket of 1-based rank r (2..n-1), exactly the SQL:
+        # floor((r-2)*6 / (n-2)) over doubles
+        buckets: dict[int, list[int]] = {}
+        for i in range(1, n - 1):
+            b = int(math.floor(((i + 1) - 2) * 6 / (n - 2)))
+            buckets.setdefault(b, []).append(i)
+        px, py = float(xr[0]), yq[0] / 10000
+        for k in range(1, 7):
+            members = buckets.get(k - 1, [])
+            nxt = buckets.get(k)
+            if nxt:
+                nb = len(nxt)
+                ax = sum(xr[i] for i in nxt) / nb
+                ay = sum(yq[i] for i in nxt) / nb / 10000
+            else:
+                ax, ay = float(xr[n - 1]), yq[n - 1] / 10000
+            best = None
+            for i in members:
+                cy = yq[i] / 10000
+                area = math.floor(
+                    abs((px - ax) * (cy - py) - (px - xr[i]) * (ay - py))
+                    * 1000000
+                    + 0.5
+                )
+                cand = (-area, xr[i], i)
+                if best is None or cand < best:
+                    best = cand
+            i = best[2]
+            rows.append((key[0], k + 1, xr[i], round(yq[i] / 10000, 4)))
+            px, py = float(xr[i]), yq[i] / 10000
+        rows.append((key[0], 8, xr[n - 1], round(yq[n - 1] / 10000, 4)))
+        return pd.DataFrame(
+            rows, columns=["user_id", "pick", "x_us", "y"]
+        )
+
+    return (
+        p.groupBy("user_id")
+        .applyInPandas(lttb, out_schema)
+        .orderBy("user_id", "pick")
+    )

@@ -98,6 +98,7 @@ _TS_SENSITIVE = [
     "sessionize_batch",
     "streaming_window_counts",
     "retention_cohorts",
+    "lttb_downsample",
 ]
 
 
@@ -139,3 +140,23 @@ def test_ts_queries_match_oracle_on_nanos_encoding(spark, ns_sf_dir, qname):
         spark.catalog.clearCache()
     assert not problems, f"{qname} on ns-encoded events: " + "; ".join(problems)
     assert n > 0
+
+
+def test_lttb_keeps_endpoints_and_monotone_x(spark, sf_dir):
+    """LTTB contract: exactly 8 picks per user, pick 1 / pick 8 are the
+    series endpoints (x-offset 0 and the per-user max), and selected
+    x-offsets are strictly increasing — bucket selection can never
+    reorder time."""
+    from big_data_lab_three_spark.queries import load_all
+
+    rows = load_all()["lttb_downsample"].spark(spark, sf_dir).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for picks in by_user.values():
+        picks.sort(key=lambda r: r.pick)
+        assert [r.pick for r in picks] == list(range(1, 9))
+        xs = [r.x_us for r in picks]
+        assert xs[0] == 0
+        assert xs == sorted(xs) and len(set(xs)) == 8
