@@ -1890,3 +1890,167 @@ def copurchase_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .orderBy("part", "rank")
     )
+
+
+@register(
+    "ab_test_ztest",
+    ids="analytics: two-proportion z-test for an A/B split (experimentation readout, closed-form from integer counts)",
+    oracle="""
+WITH assigned AS (
+    SELECT user_id % 2 AS variant,
+           CASE WHEN value > 50 THEN 1 ELSE 0 END AS converted
+    FROM events
+), v AS (
+    SELECT variant,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(converted) AS BIGINT) AS conv
+    FROM assigned GROUP BY variant
+), wide AS (
+    SELECT max(CASE WHEN variant = 0 THEN n END) AS n0,
+           max(CASE WHEN variant = 0 THEN conv END) AS c0,
+           max(CASE WHEN variant = 1 THEN n END) AS n1,
+           max(CASE WHEN variant = 1 THEN conv END) AS c1
+    FROM v
+)
+SELECT n0, c0, n1, c1,
+       round(CAST(c0 AS DOUBLE) / n0, 4) AS p0,
+       round(CAST(c1 AS DOUBLE) / n1, 4) AS p1,
+       round((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+             / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                    * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                    * (1.0 / n0 + 1.0 / n1)), 4) AS z_stat,
+       abs((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+           / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                  * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                  * (1.0 / n0 + 1.0 / n1))) > 1.96 AS significant_95
+FROM wide
+""",
+)
+def ab_test_ztest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test over a deterministic 50/50 user split —
+    the experimentation readout an analytics engine serves daily: a
+    pooled-variance z statistic for conversion (value > 50) between
+    variants, with the 95% two-sided decision.
+
+    Every input to the closed form is an exact integer count, so the
+    statistic is one fixed float expression evaluated identically on
+    both engines — round(4) only on the reported columns.  (The split
+    here is ``user_id % 2`` for determinism; a production assignment
+    hashes a salt + user id — same engine-portable md5 idiom as
+    ``cv_fold_balance``.)
+
+    Scale shape: one conditional aggregation pass keyed by the 2-value
+    variant — map-side partial, 2-row exchange, then a 1-row pivot and
+    pure projection."""
+    e = table(spark, sf_dir, "events")
+    assigned = e.select(
+        F.pmod(F.col("user_id"), F.lit(2)).alias("variant"),
+        (F.col("value") > 50).cast("long").alias("converted"),
+    )
+    v = assigned.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
+    )
+    wide = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("conv"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("conv"))).alias("c1"),
+    )
+    p0 = F.col("c0").cast("double") / F.col("n0")
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    pp = (F.col("c0") + F.col("c1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    )
+    z = (p1 - p0) / F.sqrt(
+        pp * (1 - pp) * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+    )
+    return wide.select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        F.round(p0, 4).alias("p0"),
+        F.round(p1, 4).alias("p1"),
+        F.round(z, 4).alias("z_stat"),
+        (F.abs(z) > 1.96).alias("significant_95"),
+    )
+
+
+@register(
+    "skew_profile",
+    ids="ops: join-key skew profiler (max/mean ratio, top-1 share, exact Gini) — the pre-flight check before keying a shuffle",
+    oracle="""
+WITH k AS (
+    SELECT l_suppkey, CAST(count(*) AS BIGINT) AS cnt
+    FROM lineitem GROUP BY l_suppkey
+), ranked AS (
+    SELECT cnt,
+           row_number() OVER (ORDER BY cnt ASC, l_suppkey ASC) AS r
+    FROM k
+), tot AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           CAST(max(cnt) AS BIGINT) AS max_cnt
+    FROM k
+)
+SELECT n_keys, n_rows, max_cnt,
+       round(CAST(n_rows AS DOUBLE) / n_keys, 4) AS mean_cnt,
+       round(CAST(max_cnt AS DOUBLE) * n_keys / n_rows, 4)
+           AS max_over_mean,
+       round(CAST(max_cnt AS DOUBLE) / n_rows, 6) AS top1_share,
+       round(CAST((SELECT sum((2 * r - n_keys - 1) * cnt) FROM ranked)
+                  AS DOUBLE) / (CAST(n_keys AS DOUBLE) * n_rows), 4)
+           AS gini
+FROM tot
+""",
+)
+def skew_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile for ``l_suppkey`` — the pre-flight a
+    shuffle-keying decision reads: max/mean partition-load ratio
+    (≈ the straggler factor a plain hash join would suffer), top-1 key
+    share, and the exact Gini coefficient of the key distribution via
+    the rank identity ``Σ(2r−n−1)·cnt / (n·total)`` — an
+    order-independent INTEGER sum (ranks are deterministic with the
+    key tiebreak), so no float-summation drift exists to round away.
+    `skew_salted_join` is the treatment; this query is the diagnosis.
+
+    Scale shape: one (key) rollup — bounded by key cardinality — then
+    a window over the KEY table (not the fact table) for ranks and a
+    1-row profile."""
+    li = table(spark, sf_dir, "lineitem")
+    k = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.asc("cnt"), F.asc("l_suppkey"))
+    ranked = k.withColumn("r", F.row_number().over(w))
+    g = ranked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+        F.sum(F.col("r") * F.col("cnt")).alias("rc"),
+    ).withColumn(
+        # Σ(2r−n−1)·cnt = 2Σr·cnt − (n+1)Σcnt — keeps the Gini sum a
+        # plain integer aggregate (no window inside an aggregate)
+        "gsum",
+        2 * F.col("rc") - (F.col("n_keys") + 1) * F.col("n_rows"),
+    )
+    return g.select(
+        "n_keys",
+        "n_rows",
+        "max_cnt",
+        F.round(F.col("n_rows").cast("double") / F.col("n_keys"), 4).alias(
+            "mean_cnt"
+        ),
+        F.round(
+            F.col("max_cnt").cast("double")
+            * F.col("n_keys")
+            / F.col("n_rows"),
+            4,
+        ).alias("max_over_mean"),
+        F.round(
+            F.col("max_cnt").cast("double") / F.col("n_rows"), 6
+        ).alias("top1_share"),
+        F.round(
+            F.col("gsum").cast("double")
+            / (F.col("n_keys").cast("double") * F.col("n_rows")),
+            4,
+        ).alias("gini"),
+    )
