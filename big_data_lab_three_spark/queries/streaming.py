@@ -235,3 +235,49 @@ def streaming_sliding_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_table(
         spark, result, f"stream_slide_{next(_seq)}", output_mode="complete"
     )
+
+
+@register(
+    "streaming_topk_trend",
+    ids="streaming: per-window top-3 trending event types (windowed stateful counts + rank over the drained sink)",
+    oracle="""
+WITH c AS (
+  SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+         event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start_us, event_type, n, CAST(rn AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY window_start_us ORDER BY n DESC, event_type) AS rn
+  FROM c
+)
+WHERE rn <= 3
+ORDER BY window_start_us, rank
+""",
+)
+def streaming_topk_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending dashboard feed: 1-hour tumbling windows of per-type
+    counts maintained by the STREAMING engine (watermarked state,
+    complete mode), then top-3 per window ranked on the drained sink —
+    exactly how a production trending readout is built, because rank
+    is not an incremental aggregate: the stream maintains the counts,
+    the serving query ranks the (tiny) sink table.  Counts are exact
+    integers with the event-type tiebreak, so the ranking is fully
+    deterministic against the batch oracle."""
+    from pyspark.sql import Window
+
+    stream = read_events_stream(spark, sf_dir)
+    result = windowed_event_counts(stream, "1 hour", "2 hours")
+    drained = run_stream_to_table(
+        spark, result, f"stream_trend_{next(_seq)}", output_mode="complete"
+    )
+    w = Window.partitionBy("window_start_us").orderBy(
+        F.desc("n"), "event_type"
+    )
+    return (
+        drained.select("window_start_us", "event_type", "n")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .orderBy("window_start_us", "rank")
+    )
