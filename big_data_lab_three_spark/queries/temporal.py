@@ -502,26 +502,20 @@ def lttb_downsample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor-quantized to 1e-6 with the x-offset tiebreak before argmax.
 
     Scale shape: per-user series are BOUNDED (users grow with the
-    corpus, points-per-user don't), so the sequential selection runs
-    in one Arrow batch per user via ``applyInPandas`` — the same
-    bounded-group contract as sessionization; everything upstream is
-    two windows over a (user)-keyed exchange."""
+    corpus, points-per-user don't) but groups are MANY and SMALL —
+    exactly the shape where ``applyInPandas`` pays one Python
+    invocation + Arrow round-trip per group (measured 6.9s at sf0.1,
+    3.9s of it reproduced by a TRIVIAL per-group function).  So this
+    runs as ``repartition(user) → sortWithinPartitions(user, ts) →
+    mapInPandas`` with an explicit group CARRY across Arrow batch
+    boundaries: one Python call per ~10k-row batch, the in-batch
+    groupby is vectorized, and a user whose rows straddle two batches
+    is completed in the next call (flushed at end-of-partition).
+    Same co-location guarantee as applyInPandas, ~1/50th the calls."""
     e = table(spark, sf_dir, "events").select(
         "user_id",
         F.expr("ts div 1000").alias("xus"),
         F.round(F.col("value") * 10000).cast("long").alias("yq"),
-    )
-    w = Window.partitionBy("user_id").orderBy("xus")
-    ws = Window.partitionBy("user_id")
-    p = e.select(
-        "user_id",
-        "xus",
-        "yq",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(ws).alias("n"),
-        F.min("xus").over(ws).alias("x0"),
-    ).select(
-        "user_id", "rn", "n", (F.col("xus") - F.col("x0")).alias("xr"), "yq"
     )
 
     from pyspark.sql import types as T
@@ -535,16 +529,14 @@ def lttb_downsample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
 
-    def lttb(key, pdf):
+    def select_series(uid, xus_list, yq_list):
         import math
 
-        import pandas as pd
-
-        pdf = pdf.sort_values("rn").reset_index(drop=True)
-        n = len(pdf)
-        xr = [int(v) for v in pdf["xr"]]
-        yq = [int(v) for v in pdf["yq"]]
-        rows = [(key[0], 1, xr[0], round(yq[0] / 10000, 4))]
+        n = len(xus_list)
+        x0 = xus_list[0]
+        xr = [v - x0 for v in xus_list]
+        yq = yq_list
+        rows = [(uid, 1, xr[0], round(yq[0] / 10000, 4))]
         # interior bucket of 1-based rank r (2..n-1), exactly the SQL:
         # floor((r-2)*6 / (n-2)) over doubles
         buckets: dict[int, list[int]] = {}
@@ -573,15 +565,42 @@ def lttb_downsample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if best is None or cand < best:
                     best = cand
             i = best[2]
-            rows.append((key[0], k + 1, xr[i], round(yq[i] / 10000, 4)))
+            rows.append((uid, k + 1, xr[i], round(yq[i] / 10000, 4)))
             px, py = float(xr[i]), yq[i] / 10000
-        rows.append((key[0], 8, xr[n - 1], round(yq[n - 1] / 10000, 4)))
-        return pd.DataFrame(
-            rows, columns=["user_id", "pick", "x_us", "y"]
-        )
+        rows.append((uid, 8, xr[n - 1], round(yq[n - 1] / 10000, 4)))
+        return rows
 
-    return (
-        p.groupBy("user_id")
-        .applyInPandas(lttb, out_schema)
-        .orderBy("user_id", "pick")
-    )
+    def run(batches):
+        import pandas as pd
+
+        carry = None
+
+        def emit(pdf):
+            out = []
+            for uid, g in pdf.groupby("user_id", sort=True):
+                out.extend(
+                    select_series(
+                        int(uid),
+                        [int(v) for v in g["xus"]],
+                        [int(v) for v in g["yq"]],
+                    )
+                )
+            return pd.DataFrame(
+                out, columns=["user_id", "pick", "x_us", "y"]
+            )
+
+        for b in batches:
+            if carry is not None and len(carry):
+                b = pd.concat([carry, b], ignore_index=True)
+            if len(b) == 0:
+                continue
+            last_uid = b["user_id"].iloc[-1]
+            done = b[b["user_id"] != last_uid]
+            carry = b[b["user_id"] == last_uid]
+            if len(done):
+                yield emit(done)
+        if carry is not None and len(carry):
+            yield emit(carry)
+
+    rep = e.repartition("user_id").sortWithinPartitions("user_id", "xus")
+    return rep.mapInPandas(run, out_schema).orderBy("user_id", "pick")

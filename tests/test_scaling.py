@@ -44,6 +44,12 @@ QUERIES = (
     # length), so the 100× data ratio must stay scheduler-bounded, not
     # edge-table-bounded
     "cc_chain_census",
+    # r7-late: the basket-keyed pair generation must stay bounded by
+    # basket size (the quadratic trap is pairing on the ITEM side),
+    # and per-user LTTB selection must stay bounded per user while
+    # users grow with the corpus
+    "copurchase_topk",
+    "lttb_downsample",
 )
 MAX_RATIO = 30.0
 
