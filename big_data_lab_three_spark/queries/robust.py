@@ -26,7 +26,7 @@ the oracle (DuckDB sums of ints are HUGEINT otherwise).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from big_data_lab_three_spark.operators.rankstats import (
@@ -657,4 +657,128 @@ def theil_sen_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         F.round("sen_slope", 6).alias("sen_slope"),
         F.round("icand", 4).alias("sen_intercept"),
+    )
+
+
+@register(
+    "isotonic_calibration",
+    ids="ml-eval: isotonic (PAVA) calibration over score deciles via the exact minimax closed form",
+    oracle="""
+WITH t AS (
+    SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos,
+           ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+    FROM orders
+), b AS (
+    SELECT CAST(bin AS INTEGER) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(pos) AS BIGINT) AS p
+    FROM t GROUP BY bin
+), pre AS (
+    SELECT bin, n, p,
+           sum(n) OVER (ORDER BY bin) AS np,
+           sum(p) OVER (ORDER BY bin) AS pp
+    FROM b
+), seg AS (
+    SELECT j.bin AS j, k.bin AS k,
+           CAST(k.pp - (j.pp - j.p) AS DOUBLE)
+               / (k.np - (j.np - j.n)) AS seg_avg
+    FROM pre j JOIN pre k ON j.bin <= k.bin
+), inner_min AS (
+    SELECT i.bin AS bin, s.j,
+           min(s.seg_avg) AS m
+    FROM pre i JOIN seg s ON s.j <= i.bin AND s.k >= i.bin
+    GROUP BY 1, 2
+), fit AS (
+    SELECT bin, max(m) AS iso
+    FROM inner_min GROUP BY bin
+)
+SELECT b.bin, b.n,
+       round(CAST(b.p AS DOUBLE) / b.n, 6) AS raw_rate,
+       round(fit.iso, 6) AS iso_rate
+FROM b JOIN fit USING (bin)
+ORDER BY bin
+""",
+)
+def isotonic_calibration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration of the score→label mapping — what PAVA
+    (pool-adjacent-violators) computes, obtained here through the
+    exact MINIMAX closed form ``iso_i = max_{j≤i} min_{k≥i}
+    wavg(bins j..k)``: mathematically identical to the iterative
+    pooling, but a pure join-aggregate over the 10-bin table, so BOTH
+    engines evaluate it declaratively (no iteration to replay).  The
+    isotonic rate is the monotone-nondecreasing fit a model-calibration
+    step (quality classifiers, reranker score calibration) applies
+    when the raw reliability curve wiggles.
+
+    Every segment average is an exact rational — integer prefix-sum
+    differences, one double division — so min/max selection is
+    engine-portable without rounding conventions; round(6) only on the
+    reported columns.
+
+    Scale shape: bin membership rides the distributed rankstats path
+    (one range shuffle over orders); everything after is joins over a
+    10-row frame (55 segments) — free at any corpus size."""
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("score"),
+        "o_orderkey",
+        (F.col("o_orderstatus") == "F").cast("long").alias("pos"),
+    )
+    ranked = global_ranks(o, order_cols=("score", "o_orderkey"))
+    binned = ranked.withColumn(
+        "bin",
+        ntile_from_rank(F.col(RANK_COL), F.col(N_COL), 10).cast("int"),
+    )
+    b = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pos").alias("p")
+    )
+    wb = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pre = b.select(
+        "bin", "n", "p",
+        F.sum("n").over(wb).alias("np"),
+        F.sum("p").over(wb).alias("pp"),
+    )
+    j = pre.select(
+        F.col("bin").alias("j"),
+        (F.col("pp") - F.col("p")).alias("pp0"),
+        (F.col("np") - F.col("n")).alias("np0"),
+    )
+    k = pre.select(
+        F.col("bin").alias("k"),
+        F.col("pp").alias("ppk"),
+        F.col("np").alias("npk"),
+    )
+    seg = (
+        j.join(F.broadcast(k), F.col("j") <= F.col("k"))
+        .select(
+            "j",
+            "k",
+            (
+                (F.col("ppk") - F.col("pp0")).cast("double")
+                / (F.col("npk") - F.col("np0"))
+            ).alias("seg_avg"),
+        )
+    )
+    i = pre.select(F.col("bin").alias("i"))
+    inner_min = (
+        i.join(
+            F.broadcast(seg),
+            (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")),
+        )
+        .groupBy("i", "j")
+        .agg(F.min("seg_avg").alias("m"))
+    )
+    fit = inner_min.groupBy("i").agg(F.max("m").alias("iso"))
+    return (
+        b.join(fit, b["bin"] == fit["i"])
+        .select(
+            "bin",
+            "n",
+            F.round(F.col("p").cast("double") / F.col("n"), 6).alias(
+                "raw_rate"
+            ),
+            F.round("iso", 6).alias("iso_rate"),
+        )
+        .orderBy("bin")
     )
