@@ -54,6 +54,7 @@ _MODULES = (
     "big_data_lab_three_spark.queries.vector",
     "big_data_lab_three_spark.queries.multimodal",
     "big_data_lab_three_spark.queries.streaming",
+    "big_data_lab_three_spark.queries.stats",
     # extras MUST stay last: its registration-order position is what
     # keeps mid-round additions out of the driver's 50-name prefix
     # (see the module docstring).

@@ -1,0 +1,516 @@
+"""Hypothesis-testing / drift-detection query family — the statistics a
+production data-quality or A/B harness computes over a 100 TB fact
+table: Mann-Whitney rank-sum, two-sample Kolmogorov-Smirnov on a fixed
+grid, chi-square independence, and Benford first-digit goodness-of-fit.
+
+These extend the reference's evaluation surface (SURVEY.md §2.3 —
+accuracy / confusion-matrix / classification-report over batch frames)
+with the distribution-level tests that monitor the SAME pipelines at
+scale: `ab_test_ztest` (r7) covers proportions; this module covers
+ranks, whole distributions, contingency tables, and digit-law anomaly
+screens.
+
+Scale + hash-parity design shared by all four queries:
+
+- the DATA pass is always one distributed groupBy onto a bounded census
+  table (50 quantity values, a fixed $100 price grid, a 15-cell
+  contingency table, 9 digits) — windows only ever run over that
+  bounded aggregate, never over raw rows;
+- every statistic is assembled from EXACT BIGINT census counts
+  (tie-corrected rank sums via `2·R1 = Σ n1(v)·(2·cum(v)+t(v)+1)`,
+  KS distance as the integer `max |c1·n2 − c2·n1|`, chi-square
+  deviations as `o·n − r·s`), so both engines feed bit-identical
+  doubles into one shared closed-form expression;
+- irrational constants (Benford's `log10(1+1/d)`) are spelled as
+  12-digit decimal LITERALS on both engines — never recomputed through
+  `log`, whose last-ulp behavior differs between runtimes;
+- multi-cell double sums are quantized per cell (`floor(x·1e9 + 0.5)`,
+  values are non-negative so half-up == half-away) and summed as
+  BIGINT, sidestepping partial-sum-order nondeterminism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from big_data_lab_three_spark.queries import register
+from big_data_lab_three_spark.sources import table
+
+
+@register(
+    "mann_whitney_u",
+    ids="stat-test: Mann-Whitney U rank-sum (tie-corrected, exact integer rank algebra)",
+    oracle="""
+WITH x AS (
+    SELECT CAST(l_quantity AS BIGINT) AS q,
+           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS g1
+    FROM lineitem
+    WHERE l_returnflag IN ('R', 'A')
+), v AS (
+    SELECT q,
+           CAST(sum(g1) AS BIGINT) AS n1v,
+           CAST(count(*) AS BIGINT) AS tv
+    FROM x GROUP BY q
+), c AS (
+    SELECT q, n1v, tv,
+           CAST(coalesce(sum(tv) OVER (ORDER BY q
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cb
+    FROM v
+), s AS (
+    SELECT CAST(sum(n1v) AS BIGINT) AS n1,
+           CAST(sum(tv - n1v) AS BIGINT) AS n2,
+           CAST(sum(n1v * (2 * cb + tv + 1)) AS BIGINT) AS two_r1,
+           CAST(sum(tv * tv * tv - tv) AS BIGINT) AS ties,
+           CAST(count(*) AS BIGINT) AS n_value_groups
+    FROM c
+)
+SELECT n1, n2, n_value_groups,
+       CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE) / 2 AS u_stat,
+       round((CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE)
+              - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+             / (2 * sqrt((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12)
+                 * (CAST(n1 + n2 + 1 AS DOUBLE)
+                    - CAST(ties AS DOUBLE)
+                      / (CAST(n1 + n2 AS DOUBLE)
+                         * CAST(n1 + n2 - 1 AS DOUBLE))))), 6) AS z_score,
+       round(1 - CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6)
+           AS rank_biserial
+FROM s
+""",
+)
+def mann_whitney_u_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test: do returned ('R') and accepted
+    ('A') line items draw their quantities from the same distribution?
+    The nonparametric sibling of `ab_test_ztest` — the test a shift
+    monitor runs when the metric is ordinal and heavy-tailed, where a
+    t-test's mean is the wrong summary.
+
+    Tie handling is EXACT and integer-only: quantities collapse to a
+    50-row value census; with `cum(v)` the count strictly below `v` and
+    `t(v)` the tied count at `v`, every tied row gets the midrank, so
+    `2·R1 = Σ n1(v)·(2·cum(v) + t(v) + 1)` — a BIGINT.  The normal
+    approximation uses the standard tie-corrected variance
+    `n1·n2/12 · (n+1 − Σ(t³−t)/(n(n−1)))`; both engines evaluate the
+    identical double expression from identical integers, and sqrt is
+    IEEE-correctly-rounded, so round(6) is decoration, not a tolerance.
+    Rank-biserial `1 − 2U/(n1·n2)` is the reported effect size.
+
+    Scale shape: one groupBy shuffle onto ≤50 rows (value domain, not
+    corpus size); the prefix window runs over that census only; 1-row
+    output."""
+    x = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag").isin("R", "A"))
+        .select(
+            F.col("l_quantity").cast("long").alias("q"),
+            (F.col("l_returnflag") == "R").cast("long").alias("g1"),
+        )
+    )
+    v = x.groupBy("q").agg(
+        F.sum("g1").alias("n1v"), F.count(F.lit(1)).alias("tv")
+    )
+    wb = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
+    c = v.select(
+        "n1v",
+        "tv",
+        F.coalesce(F.sum("tv").over(wb), F.lit(0)).alias("cb"),
+    )
+    s = c.agg(
+        F.sum("n1v").alias("n1"),
+        F.sum(F.col("tv") - F.col("n1v")).alias("n2"),
+        F.sum(
+            F.col("n1v") * (2 * F.col("cb") + F.col("tv") + 1)
+        ).alias("two_r1"),
+        F.sum(
+            F.col("tv") * F.col("tv") * F.col("tv") - F.col("tv")
+        ).alias("ties"),
+        F.count(F.lit(1)).alias("n_value_groups"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    two_u = (F.col("two_r1") - F.col("n1") * (F.col("n1") + 1)).cast(
+        "double"
+    )
+    n = F.col("n1") + F.col("n2")
+    var = (n1d * n2d / F.lit(12)) * (
+        (n + 1).cast("double")
+        - F.col("ties").cast("double")
+        / (n.cast("double") * (n - 1).cast("double"))
+    )
+    return s.select(
+        "n1",
+        "n2",
+        "n_value_groups",
+        (two_u / F.lit(2)).alias("u_stat"),
+        F.round((two_u - n1d * n2d) / (F.lit(2) * F.sqrt(var)), 6).alias(
+            "z_score"
+        ),
+        F.round(F.lit(1) - two_u / (n1d * n2d), 6).alias("rank_biserial"),
+    )
+
+
+@register(
+    "ks_drift",
+    ids="stat-test: two-sample Kolmogorov-Smirnov on a fixed $100 price grid (exact integer ECDF distance)",
+    oracle="""
+WITH x AS (
+    SELECT CAST(floor(l_extendedprice / 100.0) AS BIGINT) AS grid,
+           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS g1
+    FROM lineitem
+    WHERE l_returnflag IN ('R', 'A')
+), v AS (
+    SELECT grid,
+           CAST(sum(g1) AS BIGINT) AS c1v,
+           CAST(count(*) - sum(g1) AS BIGINT) AS c2v
+    FROM x GROUP BY grid
+), c AS (
+    SELECT grid,
+           CAST(sum(c1v) OVER (ORDER BY grid) AS BIGINT) AS c1,
+           CAST(sum(c2v) OVER (ORDER BY grid) AS BIGINT) AS c2
+    FROM v
+), t AS (
+    SELECT CAST(sum(c1v) AS BIGINT) AS n1,
+           CAST(sum(c2v) AS BIGINT) AS n2,
+           CAST(count(*) AS BIGINT) AS n_grid
+    FROM v
+), best AS (
+    SELECT c.grid, abs(c.c1 * t.n2 - c.c2 * t.n1) AS dnum,
+           t.n1, t.n2, t.n_grid
+    FROM c, t
+    ORDER BY dnum DESC, c.grid ASC
+    LIMIT 1
+)
+SELECT n1, n2, n_grid, grid * 100 AS grid_at,
+       round(CAST(dnum AS DOUBLE)
+             / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS d_stat,
+       round((CAST(dnum AS DOUBLE)
+              / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))
+             * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                    / CAST(n1 + n2 AS DOUBLE)), 6) AS ks_lambda
+FROM best
+""",
+)
+def ks_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic between the
+    returned ('R') and accepted ('A') price distributions, evaluated on
+    a fixed $100 grid — the binned-ECDF form a streaming drift monitor
+    actually maintains (per-bin counters), not the all-points form that
+    would need a global sort of raw rows.
+
+    The supremum distance is EXACT integer arithmetic on the grid:
+    `D = max |c1(g)·n2 − c2(g)·n1| / (n1·n2)` over cumulative bin
+    counts, with the argmax bin reported (ties break to the lowest
+    grid cell).  `ks_lambda = D·sqrt(n1·n2/(n1+n2))` is the scaled
+    statistic compared against the Kolmogorov critical values.  Grid
+    membership uses `floor(price/100.0)` — one IEEE double division by
+    a literal on both engines, so bin assignment is bit-identical.
+
+    Scale shape: one groupBy shuffle onto the bounded grid (≤ ~5k cells
+    regardless of corpus size — price domain over grid step); prefix
+    sums and the argmax run over that census; 1-row output."""
+    x = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag").isin("R", "A"))
+        .select(
+            F.floor(F.col("l_extendedprice") / F.lit(100.0)).alias("grid"),
+            (F.col("l_returnflag") == "R").cast("long").alias("g1"),
+        )
+    )
+    v = x.groupBy("grid").agg(
+        F.sum("g1").alias("c1v"),
+        (F.count(F.lit(1)) - F.sum("g1")).alias("c2v"),
+    )
+    v.persist()
+    wc = Window.orderBy("grid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = v.select(
+        "grid",
+        F.sum("c1v").over(wc).alias("c1"),
+        F.sum("c2v").over(wc).alias("c2"),
+    )
+    t = v.agg(
+        F.sum("c1v").alias("n1"),
+        F.sum("c2v").alias("n2"),
+        F.count(F.lit(1)).alias("n_grid"),
+    )
+    best = (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "grid",
+            F.abs(
+                F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")
+            ).alias("dnum"),
+            "n1",
+            "n2",
+            "n_grid",
+        )
+        .orderBy(F.col("dnum").desc(), F.col("grid").asc())
+        .limit(1)
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    d_stat = F.col("dnum").cast("double") / (n1d * n2d)
+    return best.select(
+        "n1",
+        "n2",
+        "n_grid",
+        (F.col("grid") * 100).alias("grid_at"),
+        F.round(d_stat, 6).alias("d_stat"),
+        F.round(
+            d_stat
+            * F.sqrt(n1d * n2d / (F.col("n1") + F.col("n2")).cast("double")),
+            6,
+        ).alias("ks_lambda"),
+    )
+
+
+@register(
+    "chi_square_test",
+    ids="stat-test: chi-square independence over a contingency table (exact integer deviations, quantized cell sum)",
+    oracle="""
+WITH cell AS (
+    SELECT o_orderpriority AS priority, o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS observed
+    FROM orders GROUP BY 1, 2
+), m AS (
+    SELECT priority, status, observed,
+           CAST(sum(observed) OVER (PARTITION BY priority) AS BIGINT) AS rm,
+           CAST(sum(observed) OVER (PARTITION BY status) AS BIGINT) AS sm,
+           CAST(sum(observed) OVER () AS BIGINT) AS n
+    FROM cell
+), q AS (
+    SELECT priority, status, observed, rm, sm, n,
+           CAST(rm * sm AS DOUBLE) / n AS expected,
+           (CAST(observed * n - rm * sm AS DOUBLE)
+            * CAST(observed * n - rm * sm AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(rm AS DOUBLE)
+                  * CAST(sm AS DOUBLE)) AS contrib
+    FROM m
+), tot AS (
+    SELECT CAST(sum(CAST(floor(contrib * 1000000000 + 0.5) AS BIGINT))
+               AS BIGINT) AS chiq,
+           CAST(max(n) AS BIGINT) AS n,
+           CAST(count(DISTINCT priority) AS BIGINT) AS nr,
+           CAST(count(DISTINCT status) AS BIGINT) AS nc
+    FROM q
+)
+SELECT q.priority, q.status, q.observed,
+       round(q.expected, 4) AS expected,
+       round(q.contrib, 6) AS contrib,
+       round(CAST(tot.chiq AS DOUBLE) / 1000000000, 6) AS chi2,
+       CAST((tot.nr - 1) * (tot.nc - 1) AS BIGINT) AS dof,
+       round(sqrt((CAST(tot.chiq AS DOUBLE) / 1000000000)
+                  / (CAST(tot.n AS DOUBLE)
+                     * least(tot.nr - 1, tot.nc - 1))), 6) AS cramers_v
+FROM q, tot
+""",
+)
+def chi_square_test_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between order priority and order
+    status — the contingency-table screen a labeling-balance audit runs
+    (is the label column independent of the slice column?), reported
+    per cell with the pooled statistic, dof, and Cramér's V effect size
+    repeated on every row.
+
+    Parity is engineered at two levels: each cell's deviation is the
+    EXACT BIGINT `o·n − r·s` (expected counts `r·s/n` never materialize
+    as intermediate floats in the statistic), and the 15 per-cell
+    double contributions are quantized to 1e-9 and integer-summed, so
+    the total is immune to partial-sum ordering — the trick `ab_test`-
+    style single-expression queries don't need but multi-cell sums do.
+
+    Scale shape: one groupBy shuffle onto the R×C cell table (bounded
+    by the category domains, 15 rows here); margins via windows over
+    that census; the 1-row total broadcast back; 15-row output."""
+    cell = (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    m = cell.select(
+        "priority",
+        "status",
+        "observed",
+        F.sum("observed")
+        .over(Window.partitionBy("priority"))
+        .alias("rm"),
+        F.sum("observed").over(Window.partitionBy("status")).alias("sm"),
+        F.sum("observed").over(Window.partitionBy()).alias("n"),
+    )
+    dev = (
+        F.col("observed") * F.col("n") - F.col("rm") * F.col("sm")
+    ).cast("double")
+    q = m.select(
+        "priority",
+        "status",
+        "observed",
+        "rm",
+        "sm",
+        "n",
+        ((F.col("rm") * F.col("sm")).cast("double") / F.col("n")).alias(
+            "expected"
+        ),
+        (
+            (dev * dev)
+            / (
+                F.col("n").cast("double")
+                * F.col("rm").cast("double")
+                * F.col("sm").cast("double")
+            )
+        ).alias("contrib"),
+    )
+    q.persist()
+    tot = q.agg(
+        F.sum(
+            F.floor(F.col("contrib") * F.lit(1000000000) + F.lit(0.5))
+        ).alias("chiq"),
+        F.max("n").alias("nn"),
+        F.countDistinct("priority").alias("nr"),
+        F.countDistinct("status").alias("nc"),
+    )
+    chi2 = F.col("chiq").cast("double") / F.lit(1000000000)
+    return q.crossJoin(F.broadcast(tot)).select(
+        "priority",
+        "status",
+        "observed",
+        F.round("expected", 4).alias("expected"),
+        F.round("contrib", 6).alias("contrib"),
+        F.round(chi2, 6).alias("chi2"),
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).alias("dof"),
+        F.round(
+            F.sqrt(
+                chi2
+                / (
+                    F.col("nn").cast("double")
+                    * F.least(F.col("nr") - 1, F.col("nc") - 1)
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+# log10(1 + 1/d) for d = 1..9, spelled as 12-digit decimal literals so
+# BOTH engines parse the identical double — never recomputed via log()
+# (whose last-ulp behavior is runtime-specific).
+_BENFORD_P = (
+    (1, 0.301029995664),
+    (2, 0.176091259056),
+    (3, 0.124938736608),
+    (4, 0.096910013008),
+    (5, 0.079181246048),
+    (6, 0.066946789631),
+    (7, 0.057991946978),
+    (8, 0.051152522447),
+    (9, 0.045757490561),
+)
+
+_BENFORD_VALUES_SQL = ", ".join(f"({d}, {p!r})" for d, p in _BENFORD_P)
+
+
+@register(
+    "benford_census",
+    ids="stat-test: Benford first-digit law goodness-of-fit over order totals (literal constants, quantized chi2)",
+    oracle=f"""
+WITH d AS (
+    SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                       1, 1) AS BIGINT) AS digit
+    FROM orders
+), c AS (
+    SELECT digit, CAST(count(*) AS BIGINT) AS n_d FROM d GROUP BY digit
+), t AS (
+    SELECT CAST(sum(n_d) AS BIGINT) AS n FROM c
+), p AS (
+    SELECT CAST(digit AS BIGINT) AS digit,
+           CAST(benford_p AS DOUBLE) AS benford_p
+    FROM (VALUES {_BENFORD_VALUES_SQL}) AS v(digit, benford_p)
+), q AS (
+    SELECT p.digit, coalesce(c.n_d, 0) AS n_d, p.benford_p, t.n,
+           (CAST(coalesce(c.n_d, 0) AS DOUBLE)
+            - CAST(t.n AS DOUBLE) * p.benford_p)
+           * (CAST(coalesce(c.n_d, 0) AS DOUBLE)
+              - CAST(t.n AS DOUBLE) * p.benford_p)
+           / (CAST(t.n AS DOUBLE) * p.benford_p) AS contrib
+    FROM p LEFT JOIN c ON p.digit = c.digit, t
+), tot AS (
+    SELECT CAST(sum(CAST(floor(contrib * 1000000000 + 0.5) AS BIGINT))
+               AS BIGINT) AS chiq
+    FROM q
+)
+SELECT q.digit, CAST(q.n_d AS BIGINT) AS n_d,
+       round(CAST(q.n_d AS DOUBLE) / q.n, 6) AS obs_share,
+       q.benford_p,
+       round(q.contrib, 6) AS contrib,
+       round(CAST(tot.chiq AS DOUBLE) / 1000000000, 6) AS chi2
+FROM q, tot
+""",
+)
+def benford_census_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit goodness-of-fit over order totals — the
+    classic fabricated-data / upstream-corruption screen: a synthetic
+    or truncated feed's leading-digit histogram departs from
+    `log10(1+1/d)` long before summary stats move.
+
+    The 9 Benford probabilities are decimal LITERALS shared by both
+    engines (see `_BENFORD_P`); the digit census is exact integers from
+    one groupBy; the chi-square distance quantizes each of the 9 cell
+    contributions to 1e-9 and integer-sums them (partial-sum-order
+    immunity, same convention as `chi_square_test`).  Missing digits
+    survive as zero-count rows via the LEFT JOIN from the constant
+    table, keeping the output schema fixed at 9 rows at every SF.
+
+    Scale shape: one groupBy shuffle onto ≤9 rows; everything after is
+    arithmetic over the broadcast census; 9-row output."""
+    d = table(spark, sf_dir, "orders").select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n_d"))
+    c.persist()
+    t = c.agg(F.sum("n_d").alias("n"))
+    p = spark.createDataFrame(
+        list(_BENFORD_P), schema="digit long, benford_p double"
+    )
+    nd = F.coalesce(F.col("n_d"), F.lit(0))
+    e = F.col("n").cast("double") * F.col("benford_p")
+    q = (
+        p.join(F.broadcast(c), "digit", "left")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            nd.alias("n_d"),
+            "benford_p",
+            "n",
+            (
+                (nd.cast("double") - e) * (nd.cast("double") - e) / e
+            ).alias("contrib"),
+        )
+    )
+    q.persist()
+    tot = q.agg(
+        F.sum(
+            F.floor(F.col("contrib") * F.lit(1000000000) + F.lit(0.5))
+        ).alias("chiq")
+    )
+    return q.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n_d",
+        F.round(F.col("n_d").cast("double") / F.col("n"), 6).alias(
+            "obs_share"
+        ),
+        "benford_p",
+        F.round("contrib", 6).alias("contrib"),
+        F.round(F.col("chiq").cast("double") / F.lit(1000000000), 6).alias(
+            "chi2"
+        ),
+    )
