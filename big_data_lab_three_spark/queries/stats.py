@@ -514,3 +514,213 @@ def benford_census_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2"
         ),
     )
+
+
+@register(
+    "acf_lags",
+    ids="stat-test: autocorrelation of the daily order-count series at lags 1..7 (all-BIGINT exact)",
+    oracle="""
+WITH d AS (
+    SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS day_id,
+           CAST(count(*) AS BIGINT) AS c
+    FROM orders GROUP BY 1
+), t AS (
+    SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s
+    FROM d
+), dev AS (
+    SELECT d.day_id, t.n * d.c - t.s AS dv FROM d, t
+), den AS (
+    SELECT CAST(sum(dv * dv) AS BIGINT) AS den FROM dev
+), lags AS (
+    SELECT CAST(range AS BIGINT) AS lag FROM range(1, 8)
+), num AS (
+    SELECT l.lag,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(a.dv * b.dv) AS BIGINT) AS num
+    FROM lags l
+    JOIN dev a ON TRUE
+    JOIN dev b ON b.day_id = a.day_id + l.lag
+    GROUP BY l.lag
+)
+SELECT num.lag, num.n_pairs,
+       round(CAST(num.num AS DOUBLE) / CAST(den.den AS DOUBLE), 6) AS acf
+FROM num, den
+ORDER BY lag
+""",
+)
+def acf_lags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the daily ORDER-COUNT series at
+    calendar lags 1..7 — the seasonality diagnostic a forecasting
+    pipeline runs before choosing its seasonal period (a weekly cycle
+    shows as a lag-7 peak).
+
+    Counts (not revenue) keep the algebra wholly inside BIGINT: with
+    deviations `dv_t = n·c_t − S` (the mean cleared by multiplying
+    through by n, which cancels in the ratio), `acf_k =
+    Σ dv_t·dv_{t+k} / Σ dv_t²` — every sum is exact and well under
+    2^53, so the single double division is bit-identical on both
+    engines.  Calendar gaps (days with no orders, present at the
+    smallest SF) simply contribute no pair, and `n_pairs` reports the
+    effective overlap per lag.
+
+    Scale shape: one rollup shuffle onto ~2400 day rows; the lag
+    expansion is a broadcast self-join of that census (days × 7, never
+    the orders); 7-row output."""
+    d = (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("day_id")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    d.persist()
+    t = d.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c").alias("s")
+    )
+    dev = d.crossJoin(F.broadcast(t)).select(
+        "day_id", (F.col("n") * F.col("c") - F.col("s")).alias("dv")
+    )
+    dev.persist()
+    den = dev.agg(F.sum(F.col("dv") * F.col("dv")).alias("den"))
+    lags = spark.range(1, 8).select(F.col("id").alias("lag"))
+    b = dev.select(
+        F.col("day_id").alias("day_b"), F.col("dv").alias("dv_b")
+    )
+    num = (
+        dev.crossJoin(F.broadcast(lags))
+        .join(
+            F.broadcast(b),
+            F.col("day_b") == F.col("day_id") + F.col("lag"),
+        )
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("dv") * F.col("dv_b")).alias("num"),
+        )
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            "lag",
+            "n_pairs",
+            F.round(
+                F.col("num").cast("double") / F.col("den").cast("double"), 6
+            ).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+@register(
+    "cusum_changepoint",
+    ids="stat-test: CUSUM changepoint of the daily revenue series (exact integer argmax, binary-segmentation first split)",
+    oracle="""
+WITH d AS (
+    SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS day_id,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY 1
+), p AS (
+    SELECT day_id,
+           CAST(sum(cents) OVER (ORDER BY day_id) AS BIGINT) AS prefix,
+           CAST(row_number() OVER (ORDER BY day_id) AS BIGINT) AS t
+    FROM d
+), tot AS (
+    SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s
+    FROM d
+), sc AS (
+    SELECT p.day_id, p.t, p.prefix, tot.n, tot.s,
+           tot.n * p.prefix - p.t * tot.s AS signed
+    FROM p, tot
+    WHERE p.t < tot.n
+    ORDER BY abs(tot.n * p.prefix - p.t * tot.s) DESC, p.day_id ASC
+    LIMIT 1
+)
+SELECT n AS n_days, day_id AS cp_day,
+       round(CAST(signed AS DOUBLE) / (CAST(n AS DOUBLE) * 100), 4)
+           AS cusum_peak,
+       round(CAST(prefix AS DOUBLE) / (CAST(t AS DOUBLE) * 100), 4)
+           AS mean_before,
+       round(CAST(s - prefix AS DOUBLE) / (CAST(n - t AS DOUBLE) * 100), 4)
+           AS mean_after
+FROM sc
+""",
+)
+def cusum_changepoint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan over the daily revenue series — the first
+    split of binary segmentation: the day `t` maximizing
+    `|Σ_{i≤t}(x_i − x̄)|`, i.e. where the level most decisively shifts.
+    The screen a metrics-drift monitor runs before alerting "revenue
+    regime changed at day D".
+
+    The argmax is EXACT: multiplying the CUSUM through by n gives
+    `n·prefix_t − t·S` — pure BIGINT on cent-quantized revenue (at the
+    replicated sf1 tier the terms peak near 5·10^16, comfortably inside
+    int64), so the winning day needs no float comparison at all; ties
+    break to the earliest day.  Only the four REPORTED columns divide
+    back to dollars as doubles, rounded.
+
+    Scale shape: one rollup shuffle onto ~2400 day rows; prefix sums
+    and the argmax run over that bounded census; 1-row output."""
+    d = (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("day_id")
+        )
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast(
+                    "long"
+                )
+            ).alias("cents")
+        )
+    )
+    d.persist()
+    w = Window.orderBy("day_id")
+    p = d.select(
+        "day_id",
+        F.sum("cents")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("prefix"),
+        F.row_number().over(w).cast("long").alias("t"),
+    )
+    tot = d.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+    )
+    signed = F.col("n") * F.col("prefix") - F.col("t") * F.col("s")
+    sc = (
+        p.crossJoin(F.broadcast(tot))
+        .where(F.col("t") < F.col("n"))
+        .select("day_id", "t", "prefix", "n", "s", signed.alias("signed"))
+        .orderBy(F.abs(F.col("signed")).desc(), F.col("day_id").asc())
+        .limit(1)
+    )
+    return sc.select(
+        F.col("n").alias("n_days"),
+        F.col("day_id").alias("cp_day"),
+        F.round(
+            F.col("signed").cast("double")
+            / (F.col("n").cast("double") * 100),
+            4,
+        ).alias("cusum_peak"),
+        F.round(
+            F.col("prefix").cast("double")
+            / (F.col("t").cast("double") * 100),
+            4,
+        ).alias("mean_before"),
+        F.round(
+            (F.col("s") - F.col("prefix")).cast("double")
+            / ((F.col("n") - F.col("t")).cast("double") * 100),
+            4,
+        ).alias("mean_after"),
+    )
