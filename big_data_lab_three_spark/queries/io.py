@@ -11,6 +11,12 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from big_data_lab_three_spark.operators.rankstats import (
+    N_COL,
+    RANK_COL,
+    global_ranks,
+    ntile_from_rank,
+)
 from big_data_lab_three_spark.queries import register
 from big_data_lab_three_spark.sources import read_json_records, table
 from big_data_lab_three_spark.sources.sinks import write_csv
@@ -192,4 +198,230 @@ def partitioned_prune_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_custkey").alias("n_customers"),
         )
         .orderBy("o_year")
+    )
+
+
+def _spread16(x):
+    """Interleave-ready bit spread of a 16-bit value (Morton/Z-order):
+    inserts a zero between consecutive bits via the classic
+    magic-number cascade, BIGINT-safe on both engines."""
+    x = x.bitwiseAND(F.lit(65535))
+    x = x.bitwiseOR(F.shiftleft(x, 8)).bitwiseAND(F.lit(16711935))
+    x = x.bitwiseOR(F.shiftleft(x, 4)).bitwiseAND(F.lit(252645135))
+    x = x.bitwiseOR(F.shiftleft(x, 2)).bitwiseAND(F.lit(858993459))
+    x = x.bitwiseOR(F.shiftleft(x, 1)).bitwiseAND(F.lit(1431655765))
+    return x
+
+
+@register(
+    "zorder_layout",
+    ids="layout: Z-order (Morton) multi-dim clustering vs insertion order — file-skipping census",
+    oracle="""
+WITH li AS (
+    SELECT l_orderkey AS okey, l_linenumber AS lineno,
+           l_partkey AS pk, l_suppkey AS sk
+    FROM lineitem
+), b AS (
+    SELECT min(pk) AS pmin, max(pk) AS pmax,
+           min(sk) AS smin, max(sk) AS smax,
+           min(pk) + CAST(floor((max(pk) - min(pk)) / 20.0) AS BIGINT)
+               AS phi,
+           min(sk) + CAST(floor((max(sk) - min(sk)) / 20.0) AS BIGINT)
+               AS shi
+    FROM li
+), m0 AS (
+    SELECT okey, lineno, pk, sk,
+           pk % 65536 AS u0, sk % 65536 AS v0
+    FROM li
+), m1 AS (
+    SELECT *, (u0 | (u0 << 8)) & 16711935 AS u1,
+              (v0 | (v0 << 8)) & 16711935 AS v1 FROM m0
+), m2 AS (
+    SELECT *, (u1 | (u1 << 4)) & 252645135 AS u2,
+              (v1 | (v1 << 4)) & 252645135 AS v2 FROM m1
+), m3 AS (
+    SELECT *, (u2 | (u2 << 2)) & 858993459 AS u3,
+              (v2 | (v2 << 2)) & 858993459 AS v3 FROM m2
+), m4 AS (
+    SELECT *, ((u3 | (u3 << 1)) & 1431655765)
+              | (((v3 | (v3 << 1)) & 1431655765) << 1) AS morton
+    FROM m3
+), f AS (
+    SELECT 'zorder' AS layout,
+           CAST(ntile(64) OVER (ORDER BY morton, okey, lineno) AS BIGINT)
+               AS file_id,
+           pk, sk
+    FROM m4
+    UNION ALL
+    SELECT 'linear',
+           CAST(ntile(64) OVER (ORDER BY okey, lineno) AS BIGINT),
+           pk, sk
+    FROM m4
+), fs AS (
+    SELECT layout, file_id,
+           min(pk) AS fpmin, max(pk) AS fpmax,
+           min(sk) AS fsmin, max(sk) AS fsmax
+    FROM f GROUP BY 1, 2
+), scans AS (
+    SELECT layout, 'partkey' AS dim,
+           CAST(count(*) AS BIGINT) AS files_total,
+           CAST(sum(CASE WHEN fpmin <= b.phi AND fpmax >= b.pmin
+                         THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned
+    FROM fs, b GROUP BY 1, 2
+    UNION ALL
+    SELECT layout, 'suppkey',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN fsmin <= b.shi AND fsmax >= b.smin
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM fs, b GROUP BY 1, 2
+), rm AS (
+    SELECT 'partkey' AS dim, CAST(count(*) AS BIGINT) AS rows_matched
+    FROM li, b WHERE pk BETWEEN b.pmin AND b.phi
+    UNION ALL
+    SELECT 'suppkey', CAST(count(*) AS BIGINT)
+    FROM li, b WHERE sk BETWEEN b.smin AND b.shi
+)
+SELECT s.layout, s.dim, s.files_total, s.files_scanned,
+       round(CAST(s.files_scanned AS DOUBLE) / s.files_total, 4)
+           AS scanned_frac,
+       rm.rows_matched
+FROM scans s JOIN rm ON s.dim = rm.dim
+""",
+)
+def zorder_layout_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering census: write-order simulation
+    of `OPTIMIZE ... ZORDER BY (l_partkey, l_suppkey)` vs the naive
+    insertion-order layout, measured by the ONLY metric that matters at
+    100 TB — how many of the 64 simulated files a min/max-pruned scan
+    must open for a 5%-band predicate on EACH dimension.
+
+    Morton codes interleave the low 16 bits of the two keys with the
+    classic magic-number spread (`_spread16`); rows land in 64
+    equal-size "files" via the distributed exact-ntile path
+    (`global_ranks` + `ntile_from_rank` — no single-task window over
+    raw rows on the Spark side), with (morton, orderkey, linenumber) as
+    the deterministic total order.  Per-file min/max footers are then
+    intersected with the predicate band exactly as parquet row-group
+    pruning would.  Z-order's defining property — BOTH dimensions get
+    sublinear scan fractions, where linear order serves only its sort
+    prefix — is what the output table exhibits.
+
+    All arithmetic is BIGINT (bit ops, integer counts); the only
+    doubles are the shared `floor((max-min)/20.0)` band edge and the
+    round(4) scan fraction.
+
+    Scale shape: two range-partition rank shuffles over the fact (one
+    per layout), one groupBy onto 128 file-stat rows, broadcast bounds;
+    4-row output."""
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("lineno"),
+        F.col("l_partkey").alias("pk"),
+        F.col("l_suppkey").alias("sk"),
+    )
+    b = li.agg(
+        F.min("pk").alias("pmin"),
+        F.max("pk").alias("pmax"),
+        F.min("sk").alias("smin"),
+        F.max("sk").alias("smax"),
+    ).select(
+        "*",
+        (
+            F.col("pmin")
+            + F.floor((F.col("pmax") - F.col("pmin")) / F.lit(20.0))
+        ).alias("phi"),
+        (
+            F.col("smin")
+            + F.floor((F.col("smax") - F.col("smin")) / F.lit(20.0))
+        ).alias("shi"),
+    )
+    m = li.withColumn(
+        "morton",
+        _spread16(F.col("pk") % 65536).bitwiseOR(
+            F.shiftleft(_spread16(F.col("sk") % 65536), 1)
+        ),
+    )
+    layouts = []
+    for name, order in (
+        ("zorder", ["morton", "okey", "lineno"]),
+        ("linear", ["okey", "lineno"]),
+    ):
+        r = global_ranks(m, order)
+        layouts.append(
+            r.select(
+                F.lit(name).alias("layout"),
+                ntile_from_rank(F.col(RANK_COL), F.col(N_COL), 64)
+                .cast("long")
+                .alias("file_id"),
+                "pk",
+                "sk",
+            )
+        )
+    f = layouts[0].unionByName(layouts[1])
+    fs = f.groupBy("layout", "file_id").agg(
+        F.min("pk").alias("fpmin"),
+        F.max("pk").alias("fpmax"),
+        F.min("sk").alias("fsmin"),
+        F.max("sk").alias("fsmax"),
+    )
+    fsb = fs.crossJoin(F.broadcast(b))
+    scans = fsb.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("files_total"),
+        F.sum(
+            (
+                (F.col("fpmin") <= F.col("phi"))
+                & (F.col("fpmax") >= F.col("pmin"))
+            ).cast("long")
+        ).alias("scanned_pk"),
+        F.sum(
+            (
+                (F.col("fsmin") <= F.col("shi"))
+                & (F.col("fsmax") >= F.col("smin"))
+            ).cast("long")
+        ).alias("scanned_sk"),
+    )
+    scans = scans.select(
+        "layout",
+        F.lit("partkey").alias("dim"),
+        "files_total",
+        F.col("scanned_pk").alias("files_scanned"),
+    ).unionByName(
+        scans.select(
+            "layout",
+            F.lit("suppkey").alias("dim"),
+            "files_total",
+            F.col("scanned_sk").alias("files_scanned"),
+        )
+    )
+    lib = li.crossJoin(F.broadcast(b))
+    rm = (
+        lib.agg(
+            F.sum(
+                (
+                    (F.col("pk") >= F.col("pmin"))
+                    & (F.col("pk") <= F.col("phi"))
+                ).cast("long")
+            ).alias("rm_pk"),
+            F.sum(
+                (
+                    (F.col("sk") >= F.col("smin"))
+                    & (F.col("sk") <= F.col("shi"))
+                ).cast("long")
+            ).alias("rm_sk"),
+        )
+    )
+    rm = rm.select(
+        F.lit("partkey").alias("dim"), F.col("rm_pk").alias("rows_matched")
+    ).unionByName(
+        rm.select(F.lit("suppkey").alias("dim"), F.col("rm_sk").alias("rows_matched"))
+    )
+    return scans.join(F.broadcast(rm), "dim").select(
+        "layout",
+        "dim",
+        "files_total",
+        "files_scanned",
+        F.round(
+            F.col("files_scanned").cast("double") / F.col("files_total"), 4
+        ).alias("scanned_frac"),
+        "rows_matched",
     )
