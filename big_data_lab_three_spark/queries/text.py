@@ -7,7 +7,7 @@ queries have exact DuckDB oracles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from big_data_lab_three_spark.operators.text import (
@@ -1476,3 +1476,189 @@ def zipf_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 4).alias("zipf_slope"),
         F.round((sy - slope * sx) / n, 4).alias("intercept"),
     )
+
+
+# 1/log2(i+1) for ranks 1..10, spelled as shared 12-digit literals on
+# both engines (log2 is transcendental — never recomputed at runtime).
+_NDCG_DISC = (
+    (1, 1.0),
+    (2, 0.630929753571),
+    (3, 0.5),
+    (4, 0.430676558073),
+    (5, 0.386852807235),
+    (6, 0.356207187108),
+    (7, 0.333333333333),
+    (8, 0.315464876786),
+    (9, 0.301029995664),
+    (10, 0.289064826318),
+)
+
+_NDCG_TERMS = (
+    "filter", "hash", "join", "merge", "scan",
+    "sort", "spark", "stream", "vector", "window",
+)
+
+_NDCG_DISC_SQL = ", ".join(f"({r}, {d!r})" for r, d in _NDCG_DISC)
+_NDCG_TERMS_SQL = ", ".join(f"'{t}'" for t in _NDCG_TERMS)
+
+
+@register(
+    "ndcg_eval",
+    ids="retrieval-eval: NDCG@10 + MRR of a tf ranking against length-normalized graded relevance",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+), base AS (
+    SELECT doc_id, len(toks) AS dl FROM t
+), tk AS (
+    SELECT doc_id, unnest(toks) AS term FROM t
+), tf AS (
+    SELECT tk.doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+           CAST(max(base.dl) AS BIGINT) AS dl
+    FROM tk JOIN base USING (doc_id)
+    WHERE term IN ({_NDCG_TERMS_SQL})
+    GROUP BY tk.doc_id, term
+), g AS (
+    SELECT doc_id, term, tf,
+           CASE least(3, CAST(floor(tf * 20.0 / dl) AS BIGINT))
+                WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 7
+           END AS gain,
+           row_number() OVER (PARTITION BY term
+               ORDER BY tf DESC, doc_id) AS sys_rank,
+           row_number() OVER (PARTITION BY term
+               ORDER BY least(3, CAST(floor(tf * 20.0 / dl) AS BIGINT))
+                        DESC, doc_id) AS ideal_rank
+    FROM tf
+), disc AS (
+    SELECT CAST(r AS INTEGER) AS r, CAST(d AS DOUBLE) AS d
+    FROM (VALUES {_NDCG_DISC_SQL}) AS v(r, d)
+), sys10 AS (
+    SELECT term,
+           CAST(sum(CAST(floor(g.gain * disc.d * 1000000000 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS dcgq,
+           min(CASE WHEN g.gain > 0 THEN g.sys_rank END) AS first_rel
+    FROM g JOIN disc ON g.sys_rank = disc.r
+    GROUP BY term
+), ideal10 AS (
+    SELECT term,
+           CAST(sum(CAST(floor(g.gain * disc.d * 1000000000 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS idcgq
+    FROM g JOIN disc ON g.ideal_rank = disc.r
+    GROUP BY term
+), nc AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS n_cand FROM tf GROUP BY term
+)
+SELECT nc.term, nc.n_cand,
+       round(CAST(s.dcgq AS DOUBLE) / 1000000000, 6) AS dcg,
+       round(CAST(i.idcgq AS DOUBLE) / 1000000000, 6) AS idcg,
+       round(CASE WHEN i.idcgq = 0 THEN 0.0
+                  ELSE CAST(s.dcgq AS DOUBLE) / CAST(i.idcgq AS DOUBLE)
+             END, 6) AS ndcg,
+       round(CASE WHEN s.first_rel IS NULL THEN 0.0
+                  ELSE 1.0 / s.first_rel END, 6) AS rr
+FROM nc JOIN sys10 s USING (term) JOIN ideal10 i USING (term)
+ORDER BY term
+""",
+)
+def ndcg_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation — NDCG@10 and MRR of a raw-tf
+    ranking judged against length-normalized graded relevance, per
+    query term.  This is the metric layer a retrieval stack (BM25,
+    `hybrid_rrf_rank`, the ANN family) is tuned WITH; here the "system"
+    is deliberately the naive tf ranking so the metric has signal: the
+    grade `least(3, floor(tf·20/dl))` rewards term DENSITY, so long
+    padded documents that tf ranks highly score low relevance, and
+    NDCG < 1 measures exactly that mismatch.
+
+    Portability: gains are integers via a CASE ladder (2^rel − 1);
+    rank discounts `1/log2(i+1)` are shared 12-digit literals joined
+    from a 10-row constant table (never recomputed via log); per-item
+    gain·discount products quantize to 1e-9 and integer-sum, so
+    DCG/IDCG/NDCG come from exact BIGINTs on both engines.  Both
+    rankings tiebreak on doc_id.
+
+    Scale shape: the token explode filters to the 10 query terms
+    MAP-SIDE (only their postings shuffle, `bm25_topk`'s shape); both
+    rank windows partition BY TERM — no global window; 10-row output."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    base = d.select("doc_id", toks.alias("_toks")).select(
+        "doc_id", "_toks", F.size("_toks").alias("dl")
+    )
+    tf = (
+        base.select("doc_id", "dl", F.explode("_toks").alias("term"))
+        .where(F.col("term").isin(*_NDCG_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+    )
+    tf.persist()
+    rel = F.least(
+        F.lit(3),
+        F.floor(F.col("tf") * F.lit(20.0) / F.col("dl")),
+    )
+    gain = (
+        F.when(rel == 0, 0)
+        .when(rel == 1, 1)
+        .when(rel == 2, 3)
+        .otherwise(7)
+        .cast("long")
+    )
+    wt = Window.partitionBy("term")
+    g = tf.select(
+        "doc_id",
+        "term",
+        gain.alias("gain"),
+        F.row_number()
+        .over(wt.orderBy(F.col("tf").desc(), F.col("doc_id")))
+        .alias("sys_rank"),
+        F.row_number()
+        .over(wt.orderBy(rel.desc(), F.col("doc_id")))
+        .alias("ideal_rank"),
+    )
+    disc = spark.createDataFrame(
+        list(_NDCG_DISC), schema="r int, d double"
+    )
+    quant = F.sum(
+        F.floor(
+            F.col("gain") * F.col("d") * F.lit(1000000000) + F.lit(0.5)
+        )
+    )
+    sys10 = (
+        g.join(F.broadcast(disc), g.sys_rank == disc.r)
+        .groupBy("term")
+        .agg(
+            quant.alias("dcgq"),
+            F.min(
+                F.when(F.col("gain") > 0, F.col("sys_rank"))
+            ).alias("first_rel"),
+        )
+    )
+    ideal10 = (
+        g.join(F.broadcast(disc), g.ideal_rank == disc.r)
+        .groupBy("term")
+        .agg(quant.alias("idcgq"))
+    )
+    nc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("n_cand"))
+    out = nc.join(sys10, "term").join(ideal10, "term")
+    return out.select(
+        "term",
+        "n_cand",
+        F.round(F.col("dcgq").cast("double") / F.lit(1000000000), 6).alias(
+            "dcg"
+        ),
+        F.round(F.col("idcgq").cast("double") / F.lit(1000000000), 6).alias(
+            "idcg"
+        ),
+        F.round(
+            F.when(F.col("idcgq") == 0, F.lit(0.0)).otherwise(
+                F.col("dcgq").cast("double") / F.col("idcgq").cast("double")
+            ),
+            6,
+        ).alias("ndcg"),
+        F.round(
+            F.when(F.col("first_rel").isNull(), F.lit(0.0)).otherwise(
+                F.lit(1.0) / F.col("first_rel")
+            ),
+            6,
+        ).alias("rr"),
+    ).orderBy("term")
