@@ -1276,3 +1276,90 @@ def test_pq_code_census_broadcasts_codebook_and_preaggregates(spark, sf_dir):
     assert shuffle_count(df) <= 3, (
         f"too many exchanges ({shuffle_count(df)})"
     )
+
+
+def _windows_sit_on_aggregates(plan: str) -> bool:
+    """True if every Window node's subtree reaches a HashAggregate
+    before any parquet scan — i.e. windows run over bounded census /
+    offsets aggregates, never over raw fact rows (the tree prints a
+    parent before its child)."""
+    w = plan.find("Window")
+    while w >= 0:
+        agg = plan.find("HashAggregate", w)
+        scan = plan.find("Scan parquet", w)
+        if agg == -1 or (scan != -1 and scan < agg):
+            return False
+        w = plan.find("Window", w + 1)
+    return True
+
+
+def test_stat_tests_window_only_over_census(spark, sf_dir):
+    """r7: the hypothesis-test family's windows (rank prefix sums, ECDF
+    cumulatives, contingency margins) must run over the domain-bounded
+    census aggregate, never over raw lineitem/orders rows — the single
+    property that keeps the global Window legal at 100 TB."""
+    for name in (
+        "mann_whitney_u",
+        "ks_drift",
+        "chi_square_test",
+        "cusum_changepoint",
+    ):
+        df = REG[name].spark(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert _windows_sit_on_aggregates(plan), (
+            f"{name}: a Window consumes a raw scan, not the census"
+        )
+        assert "CartesianProduct" not in plan
+
+
+def test_benford_constant_table_broadcasts(spark, sf_dir):
+    """r7: the 9-row Benford constant table and the 1-row total must
+    ride broadcasts onto the digit census."""
+    df = REG["benford_census"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert broadcast_join_count(df) >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_zorder_layout_ranks_without_global_window(spark, sf_dir):
+    """r7: file assignment must come from the distributed exact-ntile
+    path (global_ranks + arithmetic) — NO windowspecdefinition anywhere
+    (a global ntile window over the fact would be the single-task
+    anti-shape), and the bounds/stats frames ride broadcasts."""
+    df = REG["zorder_layout"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # global_ranks' internal offsets window (over the per-partition
+    # count aggregate) is the ONLY legal window — none over the fact.
+    assert _windows_sit_on_aggregates(plan), (
+        "a Window consumes the raw fact scan"
+    )
+    assert broadcast_join_count(df) >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_acf_lag_expansion_broadcasts_day_census(spark, sf_dir):
+    """r7: the lag self-join expands the ~2400-row day census ×7 via
+    broadcasts — the orders fact itself is touched by exactly one
+    rollup exchange."""
+    from big_data_lab_three_spark.plans.inspect import shuffle_count
+
+    df = REG["acf_lags"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert broadcast_join_count(df) >= 2
+    assert "windowspecdefinition" not in plan
+    assert "CartesianProduct" not in plan
+    # one fact rollup + four census-sized exchanges (two scalar aggs,
+    # the per-lag groupBy, the 7-row sort) — only the first touches data
+    assert shuffle_count(df) <= 6, f"saw {shuffle_count(df)} exchanges"
+
+
+def test_ndcg_windows_partition_by_term(spark, sf_dir):
+    """r7: both retrieval-eval rank windows must PARTITION BY term —
+    a global (unpartitioned) window over the posting table would
+    single-task the corpus at scale."""
+    df = REG["ndcg_eval"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(term" in plan, (
+        "rank windows are not partitioned by term"
+    )
+    assert "CartesianProduct" not in plan
