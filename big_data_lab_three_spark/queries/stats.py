@@ -724,3 +724,138 @@ def cusum_changepoint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mean_after"),
     )
+
+
+@register(
+    "gini_split_census",
+    ids="ml-prim: histogram-based best-split finder (LightGBM-style) — exact value census, Gini argmin per feature",
+    oracle="""
+WITH x AS (
+    SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+           CAST(l_quantity AS BIGINT) AS q,
+           CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d,
+           CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS tx
+    FROM lineitem
+), u AS (
+    SELECT 'quantity' AS feature, q AS val, y FROM x
+    UNION ALL SELECT 'discount', d, y FROM x
+    UNION ALL SELECT 'tax', tx, y FROM x
+), c AS (
+    SELECT feature, val, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(y) AS BIGINT) AS pos
+    FROM u GROUP BY 1, 2
+), p AS (
+    SELECT feature, val, cnt, pos,
+           CAST(sum(cnt) OVER w AS BIGINT) AS nl,
+           CAST(sum(pos) OVER w AS BIGINT) AS posl,
+           CAST(sum(cnt) OVER (PARTITION BY feature) AS BIGINT) AS n,
+           CAST(sum(pos) OVER (PARTITION BY feature) AS BIGINT) AS npos,
+           row_number() OVER (PARTITION BY feature ORDER BY val DESC)
+               AS rdesc
+    FROM c
+    WINDOW w AS (PARTITION BY feature ORDER BY val
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), s AS (
+    SELECT feature, val, nl, posl, n, npos,
+           2 * (CAST(posl * (nl - posl) AS DOUBLE) / nl
+                + CAST((npos - posl) * ((n - nl) - (npos - posl))
+                       AS DOUBLE) / (n - nl))
+               / n AS impurity
+    FROM p WHERE rdesc > 1
+), best AS (
+    SELECT *, row_number() OVER (PARTITION BY feature
+                  ORDER BY impurity ASC, val ASC) AS rk
+    FROM s
+)
+SELECT feature, val AS best_thr, nl, posl,
+       round(impurity, 6) AS impurity,
+       round(2 * CAST(npos * (n - npos) AS DOUBLE) / n / n - impurity, 6)
+           AS gain
+FROM best WHERE rk = 1
+ORDER BY feature
+""",
+)
+def gini_split_census_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-based best-split finder — the inner loop of every
+    distributed decision-tree/GBDT learner (LightGBM/XGBoost hist
+    mode): collapse each feature to an exact (value → count, positives)
+    census, then scan candidate thresholds `val ≤ v` for the split
+    minimizing weighted Gini impurity of the returned-flag label.
+
+    Exactness: the census is pure BIGINT (discount/tax quantized to
+    integer percent via the shared `floor(x·100 + 0.5)` half-away
+    convention); prefix sums give `(n_left, pos_left)` per threshold;
+    the weighted impurity `2·(pL(nL−pL)/nL + pR(nR−pR)/nR)/n` is one
+    shared double expression over those integers — every product stays
+    under 2^53 even at the sf1 tier, so both engines compute the
+    bit-identical double and the argmin (ties → lowest threshold)
+    needs no rounding tolerance.  The max value per feature is excluded
+    (an empty right side is not a split).
+
+    Scale shape: one stack-projection scan, one groupBy onto the
+    ~70-row value census (domains: 50 quantities, 11 discounts, 9
+    taxes); all windows partition BY FEATURE over that census; 3-row
+    output.  This is exactly why hist-mode GBDT scales: candidate
+    evaluation runs on the census, never the fact."""
+    x = table(spark, sf_dir, "lineitem").select(
+        (F.col("l_returnflag") == "R").cast("long").alias("y"),
+        F.col("l_quantity").cast("long").alias("q"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5)).alias("d"),
+        F.floor(F.col("l_tax") * 100 + F.lit(0.5)).alias("tx"),
+    )
+    u = x.select(
+        F.expr(
+            "stack(3, 'quantity', q, 'discount', d, 'tax', tx)"
+        ).alias("feature", "val"),
+        "y",
+    )
+    c = u.groupBy("feature", "val").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
+    )
+    wf = Window.partitionBy("feature")
+    w = wf.orderBy("val").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    p = c.select(
+        "feature",
+        "val",
+        F.sum("cnt").over(w).alias("nl"),
+        F.sum("pos").over(w).alias("posl"),
+        F.sum("cnt").over(wf).alias("n"),
+        F.sum("pos").over(wf).alias("npos"),
+        F.row_number().over(wf.orderBy(F.col("val").desc())).alias("rdesc"),
+    )
+    nr = F.col("n") - F.col("nl")
+    posr = F.col("npos") - F.col("posl")
+    impurity = (
+        F.lit(2)
+        * (
+            (F.col("posl") * (F.col("nl") - F.col("posl"))).cast("double")
+            / F.col("nl")
+            + (posr * (nr - posr)).cast("double") / nr
+        )
+        / F.col("n")
+    )
+    s = p.where(F.col("rdesc") > 1).select(
+        "feature", "val", "nl", "posl", "n", "npos",
+        impurity.alias("impurity"),
+    )
+    best = s.withColumn(
+        "rk",
+        F.row_number().over(
+            wf.orderBy(F.col("impurity").asc(), F.col("val").asc())
+        ),
+    ).where(F.col("rk") == 1)
+    parent = (F.col("npos") * (F.col("n") - F.col("npos"))).cast("double")
+    return best.select(
+        "feature",
+        F.col("val").alias("best_thr"),
+        "nl",
+        "posl",
+        F.round("impurity", 6).alias("impurity"),
+        F.round(
+            F.lit(2) * parent / F.col("n") / F.col("n")
+            - F.col("impurity"),
+            6,
+        ).alias("gain"),
+    ).orderBy("feature")
