@@ -54,11 +54,13 @@ _MODULES = (
     "big_data_lab_three_spark.queries.vector",
     "big_data_lab_three_spark.queries.multimodal",
     "big_data_lab_three_spark.queries.streaming",
-    "big_data_lab_three_spark.queries.stats",
-    # extras MUST stay last: its registration-order position is what
-    # keeps mid-round additions out of the driver's 50-name prefix
-    # (see the module docstring).
+    # Registration-order contract (see the extras module docstring):
+    # each round's newest module imports LAST, so that mid-round
+    # additions sort after every older never-driver-verified name and
+    # cannot displace a queued name out of the driver's 50-name
+    # correctness prefix.
     "big_data_lab_three_spark.queries.extras",
+    "big_data_lab_three_spark.queries.stats",
 )
 
 
