@@ -859,3 +859,189 @@ def gini_split_census_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gain"),
     ).orderBy("feature")
+
+
+def _bloom_pos(key_str, i: int, m: int):
+    """Bit position of hash ``i`` for a key string: the shared
+    md5-60-bit convention (see extras module docstring) mod ``m`` —
+    bit-identical across engines."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"bloom{i}:"), key_str)), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % m
+    )
+
+
+@register(
+    "bloom_prune_census",
+    ids="sketch: portable Bloom-filter semi-join pruning census (md5 positions, measured FPR + fact prune fraction)",
+    oracle="""
+WITH member AS (
+    SELECT s_suppkey AS key, CAST(s_nationkey < 5 AS INTEGER) AS is_member
+    FROM supplier
+), bits AS (
+    SELECT DISTINCT
+           CAST(('0x' || substr(md5('bloom' || CAST(i AS VARCHAR) || ':'
+                    || CAST(key AS VARCHAR)), 1, 15)) AS BIGINT) % 4096
+               AS pos
+    FROM member, (SELECT unnest([1, 2, 3]) AS i)
+    WHERE is_member = 1
+), probe AS (
+    SELECT key, is_member,
+           CAST(('0x' || substr(md5('bloom' || CAST(i AS VARCHAR) || ':'
+                    || CAST(key AS VARCHAR)), 1, 15)) AS BIGINT) % 4096
+               AS pos
+    FROM member, (SELECT unnest([1, 2, 3]) AS i)
+), hits AS (
+    SELECT probe.key, max(probe.is_member) AS is_member,
+           CAST(sum(CASE WHEN bits.pos IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_hit
+    FROM probe LEFT JOIN bits ON probe.pos = bits.pos
+    GROUP BY probe.key
+), verdict AS (
+    SELECT key, is_member,
+           CASE WHEN n_hit = 3 THEN 1 ELSE 0 END AS bloom_pos
+    FROM hits
+), summary AS (
+    SELECT CAST(sum(is_member) AS BIGINT) AS n_members,
+           CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(sum(CASE WHEN is_member = 1 AND bloom_pos = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS true_pos,
+           CAST(sum(CASE WHEN is_member = 0 AND bloom_pos = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS false_pos
+    FROM verdict
+), nbits AS (
+    SELECT CAST(count(*) AS BIGINT) AS bits_set FROM bits
+), fact AS (
+    SELECT CAST(count(*) AS BIGINT) AS fact_rows,
+           CAST(sum(v.is_member) AS BIGINT) AS fact_kept_exact,
+           CAST(sum(v.bloom_pos) AS BIGINT) AS fact_kept_bloom
+    FROM lineitem l JOIN verdict v ON l.l_suppkey = v.key
+)
+SELECT 4096 AS m_bits, 3 AS k_hashes,
+       s.n_members, nb.bits_set,
+       round(CAST(nb.bits_set AS DOUBLE) / 4096, 6) AS load_factor,
+       s.n_probes, s.true_pos, s.false_pos,
+       round(CAST(s.false_pos AS DOUBLE) / (s.n_probes - s.n_members), 6)
+           AS fpr,
+       f.fact_rows, f.fact_kept_exact, f.fact_kept_bloom,
+       round(1 - CAST(f.fact_kept_bloom AS DOUBLE) / f.fact_rows, 6)
+           AS fact_prune_frac
+FROM summary s, nbits nb, fact f
+""",
+)
+def bloom_prune_census_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning, measured end to end: build a
+    4096-bit / 3-hash filter over the member suppliers (nations 0-4),
+    probe EVERY supplier, and report the filter's measured false-
+    positive rate plus the fraction of lineitem FACT rows a bloom
+    pre-filter would prune before the real join — the runtime-filter
+    pattern (Spark's own `spark.sql.optimizer.runtimeFilter.*`) made
+    inspectable and oracle-checked.
+
+    Portability: bit positions use the repo's md5-60-bit convention
+    (`conv(substr(md5(...), 1, 15), 16, 10)` ==
+    `('0x' || substr(md5(...), 1, 15))::BIGINT`) mod 4096, so the bit
+    set, every probe verdict, and the measured FPR are bit-identical
+    across engines — no probabilistic tolerance needed.  `true_pos ==
+    n_members` in the output IS the no-false-negatives guarantee,
+    verified, not assumed.
+
+    Scale shape: the filter is dimension-sized by construction (≤4096
+    positions after DISTINCT) and broadcasts; per-supplier verdicts
+    (dim-sized) broadcast onto the fact scan, so the fact is touched by
+    one pass with a map-side hash probe — exactly how a runtime filter
+    deploys at 100 TB; 1-row output."""
+    m, k = 4096, 3
+    member = table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("key"),
+        (F.col("s_nationkey") < 5).cast("int").alias("is_member"),
+    )
+    key_str = F.col("key").cast("string")
+    pos_arr = F.array(*[_bloom_pos(key_str, i, m) for i in range(1, k + 1)])
+    probe = member.select(
+        "key", "is_member", F.explode(pos_arr).alias("pos")
+    )
+    probe.persist()
+    bits = (
+        probe.where(F.col("is_member") == 1).select("pos").distinct()
+    )
+    hits = (
+        probe.join(
+            F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left"
+        )
+        .groupBy("key")
+        .agg(
+            F.max("is_member").alias("is_member"),
+            F.sum(
+                F.when(F.col("hit").isNotNull(), 1).otherwise(0)
+            ).alias("n_hit"),
+        )
+    )
+    verdict = hits.select(
+        "key",
+        "is_member",
+        F.when(F.col("n_hit") == k, 1).otherwise(0).alias("bloom_pos"),
+    )
+    verdict.persist()
+    summary = verdict.agg(
+        F.sum("is_member").alias("n_members"),
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum(
+            (
+                (F.col("is_member") == 1) & (F.col("bloom_pos") == 1)
+            ).cast("long")
+        ).alias("true_pos"),
+        F.sum(
+            (
+                (F.col("is_member") == 0) & (F.col("bloom_pos") == 1)
+            ).cast("long")
+        ).alias("false_pos"),
+    )
+    nbits = bits.agg(F.count(F.lit(1)).alias("bits_set"))
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("key")
+    )
+    fact = (
+        li.join(F.broadcast(verdict), "key")
+        .agg(
+            F.count(F.lit(1)).alias("fact_rows"),
+            F.sum("is_member").alias("fact_kept_exact"),
+            F.sum("bloom_pos").alias("fact_kept_bloom"),
+        )
+    )
+    return (
+        summary.crossJoin(F.broadcast(nbits))
+        .crossJoin(F.broadcast(fact))
+        .select(
+            F.lit(m).cast("int").alias("m_bits"),
+            F.lit(k).cast("int").alias("k_hashes"),
+            "n_members",
+            "bits_set",
+            F.round(F.col("bits_set").cast("double") / m, 6).alias(
+                "load_factor"
+            ),
+            "n_probes",
+            "true_pos",
+            "false_pos",
+            F.round(
+                F.col("false_pos").cast("double")
+                / (F.col("n_probes") - F.col("n_members")),
+                6,
+            ).alias("fpr"),
+            "fact_rows",
+            "fact_kept_exact",
+            "fact_kept_bloom",
+            F.round(
+                F.lit(1)
+                - F.col("fact_kept_bloom").cast("double")
+                / F.col("fact_rows"),
+                6,
+            ).alias("fact_prune_frac"),
+        )
+    )
