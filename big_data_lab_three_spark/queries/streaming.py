@@ -281,3 +281,129 @@ def streaming_topk_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .orderBy("window_start_us", "rank")
     )
+
+
+@register(
+    "streaming_drift_monitor",
+    ids="streaming: per-window chi-square drift of the value-bucket histogram vs the pooled distribution",
+    oracle="""
+WITH c AS (
+  SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+         least(9, CAST(floor(value / 25.0) AS BIGINT)) AS bucket,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), w AS (
+  SELECT window_start_us, CAST(sum(n) AS BIGINT) AS wn FROM c GROUP BY 1
+), pooled AS (
+  SELECT bucket, CAST(sum(n) AS BIGINT) AS pn FROM c GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total FROM c
+), grid AS (
+  SELECT w.window_start_us, w.wn, p.bucket, p.pn, t.total,
+         coalesce(c.n, 0) AS obs
+  FROM w CROSS JOIN pooled p CROSS JOIN tot t
+  LEFT JOIN c ON c.window_start_us = w.window_start_us
+             AND c.bucket = p.bucket
+), q AS (
+  SELECT window_start_us, wn,
+         (CAST(obs AS DOUBLE) - CAST(wn AS DOUBLE) * pn / total)
+         * (CAST(obs AS DOUBLE) - CAST(wn AS DOUBLE) * pn / total)
+         / (CAST(wn AS DOUBLE) * pn / total) AS contrib
+  FROM grid
+)
+SELECT window_start_us, CAST(max(wn) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       round(CAST(sum(CAST(floor(contrib * 1000000000 + 0.5) AS BIGINT))
+                  AS DOUBLE) / 1000000000, 6) AS chi2
+FROM q GROUP BY window_start_us
+ORDER BY window_start_us
+""",
+)
+def streaming_drift_monitor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor: the STREAM maintains the only state a
+    drift detector needs at 100 TB/day — exact per-(hour-window,
+    value-bucket) counters under a watermark — and the SERVING query
+    computes each window's chi-square homogeneity distance against the
+    pooled bucket distribution over the drained (tiny) sink.  Same
+    split as `streaming_topk_trend`: chi-square is not an incremental
+    aggregate, so it never lives in stream state.
+
+    The full window×bucket grid is expanded on the sink (zero-observed
+    cells included — a vanished bucket IS drift), so the statistic is
+    well-defined and identical on both engines: integer counters,
+    the shared `wn·pn/total` expected-count expression, per-cell 1e-9
+    quantization before the integer sum (the `chi_square_test`
+    convention).
+
+    Scale shape: streaming state is ≤ windows×10 counters
+    (watermark-evicted); the serving pass runs on the drained census;
+    ~25-row output."""
+    stream = read_events_stream(spark, sf_dir)
+    bucket = F.least(
+        F.lit(9), F.floor(F.col("value") / F.lit(25.0))
+    ).cast("long")
+    agg = (
+        stream.withWatermark("ts_utc", "2 hours")
+        .groupBy(F.window("ts_utc", "1 hour"), bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_micros("window.start").alias("window_start_us"),
+            "bucket",
+            "n",
+        )
+    )
+    c = run_stream_to_table(
+        spark, agg, f"stream_drift_{next(_seq)}", output_mode="complete"
+    )
+    c.persist()
+    w = c.groupBy("window_start_us").agg(F.sum("n").alias("wn"))
+    pooled = c.groupBy("bucket").agg(F.sum("n").alias("pn"))
+    tot = c.agg(F.sum("n").alias("total"))
+    grid = (
+        w.crossJoin(F.broadcast(pooled))
+        .crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(
+                # fresh projection breaks the self-join lineage conflict
+                c.select(
+                    F.col("window_start_us").alias("ws"),
+                    F.col("bucket").alias("bk"),
+                    F.col("n").alias("cn"),
+                )
+            ),
+            (F.col("ws") == F.col("window_start_us"))
+            & (F.col("bk") == F.col("bucket")),
+            "left",
+        )
+        .select(
+            "window_start_us",
+            "wn",
+            "pn",
+            "total",
+            F.coalesce(F.col("cn"), F.lit(0)).alias("obs"),
+        )
+    )
+    e = F.col("wn").cast("double") * F.col("pn") / F.col("total")
+    contrib = (
+        (F.col("obs").cast("double") - e)
+        * (F.col("obs").cast("double") - e)
+        / e
+    )
+    q = grid.select("window_start_us", "wn", contrib.alias("contrib"))
+    return (
+        q.groupBy("window_start_us")
+        .agg(
+            F.max("wn").alias("n_events"),
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.round(
+                F.sum(
+                    F.floor(
+                        F.col("contrib") * F.lit(1000000000) + F.lit(0.5)
+                    )
+                ).cast("double")
+                / F.lit(1000000000),
+                6,
+            ).alias("chi2"),
+        )
+        .orderBy("window_start_us")
+    )
