@@ -1363,3 +1363,25 @@ def test_ndcg_windows_partition_by_term(spark, sf_dir):
         "rank windows are not partitioned by term"
     )
     assert "CartesianProduct" not in plan
+
+
+def test_gini_split_windows_partition_by_feature(spark, sf_dir):
+    """r7: the hist-mode split finder's prefix/argmin windows must
+    partition BY FEATURE over the ~70-row value census — and the census
+    must exist (a HashAggregate below every Window)."""
+    df = REG["gini_split_census"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(feature" in plan
+    assert _windows_sit_on_aggregates(plan)
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_filter_and_verdicts_broadcast(spark, sf_dir):
+    """r7: the bit set (≤4096 rows) and the per-supplier verdicts
+    (dim-sized) must ride broadcasts — the lineitem fact is probed
+    map-side, exactly how a runtime filter deploys."""
+    df = REG["bloom_prune_census"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert broadcast_join_count(df) >= 3
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition" not in plan
