@@ -60,36 +60,31 @@ def test_rotation_priority_within_unverified():
     assert names[: len(rotation_unverified)] == rotation_unverified
 
 
-def test_extras_module_names_trail_other_unverified():
-    """``queries.extras`` is imported LAST so that registering a query
-    mid-round can never displace an already-queued name from the
-    driver's 50-name prefix: among never-verified names, every
-    non-extras name must precede every extras name.  (Once a round's
-    CORRECTNESS record verifies the older names, extras entries
+def test_unverified_names_respect_module_import_order():
+    """The registration-order contract (extras module docstring): each
+    round's NEWEST query module imports last in ``_MODULES``, so that
+    registering a query mid-round sorts it after every older
+    never-driver-verified name and cannot displace a queued name out of
+    the driver's 50-name prefix.  Pin the observable consequence: among
+    never-verified names (outside the forced prefix), positions must be
+    monotone in the registering module's import index.  (Once a round's
+    CORRECTNESS record verifies the older names, later-module entries
     entering the prefix is the intended drain behavior.)"""
-    import big_data_lab_three_spark.queries.extras as extras
+    from big_data_lab_three_spark.queries import _MODULES
 
-    extras_names = {
-        q.name for q in REGISTRY.values()
-        if getattr(q.spark, "__module__", "") == extras.__name__
-    }
-    assert extras_names, "extras module registered nothing?"
+    mod_index = {m: i for i, m in enumerate(_MODULES)}
     verified = _driver_verified()
     unverified = [
         n
         for n in load_all()
         if n not in _FORCE_FRONT and n not in verified
     ]
-    first_extra = min(
-        (unverified.index(n) for n in extras_names if n in unverified),
-        default=len(unverified),
-    )
-    stragglers = [
-        n
-        for n in unverified[first_extra:]
-        if n not in extras_names
+    assert unverified, "no never-verified names — update this test's premise"
+    indices = [
+        mod_index[getattr(REGISTRY[n].spark, "__module__", "")]
+        for n in unverified
     ]
-    assert not stragglers, (
-        f"non-extras unverified names ordered after an extras name: "
-        f"{stragglers} — they fell out of the driver prefix"
+    assert indices == sorted(indices), (
+        "never-verified names out of module import order: "
+        f"{[n for n, a, b in zip(unverified, indices, sorted(indices)) if a != b]}"
     )
