@@ -491,3 +491,42 @@ def test_weighted_sample_matches_duckdb_oracle_formula(spark, rows, k):
         ).fetchall()
     )
     assert got == expect
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.booleans()),
+        min_size=2,
+        max_size=60,
+    ).filter(
+        lambda xs: any(g for _, g in xs) and any(not g for _, g in xs)
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_mann_whitney_census_identity(data):
+    """Pure-math pin of the `mann_whitney_u` rank algebra: the census
+    identity `2·R1 = Σ_v n1(v)·(2·cum(v) + t(v) + 1)` must equal twice
+    the naive midrank sum for ANY grouped multiset — no engine
+    involved, so a regression in the formula (not just its Spark/SQL
+    transliteration) fails here."""
+    # naive midranks over the pooled sorted sample
+    pooled = sorted(v for v, _ in data)
+    ranks = {}
+    i = 0
+    while i < len(pooled):
+        j = i
+        while j < len(pooled) and pooled[j] == pooled[i]:
+            j += 1
+        ranks[pooled[i]] = (i + 1 + j) / 2  # midrank of the tie run
+        i = j
+    naive_2r1 = round(2 * sum(ranks[v] for v, g in data if g))
+    # census identity
+    from collections import Counter
+
+    t = Counter(v for v, _ in data)
+    n1 = Counter(v for v, g in data if g)
+    cum, census_2r1 = 0, 0
+    for v in sorted(t):
+        census_2r1 += n1[v] * (2 * cum + t[v] + 1)
+        cum += t[v]
+    assert census_2r1 == naive_2r1
