@@ -530,3 +530,61 @@ def test_mann_whitney_census_identity(data):
         census_2r1 += n1[v] * (2 * cum + t[v] + 1)
         cum += t[v]
     assert census_2r1 == naive_2r1
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 50), st.integers(0, 50)),
+        min_size=1,
+        max_size=12,
+    ).filter(lambda bins: all(p <= n for n, p in bins))
+)
+@settings(max_examples=200, deadline=None)
+def test_isotonic_minimax_equals_pava(bins):
+    """Pure-math pin of `isotonic_calibration`'s closed form: the
+    minimax `iso_i = max_{j≤i} min_{k≥i} wavg(j..k)` must equal the
+    iterative pool-adjacent-violators fit for ANY weighted bin
+    sequence (Fractions — no float tolerance)."""
+    from fractions import Fraction
+
+    ns = [n for n, _ in bins]
+    ps = [p for _, p in bins]
+    m = len(bins)
+    # PAVA: pool adjacent violators until monotone
+    pools = [[ns[i], ps[i]] for i in range(m)]
+    i = 0
+    while i < len(pools) - 1:
+        if Fraction(pools[i][1], pools[i][0]) > Fraction(
+            pools[i + 1][1], pools[i + 1][0]
+        ):
+            pools[i][0] += pools[i + 1][0]
+            pools[i][1] += pools[i + 1][1]
+            del pools[i + 1]
+            i = max(i - 1, 0)
+        else:
+            i += 1
+    # expand pools back to per-bin fitted values
+    pava = []
+    idx = 0
+    for n_total, p_total in pools:
+        acc = 0
+        while acc < n_total:
+            acc += ns[idx]
+            pava.append(Fraction(p_total, n_total))
+            idx += 1
+    assert len(pava) == m
+    # minimax closed form
+    pre_n = [0]
+    pre_p = [0]
+    for n, p in bins:
+        pre_n.append(pre_n[-1] + n)
+        pre_p.append(pre_p[-1] + p)
+
+    def wavg(j, k):  # bins j..k inclusive, 0-based
+        return Fraction(pre_p[k + 1] - pre_p[j], pre_n[k + 1] - pre_n[j])
+
+    for i in range(m):
+        minimax = max(
+            min(wavg(j, k) for k in range(i, m)) for j in range(i + 1)
+        )
+        assert minimax == pava[i], (i, bins)
