@@ -588,3 +588,26 @@ def test_isotonic_minimax_equals_pava(bins):
             min(wavg(j, k) for k in range(i, m)) for j in range(i + 1)
         )
         assert minimax == pava[i], (i, bins)
+
+
+@given(st.integers(0, 65535), st.integers(0, 65535))
+@settings(max_examples=300, deadline=None)
+def test_morton_spread_matches_naive_interleave(u, v):
+    """Pure-math pin of `zorder_layout`'s magic-number bit spread: the
+    cascade must equal the naive per-bit interleave for every 16-bit
+    pair (the SQL/Spark transliterations share these exact masks)."""
+
+    def spread(x):
+        x &= 0xFFFF
+        x = (x | (x << 8)) & 0x00FF00FF
+        x = (x | (x << 4)) & 0x0F0F0F0F
+        x = (x | (x << 2)) & 0x33333333
+        x = (x | (x << 1)) & 0x55555555
+        return x
+
+    morton = spread(u) | (spread(v) << 1)
+    naive = 0
+    for i in range(16):
+        naive |= ((u >> i) & 1) << (2 * i)
+        naive |= ((v >> i) & 1) << (2 * i + 1)
+    assert morton == naive
