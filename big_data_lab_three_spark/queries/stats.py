@@ -1045,3 +1045,132 @@ def bloom_prune_census_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fact_prune_frac"),
         )
     )
+
+
+@register(
+    "psi_drift",
+    ids="stat-test: population stability index between order-price cohorts (smoothed shares, quantized bin sum)",
+    oracle="""
+WITH x AS (
+    SELECT least(9, CAST(floor(o_totalprice / 50000.0) AS BIGINT)) AS bin,
+           CASE WHEN year(CAST(o_orderdate AS DATE)) = 1995
+                THEN 1 ELSE 0 END AS is_ref,
+           CASE WHEN year(CAST(o_orderdate AS DATE)) = 2000
+                THEN 1 ELSE 0 END AS is_act
+    FROM orders
+    WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 2000)
+), g AS (
+    SELECT CAST(range AS BIGINT) AS bin FROM range(0, 10)
+), c AS (
+    SELECT g.bin,
+           CAST(coalesce(sum(x.is_ref), 0) AS BIGINT) AS n_ref,
+           CAST(coalesce(sum(x.is_act), 0) AS BIGINT) AS n_act
+    FROM g LEFT JOIN x ON x.bin = g.bin
+    GROUP BY g.bin
+), t AS (
+    SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
+           CAST(sum(n_act) AS BIGINT) AS ta
+    FROM c
+), q AS (
+    SELECT c.bin, c.n_ref, c.n_act,
+           (CAST(c.n_ref AS DOUBLE) + 0.5) / (CAST(t.tr AS DOUBLE) + 5.0)
+               AS ref_share,
+           (CAST(c.n_act AS DOUBLE) + 0.5) / (CAST(t.ta AS DOUBLE) + 5.0)
+               AS act_share
+    FROM c, t
+), k AS (
+    SELECT bin, n_ref, n_act, ref_share, act_share,
+           (act_share - ref_share) * ln(act_share / ref_share) AS contrib
+    FROM q
+), tot AS (
+    SELECT CAST(sum(CAST(floor(contrib * 1000000 + 0.5) AS BIGINT))
+               AS BIGINT) AS psiq
+    FROM k
+)
+SELECT k.bin, k.n_ref, k.n_act,
+       round(k.ref_share, 6) AS ref_share,
+       round(k.act_share, 6) AS act_share,
+       round(k.contrib, 6) AS contrib,
+       round(CAST(tot.psiq AS DOUBLE) / 1000000, 6) AS psi
+FROM k, tot
+""",
+)
+def psi_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index — THE model-monitoring drift metric
+    (credit-risk lineage: PSI < 0.1 stable, 0.1-0.25 watch, > 0.25
+    shifted) — between the 1995 reference and year-2000 actual
+    order-price cohorts on a fixed $50k / 10-bin grid.
+
+    Definitional choices, shared verbatim by both engines: the full
+    bin grid comes from a constant range (empty bins survive), shares
+    use Laplace smoothing `(cnt + 0.5)/(n + 5.0)` so `ln` never sees
+    zero, and per-bin contributions quantize to 1e-6 before the
+    integer total (`ln` is the one transcendental the statistic cannot
+    avoid — last-ulp runtime differences sit ~10 orders below the
+    quantum, the same tolerance-by-construction `bm25_rank` uses).
+
+    Scale shape: one groupBy shuffle onto the 10-bin census; the grid
+    join, totals, and PSI all run on constant-size frames; 10-row
+    output."""
+    year = F.year(F.to_date("o_orderdate"))
+    x = (
+        table(spark, sf_dir, "orders")
+        .where(year.isin(1995, 2000))
+        .select(
+            F.least(
+                F.lit(9), F.floor(F.col("o_totalprice") / F.lit(50000.0))
+            ).alias("bin"),
+            (year == 1995).cast("long").alias("is_ref"),
+            (year == 2000).cast("long").alias("is_act"),
+        )
+    )
+    g = spark.range(0, 10).select(F.col("id").alias("bin"))
+    c = (
+        g.join(F.broadcast(x.groupBy("bin").agg(
+            F.sum("is_ref").alias("sr"), F.sum("is_act").alias("sa")
+        )), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce(F.col("sr"), F.lit(0)).alias("n_ref"),
+            F.coalesce(F.col("sa"), F.lit(0)).alias("n_act"),
+        )
+    )
+    c.persist()
+    t = c.agg(F.sum("n_ref").alias("tr"), F.sum("n_act").alias("ta"))
+    q = c.crossJoin(F.broadcast(t)).select(
+        "bin",
+        "n_ref",
+        "n_act",
+        (
+            (F.col("n_ref").cast("double") + F.lit(0.5))
+            / (F.col("tr").cast("double") + F.lit(5.0))
+        ).alias("ref_share"),
+        (
+            (F.col("n_act").cast("double") + F.lit(0.5))
+            / (F.col("ta").cast("double") + F.lit(5.0))
+        ).alias("act_share"),
+    )
+    k = q.select(
+        "*",
+        (
+            (F.col("act_share") - F.col("ref_share"))
+            * F.log(F.col("act_share") / F.col("ref_share"))
+        ).alias("contrib"),
+    )
+    k.persist()
+    tot = k.agg(
+        F.sum(
+            F.floor(F.col("contrib") * F.lit(1000000) + F.lit(0.5))
+        ).alias("psiq")
+    )
+    return k.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_ref",
+        "n_act",
+        F.round("ref_share", 6).alias("ref_share"),
+        F.round("act_share", 6).alias("act_share"),
+        F.round("contrib", 6).alias("contrib"),
+        F.round(F.col("psiq").cast("double") / F.lit(1000000), 6).alias(
+            "psi"
+        ),
+    )
