@@ -1174,3 +1174,122 @@ def psi_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "psi"
         ),
     )
+
+
+# alpha*(1-alpha)^i for alpha=0.3, i=0..31 — generated ONCE in Python
+# and shared as identical decimal literals by both engines (runtime
+# pow() is not ulp-portable).  The 32-lag truncation leaks <1e-5 of
+# total weight; normalizing by the present-lag weight sum makes the
+# estimator exact over whatever window is available (pandas
+# ewm(adjust=True) semantics, truncated).
+_EWMA_W = tuple((i, round(0.3 * 0.7**i, 12)) for i in range(32))
+_EWMA_W_SQL = ", ".join(f"({i}, {w!r})" for i, w in _EWMA_W)
+
+
+@register(
+    "ewma_smooth",
+    ids="timeseries: truncated exponential smoothing of daily revenue (32 literal weights, adjust-normalized)",
+    oracle=f"""
+WITH d AS (
+    SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS day_id,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY 1
+), m AS (
+    SELECT max(day_id) AS mx FROM d
+), w AS (
+    SELECT CAST(i AS BIGINT) AS lag, CAST(wt AS DOUBLE) AS wt
+    FROM (VALUES {_EWMA_W_SQL}) AS v(i, wt)
+), tgt AS (
+    SELECT d.day_id, d.cents FROM d, m WHERE d.day_id > m.mx - 10
+), j AS (
+    SELECT tgt.day_id, tgt.cents, w.wt, src.cents AS lag_cents
+    FROM tgt JOIN w ON TRUE
+    JOIN d src ON src.day_id = tgt.day_id - w.lag
+), s AS (
+    SELECT day_id, CAST(max(cents) AS BIGINT) AS cents,
+           CAST(count(*) AS BIGINT) AS n_lags,
+           CAST(sum(CAST(floor(wt * lag_cents + 0.5) AS BIGINT))
+               AS BIGINT) AS numq,
+           CAST(sum(CAST(floor(wt * 1000000000 + 0.5) AS BIGINT))
+               AS BIGINT) AS denq
+    FROM j GROUP BY day_id
+)
+SELECT day_id,
+       round(CAST(cents AS DOUBLE) / 100, 2) AS revenue,
+       n_lags,
+       round(CAST(numq AS DOUBLE)
+             / (CAST(denq AS DOUBLE) / 1000000000) / 100, 4) AS ewma
+FROM s ORDER BY day_id
+""",
+)
+def ewma_smooth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily revenue for the
+    final 10 calendar days — the level estimate a forecasting monitor
+    serves.  The recursion is replaced by its 32-lag truncated closed
+    form with the weights `0.3·0.7^i` as shared decimal LITERALS
+    (leakage < 1e-5 of total weight), normalized by the weight mass of
+    the lags actually present — so calendar gaps and the series head
+    get pandas `ewm(adjust=True)` semantics identically on both
+    engines, declaratively (no iteration for either engine to replay).
+
+    Portability: daily revenue is exact cents; each `w·cents` product
+    quantizes to one cent-quantum and integer-sums (cent terms peak
+    ~3e12 at the sf1 tier — far inside int64 even ×32); the weight mass
+    quantizes at 1e-9.  One double division chain at the end.
+
+    Scale shape: one rollup shuffle onto the ~2400-day census; the
+    10-target × 32-lag expansion is a broadcast join of that census;
+    ≤10-row output."""
+    d = (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("day_id")
+        )
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast(
+                    "long"
+                )
+            ).alias("cents")
+        )
+    )
+    d.persist()
+    m = d.agg(F.max("day_id").alias("mx"))
+    w = spark.createDataFrame(list(_EWMA_W), schema="lag long, wt double")
+    tgt = d.crossJoin(F.broadcast(m)).where(
+        F.col("day_id") > F.col("mx") - 10
+    )
+    src = d.select(
+        F.col("day_id").alias("src_day"), F.col("cents").alias("lag_cents")
+    )
+    j = tgt.crossJoin(F.broadcast(w)).join(
+        F.broadcast(src),
+        F.col("src_day") == F.col("day_id") - F.col("lag"),
+    )
+    s = j.groupBy("day_id").agg(
+        F.max("cents").alias("cents"),
+        F.count(F.lit(1)).alias("n_lags"),
+        F.sum(
+            F.floor(F.col("wt") * F.col("lag_cents") + F.lit(0.5))
+        ).alias("numq"),
+        F.sum(
+            F.floor(F.col("wt") * F.lit(1000000000) + F.lit(0.5))
+        ).alias("denq"),
+    )
+    return s.select(
+        "day_id",
+        F.round(F.col("cents").cast("double") / 100, 2).alias("revenue"),
+        "n_lags",
+        F.round(
+            F.col("numq").cast("double")
+            / (F.col("denq").cast("double") / F.lit(1000000000))
+            / 100,
+            4,
+        ).alias("ewma"),
+    ).orderBy("day_id")
