@@ -1385,3 +1385,15 @@ def test_bloom_filter_and_verdicts_broadcast(spark, sf_dir):
     assert broadcast_join_count(df) >= 3
     assert "CartesianProduct" not in plan
     assert "windowspecdefinition" not in plan
+
+
+def test_psi_and_ewma_expand_census_via_broadcasts(spark, sf_dir):
+    """r7: psi_drift's constant bin grid and ewma_smooth's 10×32 lag
+    expansion must ride broadcasts over the day/bin census — one
+    fact rollup each, never a shuffle of expanded rows."""
+    for name in ("psi_drift", "ewma_smooth"):
+        df = REG[name].spark(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert broadcast_join_count(df) >= 2, f"{name}: missing broadcasts"
+        assert "CartesianProduct" not in plan
+        assert _windows_sit_on_aggregates(plan), f"{name}: raw-scan window"
