@@ -425,3 +425,53 @@ def zorder_layout_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("scanned_frac"),
         "rows_matched",
     )
+
+
+@register(
+    "bucketed_join_roundtrip",
+    ids="layout: bucketed write → co-located zero-key-exchange join roundtrip",
+    oracle="""
+SELECT c.c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def bucketed_join_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-layout roundtrip: write orders AND customer bucketed by
+    the customer key (8 buckets, bucket-sorted), read them back, and
+    run the fact⋈dim revenue rollup — the pay-the-shuffle-once-at-
+    ingest pattern that turns a 100 TB repeated join's exchange into a
+    file-aligned merge.  The oracle recomputes from the ORIGINAL
+    parquet, so a hash-match proves the bucketed write/read round-trips
+    every row and value; the plan pin
+    (`test_bucketed_roundtrip_no_key_exchange`) separately proves the
+    join plans with no exchange on the key.
+
+    Table names are (process, sf)-scoped like the memory sinks; the
+    in-memory catalog is session-local, so no cross-process metastore
+    state."""
+    import re
+
+    suffix = f"{re.sub(r'[^A-Za-z0-9]', '_', sf_dir)}_{os.getpid()}"
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    from big_data_lab_three_spark.sources.sinks import write_bucketed_table
+
+    on, cn = f"orders_bkt_{suffix}", f"customer_bkt_{suffix}"
+    write_bucketed_table(o, on, "o_custkey", 8, _scratch(on))
+    write_bucketed_table(c, cn, "c_custkey", 8, _scratch(cn))
+    ob, cb = spark.table(on), spark.table(cn)
+    return (
+        ob.join(cb, ob.o_custkey == cb.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("segment")
+    )

@@ -1397,3 +1397,17 @@ def test_psi_and_ewma_expand_census_via_broadcasts(spark, sf_dir):
         assert broadcast_join_count(df) >= 2, f"{name}: missing broadcasts"
         assert "CartesianProduct" not in plan
         assert _windows_sit_on_aggregates(plan), f"{name}: raw-scan window"
+
+
+def test_bucketed_roundtrip_no_key_exchange(spark, sf_dir):
+    """r7: the registered bucketed roundtrip must plan its join with NO
+    exchange on the customer key — only the rollup/sort exchanges may
+    remain (the pay-the-shuffle-once-at-ingest property, now
+    driver-visible via the oracle query)."""
+    from big_data_lab_three_spark.plans.inspect import exchange_args
+
+    df = REG["bucketed_join_roundtrip"].spark(spark, sf_dir)
+    args = exchange_args(df)
+    assert not any("custkey" in a for a in args), (
+        f"bucketed join still shuffles on the key: {args}"
+    )
