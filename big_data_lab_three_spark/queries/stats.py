@@ -34,6 +34,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from big_data_lab_three_spark.operators.rankstats import (
+    N_COL,
+    RANK_COL,
+    global_ranks,
+    ntile_from_rank,
+)
 from big_data_lab_three_spark.queries import register
 from big_data_lab_three_spark.sources import table
 
@@ -1293,3 +1299,85 @@ def ewma_smooth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("ewma"),
     ).orderBy("day_id")
+
+
+@register(
+    "rfm_segments",
+    ids="analytics: RFM customer segmentation via distributed exact quintiles (integer census output)",
+    oracle="""
+WITH base AS (
+    SELECT o_custkey AS custkey,
+           CAST(max(CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+               AS BIGINT) AS recency,
+           CAST(count(*) AS BIGINT) AS frequency,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS monetary
+    FROM orders GROUP BY 1
+), q AS (
+    SELECT custkey, monetary,
+           ntile(5) OVER (ORDER BY recency, custkey) AS r_q,
+           ntile(5) OVER (ORDER BY frequency, custkey) AS f_q,
+           ntile(5) OVER (ORDER BY monetary, custkey) AS m_q
+    FROM base
+)
+SELECT CAST(r_q AS INTEGER) AS r_q,
+       CAST(f_q AS INTEGER) AS f_q,
+       CAST(m_q AS INTEGER) AS m_q,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(monetary) AS BIGINT) AS monetary_cents
+FROM q
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+""",
+)
+def rfm_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-value census: per
+    customer, Recency (last order day), Frequency (order count), and
+    Monetary (lifetime cents), each cut into exact quintiles, then the
+    (r, f, m) cell census with total monetary value per cell.  The
+    "5-5-5 = champions" readout every CRM / LTV pipeline starts from.
+
+    All three quintile assignments ride the distributed exact-ntile
+    path (`global_ranks` + `ntile_from_rank`, custkey tiebreak — the
+    bit-for-bit twin of SQL `ntile(5) OVER (ORDER BY v, custkey)`), so
+    no global window ever touches the customer frame on the Spark
+    side.  Monetary is exact cents (BIGINT), making every output
+    column integer — hash parity without any rounding convention.
+
+    Scale shape: one rollup shuffle onto the per-customer frame, three
+    range-partition rank passes over it (customers, not orders), one
+    groupBy onto ≤125 cells; the fact is scanned once."""
+    base = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max(
+                F.datediff(
+                    F.to_date("o_orderdate"),
+                    F.lit("1970-01-01").cast("date"),
+                ).cast("long")
+            ).alias("recency"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast(
+                    "long"
+                )
+            ).alias("monetary"),
+        )
+    )
+    base.persist()
+    cur = base
+    for dim, col in (("r_q", "recency"), ("f_q", "frequency"), ("m_q", "monetary")):
+        ranked = global_ranks(cur, order_cols=(col, "custkey"))
+        cur = ranked.withColumn(
+            dim,
+            ntile_from_rank(F.col(RANK_COL), F.col(N_COL), 5).cast("int"),
+        ).drop(RANK_COL, N_COL)
+    return (
+        cur.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("monetary").alias("monetary_cents"),
+        )
+        .orderBy("r_q", "f_q", "m_q")
+    )

@@ -1411,3 +1411,15 @@ def test_bucketed_roundtrip_no_key_exchange(spark, sf_dir):
     assert not any("custkey" in a for a in args), (
         f"bucketed join still shuffles on the key: {args}"
     )
+
+
+def test_rfm_ranks_without_global_window(spark, sf_dir):
+    """r7: all three RFM quintile assignments must ride the
+    distributed exact-ntile path — any window in the plan may only be
+    global_ranks' internal offsets window over an aggregate."""
+    df = REG["rfm_segments"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert _windows_sit_on_aggregates(plan), (
+        "a Window consumes raw rows, not the offsets census"
+    )
+    assert "CartesianProduct" not in plan
