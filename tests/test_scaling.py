@@ -50,6 +50,11 @@ QUERIES = (
     # users grow with the corpus
     "copurchase_topk",
     "lttb_downsample",
+    # r7 session 3: the two heaviest new shapes — zorder's double
+    # exact-rank pass over the fact must stay range-partition-bounded,
+    # and the RFM triple-ntile must stay customer-frame-bounded
+    "zorder_layout",
+    "rfm_segments",
 )
 MAX_RATIO = 30.0
 
