@@ -44,6 +44,14 @@ from big_data_lab_three_spark.queries import register
 from big_data_lab_three_spark.sources import table
 
 
+def _qsum(col, quantum: int):
+    """The module's multi-cell sum convention: quantize each
+    non-negative double term to ``1/quantum`` (floor(x·q + 0.5) —
+    half-up == half-away for x ≥ 0) and INTEGER-sum, so the total is
+    immune to partial-sum ordering on either engine."""
+    return F.sum(F.floor(col * F.lit(quantum) + F.lit(0.5)))
+
+
 @register(
     "mann_whitney_u",
     ids="stat-test: Mann-Whitney U rank-sum (tie-corrected, exact integer rank algebra)",
@@ -374,9 +382,7 @@ def chi_square_test_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.persist()
     tot = q.agg(
-        F.sum(
-            F.floor(F.col("contrib") * F.lit(1000000000) + F.lit(0.5))
-        ).alias("chiq"),
+        _qsum(F.col("contrib"), 1000000000).alias("chiq"),
         F.max("n").alias("nn"),
         F.countDistinct("priority").alias("nr"),
         F.countDistinct("status").alias("nc"),
@@ -503,11 +509,7 @@ def benford_census_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     q.persist()
-    tot = q.agg(
-        F.sum(
-            F.floor(F.col("contrib") * F.lit(1000000000) + F.lit(0.5))
-        ).alias("chiq")
-    )
+    tot = q.agg(_qsum(F.col("contrib"), 1000000000).alias("chiq"))
     return q.crossJoin(F.broadcast(tot)).select(
         "digit",
         "n_d",
@@ -1164,11 +1166,7 @@ def psi_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("contrib"),
     )
     k.persist()
-    tot = k.agg(
-        F.sum(
-            F.floor(F.col("contrib") * F.lit(1000000) + F.lit(0.5))
-        ).alias("psiq")
-    )
+    tot = k.agg(_qsum(F.col("contrib"), 1000000).alias("psiq"))
     return k.crossJoin(F.broadcast(tot)).select(
         "bin",
         "n_ref",
@@ -1281,12 +1279,8 @@ def ewma_smooth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = j.groupBy("day_id").agg(
         F.max("cents").alias("cents"),
         F.count(F.lit(1)).alias("n_lags"),
-        F.sum(
-            F.floor(F.col("wt") * F.col("lag_cents") + F.lit(0.5))
-        ).alias("numq"),
-        F.sum(
-            F.floor(F.col("wt") * F.lit(1000000000) + F.lit(0.5))
-        ).alias("denq"),
+        _qsum(F.col("wt") * F.col("lag_cents"), 1).alias("numq"),
+        _qsum(F.col("wt"), 1000000000).alias("denq"),
     )
     return s.select(
         "day_id",
