@@ -55,10 +55,11 @@ _MODULES = (
     "big_data_lab_three_spark.queries.multimodal",
     "big_data_lab_three_spark.queries.streaming",
     # Registration-order contract (see the extras module docstring):
-    # each round's newest module imports LAST, so that mid-round
-    # additions sort after every older never-driver-verified name and
-    # cannot displace a queued name out of the driver's 50-name
-    # correctness prefix.
+    # each round's newest module imports LAST.  Additions to the last
+    # module sort after every older never-driver-verified name;
+    # additions to EARLIER modules sort ahead of older queued names,
+    # which is safe only while the whole queued pool fits the driver's
+    # 50-name prefix — tests/test_registry_order.py trips on overflow.
     "big_data_lab_three_spark.queries.extras",
     "big_data_lab_three_spark.queries.stats",
 )

@@ -1341,8 +1341,6 @@ def test_acf_lag_expansion_broadcasts_day_census(spark, sf_dir):
     """r7: the lag self-join expands the ~2400-row day census ×7 via
     broadcasts — the orders fact itself is touched by exactly one
     rollup exchange."""
-    from big_data_lab_three_spark.plans.inspect import shuffle_count
-
     df = REG["acf_lags"].spark(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert broadcast_join_count(df) >= 2

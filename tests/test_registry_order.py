@@ -88,3 +88,22 @@ def test_unverified_names_respect_module_import_order():
         "never-verified names out of module import order: "
         f"{[n for n, a, b in zip(unverified, indices, sorted(indices)) if a != b]}"
     )
+
+
+def test_queued_names_fit_in_driver_prefix():
+    """The displacement tripwire the module-order invariant alone can't
+    provide: if the stale-plan + never-verified pool ever exceeds the
+    driver's 50-name prefix, some queued query would silently never get
+    driver-verified.  Fail loudly instead — the fix is to stop adding
+    names (or to re-home additions into the last module) until a round
+    record drains the pool."""
+    verified = _driver_verified()
+    queued = [n for n in _FORCE_FRONT if n in REGISTRY] + [
+        n
+        for n in REGISTRY
+        if n not in verified and n not in _FORCE_FRONT
+    ]
+    assert len(queued) <= 50, (
+        f"{len(queued)} queued names exceed the 50-name driver prefix: "
+        f"the overflow would never be verified — {queued[50:]}"
+    )
