@@ -34,6 +34,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from big_data_lab_three_spark.functions.numeric import (
+    quantized_sum as _qsum,
+)
 from big_data_lab_three_spark.operators.rankstats import (
     N_COL,
     RANK_COL,
@@ -42,14 +45,6 @@ from big_data_lab_three_spark.operators.rankstats import (
 )
 from big_data_lab_three_spark.queries import register
 from big_data_lab_three_spark.sources import table
-
-
-def _qsum(col, quantum: int):
-    """The module's multi-cell sum convention: quantize each
-    non-negative double term to ``1/quantum`` (floor(x·q + 0.5) —
-    half-up == half-away for x ≥ 0) and INTEGER-sum, so the total is
-    immune to partial-sum ordering on either engine."""
-    return F.sum(F.floor(col * F.lit(quantum) + F.lit(0.5)))
 
 
 @register(

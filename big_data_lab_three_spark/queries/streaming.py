@@ -14,6 +14,7 @@ import itertools
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from big_data_lab_three_spark.functions.numeric import quantized_sum
 from big_data_lab_three_spark.queries import register
 from big_data_lab_three_spark.streaming import (
     read_events_stream,
@@ -396,11 +397,7 @@ def streaming_drift_monitor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("wn").alias("n_events"),
             F.count(F.lit(1)).alias("n_buckets"),
             F.round(
-                F.sum(
-                    F.floor(
-                        F.col("contrib") * F.lit(1000000000) + F.lit(0.5)
-                    )
-                ).cast("double")
+                quantized_sum(F.col("contrib"), 1000000000).cast("double")
                 / F.lit(1000000000),
                 6,
             ).alias("chi2"),

@@ -24,6 +24,7 @@ from big_data_lab_three_spark.operators.text import (
     tfidf_top_terms,
     token_count,
 )
+from big_data_lab_three_spark.functions.numeric import quantized_sum
 from big_data_lab_three_spark.functions.text import tokens
 from big_data_lab_three_spark.queries import register
 from big_data_lab_three_spark.sources import table
@@ -1618,11 +1619,7 @@ def ndcg_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc = spark.createDataFrame(
         list(_NDCG_DISC), schema="r int, d double"
     )
-    quant = F.sum(
-        F.floor(
-            F.col("gain") * F.col("d") * F.lit(1000000000) + F.lit(0.5)
-        )
-    )
+    quant = quantized_sum(F.col("gain") * F.col("d"), 1000000000)
     sys10 = (
         g.join(F.broadcast(disc), g.sys_rank == disc.r)
         .groupBy("term")
