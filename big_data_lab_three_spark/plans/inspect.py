@@ -126,3 +126,37 @@ def codegen_stage_count(df: DataFrame) -> int:
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
     return len(ids)
+
+
+def window_over_raw_scan(df: DataFrame) -> bool:
+    """True if any logical Window node's input subtree reaches a raw
+    FILE source relation without an Aggregate in between — the
+    single-task global-window-over-the-fact anti-shape.
+
+    Walks the OPTIMIZED LOGICAL plan tree (no AQE wrapper ambiguity,
+    unlike the physical-plan string): descent is CUT at ``Aggregate``
+    (a window over any aggregate consumes a census, which is the legal
+    shape), and constant sources (``LocalRelation``, ``Range``) and
+    in-memory sinks (``LogicalRDD``) are not raw scans.  Nested windows
+    below an aggregate are still scanned independently."""
+    raw = {"LogicalRelation", "Relation", "UnresolvedRelation"}
+
+    def children(node):
+        ch = node.children()
+        return [ch.apply(i) for i in range(ch.size())]
+
+    def reaches_raw(node) -> bool:
+        name = node.nodeName()
+        if name == "Aggregate":
+            return False
+        if name in raw:
+            return True
+        return any(reaches_raw(c) for c in children(node))
+
+    def scan(node) -> bool:
+        bad = node.nodeName() == "Window" and any(
+            reaches_raw(c) for c in children(node)
+        )
+        return bad or any(scan(c) for c in children(node))
+
+    return scan(df._jdf.queryExecution().optimizedPlan())

@@ -1278,19 +1278,15 @@ def test_pq_code_census_broadcasts_codebook_and_preaggregates(spark, sf_dir):
     )
 
 
-def _windows_sit_on_aggregates(plan: str) -> bool:
-    """True if every Window node's subtree reaches a HashAggregate
-    before any parquet scan — i.e. windows run over bounded census /
-    offsets aggregates, never over raw fact rows (the tree prints a
-    parent before its child)."""
-    w = plan.find("Window")
-    while w >= 0:
-        agg = plan.find("HashAggregate", w)
-        scan = plan.find("Scan parquet", w)
-        if agg == -1 or (scan != -1 and scan < agg):
-            return False
-        w = plan.find("Window", w + 1)
-    return True
+def _windows_sit_on_aggregates(df) -> bool:
+    """True if every Window node consumes a bounded census / offsets
+    aggregate, never raw fact rows — a REAL logical-plan tree walk
+    (``plans.inspect.window_over_raw_scan``), not a flat string scan,
+    so a window over a join of (aggregate, raw scan) cannot
+    false-pass."""
+    from big_data_lab_three_spark.plans.inspect import window_over_raw_scan
+
+    return not window_over_raw_scan(df)
 
 
 def test_stat_tests_window_only_over_census(spark, sf_dir):
@@ -1306,7 +1302,7 @@ def test_stat_tests_window_only_over_census(spark, sf_dir):
     ):
         df = REG[name].spark(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
-        assert _windows_sit_on_aggregates(plan), (
+        assert _windows_sit_on_aggregates(df), (
             f"{name}: a Window consumes a raw scan, not the census"
         )
         assert "CartesianProduct" not in plan
@@ -1330,7 +1326,7 @@ def test_zorder_layout_ranks_without_global_window(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # global_ranks' internal offsets window (over the per-partition
     # count aggregate) is the ONLY legal window — none over the fact.
-    assert _windows_sit_on_aggregates(plan), (
+    assert _windows_sit_on_aggregates(df), (
         "a Window consumes the raw fact scan"
     )
     assert broadcast_join_count(df) >= 2
@@ -1370,7 +1366,7 @@ def test_gini_split_windows_partition_by_feature(spark, sf_dir):
     df = REG["gini_split_census"].spark(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "windowspecdefinition(feature" in plan
-    assert _windows_sit_on_aggregates(plan)
+    assert _windows_sit_on_aggregates(df)
     assert "CartesianProduct" not in plan
 
 
@@ -1394,7 +1390,7 @@ def test_psi_and_ewma_expand_census_via_broadcasts(spark, sf_dir):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert broadcast_join_count(df) >= 2, f"{name}: missing broadcasts"
         assert "CartesianProduct" not in plan
-        assert _windows_sit_on_aggregates(plan), f"{name}: raw-scan window"
+        assert _windows_sit_on_aggregates(df), f"{name}: raw-scan window"
 
 
 def test_bucketed_roundtrip_no_key_exchange(spark, sf_dir):
@@ -1417,7 +1413,7 @@ def test_rfm_ranks_without_global_window(spark, sf_dir):
     global_ranks' internal offsets window over an aggregate."""
     df = REG["rfm_segments"].spark(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert _windows_sit_on_aggregates(plan), (
+    assert _windows_sit_on_aggregates(df), (
         "a Window consumes raw rows, not the offsets census"
     )
     assert "CartesianProduct" not in plan
