@@ -1370,3 +1370,244 @@ def rfm_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_q", "f_q", "m_q")
     )
+
+
+@register(
+    "feature_hash_census",
+    ids="ml-prim: hashing-trick collision census over the (brand, type) feature vocabulary (md5 positions)",
+    oracle="""
+WITH f AS (
+    SELECT DISTINCT p_brand || ':' || p_type AS feature
+    FROM part
+), h AS (
+    SELECT feature,
+           CAST(('0x' || substr(md5('fh:' || feature), 1, 15)) AS BIGINT)
+               % 64 AS bucket
+    FROM f
+), b AS (
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_in_bucket
+    FROM h GROUP BY bucket
+)
+SELECT CAST(sum(n_in_bucket) AS BIGINT) AS n_features,
+       64 AS n_buckets,
+       CAST(count(*) AS BIGINT) AS buckets_used,
+       CAST(max(n_in_bucket) AS BIGINT) AS max_bucket_features,
+       CAST(sum(CASE WHEN n_in_bucket > 1 THEN n_in_bucket ELSE 0 END)
+           AS BIGINT) AS collided_features,
+       round(CAST(sum(CASE WHEN n_in_bucket > 1 THEN n_in_bucket
+                           ELSE 0 END) AS DOUBLE)
+             / sum(n_in_bucket), 6) AS collision_rate
+FROM b
+""",
+)
+def feature_hash_census_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick audit — the census a feature-engineering pipeline
+    runs before committing to `HashingTF`-style dimensionality: hash
+    the ~150-value (brand, type) vocabulary into 64 buckets with the
+    repo's md5-60-bit convention and measure the collision profile
+    (birthday regime: most features SHOULD share buckets at this
+    load factor — the census quantifies exactly how many, so the
+    downstream model's collision noise is a measured quantity, not a
+    hope).
+
+    Everything is exact integers from portable md5 positions; the only
+    double is the reported collision rate.
+
+    Scale shape: the vocabulary census is one distinct + groupBy over
+    the part dimension (bounded by the feature DOMAIN at any corpus
+    size); 1-row output."""
+    f = (
+        table(spark, sf_dir, "part")
+        .select(
+            F.concat_ws(":", "p_brand", "p_type").alias("feature")
+        )
+        .distinct()
+    )
+    h = f.select(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("fh:"), F.col("feature"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        .__mod__(64)
+        .alias("bucket")
+    )
+    b = h.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_in_bucket"))
+    collided = F.sum(
+        F.when(F.col("n_in_bucket") > 1, F.col("n_in_bucket")).otherwise(0)
+    )
+    return b.agg(
+        F.sum("n_in_bucket").alias("n_features"),
+        F.lit(64).cast("int").alias("n_buckets"),
+        F.count(F.lit(1)).alias("buckets_used"),
+        F.max("n_in_bucket").alias("max_bucket_features"),
+        collided.alias("collided_features"),
+        F.round(
+            collided.cast("double") / F.sum("n_in_bucket"), 6
+        ).alias("collision_rate"),
+    )
+
+
+@register(
+    "conformal_interval",
+    ids="ml-eval: split-conformal prediction intervals per segment (md5 3-way split, exact order-statistic quantile, measured coverage)",
+    oracle="""
+WITH o AS (
+    SELECT o.o_orderkey AS okey,
+           c.c_mktsegment AS segment,
+           CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS cents,
+           CAST(('0x' || substr(md5('cf:' || CAST(o.o_orderkey AS VARCHAR)),
+                                1, 15)) AS BIGINT) % 5 AS fold
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), model AS (
+    SELECT segment,
+           CAST(sum(cents) AS DOUBLE) / count(*) AS yhat
+    FROM o WHERE fold >= 2 GROUP BY segment
+), cal AS (
+    SELECT o.segment, abs(CAST(o.cents AS DOUBLE) - m.yhat) AS score,
+           o.okey
+    FROM o JOIN model m ON o.segment = m.segment
+    WHERE o.fold = 0
+), ranked AS (
+    SELECT segment, score,
+           row_number() OVER (PARTITION BY segment
+               ORDER BY score, okey) AS r,
+           count(*) OVER (PARTITION BY segment) AS n_cal
+    FROM cal
+), qhat AS (
+    SELECT segment, CAST(n_cal AS BIGINT) AS n_cal, score AS q
+    FROM ranked
+    WHERE r = least(CAST(floor((9 * (n_cal + 1) + 9) / 10.0) AS BIGINT),
+                    n_cal)
+), ev AS (
+    SELECT o.segment,
+           CAST(count(*) AS BIGINT) AS n_eval,
+           CAST(sum(CASE WHEN abs(CAST(o.cents AS DOUBLE) - m.yhat)
+                              <= q.q THEN 1 ELSE 0 END) AS BIGINT)
+               AS covered
+    FROM o
+    JOIN model m ON o.segment = m.segment
+    JOIN qhat q ON o.segment = q.segment
+    WHERE o.fold = 1
+    GROUP BY o.segment
+)
+SELECT ev.segment, qhat.n_cal, ev.n_eval,
+       round(qhat.q / 100, 4) AS qhat_dollars,
+       round(CAST(ev.covered AS DOUBLE) / ev.n_eval, 6) AS coverage
+FROM ev JOIN qhat ON ev.segment = qhat.segment
+ORDER BY ev.segment
+""",
+)
+def conformal_interval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals — the distribution-free
+    uncertainty wrapper a serving layer puts around ANY point model:
+    with a disjoint md5 3-way split (train 60% / calibration 20% /
+    eval 20%), the calibration scores' ceil(0.9·(n+1))-th smallest
+    absolute residual is a finite-sample-valid 90% interval half-width,
+    and the held-out eval coverage REPORTED HERE verifies the guarantee
+    empirically (~0.9 per segment).  Model = per-segment train-mean —
+    deliberately crude; conformal validity doesn't care.
+
+    Exactness: the md5 fold split is the repo's portable convention;
+    the quantile is an ORDER STATISTIC (rank `min(ceil(0.9(n+1)), n)`
+    with okey tiebreak — no interpolation), selected per segment by the
+    distributed rank pass; scores are one shared double expression over
+    exact cents; coverage is an integer count.
+
+    Scale shape: one fact⋈dim broadcast join, one groupBy for the
+    5-row model, one grouped rank pass over the CALIBRATION slice
+    (20% of customers' orders, grouped by segment), broadcast q̂ back
+    onto the eval slice; 5-row output."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.col("c_mktsegment").alias("segment"),
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("cf:"),
+                                F.col("o_orderkey").cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 5
+            ).alias("fold"),
+        )
+    )
+    o.persist()
+    model = (
+        o.where(F.col("fold") >= 2)
+        .groupBy("segment")
+        .agg(
+            (
+                F.sum("cents").cast("double") / F.count(F.lit(1))
+            ).alias("yhat")
+        )
+    )
+    cal = (
+        o.where(F.col("fold") == 0)
+        .join(F.broadcast(model), "segment")
+        .select(
+            "segment",
+            F.abs(F.col("cents").cast("double") - F.col("yhat")).alias(
+                "score"
+            ),
+            "okey",
+        )
+    )
+    ranked = global_ranks(
+        cal, order_cols=("score", "okey"), group_cols=("segment",)
+    )
+    k = F.least(
+        F.floor((9 * (F.col(N_COL) + 1) + 9) / F.lit(10.0)).cast("long"),
+        F.col(N_COL),
+    )
+    qhat = ranked.where(F.col(RANK_COL) == k).select(
+        "segment",
+        F.col(N_COL).alias("n_cal"),
+        F.col("score").alias("q"),
+    )
+    ev = (
+        o.where(F.col("fold") == 1)
+        .join(F.broadcast(model), "segment")
+        .join(F.broadcast(qhat), "segment")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.sum(
+                (
+                    F.abs(F.col("cents").cast("double") - F.col("yhat"))
+                    <= F.col("q")
+                ).cast("long")
+            ).alias("covered"),
+            F.max("n_cal").alias("n_cal"),
+            F.max("q").alias("q"),
+        )
+    )
+    return ev.select(
+        "segment",
+        "n_cal",
+        "n_eval",
+        F.round(F.col("q") / 100, 4).alias("qhat_dollars"),
+        F.round(
+            F.col("covered").cast("double") / F.col("n_eval"), 6
+        ).alias("coverage"),
+    ).orderBy("segment")

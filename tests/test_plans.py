@@ -1417,3 +1417,14 @@ def test_rfm_ranks_without_global_window(spark, sf_dir):
         "a Window consumes raw rows, not the offsets census"
     )
     assert "CartesianProduct" not in plan
+
+
+def test_conformal_ranks_group_by_segment_no_raw_window(spark, sf_dir):
+    """r7: the conformal quantile must come from the grouped
+    distributed rank pass (windows only over global_ranks' offsets
+    aggregate) with the model and q-hat frames broadcast back."""
+    df = REG["conformal_interval"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert _windows_sit_on_aggregates(df)
+    assert broadcast_join_count(df) >= 3
+    assert "CartesianProduct" not in plan
