@@ -1428,3 +1428,35 @@ def test_conformal_ranks_group_by_segment_no_raw_window(spark, sf_dir):
     assert _windows_sit_on_aggregates(df)
     assert broadcast_join_count(df) >= 3
     assert "CartesianProduct" not in plan
+
+
+def test_window_over_raw_scan_controls(spark, sf_dir):
+    """The guard itself, regression-protected: a window directly over
+    the raw fact must be CAUGHT, a window over a census aggregate must
+    be CLEAN, and — the shape the old string scan false-passed — a
+    window over a join of (aggregate, raw scan) must be CAUGHT."""
+    from pyspark.sql import Window
+
+    from big_data_lab_three_spark.plans.inspect import window_over_raw_scan
+
+    li = table(spark, sf_dir, "lineitem")
+    bad = li.withColumn(
+        "r", F.sum("l_quantity").over(Window.orderBy("l_orderkey"))
+    )
+    assert window_over_raw_scan(bad), "raw-scan window not caught"
+
+    census = li.groupBy("l_returnflag").count()
+    good = census.withColumn(
+        "r", F.sum("count").over(Window.orderBy("l_returnflag"))
+    )
+    assert not window_over_raw_scan(good), "census window false-caught"
+
+    mixed = census.join(
+        li.select("l_returnflag", "l_quantity"), "l_returnflag"
+    ).withColumn(
+        "r", F.sum("l_quantity").over(Window.orderBy("l_returnflag"))
+    )
+    assert window_over_raw_scan(mixed), (
+        "window over join(aggregate, raw scan) not caught — the shape "
+        "the old flat-string guard false-passed"
+    )
