@@ -1611,3 +1611,90 @@ def conformal_interval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("covered").cast("double") / F.col("n_eval"), 6
         ).alias("coverage"),
     ).orderBy("segment")
+
+
+@register(
+    "lorenz_gap_census",
+    ids="analytics: Lorenz decile concentration of customer lifetime value (exact cents, distributed ntile)",
+    oracle="""
+WITH base AS (
+    SELECT o_custkey AS custkey,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY 1
+), q AS (
+    SELECT custkey, cents,
+           ntile(10) OVER (ORDER BY cents, custkey) AS decile
+    FROM base
+), d AS (
+    SELECT CAST(decile AS INTEGER) AS decile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(cents) AS BIGINT) AS cents
+    FROM q GROUP BY 1
+), t AS (
+    SELECT CAST(sum(cents) AS BIGINT) AS total FROM d
+)
+SELECT d.decile, d.n_customers, d.cents,
+       round(CAST(d.cents AS DOUBLE) / t.total, 6) AS share,
+       round(CAST(sum(d.cents) OVER (ORDER BY d.decile) AS DOUBLE)
+             / t.total, 6) AS cum_share
+FROM d, t
+ORDER BY d.decile
+""",
+)
+def lorenz_gap_census_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz concentration census: customers cut into lifetime-value
+    deciles, each decile's share and cumulative share of total revenue
+    — the "top decile carries X% of revenue" readout that complements
+    `skew_profile`'s single Gini number with the full curve (and the
+    business twin of the join-key skew problem: the same curve says
+    which customer keys will be shuffle stragglers).
+
+    Exactness: lifetime value is exact cents; decile membership rides
+    the distributed exact-ntile path (custkey tiebreak — the
+    `rfm_segments` convention); shares are single double divisions of
+    exact BIGINTs, rounded only for display.
+
+    Scale shape: one rollup shuffle onto the customer frame, one
+    range-partition rank pass over it, a 10-row census after; windows
+    only over that census; 10-row output."""
+    base = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast(
+                    "long"
+                )
+            ).alias("cents")
+        )
+    )
+    ranked = global_ranks(base, order_cols=("cents", "custkey"))
+    q = ranked.withColumn(
+        "decile",
+        ntile_from_rank(F.col(RANK_COL), F.col(N_COL), 10).cast("int"),
+    )
+    d = q.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").alias("cents"),
+    )
+    d.persist()
+    t = d.agg(F.sum("cents").alias("total"))
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        d.crossJoin(F.broadcast(t))
+        .select(
+            "decile",
+            "n_customers",
+            "cents",
+            F.round(
+                F.col("cents").cast("double") / F.col("total"), 6
+            ).alias("share"),
+            F.round(
+                F.sum("cents").over(wc).cast("double") / F.col("total"), 6
+            ).alias("cum_share"),
+        )
+        .orderBy("decile")
+    )

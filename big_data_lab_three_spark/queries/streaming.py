@@ -404,3 +404,106 @@ def streaming_drift_monitor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start_us")
     )
+
+
+@register(
+    "streaming_cusum",
+    ids="streaming: CUSUM changepoint over the drained per-window count series (exact integer argmax)",
+    oracle="""
+WITH c AS (
+  SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+), p AS (
+  SELECT window_start_us,
+         CAST(sum(n) OVER (ORDER BY window_start_us) AS BIGINT) AS prefix,
+         CAST(row_number() OVER (ORDER BY window_start_us) AS BIGINT) AS t
+  FROM c
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS nw, CAST(sum(n) AS BIGINT) AS s
+  FROM c
+), sc AS (
+  SELECT p.window_start_us, p.t, p.prefix, tot.nw, tot.s,
+         tot.nw * p.prefix - p.t * tot.s AS signed
+  FROM p, tot
+  WHERE p.t < tot.nw
+  ORDER BY abs(tot.nw * p.prefix - p.t * tot.s) DESC, p.window_start_us ASC
+  LIMIT 1
+)
+SELECT nw AS n_windows, window_start_us AS cp_window_start_us,
+       CAST(signed AS BIGINT) AS cusum_signed_scaled,
+       round(CAST(prefix AS DOUBLE) / t, 4) AS mean_before,
+       round(CAST(s - prefix AS DOUBLE) / (nw - t), 4) AS mean_after
+FROM sc
+""",
+)
+def streaming_cusum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming changepoint detection: the STREAM maintains the exact
+    per-hour-window event counters (watermarked state, complete mode)
+    — and the SERVING query runs the binary-segmentation CUSUM scan
+    over the drained window series, finding the hour where the event
+    rate most decisively shifted.  Changepoint detection, like ranking
+    and chi-square, is not an incremental aggregate — it lives on the
+    sink, never in stream state (the family split all three r7
+    streaming readouts share).
+
+    The argmax is the exact integer `|nw·prefix_t − t·S|` on window
+    counts (the `cusum_changepoint` algebra; counts make even the
+    signed peak reportable as a raw BIGINT — no float in the
+    statistic at all), ties to the earliest window.
+
+    Scale shape: streaming state is one counter per window
+    (watermark-evicted); the serving scan runs over the ~500-row
+    drained census; 1-row output."""
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts_utc", "2 hours")
+        .groupBy(F.window("ts_utc", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_micros("window.start").alias("window_start_us"), "n"
+        )
+    )
+    c = run_stream_to_table(
+        spark, agg, f"stream_cusum_{next(_seq)}", output_mode="complete"
+    )
+    c.persist()
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("window_start_us")
+    p = c.select(
+        "window_start_us",
+        F.sum("n")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("prefix"),
+        F.row_number().over(w).cast("long").alias("t"),
+    )
+    tot = c.agg(
+        F.count(F.lit(1)).alias("nw"), F.sum("n").alias("s")
+    )
+    signed = F.col("nw") * F.col("prefix") - F.col("t") * F.col("s")
+    sc = (
+        p.crossJoin(F.broadcast(tot))
+        .where(F.col("t") < F.col("nw"))
+        .select(
+            "window_start_us", "t", "prefix", "nw", "s",
+            signed.alias("signed"),
+        )
+        .orderBy(
+            F.abs(F.col("signed")).desc(), F.col("window_start_us").asc()
+        )
+        .limit(1)
+    )
+    return sc.select(
+        F.col("nw").alias("n_windows"),
+        F.col("window_start_us").alias("cp_window_start_us"),
+        F.col("signed").alias("cusum_signed_scaled"),
+        F.round(
+            F.col("prefix").cast("double") / F.col("t"), 4
+        ).alias("mean_before"),
+        F.round(
+            (F.col("s") - F.col("prefix")).cast("double")
+            / (F.col("nw") - F.col("t")),
+            4,
+        ).alias("mean_after"),
+    )

@@ -1460,3 +1460,15 @@ def test_window_over_raw_scan_controls(spark, sf_dir):
         "window over join(aggregate, raw scan) not caught — the shape "
         "the old flat-string guard false-passed"
     )
+
+
+def test_streaming_and_lorenz_windows_on_census(spark, sf_dir):
+    """r7 close: streaming_cusum's prefix scan runs on the drained
+    window census (in-memory sink — not a raw scan), and
+    lorenz_gap_census's cumulative-share window runs on the 10-row
+    decile census."""
+    for name in ("lorenz_gap_census",):
+        df = REG[name].spark(spark, sf_dir)
+        assert _windows_sit_on_aggregates(df), f"{name}: raw-scan window"
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
