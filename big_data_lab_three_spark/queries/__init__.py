@@ -97,14 +97,10 @@ def register(name: str, ids: str = "", oracle: str | None = None):
 # reshuffle needed.  This is presentation only: every entry remains
 # registered and locally gated either way.
 _FORCE_FRONT: tuple[str, ...] = (
-    # r7 plan changes — re-verify even though green rows exist:
-    # ivf_topk's coarse-quantizer sample became content-keyed (hash-mod
-    # + hash-order, operators/similarity.py) → both IVF queries re-run;
-    # ivf_assign_census switched avg_cos to exact integer aggregation
-    # (sum(round(cq·1e6)) / n, both engines).
-    "similarity_ivf_recall",
-    "similarity_ivf",
-    "ivf_assign_census",
+    # Empty per contract: the r7 trio (similarity_ivf_recall,
+    # similarity_ivf, ivf_assign_census) went green in BOTH the r7 and
+    # r8 driver records — their 3 prefix slots are freed for round-9
+    # registrations.
 )
 
 _DRIVER_ROTATION: tuple[str, ...] = (
