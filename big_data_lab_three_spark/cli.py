@@ -65,6 +65,12 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument(
         "-t", "--test-mode", default="smoke", choices=["smoke", "func", "db"]
     )
+    pr.add_argument(
+        "--fixtures-dir",
+        default=None,
+        help="func-mode JSON fixture dir (default: [DATA] unit_tests_dir "
+        "from config, else ./unit_tests — reference src/predict.py:128)",
+    )
 
     args = p.parse_args(argv)
     catalog = Catalog(args.config)
@@ -99,7 +105,15 @@ def main(argv: list[str] | None = None) -> int:
         mode = args.test_mode
         if not mm.train(model, save=(mode != "smoke")):
             return 1
-        result = mm.predict(model, mode)
+        fixtures = args.fixtures_dir or catalog.get(
+            "DATA", "unit_tests_dir", fallback="unit_tests"
+        )
+        try:
+            result = mm.predict(model, mode, fixtures_dir=fixtures)
+        except FileNotFoundError as e:
+            log.error("func test failed: %s", e)
+            print(json.dumps({"error": str(e)}))
+            return 1
         if mode == "db":
             from big_data_lab_three_spark.sources.sinks import (
                 write_predictions_redis,

@@ -211,10 +211,45 @@ class MultiModel:
     def d_tree(self, **params) -> bool:
         return self.train("d_tree", params)
 
-    def predict(self, model_type: str, mode: str = "smoke") -> dict:
-        """M7/V3 smoke scoring (reference ``src/train.py:190-214``)."""
+    def predict(
+        self,
+        model_type: str,
+        mode: str = "smoke",
+        fixtures_dir: str | None = None,
+    ) -> dict:
+        """V3 self-test dispatch (reference ``src/predict.py:118-169``):
+        ``smoke`` scores the held-out split; ``func`` replays the JSON
+        fixtures under ``fixtures_dir`` through the serving path and
+        writes one S9 experiment record per fixture; ``db`` scores like
+        smoke (the Redis sink is the caller's concern, as in the
+        reference where it wraps this scoring)."""
         model = self.models.get(model_type)
         if model is None:
             model, _ = load_model(model_type, self.artifact_dir)
+        if mode == "func":
+            from big_data_lab_three_spark.ml.experiment import (
+                run_func_fixtures,
+            )
+
+            params = {}
+            if self.catalog is not None:
+                section = MODEL_SECTIONS.get(model_type, model_type.upper())
+                if self.catalog.config.has_section(section):
+                    params = dict(self.catalog.config.items(section))
+            artifact = os.path.join(
+                self.artifact_dir, f"{model_type}.sparkml"
+            )
+            runs = run_func_fixtures(
+                self.spark, model, model_type, self.feature_cols,
+                fixtures_dir or "unit_tests", self.artifact_dir,
+                model_params=params,
+                model_artifact_path=artifact if os.path.isdir(artifact) else None,
+            )
+            return {
+                "model": model_type,
+                "mode": mode,
+                "fixture_scores": {r["fixture"]: r["score"] for r in runs},
+                "experiment_dirs": [r["experiment_dir"] for r in runs],
+            }
         acc = score(model, self.test_df, self.label_col)
         return {"model": model_type, "mode": mode, "test_score": acc}

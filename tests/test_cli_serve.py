@@ -111,3 +111,105 @@ def test_service_train_predict_upload(tmp_path, monkeypatch):
 
     with pytest.raises(ValueError):
         svc.predict("upload", "d_tree", file_contents=None)
+
+
+def _write_fixture(path, rows=8):
+    """A func-mode fixture in the reference shape (FIXTURES.md §2):
+    lineitem-feature X records (one with a missing key, one with +inf)
+    positionally aligned with y State records."""
+    xs, ys = [], []
+    for i in range(rows):
+        x = {
+            "l_quantity": float(5 + i * 7),
+            "l_extendedprice": 1000.0 + 11000.0 * i,
+            "l_discount": 0.01 * (i % 10),
+            "l_tax": 0.02,
+        }
+        if i == 1:
+            del x["l_tax"]  # missing key → NULL fill via conform
+        if i == 2:
+            x["l_discount"] = float("inf")  # ±inf → NULL (P4)
+        xs.append(x)
+        ys.append({"State": i % 2})
+    with open(path, "w") as f:
+        json.dump({"X": xs, "y": ys}, f)
+
+
+def test_predict_func_mode_writes_experiment_records(
+    spark, tmp_path, monkeypatch, capsys
+):
+    """V3 func + S9 (reference src/predict.py:127-169): fixture replay
+    through json-normalize → conform → score, one experiment dir per
+    fixture with exp_config.yaml + log copy + model copy."""
+    import yaml
+
+    from big_data_lab_three_spark import cli
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("ARTIFACT_DIR", str(tmp_path / "experiments"))
+    monkeypatch.setenv("LOG_FILE", str(tmp_path / "logfile.log"))
+    fx = tmp_path / "unit_tests"
+    fx.mkdir()
+    _write_fixture(fx / "test_a.json")
+    _write_fixture(fx / "test_b.json", rows=5)
+
+    rc = cli.main(
+        ["--config", str(tmp_path / "c.ini"), "predict", "-m", "D_TREE",
+         "-t", "func", "--fixtures-dir", str(fx)]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["mode"] == "func"
+    assert sorted(out["fixture_scores"]) == ["test_a.json", "test_b.json"]
+    assert all(0.0 <= s <= 1.0 for s in out["fixture_scores"].values())
+    assert len(out["experiment_dirs"]) == 2
+
+    for exp_dir, fixture in zip(
+        sorted(out["experiment_dirs"]), ["test_a.json", "test_b.json"]
+    ):
+        assert os.path.basename(exp_dir).startswith("exp_test_a") or \
+            os.path.basename(exp_dir).startswith("exp_test_b")
+        with open(os.path.join(exp_dir, "exp_config.yaml")) as f:
+            rec = yaml.safe_load(f)
+        # reference record keys (src/predict.py:147-154)
+        assert rec["model"] == "d_tree" and rec["tests"] == "func"
+        assert rec["X_test_path"] == rec["y_test_path"] == fixture
+        assert 0.0 <= float(rec["score"]) <= 1.0
+        assert isinstance(rec["model_params"], dict)
+        # log + model artifact copies (src/predict.py:161-169)
+        assert os.path.isfile(os.path.join(exp_dir, "exp_logfile.log"))
+        assert os.path.isdir(os.path.join(exp_dir, "exp_d_tree.sparkml"))
+
+
+def test_func_mode_missing_fixtures_dir_fails_cleanly(
+    tmp_path, monkeypatch, capsys
+):
+    from big_data_lab_three_spark import cli
+
+    monkeypatch.chdir(tmp_path)
+    # absolute: the JVM resolves relative save paths against ITS startup
+    # cwd, not the monkeypatched Python cwd
+    monkeypatch.setenv("ARTIFACT_DIR", str(tmp_path / "experiments"))
+    rc = cli.main(
+        ["--config", str(tmp_path / "c.ini"), "predict", "-m", "GNB",
+         "-t", "func", "--fixtures-dir", str(tmp_path / "nope")]
+    )
+    assert rc == 1
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "error" in out
+
+
+def test_load_func_fixture_alignment_and_conform(spark, tmp_path):
+    """Positional X[i]↔y[i] pairing survives the distributed explode;
+    missing keys fill NULL; ±inf nullified (src/predict.py:134-138)."""
+    from big_data_lab_three_spark.ml.experiment import load_func_fixture
+
+    p = tmp_path / "fx.json"
+    _write_fixture(p, rows=6)
+    contract = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    df = load_func_fixture(spark, str(p), contract)
+    rows = df.collect()
+    assert [r["label"] for r in rows] == [float(i % 2) for i in range(6)]
+    assert [r["l_quantity"] for r in rows] == [5.0 + 7 * i for i in range(6)]
+    assert rows[1]["l_tax"] is None        # missing key → NULL
+    assert rows[2]["l_discount"] is None   # +inf → NULL
