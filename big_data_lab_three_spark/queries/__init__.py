@@ -97,10 +97,16 @@ def register(name: str, ids: str = "", oracle: str | None = None):
 # reshuffle needed.  This is presentation only: every entry remains
 # registered and locally gated either way.
 _FORCE_FRONT: tuple[str, ...] = (
-    # Empty per contract: the r7 trio (similarity_ivf_recall,
-    # similarity_ivf, ivf_assign_census) went green in BOTH the r7 and
-    # r8 driver records — their 3 prefix slots are freed for round-9
-    # registrations.
+    # r9 plan changes — re-verify even though green rows exist: the
+    # four ANN recall gates moved from re-keyed-copy probes to the
+    # planted-probe design (id-keyed unique targets unioned into the
+    # corpus, queries/vector.py::_planted_probe_frames), which makes
+    # them deterministic at the replicated sf1 tier too.  Empty once a
+    # round record shows the new plans green.
+    "similarity_lsh_recall",
+    "similarity_ivf_recall",
+    "similarity_pq_recall",
+    "similarity_ivfpq_recall",
 )
 
 _DRIVER_ROTATION: tuple[str, ...] = (

@@ -211,38 +211,91 @@ def similarity_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_audit(ann, exact, e, q)
 
 
-@register(
-    "similarity_lsh_recall",
-    ids="similarity: LSH ANN exact-duplicate retrieval (deterministic full oracle)",
-    oracle="""
-SELECT vec_id + 1000000 AS query_id,
-       vec_id AS neighbor_id,
+# --------------------------------------------------------------------------
+# Planted-probe recall witnesses (shared by the four *_recall gates)
+# --------------------------------------------------------------------------
+
+# Planted targets live at +1M, probes at +2M — both far above any tier's
+# natural vec_id space (sf1 tops out ~50k) and disjoint from each other.
+_TARGET_OFFSET = 1_000_000
+_PROBE_OFFSET = 2_000_000
+
+_PLANTED_RECALL_ORACLE = """
+SELECT vec_id + 2000000 AS query_id,
+       vec_id + 1000000 AS neighbor_id,
        CAST(1.0 AS DOUBLE) AS cos_sim,
        CAST(1 AS INTEGER) AS rank
 FROM embeddings
 WHERE vec_id % 10 = 0
 ORDER BY query_id
-""",
+"""
+
+
+def _planted_probe_frames(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(corpus ∪ planted targets, probes) for the recall gates.
+
+    Every tenth corpus vector spawns a TARGET: the vector plus
+    id-keyed pseudo-noise (per-dim ``xxhash64(vec_id, dim)`` uniform in
+    ±0.05 — pure JVM ``transform``, no Python), re-keyed to +1M.
+    Because the noise is keyed on ``vec_id`` — unique even when vector
+    CONTENT is replicated (the sf1 tier is the sf0.1 corpus ×10) —
+    every target is a globally unique vector, so its exact-duplicate
+    PROBE (+2M) has cosine 1.0 with the target and strictly less with
+    everything else: the top-1 answer is deterministic at EVERY tier.
+    This replaces the r4 re-keyed-copy design, whose cos=1.0 tie across
+    sf1's replicated originals made the family unrunnable there
+    (EXPERIMENTS.md r4/r7 artifact note).
+
+    The plant is a pure projection + union — no shuffle beyond what the
+    ANN operator itself does; at 100 TB the witness adds 10% corpus
+    rows and zero new exchanges."""
+    base = e.where(F.col("vec_id") % 10 == 0)
+    noise_vec = F.transform(
+        F.col("embedding"),
+        lambda x, i: (
+            x.cast("double")
+            + (
+                F.pmod(F.xxhash64(F.col("vec_id"), i), F.lit(2001))
+                - F.lit(1000)
+            ).cast("double")
+            / F.lit(20000.0)
+        ).cast("float"),
+    )
+    targets = base.select(
+        (F.col("vec_id") + _TARGET_OFFSET).alias("vec_id"),
+        noise_vec.alias("embedding"),
+        F.col("label"),
+    )
+    corpus = e.unionByName(targets)
+    probes = targets.select(
+        (F.col("vec_id") + (_PROBE_OFFSET - _TARGET_OFFSET)).alias("vec_id"),
+        "embedding",
+    )
+    return corpus, probes
+
+
+@register(
+    "similarity_lsh_recall",
+    ids="similarity: LSH ANN planted-probe retrieval (deterministic full oracle, all tiers)",
+    oracle=_PLANTED_RECALL_ORACLE,
 )
 def similarity_lsh_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The value-checkable slice of hyperplane-LSH ANN: queries are
-    EXACT re-keyed copies of every tenth corpus vector, and an
-    identical vector shares every sign bit, so it collides with its
-    original in EVERY table — recall 1 by construction, not by
-    probability.  With duplicate-free corpus vectors (checked: the
-    testdata has none), cosine 1.0 is the unique maximum, so the
-    top-1 answer is fully deterministic and the whole pipeline —
-    signature computation, multi-table bucket join, candidate dedup,
-    Arrow-batched rescore, ranked window — gets a DuckDB value hash,
-    complementing ``similarity_lsh``'s probabilistic rows-only check."""
+    """The value-checkable slice of hyperplane-LSH ANN: unique planted
+    targets (see ``_planted_probe_frames``) are queried by their exact
+    duplicates, and an identical vector shares every sign bit, so it
+    collides with its target in EVERY table — recall 1 by construction,
+    not by probability — while cosine 1.0 is the unique maximum because
+    the id-keyed plant is globally unique even in a content-replicated
+    corpus.  The whole pipeline — signature computation, multi-table
+    bucket join, candidate dedup, Arrow-batched rescore, ranked window —
+    gets a DuckDB value hash at all four tiers, complementing
+    ``similarity_lsh``'s probabilistic audit gate."""
     rng = np.random.default_rng(7)
     planes = rng.standard_normal((32, 64)).tolist()
     e = table(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") % 10 == 0).select(
-        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
-    )
+    corpus, probes = _planted_probe_frames(e)
     return (
-        lsh_bucketed_topk(q, e, planes, tables=8, k=1)
+        lsh_bucketed_topk(probes, corpus, planes, tables=8, k=1)
         .select(
             "query_id",
             "neighbor_id",
@@ -255,30 +308,22 @@ def similarity_lsh_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "similarity_ivf_recall",
-    ids="similarity: IVF ANN exact-duplicate retrieval (deterministic full oracle)",
-    oracle="""
-SELECT vec_id + 1000000 AS query_id,
-       vec_id AS neighbor_id,
-       CAST(1.0 AS DOUBLE) AS cos_sim,
-       CAST(1 AS INTEGER) AS rank
-FROM embeddings
-WHERE vec_id % 10 = 0
-ORDER BY query_id
-""",
+    ids="similarity: IVF ANN planted-probe retrieval (deterministic full oracle, all tiers)",
+    oracle=_PLANTED_RECALL_ORACLE,
 )
 def similarity_ivf_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF twin of ``similarity_lsh_recall``: an identical vector maps
-    to the same nearest centroid as its original (the seeded quantizer
-    is deterministic), so the original's cell is always probed and
-    exact-duplicate recall is 1 regardless of nprobe.  Pins the
-    KMeans assignment, inverted-file probe, candidate rescore, and
-    ranking with a full value hash."""
+    to the same nearest centroid as its planted target (the
+    content-keyed quantizer is deterministic), so the target's cell is
+    always probed and planted-probe recall is 1 regardless of nprobe,
+    with the unique-plant construction making the top-1 value
+    deterministic at every tier.  Pins the KMeans assignment,
+    inverted-file probe, candidate rescore, and ranking with a full
+    value hash."""
     e = table(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") % 10 == 0).select(
-        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
-    )
+    corpus, probes = _planted_probe_frames(e)
     return (
-        ivf_topk(q, e, nlist=16, nprobe=4, k=1)
+        ivf_topk(probes, corpus, nlist=16, nprobe=4, k=1)
         .select(
             "query_id",
             "neighbor_id",
@@ -371,31 +416,23 @@ def similarity_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "similarity_pq_recall",
-    ids="similarity: PQ ANN exact-duplicate retrieval (deterministic full oracle)",
-    oracle="""
-SELECT vec_id + 1000000 AS query_id,
-       vec_id AS neighbor_id,
-       CAST(1.0 AS DOUBLE) AS cos_sim,
-       CAST(1 AS INTEGER) AS rank
-FROM embeddings
-WHERE vec_id % 10 = 0
-ORDER BY query_id
-""",
+    ids="similarity: PQ ANN planted-probe retrieval (deterministic full oracle, all tiers)",
+    oracle=_PLANTED_RECALL_ORACLE,
 )
 def similarity_pq_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ twin of the LSH/IVF recall queries: an identical vector
-    attains the per-subspace minimum of every ADC table term, so its
-    approximate distance is the global lower bound — it survives every
-    candidate cut deterministically (only same-code vectors can tie),
-    and the exact rescore ranks it first.  Pins codebook training,
-    encoding, the ADC scan, candidate cuts, and rescore under a full
-    value hash."""
+    """PQ twin of the LSH/IVF recall queries: the probe is an exact
+    duplicate of its planted target, so it attains the per-subspace
+    minimum of every ADC table term — its approximate distance is the
+    global lower bound and it survives every candidate cut
+    deterministically (only same-code vectors can tie, and the 64-deep
+    cut keeps all of them), after which the exact rescore ranks the
+    globally unique target first.  Pins codebook training, encoding,
+    the ADC scan, candidate cuts, and rescore under a full value
+    hash."""
     e = table(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") % 10 == 0).select(
-        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
-    )
+    corpus, probes = _planted_probe_frames(e)
     return (
-        pq_topk(q, e, m=8, ksub=16, k=1)
+        pq_topk(probes, corpus, m=8, ksub=16, k=1)
         .select(
             "query_id",
             "neighbor_id",
@@ -435,33 +472,26 @@ def similarity_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "similarity_ivfpq_recall",
-    ids="similarity: IVF-PQ ANN exact-duplicate retrieval (deterministic full oracle)",
-    oracle="""
-SELECT vec_id + 1000000 AS query_id,
-       vec_id AS neighbor_id,
-       CAST(1.0 AS DOUBLE) AS cos_sim,
-       CAST(1 AS INTEGER) AS rank
-FROM embeddings
-WHERE vec_id % 10 = 0
-ORDER BY query_id
-""",
+    ids="similarity: IVF-PQ ANN planted-probe retrieval (deterministic full oracle, all tiers)",
+    oracle=_PLANTED_RECALL_ORACLE,
 )
 def similarity_ivfpq_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ twin of the LSH/IVF/PQ recall queries: a duplicate vector
-    is assigned to the query's first probed cell (same argmax over the
-    same seeded centroids), where its residual equals the query's
-    residual, so its ADC table sum is the strict per-term lower bound
-    over that cell — it survives the candidate cuts and the exact
-    rescore ranks it first (see ``operators.similarity.ivfpq_topk``).
-    Pins coarse training, cell assignment, residual PQ encoding, the
-    per-cell ADC scan, candidate cuts, and rescore under a full value
-    hash."""
+    """IVF-PQ twin of the LSH/IVF/PQ recall queries: the planted target
+    is assigned to the probe's first probed cell (same argmax over the
+    same content-keyed centroids), where its residual equals the
+    probe's residual, so its ADC table sum is the strict per-term lower
+    bound over that cell — it survives the candidate cuts and the exact
+    rescore ranks the globally unique target first (see
+    ``operators.similarity.ivfpq_topk``).  Pins coarse training, cell
+    assignment, residual PQ encoding, the per-cell ADC scan, candidate
+    cuts, and rescore under a full value hash at every tier."""
     e = table(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") % 10 == 0).select(
-        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
-    )
+    corpus, probes = _planted_probe_frames(e)
     return (
-        ivfpq_topk(q, e, nlist=16, nprobe=4, m=8, ksub=64, k=1, candidates=256)
+        ivfpq_topk(
+            probes, corpus, nlist=16, nprobe=4, m=8, ksub=64, k=1,
+            candidates=256,
+        )
         .select(
             "query_id",
             "neighbor_id",
