@@ -62,6 +62,7 @@ _MODULES = (
     # 50-name prefix — tests/test_registry_order.py trips on overflow.
     "big_data_lab_three_spark.queries.extras",
     "big_data_lab_three_spark.queries.stats",
+    "big_data_lab_three_spark.queries.curation",
 )
 
 

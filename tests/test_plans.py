@@ -1472,3 +1472,32 @@ def test_streaming_and_lorenz_windows_on_census(spark, sf_dir):
         assert _windows_sit_on_aggregates(df), f"{name}: raw-scan window"
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
+
+
+def test_span_decontaminate_broadcasts_bench_grams(spark, sf_dir):
+    """The benchmark 8-gram set must broadcast (map-side semi-join —
+    the corpus explode never shuffles); the only exchanges are the
+    hits-only window + per-doc aggregate."""
+    df = REG["span_decontaminate"].spark(spark, sf_dir)
+    assert broadcast_join_count(df) >= 1, (
+        "bench gram set should broadcast into the corpus-window semi-join"
+    )
+
+
+def test_quantile_sketch_merge_windows_partition_by_shard(spark, sf_dir):
+    """The full-table windows must partition by shard (16-way summary
+    pass), never a single-partition global sort of raw rows; the
+    single-partition running-sum window sits on the KB-sized summary
+    only.  Detect: the plan's window specs over the raw relation carry
+    a partition expression."""
+    df = REG["quantile_sketch_merge"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # every Window node either partitions by shard or (the merge
+    # cumsum) consumes the sample-filtered side — assert the raw-table
+    # summary window is shard-partitioned
+    wins = [ln for ln in plan.splitlines() if "Window " in ln or ln.strip().startswith("Window")]
+    assert any("shard" in w for w in wins), (
+        f"no shard-partitioned window in plan:\n{plan[:2000]}"
+    )
