@@ -582,3 +582,480 @@ def streaming_minhash_admission(
     out = out.localCheckpoint()
     base.unpersist()
     return out
+
+
+@register(
+    "ivf_cost_census",
+    ids="similarity: IVF build-vs-probe cost census — per-nprobe candidate workload over content-keyed cells (full value oracle)",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+), s AS (
+  SELECT vec_id AS seed_id, CAST(embedding AS DOUBLE[]) AS sv
+  FROM embeddings WHERE vec_id < 8
+), sc AS (
+  SELECT vec_id, seed_id,
+         round(list_dot_product(ev, sv)
+               / (sqrt(list_dot_product(ev, ev))
+                  * sqrt(list_dot_product(sv, sv))), 6) AS cq
+  FROM v CROSS JOIN s
+), best AS (
+  SELECT vec_id, seed_id,
+         row_number() OVER (
+             PARTITION BY vec_id ORDER BY cq DESC, seed_id ASC) AS rn
+  FROM sc
+), cells AS (
+  SELECT seed_id AS cell, CAST(count(*) AS BIGINT) AS sz
+  FROM best WHERE rn = 1 GROUP BY seed_id
+), probe AS (
+  SELECT vec_id, seed_id AS cell,
+         row_number() OVER (
+             PARTITION BY vec_id ORDER BY cq DESC, seed_id ASC) AS prank
+  FROM sc WHERE vec_id % 100 = 0
+), np AS (
+  SELECT CAST(n AS INTEGER) AS nprobe FROM (VALUES (1), (2), (4)) AS t(n)
+), work AS (
+  SELECT np.nprobe, probe.vec_id, cells.sz
+  FROM probe JOIN cells ON cells.cell = probe.cell
+  CROSS JOIN np
+  WHERE probe.prank <= np.nprobe
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM v
+)
+SELECT work.nprobe,
+       CAST(count(DISTINCT work.vec_id) AS BIGINT) AS n_queries,
+       tot.n_corpus AS n_corpus,
+       CAST(sum(work.sz) AS BIGINT) AS total_candidates,
+       round(CAST(sum(work.sz) AS DOUBLE)
+             / count(DISTINCT work.vec_id) / tot.n_corpus, 6)
+           AS avg_scan_frac
+FROM work, tot
+GROUP BY work.nprobe, tot.n_corpus
+ORDER BY nprobe
+""",
+)
+def ivf_cost_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF BUILD-vs-PROBE cost census — the encode-at-ingest story in
+    numbers: with the content-keyed 8-cell coarse quantizer (same
+    construction as ``ivf_assign_census``), how much of the corpus does
+    a query actually scan at nprobe ∈ {1, 2, 4}?  Per nprobe: query
+    count, summed candidate workload (the sizes of each query's
+    top-nprobe cells), and the average scanned fraction — the cost
+    model that justifies paying the assignment pass once at ingest
+    (FAISS ``IndexIVF`` nprobe/nlist trade; at 8 cells, nprobe=1 scans
+    ~1/8 of the corpus, nprobe=4 ~half — the census pins the actual
+    skew-adjusted numbers).
+
+    Fully deterministic: assignments and probe rankings use cosines
+    quantized to 6 decimals BEFORE the argmax/ordering (ties → lowest
+    seed), exactly the ``ivf_assign_census`` convention, so the DuckDB
+    oracle recomputes cell sizes, probe order, and workload
+    identically — a full value hash over the cost model itself.
+
+    Scale shape: the 8-row codebook broadcasts twice (assignment pass
+    and probe-ranking pass over the tiny query sample); the only wide
+    exchange carries one (vec_id, cell) row per vector into the 8-row
+    cell-size census; workload joins are queries×8 against a broadcast
+    8-row table.  At 100 TB this is the IVF planner's costing query —
+    no vector data moves at all."""
+    from big_data_lab_three_spark.functions.vector import dot as _dot
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ev")
+    )
+    seeds = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("seed_id"), F.col("ev").alias("sv")
+    )
+    cq = F.round(
+        _dot(F.col("ev"), F.col("sv"))
+        / (
+            F.sqrt(_dot(F.col("ev"), F.col("ev")))
+            * F.sqrt(_dot(F.col("sv"), F.col("sv")))
+        ),
+        6,
+    )
+
+    def scored(frame: DataFrame) -> DataFrame:
+        return frame.crossJoin(F.broadcast(seeds)).select(
+            "vec_id", "seed_id", cq.alias("cq")
+        )
+
+    best = scored(e).groupBy("vec_id").agg(
+        F.max(
+            F.struct(
+                F.col("cq").alias("cq"),
+                (-F.col("seed_id")).alias("negseed"),
+            )
+        ).alias("b")
+    )
+    cells = (
+        best.select((-F.col("b.negseed")).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cq"), F.asc("seed_id")
+    )
+    probe = (
+        scored(e.where(F.col("vec_id") % 100 == 0))
+        .withColumn("prank", F.row_number().over(w))
+        .select("vec_id", F.col("seed_id").alias("cell"), "prank")
+    )
+    np_df = spark.createDataFrame([(1,), (2,), (4,)], "nprobe int")
+    work = (
+        probe.join(F.broadcast(cells), "cell")
+        .crossJoin(F.broadcast(np_df))
+        .where(F.col("prank") <= F.col("nprobe"))
+    )
+    tot = e.agg(F.count(F.lit(1)).alias("n_corpus"))
+    return (
+        work.groupBy("nprobe")
+        .agg(
+            F.countDistinct("vec_id").alias("n_queries"),
+            F.sum("sz").alias("total_candidates"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "nprobe",
+            "n_queries",
+            "n_corpus",
+            "total_candidates",
+            F.round(
+                F.col("total_candidates").cast("double")
+                / F.col("n_queries")
+                / F.col("n_corpus"),
+                6,
+            ).alias("avg_scan_frac"),
+        )
+        .orderBy("nprobe")
+    )
+
+
+from big_data_lab_three_spark.functions.numeric import quantized_sum as _qsum  # noqa: E402
+from big_data_lab_three_spark.queries.stats import (  # noqa: E402
+    _EWMA_W,
+    _EWMA_W_SQL,
+)
+
+
+@register(
+    "seasonal_smooth",
+    ids="timeseries: seasonal decomposition smoothing — day-of-week indices + truncated EWMA of the deseasonalized daily series (Holt-Winters shape, literal weights)",
+    oracle=f"""
+WITH d AS (
+    SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS day_id,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY 1
+), dw AS (
+    SELECT day_id, n, day_id % 7 AS dow FROM d
+), sf AS (
+    SELECT dow, CAST(sum(n) AS BIGINT) AS sum_dow,
+           CAST(count(*) AS BIGINT) AS cnt_dow
+    FROM dw GROUP BY dow
+), tt AS (
+    SELECT CAST(sum(n) AS BIGINT) AS total,
+           CAST(count(*) AS BIGINT) AS days
+    FROM dw
+), fac AS (
+    SELECT dow,
+           CAST(round(1e6 * sum_dow * days / (total * cnt_dow)) AS BIGINT)
+               AS sfm
+    FROM sf, tt
+), ds AS (
+    SELECT dw.day_id, dw.n, dw.dow, fac.sfm,
+           CAST(round(1e6 * dw.n / (fac.sfm / 1e6)) AS BIGINT) AS dm
+    FROM dw JOIN fac USING (dow)
+), m AS (
+    SELECT max(day_id) AS mx FROM dw
+), w AS (
+    SELECT CAST(i AS BIGINT) AS lag, CAST(wt AS DOUBLE) AS wt
+    FROM (VALUES {_EWMA_W_SQL}) AS v(i, wt)
+), tgt AS (
+    SELECT ds.* FROM ds, m WHERE ds.day_id > m.mx - 10
+), j AS (
+    SELECT tgt.day_id, tgt.n, tgt.dow, tgt.sfm, w.wt, src.dm AS lag_dm
+    FROM tgt JOIN w ON TRUE
+    JOIN ds src ON src.day_id = tgt.day_id - w.lag
+), s AS (
+    SELECT day_id,
+           CAST(max(n) AS BIGINT) AS n,
+           CAST(max(dow) AS INTEGER) AS dow,
+           CAST(max(sfm) AS BIGINT) AS sfm,
+           CAST(count(*) AS BIGINT) AS n_lags,
+           CAST(sum(CAST(floor(wt * lag_dm + 0.5) AS BIGINT)) AS BIGINT)
+               AS numq,
+           CAST(sum(CAST(floor(wt * 1000000000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS denq
+    FROM j GROUP BY day_id
+)
+SELECT day_id, n, dow,
+       round(CAST(sfm AS DOUBLE) / 1e6, 6) AS s_factor,
+       n_lags,
+       round(CAST(numq AS DOUBLE)
+             / (CAST(denq AS DOUBLE) / 1000000000) / 1e6, 4)
+           AS deseason_ewma,
+       round(CAST(numq AS DOUBLE)
+             / (CAST(denq AS DOUBLE) / 1000000000) / 1e6
+             * (CAST(sfm AS DOUBLE) / 1e6), 4) AS smoothed
+FROM s ORDER BY day_id
+""",
+)
+def seasonal_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters-SHAPE seasonal smoothing of the daily order-count
+    series, declaratively: (1) day-of-week seasonal indices
+    ``mean(n | dow) / mean(n)`` from exact integer sums (one double
+    division per dow, quantized to micro-units so both engines agree
+    bit-for-bit); (2) the deseasonalized series (micro-quantized, one
+    identical double expression per day); (3) the 32-lag truncated EWMA
+    of the deseasonalized series for the final 10 days — the
+    ``ewma_smooth`` closed form with the same ``0.3·0.7^i`` literal
+    weights and adjust-normalization; (4) re-seasonalized ``smoothed``
+    = level × seasonal factor.  This replaces the seasonal RECURSION
+    (the part of Holt-Winters no engine should replay row-by-row) with
+    two bounded joins — the deferred r8-plan candidate.
+
+    Portability: counts are exact integers; seasonal factors and
+    deseasonalized values quantize to integer micro-units immediately
+    after their single double expression (shared literal text on both
+    engines — the ``ewma_smooth``/``psi_drift`` convention); the EWMA
+    is per-term-quantized integer sums; final readouts are one double
+    division chain each, ``round(…, 4/6)``.
+
+    Scale shape: one rollup shuffle onto the ~2400-day census; dow
+    factors are a 7-row broadcast; the 10-target × 32-lag expansion is
+    a broadcast join of the census; ≤10-row output."""
+    d = (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("day_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    dw = d.select("day_id", "n", F.pmod("day_id", F.lit(7)).alias("dow"))
+    dw.persist()
+    sf = dw.groupBy("dow").agg(
+        F.sum("n").alias("sum_dow"), F.count(F.lit(1)).alias("cnt_dow")
+    )
+    tt = dw.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("days")
+    )
+    fac = (
+        sf.crossJoin(F.broadcast(tt))
+        .select(
+            "dow",
+            F.round(
+                F.lit(1e6)
+                * F.col("sum_dow")
+                * F.col("days")
+                / (F.col("total") * F.col("cnt_dow"))
+            )
+            .cast("long")
+            .alias("sfm"),
+        )
+    )
+    ds = dw.join(F.broadcast(fac), "dow").select(
+        "day_id",
+        "n",
+        "dow",
+        "sfm",
+        F.round(F.lit(1e6) * F.col("n") / (F.col("sfm") / F.lit(1e6)))
+        .cast("long")
+        .alias("dm"),
+    )
+    ds.persist()
+    m = ds.agg(F.max("day_id").alias("mx"))
+    w = spark.createDataFrame(list(_EWMA_W), schema="lag long, wt double")
+    tgt = ds.crossJoin(F.broadcast(m)).where(
+        F.col("day_id") > F.col("mx") - 10
+    )
+    src = ds.select(
+        F.col("day_id").alias("src_day"), F.col("dm").alias("lag_dm")
+    )
+    j = tgt.crossJoin(F.broadcast(w)).join(
+        F.broadcast(src),
+        F.col("src_day") == F.col("day_id") - F.col("lag"),
+    )
+    s = j.groupBy("day_id").agg(
+        F.max("n").alias("n"),
+        F.max("dow").cast("int").alias("dow"),
+        F.max("sfm").alias("sfm"),
+        F.count(F.lit(1)).alias("n_lags"),
+        _qsum(F.col("wt") * F.col("lag_dm"), 1).alias("numq"),
+        _qsum(F.col("wt"), 1000000000).alias("denq"),
+    )
+    level = (
+        F.col("numq").cast("double")
+        / (F.col("denq").cast("double") / F.lit(1000000000))
+        / F.lit(1e6)
+    )
+    return s.select(
+        "day_id",
+        "n",
+        "dow",
+        F.round(F.col("sfm").cast("double") / F.lit(1e6), 6).alias(
+            "s_factor"
+        ),
+        "n_lags",
+        F.round(level, 4).alias("deseason_ewma"),
+        F.round(
+            level * (F.col("sfm").cast("double") / F.lit(1e6)), 4
+        ).alias("smoothed"),
+    ).orderBy("day_id")
+
+
+@register(
+    "record_linkage_blocking",
+    ids="dedup/entity-resolution: two-table record linkage — sorted-token blocking keys with frequency pruning, exact token-set Jaccard match scoring",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+), eligible AS (
+    SELECT doc_id, toks FROM tok WHERE len(toks) >= 8
+), a AS (
+    SELECT doc_id AS id, toks[1:4] AS name FROM eligible
+), b AS (
+    SELECT doc_id + 4000000 AS id, toks[1:1] || toks[3:4] AS name
+    FROM eligible WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id + 4000000, toks[2:2] || toks[1:1] || toks[3:4]
+    FROM eligible WHERE doc_id % 3 = 1
+    UNION ALL
+    SELECT doc_id + 4000000,
+           toks[len(toks)-3:len(toks)]
+    FROM eligible WHERE doc_id % 3 = 2
+), an AS (
+    SELECT id, list_sort(list_distinct(name)) AS s FROM a
+), bn AS (
+    SELECT id, list_sort(list_distinct(name)) AS s FROM b
+), ak AS (
+    SELECT id, unnest(s[1:2]) AS k FROM an
+), bk AS (
+    SELECT id, unnest(s[1:2]) AS k FROM bn
+), kfreq AS (
+    SELECT k, count(*) AS c FROM (
+        SELECT k FROM ak UNION ALL SELECT k FROM bk
+    ) GROUP BY k
+), live AS (
+    SELECT k FROM kfreq WHERE c <= 50
+), cand AS (
+    SELECT DISTINCT ak.id AS a_id, bk.id AS b_id
+    FROM ak JOIN live USING (k) JOIN bk USING (k)
+), scored AS (
+    SELECT cand.a_id, cand.b_id,
+           CAST(len(list_intersect(an.s, bn.s)) AS BIGINT) * 1000000
+               // CAST(len(list_distinct(list_concat(an.s, bn.s)))
+                       AS BIGINT) AS j_micro
+    FROM cand JOIN an ON an.id = cand.a_id JOIN bn ON bn.id = cand.b_id
+)
+SELECT a_id, b_id, CAST(j_micro AS BIGINT) AS j_micro
+FROM scored WHERE j_micro >= 500000
+ORDER BY a_id, b_id
+""",
+)
+def record_linkage_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table record linkage — the entity-resolution shape (Fellegi-
+    Sunter blocking + comparison): table A holds 4-token "names"
+    (leading document tokens); table B holds perturbed twins (every 3rd
+    doc: 2nd token DROPPED; 3rd+1: first two tokens SWAPPED — token-set
+    identical; 3rd+2: unrelated trailing tokens — true negatives).
+
+    1. BLOCKING: each record emits its 2 lexicographically-smallest
+       distinct tokens as block keys (multi-pass blocking — robust to
+       single-token drops/swaps where a single-key scheme misses);
+    2. FREQUENCY PRUNING: keys occurring > 50 times across both sides
+       are dropped — the standard stop-word guard that keeps block
+       sizes bounded (the decision is derived from the data
+       identically on both engines, so pruning is part of the
+       verified semantics);
+    3. MATCHING: candidates sharing a surviving key are scored by
+       EXACT token-set Jaccard in integer micro-units
+       (``inter·1e6 div union`` — no float), matched at ≥ 0.5.
+
+    Swapped twins score 1.0, dropped-token twins 3/4, unrelated names
+    almost never reach 0.5 — all three outcomes exercised at every SF.
+
+    Scale shape: blocking keys shuffle (key, id) pairs only; the
+    frequency table is key-cardinality-sized and pruning bounds every
+    block at 50², so candidate generation is linear in matches, never
+    |A|×|B|; the score join fetches exactly the candidate rows.  At
+    100 TB this is the bucketed-LSH shape with blocking keys in place
+    of band hashes."""
+    tok = table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    eligible = tok.where(F.size("toks") >= 8)
+    t = F.col("toks")
+    a = eligible.select(
+        F.col("doc_id").alias("id"), F.slice(t, 1, 4).alias("name")
+    )
+    b = (
+        eligible.where(F.col("doc_id") % 3 == 0)
+        .select(
+            (F.col("doc_id") + 4000000).alias("id"),
+            F.concat(F.slice(t, 1, 1), F.slice(t, 3, 2)).alias("name"),
+        )
+        .unionByName(
+            eligible.where(F.col("doc_id") % 3 == 1).select(
+                (F.col("doc_id") + 4000000).alias("id"),
+                F.concat(
+                    F.slice(t, 2, 1), F.slice(t, 1, 1), F.slice(t, 3, 2)
+                ).alias("name"),
+            )
+        )
+        .unionByName(
+            eligible.where(F.col("doc_id") % 3 == 2).select(
+                (F.col("doc_id") + 4000000).alias("id"),
+                F.slice(t, -4, 4).alias("name"),
+            )
+        )
+    )
+    an = a.select(
+        "id", F.array_sort(F.array_distinct("name")).alias("s")
+    )
+    bn = b.select(
+        "id", F.array_sort(F.array_distinct("name")).alias("s")
+    )
+    an.persist()
+    bn.persist()
+    ak = an.select("id", F.explode(F.slice("s", 1, 2)).alias("k"))
+    bk = bn.select("id", F.explode(F.slice("s", 1, 2)).alias("k"))
+    live = (
+        ak.select("k")
+        .unionByName(bk.select("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") <= 50)
+        .select("k")
+    )
+    cand = (
+        ak.join(live, "k")
+        .select(F.col("id").alias("a_id"), "k")
+        .join(bk.withColumnRenamed("id", "b_id"), "k")
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("as", "bs")).cast("long")
+    uni = F.size(F.array_union("as", "bs")).cast("long")
+    scored = (
+        cand.join(an.select(F.col("id").alias("a_id"),
+                            F.col("s").alias("as")), "a_id")
+        .join(bn.select(F.col("id").alias("b_id"),
+                        F.col("s").alias("bs")), "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.expr("div(size(array_intersect(`as`, bs)) * 1000000L, "
+                   "size(array_union(`as`, bs)))").alias("j_micro"),
+        )
+    )
+    return (
+        scored.where(F.col("j_micro") >= 500000)
+        .select("a_id", "b_id", F.col("j_micro").cast("long").alias("j_micro"))
+        .orderBy("a_id", "b_id")
+    )

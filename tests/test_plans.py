@@ -1501,3 +1501,18 @@ def test_quantile_sketch_merge_windows_partition_by_shard(spark, sf_dir):
     assert any("shard" in w for w in wins), (
         f"no shard-partitioned window in plan:\n{plan[:2000]}"
     )
+
+
+def test_ivf_cost_census_broadcasts_codebook_and_cells(spark, sf_dir):
+    """Cost census moves no vectors: the 8-row codebook and the 8-row
+    cell-size table both broadcast; the only wide exchange is the
+    per-vector assignment aggregate."""
+    df = REG["ivf_cost_census"].spark(spark, sf_dir)
+    assert broadcast_join_count(df) >= 2
+
+
+def test_seasonal_smooth_census_joins_broadcast(spark, sf_dir):
+    """Everything after the daily rollup is census-sized: dow factors,
+    max-day, weights, and the lag source must all broadcast."""
+    df = REG["seasonal_smooth"].spark(spark, sf_dir)
+    assert broadcast_join_count(df) >= 3
