@@ -1059,3 +1059,212 @@ def record_linkage_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", F.col("j_micro").cast("long").alias("j_micro"))
         .orderBy("a_id", "b_id")
     )
+
+
+@register(
+    "hll_sketch_merge",
+    ids="agg: HLL sketch shard-merge — per-shard hll_sketch_agg united by hll_union_agg, relative-error gate vs exact distinct",
+    oracle="""
+WITH t AS (
+    SELECT o_custkey, o_custkey % 16 AS shard FROM orders
+)
+SELECT CAST(16 AS INTEGER) AS n_shards,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+       TRUE AS union_within_5pct,
+       TRUE AS direct_within_5pct
+FROM t
+""",
+)
+def hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct-count SHARD-MERGE — the mergeable-sketch companion
+    to ``quantile_sketch_merge`` using Spark's native Apache
+    DataSketches HLL: each of 16 shards aggregates its own
+    ``hll_sketch_agg`` (lgConfigK=12 ⇒ σ ≈ 1.04/√4096 ≈ 1.6%), the 16
+    binary sketches merge through ``hll_union_agg``, and BOTH the
+    merged estimate and the single-pass direct sketch are gated within
+    ±5% (≈3σ) of the exact distinct count.  (Measured: union/direct
+    errors 0–2.1% across the four tiers.  The union and direct
+    estimates are NOT asserted equal: DataSketches' union keeps its
+    own HLL_8 accumulator, so the two paths can differ by a fraction
+    of σ even though both honor the error bound — the merge is
+    sound, not bit-identical.)
+
+    The sketch internals are JVM-opaque, so the oracle is the
+    ``gk_quantile_check``/``hll_distinct_check`` TRUE-pin idiom: exact
+    count from SQL, quality booleans pinned TRUE and verified
+    Spark-side under the same value hash.
+
+    Scale shape: per-shard partial aggregation collapses each shard to
+    one ~2 KB sketch before the exchange; the union is 16 rows; the
+    exact-count audit is the only full-width aggregate (and exists
+    only for the gate — production keeps the sketches)."""
+    t = table(spark, sf_dir, "orders").select(
+        "o_custkey", F.pmod("o_custkey", F.lit(16)).alias("shard")
+    )
+    per_shard = t.groupBy("shard").agg(
+        F.hll_sketch_agg("o_custkey", F.lit(12)).alias("sk")
+    )
+    merged = per_shard.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        F.count(F.lit(1)).alias("n_shards"),
+    )
+    direct = t.agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("o_custkey", F.lit(12))
+        ).alias("est_direct")
+    )
+    exact = t.agg(F.countDistinct("o_custkey").alias("n_exact"))
+    return (
+        merged.crossJoin(F.broadcast(direct))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.col("n_shards").cast("int").alias("n_shards"),
+            "n_exact",
+            (
+                F.abs(
+                    F.col("est").cast("double")
+                    - F.col("n_exact").cast("double")
+                )
+                <= F.lit(0.05) * F.col("n_exact").cast("double")
+            ).alias("union_within_5pct"),
+            (
+                F.abs(
+                    F.col("est_direct").cast("double")
+                    - F.col("n_exact").cast("double")
+                )
+                <= F.lit(0.05) * F.col("n_exact").cast("double")
+            ).alias("direct_within_5pct"),
+        )
+    )
+
+
+@register(
+    "minhash_estimate_vs_exact",
+    ids="dedup: MinHash Jaccard-estimator calibration census — signature agreement vs exact Jaccard on seeded near-dup pairs (full value oracle)",
+    oracle="""
+WITH base AS (
+  SELECT doc_id AS id, text FROM documents
+), var AS (
+  SELECT doc_id AS id, text || ' zz qq mm' AS text
+  FROM documents WHERE doc_id % 5 = 0
+), pairs AS (
+  SELECT b.id, b.text AS ta, v.text AS tb
+  FROM base b JOIN var v ON v.id = b.id
+), tk AS (
+  SELECT id,
+         list_filter(regexp_split_to_array(ta, '\\s+'), x -> x != '') AS xa,
+         list_filter(regexp_split_to_array(tb, '\\s+'), x -> x != '') AS xb
+  FROM pairs
+), sh AS (
+  SELECT id,
+         list_distinct([array_to_string(xa[i:i+2], ' ')
+                        for i in range(1, len(xa) - 1)]) AS sa,
+         list_distinct([array_to_string(xb[i:i+2], ' ')
+                        for i in range(1, len(xb) - 1)]) AS sb
+  FROM tk WHERE len(xa) >= 3
+), ha AS (
+  SELECT sh.id, g.i AS i,
+         min(CAST(('0x' || substr(md5(s || '|' || CAST(g.i AS VARCHAR)),
+                                  1, 15)) AS BIGINT)) AS ma
+  FROM sh CROSS JOIN unnest(sa) AS u(s)
+  CROSS JOIN generate_series(0, 7) AS g(i)
+  GROUP BY sh.id, g.i
+), hb AS (
+  SELECT sh.id, g.i AS i,
+         min(CAST(('0x' || substr(md5(s || '|' || CAST(g.i AS VARCHAR)),
+                                  1, 15)) AS BIGINT)) AS mb
+  FROM sh CROSS JOIN unnest(sb) AS u(s)
+  CROSS JOIN generate_series(0, 7) AS g(i)
+  GROUP BY sh.id, g.i
+), agree AS (
+  SELECT ha.id,
+         CAST(sum(CASE WHEN ha.ma = hb.mb THEN 1 ELSE 0 END) AS INTEGER)
+             AS n_match
+  FROM ha JOIN hb ON ha.id = hb.id AND ha.i = hb.i
+  GROUP BY ha.id
+), exact AS (
+  SELECT id,
+         CAST(len(list_intersect(sa, sb)) AS BIGINT) * 1000000
+             // CAST(len(list_distinct(list_concat(sa, sb))) AS BIGINT)
+             AS j_micro
+  FROM sh
+)
+SELECT agree.n_match,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(exact.j_micro) AS BIGINT) AS sum_j_micro,
+       CAST(min(agree.id) AS BIGINT) AS min_id,
+       CAST(max(agree.id) AS BIGINT) AS max_id
+FROM agree JOIN exact ON exact.id = agree.id
+GROUP BY agree.n_match
+ORDER BY n_match
+""",
+)
+def minhash_estimate_vs_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MinHash ESTIMATOR-CALIBRATION census: for seeded near-dup pairs
+    (every 5th document vs itself with three appended tokens — a
+    corpus-wide spread of true Jaccards), compare the 8-perm portable
+    MinHash agreement count (the estimator: ĵ = matches/8) against the
+    EXACT 3-gram Jaccard, rolled up by agreement count with the exact
+    Jaccard mass per bucket.  This pins the estimator the whole
+    MinHash-LSH family relies on — E[matches/perms] = J — as a
+    verifiable table (higher agreement buckets must carry higher exact
+    Jaccard mass), not a trusted property.
+
+    Fully recomputable both engines: signatures are the md5-portable
+    minhash (``portable_minhash_signatures``), exact Jaccard is
+    integer micro-units (``inter·1e6 div union``) — full value hash.
+
+    Scale shape: signatures cost docs × shingles × 8 with map-side
+    combine (the ``minhash_band_census`` plan); the pair join is
+    id-keyed (each doc to its own variant); the census output is ≤ 9
+    rows."""
+    from big_data_lab_three_spark.operators.dedup import (
+        portable_minhash_signatures,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    seeds = d.where(F.col("doc_id") % 5 == 0)
+    base_sh = seeds.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(shingles(tokens(F.col("text")), 3)).alias("sa"),
+        "text",
+    ).where(F.size(F.col("sa")) > 0)
+    var = seeds.select(
+        "doc_id", F.concat("text", F.lit(" zz qq mm")).alias("text")
+    )
+    sig_a = portable_minhash_signatures(
+        seeds, num_perms=8, shingle_k=3
+    ).select("id", *[F.col(f"m{i}").alias(f"a{i}") for i in range(8)])
+    sig_b = portable_minhash_signatures(
+        var, num_perms=8, shingle_k=3
+    ).select("id", *[F.col(f"m{i}").alias(f"b{i}") for i in range(8)])
+    n_match = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(8)
+    )
+    agree = sig_a.join(sig_b, "id").select(
+        "id", n_match.cast("int").alias("n_match")
+    )
+    var_sh = var.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(shingles(tokens(F.col("text")), 3)).alias("sb"),
+    )
+    exact = base_sh.select("id", "sa").join(var_sh, "id").select(
+        "id",
+        F.expr(
+            "div(size(array_intersect(sa, sb)) * 1000000L, "
+            "size(array_union(sa, sb)))"
+        ).alias("j_micro"),
+    )
+    return (
+        agree.join(exact, "id")
+        .groupBy("n_match")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("j_micro").alias("sum_j_micro"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+        )
+        .orderBy("n_match")
+    )
