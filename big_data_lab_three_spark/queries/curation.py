@@ -1268,3 +1268,191 @@ def minhash_estimate_vs_exact(
         )
         .orderBy("n_match")
     )
+
+
+@register(
+    "mix_temperature_allocation",
+    ids="training-data: temperature-reweighted data-mix allocation — sqrt(tau=0.5) domain weights, exact largest-remainder apportionment",
+    oracle="""
+WITH c AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY source
+), wq AS (
+    SELECT source, n_docs,
+           CAST(round(sqrt(n_docs) * 1e6) AS BIGINT) AS w_micro
+    FROM c
+), tot AS (
+    SELECT CAST(sum(w_micro) AS BIGINT) AS w_total,
+           CAST(count(*) AS BIGINT) AS n_domains
+    FROM wq
+), fl AS (
+    SELECT wq.source, wq.n_docs, wq.w_micro,
+           100000 * wq.w_micro // tot.w_total AS floor_alloc,
+           100000 * wq.w_micro % tot.w_total AS rem,
+           tot.w_total AS w_total
+    FROM wq, tot
+), lo AS (
+    SELECT CAST(100000 - sum(floor_alloc) AS BIGINT) AS leftover FROM fl
+), rk AS (
+    SELECT fl.*,
+           row_number() OVER (ORDER BY rem DESC, source ASC) AS pri
+    FROM fl
+)
+SELECT rk.source,
+       rk.n_docs,
+       rk.w_micro,
+       CAST(rk.floor_alloc
+            + CASE WHEN rk.pri <= lo.leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc
+FROM rk, lo
+ORDER BY source
+""",
+)
+def mix_temperature_allocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-reweighted DATA-MIX allocation — the sampling-weight
+    computation every multi-source pretraining run does (upsample small
+    domains, downsample the web crawl): each source's weight is
+    ``n_docs^τ`` with τ = 0.5, and a budget of 100 000 samples is
+    apportioned by the LARGEST-REMAINDER method (exact floors from
+    integer division, leftovers to the largest remainders, ties by
+    source name) so the allocations sum to the budget exactly.
+
+    τ = 0.5 is deliberate: ``sqrt`` is correctly rounded under IEEE-754
+    on both engines (general ``pow``/``exp·ln`` is NOT ULP-portable —
+    the ``ewma_smooth`` literal-weights lesson), and quantizing the
+    weight to integer micro-units immediately after the single sqrt
+    keeps every downstream step — totals, floors, remainders, ranking
+    — in exact integer arithmetic on both engines.
+
+    Scale shape: one rollup to |sources| rows; everything after is
+    census-sized.  At 100 TB this 6-row table IS the sampler config the
+    ``data_mix_interleave``/``weighted sampling`` operators consume."""
+    from pyspark.sql import Window
+
+    c = (
+        table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    wq = c.select(
+        "source",
+        "n_docs",
+        F.round(F.sqrt(F.col("n_docs")) * F.lit(1e6))
+        .cast("long")
+        .alias("w_micro"),
+    )
+    tot = wq.agg(
+        F.sum("w_micro").alias("w_total"),
+        F.count(F.lit(1)).alias("n_domains"),
+    )
+    fl = wq.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "w_micro",
+        F.expr("div(100000 * w_micro, w_total)").alias("floor_alloc"),
+        F.pmod(F.lit(100000) * F.col("w_micro"), F.col("w_total")).alias(
+            "rem"
+        ),
+    )
+    lo = fl.agg(
+        (F.lit(100000) - F.sum("floor_alloc")).alias("leftover")
+    )
+    rk = fl.withColumn(
+        "pri",
+        F.row_number().over(
+            Window.orderBy(F.desc("rem"), F.asc("source"))
+        ),
+    )
+    return (
+        rk.crossJoin(F.broadcast(lo))
+        .select(
+            "source",
+            "n_docs",
+            "w_micro",
+            (
+                F.col("floor_alloc")
+                + F.when(F.col("pri") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("alloc"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "token_fertility_census",
+    ids="text: tokenizer-fertility census — chars-per-token (whitespace and BPE-ish) in exact integer micro-units, per language",
+    oracle=f"""
+WITH t AS (
+    SELECT lang,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_ws,
+           CAST(len(regexp_extract_all(
+                text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+               AS n_bpe
+    FROM documents
+), f AS (
+    SELECT lang, n_chars, n_ws, n_bpe,
+           n_chars * 1000000 // n_ws AS ws_fert,
+           n_chars * 1000000 // n_bpe AS bpe_fert
+    FROM t WHERE n_ws > 0 AND n_bpe > 0
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(n_ws) AS BIGINT) AS total_ws_tokens,
+       CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
+       CAST(sum(ws_fert) AS BIGINT) AS sum_ws_fert_micro,
+       CAST(sum(bpe_fert) AS BIGINT) AS sum_bpe_fert_micro,
+       CAST(min(bpe_fert) AS BIGINT) AS min_bpe_fert_micro,
+       CAST(max(bpe_fert) AS BIGINT) AS max_bpe_fert_micro
+FROM f GROUP BY lang ORDER BY lang
+""",
+)
+def token_fertility_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-FERTILITY census — chars per token, the compression
+    metric multilingual pipelines track per language (a language whose
+    tokenizer yields low fertility is over-segmented and over-billed in
+    the token budget): per document, exact integer chars-per-token in
+    micro-units (``chars·1e6 div tokens``) for both the whitespace and
+    the BPE-ish regex tokenizer, rolled up per language with exact sums
+    and extrema — all-integer output, full value hash.
+
+    Scale shape: one codegen projection per document (two tokenizers,
+    no explode — ``size`` over the token arrays), one rollup to
+    |langs| rows.  The same single-scan class as ``text_quality``."""
+    from big_data_lab_three_spark.operators.text import BPE_ISH_PATTERN
+
+    t = table(spark, sf_dir, "documents").select(
+        "lang",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_ws"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_ISH_PATTERN), F.lit(0)))
+        .cast("long")
+        .alias("n_bpe"),
+    )
+    f = t.where((F.col("n_ws") > 0) & (F.col("n_bpe") > 0)).select(
+        "lang",
+        "n_chars",
+        "n_ws",
+        "n_bpe",
+        F.expr("div(n_chars * 1000000, n_ws)").alias("ws_fert"),
+        F.expr("div(n_chars * 1000000, n_bpe)").alias("bpe_fert"),
+    )
+    return (
+        f.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_ws").alias("total_ws_tokens"),
+            F.sum("n_bpe").alias("total_bpe_tokens"),
+            F.sum("ws_fert").alias("sum_ws_fert_micro"),
+            F.sum("bpe_fert").alias("sum_bpe_fert_micro"),
+            F.min("bpe_fert").alias("min_bpe_fert_micro"),
+            F.max("bpe_fert").alias("max_bpe_fert_micro"),
+        )
+        .orderBy("lang")
+    )
