@@ -509,8 +509,9 @@ def streaming_minhash_admission(
         os.utime(dest, (1_000_000 * (s + 1), 1_000_000 * (s + 1)))
         shutil.rmtree(stage)
 
-    idx_digest = os.path.join(root, "idx_digest")
     idx_bands = os.path.join(root, "idx_bands")
+    # the admitted sink doubles as the digest index (one append per
+    # batch carries id + shard + digest)
     admitted_dir = os.path.join(root, "admitted")
 
     def _read_or_empty(path: str, schema: str) -> DataFrame:
@@ -519,14 +520,22 @@ def streaming_minhash_admission(
         return spark.createDataFrame([], schema)
 
     def admit(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df = batch_df.localCheckpoint()
+        # a micro-batch arriving as one file is ONE partition — fan the
+        # signature work (md5 × perms × shingles, the batch's dominant
+        # cost) across the executor cores before computing anything
+        batch_df = batch_df.repartition(16)
         digs = batch_df.select(
             "id", "shard", F.md5(F.encode("text", "UTF-8")).alias("d")
         )
+        # one signature pass per batch: blocked-check AND the index
+        # append both reuse the checkpointed band keys (recomputing
+        # would double the md5×perms work, the batch's dominant cost)
         bands = _portable_band_keys(
             portable_minhash_signatures(batch_df, id_col="id", num_perms=8)
-        )
-        old_d = _read_or_empty(idx_digest, "d string")
+        ).localCheckpoint()
+        old_d = _read_or_empty(
+            admitted_dir, "id long, shard long, d string"
+        ).select("d")
         old_b = _read_or_empty(idx_bands, "band int, k long")
         blocked = (
             bands.join(old_b, ["band", "k"], "left_semi")
@@ -542,10 +551,9 @@ def streaming_minhash_admission(
         )
         admitted = digs.join(blocked_ids, "id", "left_anti")
         admitted = admitted.localCheckpoint()
-        admitted.select("id", "shard").write.mode("append").parquet(
+        admitted.select("id", "shard", "d").write.mode("append").parquet(
             admitted_dir
         )
-        admitted.select("d").write.mode("append").parquet(idx_digest)
         bands.join(admitted.select("id"), "id", "left_semi").select(
             "band", "k"
         ).write.mode("append").parquet(idx_bands)
@@ -557,14 +565,22 @@ def streaming_minhash_admission(
         .option("latestFirst", "false")
         .parquet(src)
     )
-    q = (
-        stream.writeStream.foreachBatch(admit)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # batch-sized shuffles: 32 default partitions is pure per-task
+    # overhead for the tiny per-batch joins (same sizing rationale as
+    # streaming.jobs.run_stream_to_table's state_partitions)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(admit)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
     adm = spark.read.parquet(admitted_dir).select(
         F.col("id").alias("aid"), F.col("shard").alias("ashard")
