@@ -357,6 +357,150 @@ def _portable_band_keys(sig: DataFrame) -> DataFrame:
     )
 
 
+# --- streaming-admission machinery (module-level so the stop/restart
+# --- recovery test can drive the same pipeline in phases) -----------
+
+
+def admission_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded admission stream content: corpus docs (shard = id mod 4)
+    plus an exact copy (``doc_id % 8 == 0``) and a near-dup
+    (``% 8 == 1``) of corpus docs placed TWO shards after their
+    originals (the +2 offsets keep ``shard == id mod 4`` true for the
+    seeds as well)."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        d.select(
+            F.col("doc_id").alias("id"),
+            "text",
+            F.pmod("doc_id", F.lit(4)).alias("shard"),
+        )
+        .unionByName(
+            d.where(F.col("doc_id") % 8 == 0).select(
+                (F.col("doc_id") + 5000002).alias("id"),
+                "text",
+                F.pmod(F.col("doc_id") + 2, F.lit(4)).alias("shard"),
+            )
+        )
+        .unionByName(
+            d.where(F.col("doc_id") % 8 == 1).select(
+                (F.col("doc_id") + 6000002).alias("id"),
+                F.concat("text", F.lit(" zz qq")).alias("text"),
+                F.pmod(F.col("doc_id") + 2, F.lit(4)).alias("shard"),
+            )
+        )
+    )
+
+
+def stage_admission_shards(base: DataFrame, root: str, shards) -> None:
+    """Land one parquet file per shard under ``root/src`` with mtimes
+    forced ascending so the file source drains them in shard order
+    (test scaffolding, not the measured operator)."""
+    import os
+    import shutil
+
+    src = os.path.join(root, "src")
+    os.makedirs(src, exist_ok=True)
+    for s in shards:
+        stage = os.path.join(root, f"stage_{s}")
+        base.where(F.col("shard") == s).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        dest = os.path.join(src, f"shard_{s}.parquet")
+        shutil.move(os.path.join(stage, part), dest)
+        os.utime(dest, (1_000_000 * (s + 1), 1_000_000 * (s + 1)))
+        shutil.rmtree(stage)
+
+
+def admitted_table(spark: SparkSession, root: str) -> DataFrame:
+    """The admitted sink (which doubles as the digest index: one append
+    per batch carries id + shard + digest)."""
+    import os
+
+    return spark.read.parquet(os.path.join(root, "admitted"))
+
+
+def run_admission_stream(spark: SparkSession, schema, root: str) -> None:
+    """Drain everything currently staged under ``root/src`` through the
+    foreachBatch admission pipeline (AvailableNow), resuming from
+    ``root/ckpt`` if it exists — a second call after more files land
+    continues the index exactly where the first stopped."""
+    import os
+
+    from big_data_lab_three_spark.operators.dedup import (
+        portable_minhash_signatures,
+    )
+
+    idx_bands = os.path.join(root, "idx_bands")
+    admitted_dir = os.path.join(root, "admitted")
+
+    def _read_or_empty(path: str, ddl: str) -> DataFrame:
+        if os.path.isdir(path):
+            return spark.read.parquet(path)
+        return spark.createDataFrame([], ddl)
+
+    def admit(batch_df: DataFrame, batch_id: int) -> None:
+        # a micro-batch arriving as one file is ONE partition — fan the
+        # signature work (md5 × perms × shingles, the batch's dominant
+        # cost) across the executor cores before computing anything
+        batch_df = batch_df.repartition(16)
+        digs = batch_df.select(
+            "id", "shard", F.md5(F.encode("text", "UTF-8")).alias("d")
+        )
+        # one signature pass per batch: blocked-check AND the index
+        # append both reuse the checkpointed band keys
+        bands = _portable_band_keys(
+            portable_minhash_signatures(batch_df, id_col="id", num_perms=8)
+        ).localCheckpoint()
+        old_d = _read_or_empty(
+            admitted_dir, "id long, shard long, d string"
+        ).select("d")
+        old_b = _read_or_empty(idx_bands, "band int, k long")
+        blocked = (
+            bands.join(old_b, ["band", "k"], "left_semi")
+            .select("id")
+            .distinct()
+        )
+        blocked_ids = (
+            digs.join(old_d, "d", "left_semi")
+            .select("id")
+            .distinct()
+            .unionByName(blocked)
+            .distinct()
+        )
+        admitted = digs.join(blocked_ids, "id", "left_anti")
+        admitted = admitted.localCheckpoint()
+        admitted.select("id", "shard", "d").write.mode("append").parquet(
+            admitted_dir
+        )
+        bands.join(admitted.select("id"), "id", "left_semi").select(
+            "band", "k"
+        ).write.mode("append").parquet(idx_bands)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(os.path.join(root, "src"))
+    )
+    # batch-sized shuffles: 32 default partitions is pure per-task
+    # overhead for the tiny per-batch joins (same sizing rationale as
+    # streaming.jobs.run_stream_to_table's state_partitions)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(admit)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 @register(
     "streaming_minhash_admission",
     ids="streaming: stateful MinHash index admission — per-micro-batch dedup against an accumulating signature index (streaming twin of dedup_incremental)",
@@ -460,129 +604,16 @@ def streaming_minhash_admission(
     near-dup check never rescans corpus text (reference point:
     ``dedup_incremental`` recomputes cross-side LSH per batch, this
     variant persists the index — the encode-at-ingest trade)."""
-    import os
-    import shutil
     import tempfile
 
-    from big_data_lab_three_spark.operators.dedup import (
-        portable_minhash_signatures,
-    )
-
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    base = (
-        d.select(
-            F.col("doc_id").alias("id"),
-            "text",
-            F.pmod("doc_id", F.lit(4)).alias("shard"),
-        )
-        .unionByName(
-            d.where(F.col("doc_id") % 8 == 0).select(
-                (F.col("doc_id") + 5000002).alias("id"),
-                "text",
-                F.pmod(F.col("doc_id") + 2, F.lit(4)).alias("shard"),
-            )
-        )
-        .unionByName(
-            d.where(F.col("doc_id") % 8 == 1).select(
-                (F.col("doc_id") + 6000002).alias("id"),
-                F.concat("text", F.lit(" zz qq")).alias("text"),
-                F.pmod(F.col("doc_id") + 2, F.lit(4)).alias("shard"),
-            )
-        )
-    )
+    base = admission_base(spark, sf_dir)
     base.persist()
 
     root = tempfile.mkdtemp(prefix="minhash_admission_")
-    src = os.path.join(root, "src")
-    os.makedirs(src)
-    # Stage the four chronological shards (test scaffolding, not the
-    # measured operator): one file per shard, mtimes forced ascending so
-    # the file source drains them in shard order.
-    for s in range(4):
-        stage = os.path.join(root, f"stage_{s}")
-        base.where(F.col("shard") == s).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(stage)
-        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
-        dest = os.path.join(src, f"shard_{s}.parquet")
-        shutil.move(os.path.join(stage, part), dest)
-        os.utime(dest, (1_000_000 * (s + 1), 1_000_000 * (s + 1)))
-        shutil.rmtree(stage)
+    stage_admission_shards(base, root, range(4))
+    run_admission_stream(spark, base.schema, root)
 
-    idx_bands = os.path.join(root, "idx_bands")
-    # the admitted sink doubles as the digest index (one append per
-    # batch carries id + shard + digest)
-    admitted_dir = os.path.join(root, "admitted")
-
-    def _read_or_empty(path: str, schema: str) -> DataFrame:
-        if os.path.isdir(path):
-            return spark.read.parquet(path)
-        return spark.createDataFrame([], schema)
-
-    def admit(batch_df: DataFrame, batch_id: int) -> None:
-        # a micro-batch arriving as one file is ONE partition — fan the
-        # signature work (md5 × perms × shingles, the batch's dominant
-        # cost) across the executor cores before computing anything
-        batch_df = batch_df.repartition(16)
-        digs = batch_df.select(
-            "id", "shard", F.md5(F.encode("text", "UTF-8")).alias("d")
-        )
-        # one signature pass per batch: blocked-check AND the index
-        # append both reuse the checkpointed band keys (recomputing
-        # would double the md5×perms work, the batch's dominant cost)
-        bands = _portable_band_keys(
-            portable_minhash_signatures(batch_df, id_col="id", num_perms=8)
-        ).localCheckpoint()
-        old_d = _read_or_empty(
-            admitted_dir, "id long, shard long, d string"
-        ).select("d")
-        old_b = _read_or_empty(idx_bands, "band int, k long")
-        blocked = (
-            bands.join(old_b, ["band", "k"], "left_semi")
-            .select("id")
-            .distinct()
-        )
-        blocked_ids = (
-            digs.join(old_d, "d", "left_semi")
-            .select("id")
-            .distinct()
-            .unionByName(blocked)
-            .distinct()
-        )
-        admitted = digs.join(blocked_ids, "id", "left_anti")
-        admitted = admitted.localCheckpoint()
-        admitted.select("id", "shard", "d").write.mode("append").parquet(
-            admitted_dir
-        )
-        bands.join(admitted.select("id"), "id", "left_semi").select(
-            "band", "k"
-        ).write.mode("append").parquet(idx_bands)
-
-    schema = base.schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("latestFirst", "false")
-        .parquet(src)
-    )
-    # batch-sized shuffles: 32 default partitions is pure per-task
-    # overhead for the tiny per-batch joins (same sizing rationale as
-    # streaming.jobs.run_stream_to_table's state_partitions)
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            stream.writeStream.foreachBatch(admit)
-            .outputMode("append")
-            .option("checkpointLocation", os.path.join(root, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-
-    adm = spark.read.parquet(admitted_dir).select(
+    adm = admitted_table(spark, root).select(
         F.col("id").alias("aid"), F.col("shard").alias("ashard")
     )
     out = (
@@ -1471,4 +1502,85 @@ def token_fertility_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("bpe_fert").alias("max_bpe_fert_micro"),
         )
         .orderBy("lang")
+    )
+
+
+@register(
+    "join_cardinality_estimate",
+    ids="planner costing: self-join cardinality estimation from a deterministic md5 key sample vs the exact sum-of-squares (full value oracle)",
+    oracle="""
+WITH c AS (
+    SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS cnt
+    FROM lineitem GROUP BY 1
+), e AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(cnt * cnt) AS BIGINT) AS exact_pairs
+    FROM c
+), s AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(16 * sum(cnt * cnt) AS BIGINT) AS est_pairs
+    FROM c
+    WHERE CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 16 = 0
+)
+SELECT e.n_keys, e.exact_pairs, s.n_sampled, s.est_pairs,
+       (abs(s.est_pairs - e.exact_pairs) * 100 <= 25 * e.exact_pairs)
+           AS within_25pct
+FROM e, s
+""",
+)
+def join_cardinality_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """JOIN-CARDINALITY estimation — the planner-costing primitive
+    behind every join-order decision: the size of the lineitem
+    self-join on ``l_partkey`` is exactly ``Σ_k c_k²``, and an engine
+    that cannot afford the full key census estimates it from a key
+    SAMPLE.  The sample here is the engine-portable deterministic one
+    (keys whose 60-bit md5 ≡ 0 mod 16 — the ``training_shards`` md5
+    convention, a pure function of the key), scaled by 16; the output
+    carries the exact count, the estimate, and the realized ±25% gate
+    — all exact integers, so DuckDB recomputes the census, the sample,
+    AND the estimate identically (full value hash on the cost model).
+
+    Scale shape: one map-side-combining groupBy(key) census (the
+    statistics pass ANALYZE runs), one filtered sum over it; the
+    sample filter is a projection on the census, not a second scan.
+    At 100 TB the census itself is the expensive pass — the md5-sample
+    variant drops to sampled keys only when pushed into the scan."""
+    c = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    c.persist()
+    e = c.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("exact_pairs"),
+    )
+    sampled = c.where(
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("k").cast("string")), 1, 15), 16, 10
+            ).cast("long"),
+            F.lit(16),
+        )
+        == 0
+    )
+    s = sampled.agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        (F.lit(16) * F.sum(F.col("cnt") * F.col("cnt"))).alias("est_pairs"),
+    )
+    return (
+        e.crossJoin(F.broadcast(s))
+        .select(
+            "n_keys",
+            "exact_pairs",
+            "n_sampled",
+            "est_pairs",
+            (
+                F.abs(F.col("est_pairs") - F.col("exact_pairs")) * 100
+                <= F.lit(25) * F.col("exact_pairs")
+            ).alias("within_25pct"),
+        )
     )

@@ -306,3 +306,54 @@ def test_checkpoint_recovery_restart_with_new_files(spark, sf_dir, tmp_path):
     # the restart genuinely processed the new shard (phase 1 alone is
     # incomplete — trailing sessions were still open at the stop)
     assert 0 < n_phase1 < len(multi)
+
+
+def test_minhash_admission_survives_stop_restart(spark, sf_dir, tmp_path):
+    """The admission index (admitted sink + band-key index) must
+    continue EXACTLY across a stop/restart: drain shards 0-1
+    (AvailableNow = clean stop), land shards 2-3, restart from the same
+    checkpoint — the final admitted set must equal the uninterrupted
+    4-shard run, and the restart must not re-admit committed shards
+    (exactly-once on the sink appends)."""
+    from big_data_lab_three_spark.queries.curation import (
+        admission_base,
+        admitted_table,
+        run_admission_stream,
+        stage_admission_shards,
+    )
+
+    base = admission_base(spark, sf_dir)
+    base.persist()
+
+    # phase 1: only the first two shards exist
+    r1 = str(tmp_path / "resumed")
+    os.makedirs(r1)
+    stage_admission_shards(base, r1, range(2))
+    run_admission_stream(spark, base.schema, r1)
+    phase1 = {
+        (r["id"], r["shard"]) for r in admitted_table(spark, r1).collect()
+    }
+
+    # stop happened (AvailableNow drained); shards 2-3 land; restart
+    stage_admission_shards(base, r1, range(2, 4))
+    run_admission_stream(spark, base.schema, r1)
+    resumed = sorted(
+        (r["id"], r["shard"]) for r in admitted_table(spark, r1).collect()
+    )
+
+    # uninterrupted control run
+    r2 = str(tmp_path / "oneshot")
+    os.makedirs(r2)
+    stage_admission_shards(base, r2, range(4))
+    run_admission_stream(spark, base.schema, r2)
+    oneshot = sorted(
+        (r["id"], r["shard"]) for r in admitted_table(spark, r2).collect()
+    )
+
+    assert resumed == oneshot
+    # no duplicates: a replayed shard would double its admitted rows
+    assert len(resumed) == len(set(resumed))
+    # the restart genuinely processed the new shards (phase 1 alone is
+    # a strict subset)
+    assert phase1 < set(resumed)
+    base.unpersist()
