@@ -25,6 +25,41 @@ from big_data_lab_three_spark.queries.text import _DUCK_TOKS
 from big_data_lab_three_spark.sources import table
 
 
+def _contamination_hits(spark: SparkSession, sf_dir: str):
+    """Shared by ``span_decontaminate`` / ``span_mask_apply``:
+    (corpus-with-seeded-leaks, flagged 8-gram windows).  The benchmark
+    gram set broadcasts; ``hits`` is (doc_id, pos) rows for corpus
+    windows appearing anywhere in the benchmark suite."""
+    d = table(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 13 == 0).select("doc_id", "text")
+    leaks = bench.where(F.col("doc_id") % 26 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat(
+            F.lit("alpha beta gamma delta "),
+            F.col("text"),
+            F.lit(" omega psi"),
+        ).alias("text"),
+    )
+    corpus = (
+        d.where(F.col("doc_id") % 13 != 0)
+        .select("doc_id", "text")
+        .unionByName(leaks)
+    )
+    bg = (
+        bench.select(
+            F.explode(F.array_distinct(shingles(tokens(F.col("text")), 8)))
+            .alias("g")
+        )
+        .distinct()
+    )
+    cw = corpus.select(
+        "doc_id",
+        F.posexplode(shingles(tokens(F.col("text")), 8)).alias("pos0", "g"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
+    hits = cw.join(F.broadcast(bg), "g", "left_semi")
+    return corpus, hits
+
+
 @register(
     "span_decontaminate",
     ids="text safety: substring-level decontamination — per-document contaminated token-span extents (mask, don't drop)",
@@ -90,33 +125,7 @@ def span_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus shuffle; only (doc_id, pos) hit rows — vanishingly few —
     reach the per-doc window + aggregate.  Same plan class as
     ``contamination_check``, plus a hits-only exchange."""
-    d = table(spark, sf_dir, "documents")
-    bench = d.where(F.col("doc_id") % 13 == 0).select("doc_id", "text")
-    leaks = bench.where(F.col("doc_id") % 26 == 0).select(
-        (F.col("doc_id") + 3000000).alias("doc_id"),
-        F.concat(
-            F.lit("alpha beta gamma delta "),
-            F.col("text"),
-            F.lit(" omega psi"),
-        ).alias("text"),
-    )
-    corpus = (
-        d.where(F.col("doc_id") % 13 != 0)
-        .select("doc_id", "text")
-        .unionByName(leaks)
-    )
-    bg = (
-        bench.select(
-            F.explode(F.array_distinct(shingles(tokens(F.col("text")), 8)))
-            .alias("g")
-        )
-        .distinct()
-    )
-    cw = corpus.select(
-        "doc_id",
-        F.posexplode(shingles(tokens(F.col("text")), 8)).alias("pos0", "g"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
-    hits = cw.join(F.broadcast(bg), "g", "left_semi")
+    corpus, hits = _contamination_hits(spark, sf_dir)
     from pyspark.sql import Window
 
     w = Window.partitionBy("doc_id").orderBy("pos")
@@ -1583,4 +1592,131 @@ def join_cardinality_estimate(
                 <= F.lit(25) * F.col("exact_pairs")
             ).alias("within_25pct"),
         )
+    )
+
+
+@register(
+    "span_mask_apply",
+    ids="text safety: apply substring-level decontamination — rewrite contaminated token spans to a mask token (full value oracle over the rewritten text)",
+    oracle=f"""
+WITH bench AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 13 = 0
+), corpus AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 13 != 0
+    UNION ALL
+    SELECT doc_id + 3000000,
+           'alpha beta gamma delta ' || text || ' omega psi'
+    FROM bench WHERE doc_id % 26 = 0
+), bg AS (
+    SELECT DISTINCT unnest(list_distinct(
+               [array_to_string(toks[i:i+7], ' ')
+                for i in range(1, len(toks) - 6)])) AS g
+    FROM (SELECT {_DUCK_TOKS} AS toks FROM bench)
+), cw AS (
+    SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+        SELECT doc_id,
+               unnest([{{'pos': i, 'g': array_to_string(toks[i:i+7], ' ')}}
+                       for i in range(1, len(toks) - 6)]) AS u
+        FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM corpus)
+    )
+), hit AS (
+    SELECT doc_id, pos FROM cw WHERE g IN (SELECT g FROM bg)
+), contam AS (
+    SELECT DISTINCT doc_id FROM hit
+), toks AS (
+    SELECT c.doc_id, u.pos AS pos, u.tok AS tok FROM (
+        SELECT doc_id,
+               unnest([{{'pos': i, 'tok': t[i]}}
+                       for i in range(1, len(t) + 1)]) AS u
+        FROM (SELECT doc_id, {_DUCK_TOKS} AS t FROM corpus
+              WHERE doc_id IN (SELECT doc_id FROM contam))
+    ) c
+), marked AS (
+    SELECT t.doc_id, t.pos,
+           CASE WHEN EXISTS (
+               SELECT 1 FROM hit h
+               WHERE h.doc_id = t.doc_id
+                 AND t.pos BETWEEN h.pos AND h.pos + 7)
+                THEN '<MASK>' ELSE t.tok END AS tok,
+           CASE WHEN EXISTS (
+               SELECT 1 FROM hit h
+               WHERE h.doc_id = t.doc_id
+                 AND t.pos BETWEEN h.pos AND h.pos + 7)
+                THEN 1 ELSE 0 END AS masked
+    FROM toks t
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(masked) AS BIGINT) AS n_masked,
+       md5(string_agg(tok, ' ' ORDER BY pos)) AS masked_md5
+FROM marked
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def span_mask_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the substring-level decontamination: rewrite each
+    contaminated document with its flagged 8-token windows replaced by
+    ``<MASK>`` tokens — the mask-don't-drop rewrite that keeps the
+    clean remainder of a document in the training set (the
+    ``span_decontaminate`` extents, executed).  Output per contaminated
+    doc: token count, masked-token count (== the covered-token figure
+    the extents query reports), and the md5 of the REWRITTEN text — a
+    full value hash over the actual rewrite, not just its statistics.
+
+    The rewrite never explodes tokens on the Spark side: each doc's
+    flagged positions aggregate into an in-row interval array (hit
+    rows are rare), and one ``transform`` + ``exists`` over the token
+    array rewrites in place inside codegen — the masked text is
+    reassembled with ``concat_ws`` in one projection.  The DuckDB
+    oracle reaches the identical strings through an indexed-token
+    range join + ordered ``string_agg``.
+
+    Scale shape: same broadcast-semi-join plan as
+    ``span_decontaminate`` for finding hits; the rewrite joins the
+    (rare) contaminated docs to their interval arrays and stays a
+    projection — no token-level shuffle anywhere."""
+    corpus, hits = _contamination_hits(spark, sf_dir)
+    iv = hits.groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct(
+                F.col("pos").alias("lo"), (F.col("pos") + 7).alias("hi")
+            )
+        ).alias("iv")
+    )
+    toks = tokens(F.col("text"))
+    masked_tok = F.transform(
+        toks,
+        lambda x, i: F.when(
+            F.exists(
+                F.col("iv"),
+                lambda v: (F.lit(1) + i >= v["lo"])
+                & (F.lit(1) + i <= v["hi"]),
+            ),
+            F.lit("<MASK>"),
+        ).otherwise(x),
+    )
+    n_masked = F.aggregate(
+        F.transform(
+            toks,
+            lambda x, i: F.exists(
+                F.col("iv"),
+                lambda v: (F.lit(1) + i >= v["lo"])
+                & (F.lit(1) + i <= v["hi"]),
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        corpus.join(iv, "doc_id")
+        .select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_tokens"),
+            n_masked.alias("n_masked"),
+            F.md5(
+                F.encode(F.concat_ws(" ", masked_tok), "UTF-8")
+            ).alias("masked_md5"),
+        )
+        .orderBy("doc_id")
     )

@@ -438,3 +438,18 @@ def test_connected_components_leaves_caller_conf_alone(spark):
         assert (
             spark.conf.get("spark.sql.shuffle.partitions") == before
         )
+
+
+def test_span_mask_apply_matches_decontaminate_extents(spark, sf_dir):
+    """The rewrite and the extents report are two views of one
+    computation: per contaminated doc, span_mask_apply's masked-token
+    count must equal span_decontaminate's union-of-intervals coverage."""
+    ext = {
+        r["corpus_doc"]: r["n_tokens_covered"]
+        for r in REG["span_decontaminate"].spark(spark, sf_dir).collect()
+    }
+    msk = {
+        r["doc_id"]: r["n_masked"]
+        for r in REG["span_mask_apply"].spark(spark, sf_dir).collect()
+    }
+    assert ext == msk
