@@ -1720,3 +1720,292 @@ def span_mask_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "charclass_entropy_census",
+    ids="text quality: character-class entropy per language — exact class counts, psi-convention smoothed-share entropy (bounded ln grid)",
+    oracle="""
+WITH t AS (
+    SELECT lang,
+           CAST(length(text) AS BIGINT) AS n_all,
+           CAST(length(text) - length(regexp_replace(text, '[a-z]', '', 'g'))
+               AS BIGINT) AS n_lower,
+           CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
+               AS BIGINT) AS n_upper,
+           CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+               AS BIGINT) AS n_digit,
+           CAST(length(text) - length(regexp_replace(text, '[ \\t\\n]', '', 'g'))
+               AS BIGINT) AS n_space
+    FROM documents
+), c AS (
+    SELECT lang,
+           CAST(sum(n_all) AS BIGINT) AS n_chars,
+           CAST(sum(n_lower) AS BIGINT) AS c_lower,
+           CAST(sum(n_upper) AS BIGINT) AS c_upper,
+           CAST(sum(n_digit) AS BIGINT) AS c_digit,
+           CAST(sum(n_space) AS BIGINT) AS c_space,
+           CAST(sum(n_all - n_lower - n_upper - n_digit - n_space)
+               AS BIGINT) AS c_other
+    FROM t GROUP BY lang
+), u AS (
+    SELECT lang, n_chars, c_lower, c_upper, c_digit, c_space, c_other,
+           unnest([c_lower, c_upper, c_digit, c_space, c_other]) AS cnt
+    FROM c
+), k AS (
+    SELECT lang, n_chars, c_lower, c_upper, c_digit, c_space, c_other,
+           (CAST(cnt AS DOUBLE) + 0.5) / (CAST(n_chars AS DOUBLE) + 2.5)
+               AS share
+    FROM u
+), q AS (
+    SELECT lang,
+           CAST(max(n_chars) AS BIGINT) AS n_chars,
+           CAST(max(c_lower) AS BIGINT) AS c_lower,
+           CAST(max(c_upper) AS BIGINT) AS c_upper,
+           CAST(max(c_digit) AS BIGINT) AS c_digit,
+           CAST(max(c_space) AS BIGINT) AS c_space,
+           CAST(max(c_other) AS BIGINT) AS c_other,
+           CAST(sum(CAST(floor(-share * ln(share) * 1000000 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS entq
+    FROM k GROUP BY lang
+)
+SELECT lang, n_chars, c_lower, c_upper, c_digit, c_space, c_other,
+       round(CAST(entq AS DOUBLE) / 1000000, 4) AS entropy_nats
+FROM q ORDER BY lang
+""",
+)
+def charclass_entropy_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Character-class ENTROPY per language — the compact corpus-shape
+    signal (a language bucket whose class distribution collapses —
+    all-digits, no-whitespace — is boilerplate or mis-identified):
+    exact per-language counts of {lower, upper, digit, whitespace,
+    other} characters (regex strip-and-diff, codegen), then the
+    Shannon entropy of the 5-class distribution with Laplace-smoothed
+    shares ``(c+0.5)/(n+2.5)``.
+
+    ``ln`` is the one transcendental the statistic needs; the
+    ``psi_drift``/``benford_census`` convention applies — the ln grid
+    is BOUNDED (|langs|×5 cells), each cell quantizes to 1e-6
+    immediately, and only exact integers are summed across cells, so
+    partial-sum order cannot flip the readout on either engine.
+
+    Scale shape: one codegen projection per document (4 regex strips),
+    one rollup to |langs| rows; the entropy arithmetic runs on the
+    census only."""
+    t = table(spark, sf_dir, "documents").select(
+        "lang",
+        F.length("text").cast("long").alias("n_all"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", "[a-z]", ""))
+        ).cast("long").alias("n_lower"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", "[A-Z]", ""))
+        ).cast("long").alias("n_upper"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", "[0-9]", ""))
+        ).cast("long").alias("n_digit"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", "[ \\t\\n]", ""))
+        ).cast("long").alias("n_space"),
+    )
+    c = t.groupBy("lang").agg(
+        F.sum("n_all").alias("n_chars"),
+        F.sum("n_lower").alias("c_lower"),
+        F.sum("n_upper").alias("c_upper"),
+        F.sum("n_digit").alias("c_digit"),
+        F.sum("n_space").alias("c_space"),
+        F.sum(
+            F.col("n_all")
+            - F.col("n_lower")
+            - F.col("n_upper")
+            - F.col("n_digit")
+            - F.col("n_space")
+        ).alias("c_other"),
+    )
+    u = c.select(
+        "lang", "n_chars", "c_lower", "c_upper", "c_digit", "c_space",
+        "c_other",
+        F.explode(
+            F.array("c_lower", "c_upper", "c_digit", "c_space", "c_other")
+        ).alias("cnt"),
+    )
+    share = (F.col("cnt").cast("double") + F.lit(0.5)) / (
+        F.col("n_chars").cast("double") + F.lit(2.5)
+    )
+    q = u.select(
+        "lang", "n_chars", "c_lower", "c_upper", "c_digit", "c_space",
+        "c_other",
+        share.alias("share"),
+    ).groupBy("lang").agg(
+        F.max("n_chars").alias("n_chars"),
+        F.max("c_lower").alias("c_lower"),
+        F.max("c_upper").alias("c_upper"),
+        F.max("c_digit").alias("c_digit"),
+        F.max("c_space").alias("c_space"),
+        F.max("c_other").alias("c_other"),
+        _qsum(-F.col("share") * F.log(F.col("share")), 1000000).alias(
+            "entq"
+        ),
+    )
+    return q.select(
+        "lang", "n_chars", "c_lower", "c_upper", "c_digit", "c_space",
+        "c_other",
+        F.round(F.col("entq").cast("double") / F.lit(1000000.0), 4).alias(
+            "entropy_nats"
+        ),
+    ).orderBy("lang")
+
+
+# Brown double-smoothing weights: first-order 0.3·0.7^i (the shared
+# _EWMA_W literals) and their self-convolution truncated at 32 lags —
+# Python-generated decimal literals, never runtime pow (the
+# ewma_smooth ULP-portability rule).
+_BROWN_W1 = _EWMA_W
+_BROWN_W2 = tuple(
+    (k, round(sum(0.3 * 0.7**i * 0.3 * 0.7 ** (k - i)
+                  for i in range(0, k + 1)), 12))
+    for k in range(32)
+)
+_BROWN_W1_SQL = ", ".join(f"({i}, {w!r})" for i, w in _BROWN_W1)
+_BROWN_W2_SQL = ", ".join(f"({i}, {w!r})" for i, w in _BROWN_W2)
+
+
+@register(
+    "holt_trend_smooth",
+    ids="timeseries: Brown double exponential smoothing — level + trend + one-step forecast from composed literal weight kernels",
+    oracle="""
+WITH d AS (
+    SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS day_id,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY 1
+), m AS (
+    SELECT max(day_id) AS mx FROM d
+), w1 AS (
+    SELECT CAST(i AS BIGINT) AS lag, CAST(wt AS DOUBLE) AS wt
+    FROM (VALUES {W1}) AS v(i, wt)
+), w2 AS (
+    SELECT CAST(i AS BIGINT) AS lag, CAST(wt AS DOUBLE) AS wt
+    FROM (VALUES {W2}) AS v(i, wt)
+), tgt AS (
+    SELECT d.day_id, d.n FROM d, m WHERE d.day_id > m.mx - 10
+), j1 AS (
+    SELECT tgt.day_id, tgt.n, w1.wt, src.n AS lag_n
+    FROM tgt JOIN w1 ON TRUE
+    JOIN d src ON src.day_id = tgt.day_id - w1.lag
+), s1 AS (
+    SELECT day_id, CAST(max(n) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(wt * lag_n * 1000000 + 0.5) AS BIGINT))
+               AS BIGINT) AS numq1,
+           CAST(sum(CAST(floor(wt * 1000000000 + 0.5) AS BIGINT))
+               AS BIGINT) AS denq1
+    FROM j1 GROUP BY day_id
+), j2 AS (
+    SELECT tgt.day_id, w2.wt, src.n AS lag_n
+    FROM tgt JOIN w2 ON TRUE
+    JOIN d src ON src.day_id = tgt.day_id - w2.lag
+), s2 AS (
+    SELECT day_id,
+           CAST(sum(CAST(floor(wt * lag_n * 1000000 + 0.5) AS BIGINT))
+               AS BIGINT) AS numq2,
+           CAST(sum(CAST(floor(wt * 1000000000 + 0.5) AS BIGINT))
+               AS BIGINT) AS denq2
+    FROM j2 GROUP BY day_id
+), z AS (
+    SELECT s1.day_id, s1.n,
+           (CAST(s1.numq1 AS DOUBLE) / 1000000)
+               / (CAST(s1.denq1 AS DOUBLE) / 1000000000) AS e1,
+           (CAST(s2.numq2 AS DOUBLE) / 1000000)
+               / (CAST(s2.denq2 AS DOUBLE) / 1000000000) AS e2
+    FROM s1 JOIN s2 ON s2.day_id = s1.day_id
+)
+SELECT day_id, n,
+       round(e1, 4) AS s1,
+       round(e2, 4) AS s2,
+       round(2 * e1 - e2, 4) AS level,
+       round(0.428571428571 * (e1 - e2), 4) AS trend,
+       round(2 * e1 - e2 + 0.428571428571 * (e1 - e2), 4) AS forecast_1
+FROM z ORDER BY day_id
+""".format(W1=_BROWN_W1_SQL, W2=_BROWN_W2_SQL),
+)
+def holt_trend_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BROWN double exponential smoothing of the daily order-count
+    series — the trend-aware forecasting readout (`seasonal_smooth`'s
+    sibling from the r8-plan deferred list): the first smoothing uses
+    the shared ``0.3·0.7^i`` literal kernel, the second uses the
+    kernel's SELF-CONVOLUTION (also precomputed Python literals —
+    runtime ``pow`` is not ULP-portable), both truncated at 32 lags
+    and adjust-normalized by the present-lag weight mass.  Level
+    ``2·S1 − S2``, trend ``α/(1−α)·(S1 − S2)`` with the ratio as a
+    shared 12-digit literal, and the one-step forecast — the recursion
+    replaced by two bounded broadcast joins, no engine replays any
+    iteration.
+
+    Portability: counts are exact integers; every weight×lag product
+    quantizes at 1e-6 and integer-sums (the ``ewma_smooth``
+    convention); the final level/trend/forecast are identical double
+    chains rounded at 4.
+
+    Scale shape: one rollup shuffle to the ~2400-day census; two
+    10-target × 32-lag broadcast expansions; ≤10-row output."""
+    d = (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("day_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    d.persist()
+    m = d.agg(F.max("day_id").alias("mx"))
+    tgt = d.crossJoin(F.broadcast(m)).where(
+        F.col("day_id") > F.col("mx") - 10
+    )
+    src = d.select(
+        F.col("day_id").alias("src_day"), F.col("n").alias("lag_n")
+    )
+
+    def smooth(w_literals, num_alias, den_alias):
+        w = spark.createDataFrame(
+            list(w_literals), schema="lag long, wt double"
+        )
+        j = tgt.crossJoin(F.broadcast(w)).join(
+            F.broadcast(src),
+            F.col("src_day") == F.col("day_id") - F.col("lag"),
+        )
+        return j.groupBy("day_id").agg(
+            F.max("n").alias("n"),
+            _qsum(F.col("wt") * F.col("lag_n"), 1000000).alias(num_alias),
+            _qsum(F.col("wt"), 1000000000).alias(den_alias),
+        )
+
+    s1 = smooth(_BROWN_W1, "numq1", "denq1")
+    s2 = smooth(_BROWN_W2, "numq2", "denq2").drop("n")
+    z = s1.join(s2, "day_id")
+    e1 = (F.col("numq1").cast("double") / F.lit(1000000.0)) / (
+        F.col("denq1").cast("double") / F.lit(1000000000.0)
+    )
+    e2 = (F.col("numq2").cast("double") / F.lit(1000000.0)) / (
+        F.col("denq2").cast("double") / F.lit(1000000000.0)
+    )
+    ratio = F.lit(0.428571428571)
+    return z.select(
+        "day_id",
+        "n",
+        F.round(e1, 4).alias("s1"),
+        F.round(e2, 4).alias("s2"),
+        F.round(F.lit(2) * e1 - e2, 4).alias("level"),
+        F.round(ratio * (e1 - e2), 4).alias("trend"),
+        F.round(F.lit(2) * e1 - e2 + ratio * (e1 - e2), 4).alias(
+            "forecast_1"
+        ),
+    ).orderBy("day_id")
