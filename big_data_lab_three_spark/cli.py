@@ -110,7 +110,9 @@ def main(argv: list[str] | None = None) -> int:
         )
         try:
             result = mm.predict(model, mode, fixtures_dir=fixtures)
-        except FileNotFoundError as e:
+        except (FileNotFoundError, ValueError) as e:
+            # missing fixtures dir OR a malformed/misaligned/empty
+            # fixture — both honor the {"error": ...}/rc-1 contract
             log.error("func test failed: %s", e)
             print(json.dumps({"error": str(e)}))
             return 1

@@ -57,6 +57,20 @@ def load_func_fixture(
     )
     if "X" not in raw.columns or "y" not in raw.columns:
         raise ValueError(f"fixture {path!r} lacks X/y record arrays")
+    sizes = raw.select(
+        F.size("X").alias("nx"), F.size("y").alias("ny")
+    ).first()
+    # positional X[i]↔y[i] pairing is the fixture's contract — a length
+    # mismatch must fail loudly (pandas json_normalize + score would),
+    # never silently truncate to the intersection; empty fixtures score
+    # nothing and would surface as a NULL accuracy downstream
+    if sizes["nx"] != sizes["ny"]:
+        raise ValueError(
+            f"fixture {path!r} misaligned: len(X)={sizes['nx']} != "
+            f"len(y)={sizes['ny']}"
+        )
+    if sizes["nx"] == 0:
+        raise ValueError(f"fixture {path!r} is empty")
     xs = raw.select(F.posexplode("X").alias("pos", "x")).select("pos", "x.*")
     # ±inf/NaN → NULL BEFORE conforming (reference :136 precedes :138)
     xs = conform(
@@ -94,8 +108,18 @@ def write_experiment_record(
     import yaml
 
     stamp = (now or datetime.now()).strftime("%Y_%m_%d_%H_%M_%S")
-    exp_dir = os.path.join(exp_root, f"exp_{fixture_name[:6]}_{stamp}")
-    os.makedirs(exp_dir, exist_ok=True)
+    # reference naming (test[:6] + second-granularity stamp) collides for
+    # fixtures sharing a 6-char prefix scored in the same second — the
+    # reference silently overwrites; uniquify with a suffix instead
+    base_dir = os.path.join(exp_root, f"exp_{fixture_name[:6]}_{stamp}")
+    exp_dir, n = base_dir, 0
+    while True:
+        try:
+            os.makedirs(exp_dir, exist_ok=False)
+            break
+        except FileExistsError:
+            n += 1
+            exp_dir = f"{base_dir}_{n}"
 
     exp_data = {
         "model": model_type,

@@ -224,8 +224,13 @@ class MultiModel:
         smoke (the Redis sink is the caller's concern, as in the
         reference where it wraps this scoring)."""
         model = self.models.get(model_type)
+        # the contract that matches THIS model: a session-trained model
+        # was assembled from self.feature_cols; a loaded artifact must
+        # score against ITS persisted sidecar contract (names/order may
+        # differ from this MultiModel's configuration)
+        contract = self.feature_cols
         if model is None:
-            model, _ = load_model(model_type, self.artifact_dir)
+            model, contract = load_model(model_type, self.artifact_dir)
         if mode == "func":
             from big_data_lab_three_spark.ml.experiment import (
                 run_func_fixtures,
@@ -240,7 +245,7 @@ class MultiModel:
                 self.artifact_dir, f"{model_type}.sparkml"
             )
             runs = run_func_fixtures(
-                self.spark, model, model_type, self.feature_cols,
+                self.spark, model, model_type, contract,
                 fixtures_dir or "unit_tests", self.artifact_dir,
                 model_params=params,
                 model_artifact_path=artifact if os.path.isdir(artifact) else None,

@@ -19,8 +19,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from big_data_lab_three_spark.functions.numeric import quantized_sum as _qsum
 from big_data_lab_three_spark.functions.text import shingles, tokens
 from big_data_lab_three_spark.queries import register
+# stats imports ABOVE any curation registration: whoever imports this
+# module directly must register every stats name first, preserving the
+# module-import-order contract the driver prefix relies on
+from big_data_lab_three_spark.queries.stats import _EWMA_W, _EWMA_W_SQL
 from big_data_lab_three_spark.queries.text import _DUCK_TOKS
 from big_data_lab_three_spark.sources import table
 
@@ -613,6 +618,7 @@ def streaming_minhash_admission(
     near-dup check never rescans corpus text (reference point:
     ``dedup_incremental`` recomputes cross-side LSH per batch, this
     variant persists the index — the encode-at-ingest trade)."""
+    import shutil
     import tempfile
 
     base = admission_base(spark, sf_dir)
@@ -637,6 +643,7 @@ def streaming_minhash_admission(
     )
     out = out.localCheckpoint()
     base.unpersist()
+    shutil.rmtree(root, ignore_errors=True)  # out is checkpointed
     return out
 
 
@@ -787,12 +794,6 @@ def ivf_cost_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("nprobe")
     )
 
-
-from big_data_lab_three_spark.functions.numeric import quantized_sum as _qsum  # noqa: E402
-from big_data_lab_three_spark.queries.stats import (  # noqa: E402
-    _EWMA_W,
-    _EWMA_W_SQL,
-)
 
 
 @register(
@@ -1096,8 +1097,6 @@ def record_linkage_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id")
         .distinct()
     )
-    inter = F.size(F.array_intersect("as", "bs")).cast("long")
-    uni = F.size(F.array_union("as", "bs")).cast("long")
     scored = (
         cand.join(an.select(F.col("id").alias("a_id"),
                             F.col("s").alias("as")), "a_id")

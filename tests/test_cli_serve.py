@@ -213,3 +213,27 @@ def test_load_func_fixture_alignment_and_conform(spark, tmp_path):
     assert [r["l_quantity"] for r in rows] == [5.0 + 7 * i for i in range(6)]
     assert rows[1]["l_tax"] is None        # missing key → NULL
     assert rows[2]["l_discount"] is None   # +inf → NULL
+
+
+def test_load_func_fixture_rejects_misaligned_and_empty(spark, tmp_path):
+    """Positional pairing is the fixture contract: a length mismatch
+    must fail loudly (never silently truncate), and an empty fixture
+    must not surface as a NULL score downstream."""
+    from big_data_lab_three_spark.ml.experiment import load_func_fixture
+
+    contract = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    bad = tmp_path / "misaligned.json"
+    with open(bad, "w") as f:
+        json.dump(
+            {"X": [{"l_quantity": 1.0}, {"l_quantity": 2.0}],
+             "y": [{"State": 1}]},
+            f,
+        )
+    with pytest.raises(ValueError, match="misaligned"):
+        load_func_fixture(spark, str(bad), contract)
+
+    empty = tmp_path / "empty.json"
+    with open(empty, "w") as f:
+        json.dump({"X": [], "y": []}, f)
+    with pytest.raises(ValueError, match="empty"):
+        load_func_fixture(spark, str(empty), contract)
