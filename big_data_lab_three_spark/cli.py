@@ -110,9 +110,10 @@ def main(argv: list[str] | None = None) -> int:
         )
         try:
             result = mm.predict(model, mode, fixtures_dir=fixtures)
-        except (FileNotFoundError, ValueError) as e:
-            # missing fixtures dir OR a malformed/misaligned/empty
-            # fixture — both honor the {"error": ...}/rc-1 contract
+        except Exception as e:  # noqa: BLE001 — reference parity: the
+            # func branch catches ALL exceptions and exits 1
+            # (src/predict.py), so fixture-shape failures the upfront
+            # validation can't foresee still honor {"error": ...}/rc-1
             log.error("func test failed: %s", e)
             print(json.dumps({"error": str(e)}))
             return 1

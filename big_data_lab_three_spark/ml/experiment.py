@@ -50,13 +50,30 @@ def load_func_fixture(
     joined on position.  Fixtures are request-sized, so the join is a
     broadcast; the plan stays a single narrow stage.
     """
+    from pyspark.sql.types import ArrayType, StructType
+
     raw = (
         spark.read.option("multiLine", "true")
         .option("allowNonNumericNumbers", "true")
         .json(path)
     )
+    if "_corrupt_record" in raw.columns:
+        raise ValueError(f"fixture {path!r} is not valid JSON")
     if "X" not in raw.columns or "y" not in raw.columns:
         raise ValueError(f"fixture {path!r} lacks X/y record arrays")
+    # Validate element shapes BEFORE posexplode: scalar/array elements
+    # would otherwise surface as AnalysisException/AttributeError deep in
+    # the plan instead of the documented ValueError contract.
+    for field in ("X", "y"):
+        dt = raw.schema[field].dataType
+        if not (
+            isinstance(dt, ArrayType)
+            and isinstance(dt.elementType, StructType)
+        ):
+            raise ValueError(
+                f"fixture {path!r}: {field} must be an array of JSON "
+                f"objects, got {dt.simpleString()}"
+            )
     sizes = raw.select(
         F.size("X").alias("nx"), F.size("y").alias("ny")
     ).first()
@@ -78,7 +95,17 @@ def load_func_fixture(
         ["pos", *contract],
     )
     ys = raw.select(F.posexplode("y").alias("pos", "yrec"))
-    label_field = ys.schema["yrec"].dataType.names[0]  # "State" in fixtures
+    y_fields = ys.schema["yrec"].dataType.names
+    # spark.read.json orders struct fields lexicographically, so "first
+    # field" on a multi-field record would silently pick the
+    # alphabetically-first key, not the intended label — require exactly
+    # one (the fixtures' contract: a single label key, e.g. "State")
+    if len(y_fields) != 1:
+        raise ValueError(
+            f"fixture {path!r}: y records must carry exactly one label "
+            f"field, got {y_fields}"
+        )
+    label_field = y_fields[0]
     ys = ys.select(
         "pos", F.col(f"yrec.{label_field}").cast("double").alias("label")
     )

@@ -98,16 +98,9 @@ def register(name: str, ids: str = "", oracle: str | None = None):
 # reshuffle needed.  This is presentation only: every entry remains
 # registered and locally gated either way.
 _FORCE_FRONT: tuple[str, ...] = (
-    # r9 plan changes — re-verify even though green rows exist: the
-    # four ANN recall gates moved from re-keyed-copy probes to the
-    # planted-probe design (id-keyed unique targets unioned into the
-    # corpus, queries/vector.py::_planted_probe_frames), which makes
-    # them deterministic at the replicated sf1 tier too.  Empty once a
-    # round record shows the new plans green.
-    "similarity_lsh_recall",
-    "similarity_ivf_recall",
-    "similarity_pq_recall",
-    "similarity_ivfpq_recall",
+    # Empty: CORRECTNESS_r09.json shows all four r9 planted-probe recall
+    # plans green, so no registered plan currently lacks fresh driver
+    # evidence.  Re-fill only when a verified query's plan changes.
 )
 
 _DRIVER_ROTATION: tuple[str, ...] = (

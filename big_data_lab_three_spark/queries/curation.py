@@ -600,8 +600,14 @@ def streaming_minhash_admission(
     keys (16-byte digests + (band, long) rows — never text, the
     production index shape).  A batch document is rejected when its
     digest or ANY band key already exists in the index; admitted
-    documents append their digests/band keys to the index inside the
-    same ``foreachBatch`` transaction.  Seeds plant an exact copy
+    documents append their digests/band keys to the index within the
+    same ``foreachBatch`` invocation.  (The two parquet appends are NOT
+    atomic or batch-idempotent: a crash between them — or a retried
+    batch — could leave digests without band keys or duplicate both
+    sinks; the guarantee here is clean-AvailableNow-stop recovery,
+    which is what the stop/restart test exercises.  A production sink
+    would key both appends on ``batch_id`` partitions and skip
+    already-written ones.)  Seeds plant an exact copy
     (``doc_id % 8 == 0``) and a near-dup (``% 8 == 1``, two appended
     tokens) of corpus docs two shards after their originals, so both
     rejection gates fire across batch boundaries.
@@ -895,7 +901,10 @@ def seasonal_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     dw = d.select("day_id", "n", F.pmod("day_id", F.lit(7)).alias("dow"))
-    dw.persist()
+    # day-census is KB-sized and reused 3× — localCheckpoint (eager,
+    # lineage-truncating, GC-released) instead of a persist the returned
+    # lazy frame would pin in executor storage for the whole session
+    dw = dw.localCheckpoint()
     sf = dw.groupBy("dow").agg(
         F.sum("n").alias("sum_dow"), F.count(F.lit(1)).alias("cnt_dow")
     )
@@ -925,7 +934,7 @@ def seasonal_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dm"),
     )
-    ds.persist()
+    ds = ds.localCheckpoint()  # same KB-sized census, reused 3×
     m = ds.agg(F.max("day_id").alias("mx"))
     w = spark.createDataFrame(list(_EWMA_W), schema="lag long, wt double")
     tgt = ds.crossJoin(F.broadcast(m)).where(
@@ -1078,8 +1087,10 @@ def record_linkage_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     bn = b.select(
         "id", F.array_sort(F.array_distinct("name")).alias("s")
     )
-    an.persist()
-    bn.persist()
+    # both sides are reused 2× (key explode + score join); eager
+    # localCheckpoint releases with the RDD instead of pinning storage
+    an = an.localCheckpoint()
+    bn = bn.localCheckpoint()
     ak = an.select("id", F.explode(F.slice("s", 1, 2)).alias("k"))
     bk = bn.select("id", F.explode(F.slice("s", 1, 2)).alias("k"))
     live = (
@@ -1561,7 +1572,7 @@ def join_cardinality_estimate(
         .groupBy(F.col("l_partkey").alias("k"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    c.persist()
+    c = c.localCheckpoint()  # key census reused by exact + sampled arms
     e = c.agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.sum(F.col("cnt") * F.col("cnt")).alias("exact_pairs"),
@@ -1964,7 +1975,7 @@ def holt_trend_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    d.persist()
+    d = d.localCheckpoint()  # KB-sized day census, reused 3×
     m = d.agg(F.max("day_id").alias("mx"))
     tgt = d.crossJoin(F.broadcast(m)).where(
         F.col("day_id") > F.col("mx") - 10
