@@ -63,6 +63,7 @@ _MODULES = (
     "big_data_lab_three_spark.queries.extras",
     "big_data_lab_three_spark.queries.stats",
     "big_data_lab_three_spark.queries.curation",
+    "big_data_lab_three_spark.queries.pipeline",
 )
 
 

@@ -1516,3 +1516,26 @@ def test_seasonal_smooth_census_joins_broadcast(spark, sf_dir):
     max-day, weights, and the lag source must all broadcast."""
     df = REG["seasonal_smooth"].spark(spark, sf_dir)
     assert broadcast_join_count(df) >= 3
+
+
+def test_holt_winters_census_joins_broadcast(spark, sf_dir):
+    """Everything after the daily rollup is census-sized: dow factors
+    (used twice — deseasonalize AND re-seasonalize), max-day, both
+    weight kernels, and the lag source must all broadcast."""
+    df = REG["holt_winters_forecast"].spark(spark, sf_dir)
+    assert broadcast_join_count(df) >= 4
+
+
+def test_dsir_scores_via_broadcast_feature_table(spark, sf_dir):
+    """DSIR's scale contract: the ≤256-row hashed-bucket log-ratio
+    table broadcasts into the token stream (never a corpus-keyed
+    shuffle join), and the resample is a top-k
+    (TakeOrderedAndProject), never a global sort."""
+    df = REG["dsir_importance_resample"].spark(spark, sf_dir)
+    assert broadcast_join_count(df) >= 1, (
+        "bucket log-ratio table should broadcast into the token scan"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, (
+        "resample should be per-partition top-k, not a global sort"
+    )

@@ -357,3 +357,64 @@ def test_minhash_admission_survives_stop_restart(spark, sf_dir, tmp_path):
     # a strict subset)
     assert phase1 < set(resumed)
     base.unpersist()
+
+
+def test_et_admission_watermark_survives_stop_restart(
+    spark, sf_dir, tmp_path
+):
+    """The event-time variant adds durable WATERMARK state on top of
+    the admission index: drain shards 0-1 (AvailableNow = clean stop),
+    land shards 2-3, restart from the same checkpoint — admitted AND
+    late sets must equal the uninterrupted 4-shard run (a lost
+    watermark would under-classify lateness after the restart), and
+    the run must actually exercise the late-drop policy."""
+    from big_data_lab_three_spark.queries.curation import (
+        stage_admission_shards,
+    )
+    from big_data_lab_three_spark.queries.pipeline import (
+        admission_et_base,
+        run_admission_stream_et,
+    )
+
+    def read_pairs(root, sub):
+        p = os.path.join(root, sub)
+        if not os.path.isdir(p):
+            return set()
+        return {
+            (r["id"], r["shard"])
+            for r in spark.read.parquet(p).select("id", "shard").collect()
+        }
+
+    base = admission_et_base(spark, sf_dir)
+    base.persist()
+
+    # phase 1: only the first two shards exist
+    r1 = str(tmp_path / "resumed")
+    os.makedirs(r1)
+    stage_admission_shards(base, r1, range(2))
+    run_admission_stream_et(spark, base.schema, r1)
+    phase1_adm = read_pairs(r1, "admitted")
+
+    # stop happened (AvailableNow drained); shards 2-3 land; restart
+    stage_admission_shards(base, r1, range(2, 4))
+    run_admission_stream_et(spark, base.schema, r1)
+    resumed_adm = read_pairs(r1, "admitted")
+    resumed_late = read_pairs(r1, "late")
+
+    # uninterrupted control run
+    r2 = str(tmp_path / "oneshot")
+    os.makedirs(r2)
+    stage_admission_shards(base, r2, range(4))
+    run_admission_stream_et(spark, base.schema, r2)
+    oneshot_adm = read_pairs(r2, "admitted")
+    oneshot_late = read_pairs(r2, "late")
+
+    assert resumed_adm == oneshot_adm
+    # watermark state resumed exactly: identical late classification
+    assert resumed_late == oneshot_late
+    # the policy genuinely fired, and late docs were never admitted
+    assert len(resumed_late) > 0
+    assert not (resumed_late & resumed_adm)
+    # the restart genuinely processed the new shards
+    assert phase1_adm < resumed_adm
+    base.unpersist()
