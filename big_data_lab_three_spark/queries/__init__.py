@@ -99,9 +99,14 @@ def register(name: str, ids: str = "", oracle: str | None = None):
 # reshuffle needed.  This is presentation only: every entry remains
 # registered and locally gated either way.
 _FORCE_FRONT: tuple[str, ...] = (
-    # Empty: CORRECTNESS_r09.json shows all four r9 planted-probe recall
-    # plans green, so no registered plan currently lacks fresh driver
-    # evidence.  Re-fill only when a verified query's plan changes.
+    # r10 plan changes — re-verify even though green rows exist: these
+    # three pairwise queries now collapse exact duplicates (min-id
+    # content representative) BEFORE the pair stage, which is what
+    # admits them to the replicated sf1 tier.  Empty once a round
+    # record shows the new plans green.
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_embedding",
 )
 
 _DRIVER_ROTATION: tuple[str, ...] = (

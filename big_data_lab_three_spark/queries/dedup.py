@@ -72,7 +72,9 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids="dedup: n-gram Jaccard (exact, brute-force baseline)",
     oracle=f"""
 WITH base AS (
-  SELECT doc_id AS id, text FROM documents WHERE doc_id % 25 = 0
+  SELECT min(doc_id) AS id, min(text) AS text
+  FROM documents WHERE doc_id % 25 = 0
+  GROUP BY md5(text)
 ), t AS ({_DUCK_SHINGLES})
 SELECT a.id AS id_a, b.id AS id_b,
        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
@@ -82,20 +84,34 @@ FROM t a JOIN t b ON a.id < b.id
 )
 def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard over all pairs of a deterministic document
-    sample — the correctness baseline the LSH pipeline must reproduce."""
+    sample — the correctness baseline the LSH pipeline must reproduce —
+    run AFTER exact-dedup collapse (min-id representative per content
+    digest), the canonical pipeline composition: production never
+    rescored exact copies, and the collapse is what keeps BOTH engines'
+    pair counts bounded by DISTINCT content (the r10 planted-witness
+    conversion that admits this query to the replicated sf1 tier,
+    where every document has 10 byte-identical copies)."""
     d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 0)
-    return ngram_jaccard_pairs(d)
+    reps = (
+        d.groupBy(F.md5("text").alias("dig"))
+        .agg(F.min("doc_id").alias("doc_id"), F.min("text").alias("text"))
+        .drop("dig")
+    )
+    return ngram_jaccard_pairs(reps)
 
 
 @register(
     "dedup_minhash_lsh",
     ids="dedup: MinHash+LSH (shingle→minhash→band→bucket-join→rescore)",
     oracle=f"""
-WITH base AS (
-  SELECT doc_id AS id, text FROM documents WHERE doc_id % 5 = 0
-  UNION ALL
-  SELECT doc_id + 1000000, text || ' zzz'
+WITH reps AS (
+  SELECT min(doc_id) AS id, min(text) AS text
   FROM documents WHERE doc_id % 5 = 0
+  GROUP BY md5(text)
+), base AS (
+  SELECT id, text FROM reps
+  UNION ALL
+  SELECT id + 1000000, text || ' zzz' FROM reps
 ), t AS ({_DUCK_SHINGLES})
 SELECT a.id AS id_a, b.id AS id_b,
        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
@@ -106,19 +122,29 @@ WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
 """,
 )
 def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup detection: every fifth document gets a
-    near-duplicate (one appended token, shingle-Jaccard ≈ 0.96); the LSH
-    pipeline (32 perms, 16 bands × 4 rows, exact rescore ≥ 0.7) must
-    recover exactly the pairs the oracle's brute-force Jaccard finds.
+    """MinHash+LSH near-dup detection over EXACT-DEDUPED content:
+    every fifth document is collapsed to its min-id content
+    representative (the r10 conversion — exact-dedup before near-dup
+    is the production order, and it bounds the pair set by DISTINCT
+    content so the replicated sf1 tier stays linear for both engines),
+    then each representative gets a near-duplicate (one appended
+    token, shingle-Jaccard ≈ 0.96); the LSH pipeline (32 perms, 16
+    bands × 4 rows, exact rescore ≥ 0.7) must recover exactly the
+    pairs the oracle's brute-force Jaccard finds.
 
     At scale only the band-bucket join shuffles, and it shuffles
     (band, bucket, id) keys — never the documents."""
     d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
-    mutated = d.select(
+    reps = (
+        d.groupBy(F.md5("text").alias("dig"))
+        .agg(F.min("doc_id").alias("doc_id"), F.min("text").alias("text"))
+        .drop("dig")
+    )
+    mutated = reps.select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
     )
-    base = d.select("doc_id", "text").unionByName(mutated)
+    base = reps.select("doc_id", "text").unionByName(mutated)
     return minhash_lsh_pairs(
         base, num_perms=32, bands=16, jaccard_threshold=0.7
     ).select("id_a", "id_b", "jaccard")
@@ -185,13 +211,14 @@ def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_embedding",
     ids="dedup: embedding-cosine near-dup",
     oracle="""
-WITH base AS (
-  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+WITH reps AS (
+  SELECT min(vec_id) AS id, CAST(embedding AS DOUBLE[]) AS v
   FROM embeddings WHERE vec_id % 5 = 0
+  GROUP BY CAST(embedding AS DOUBLE[])
+), base AS (
+  SELECT id, v FROM reps
   UNION ALL
-  SELECT vec_id + 1000000,
-         list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.01)
-  FROM embeddings WHERE vec_id % 5 = 0
+  SELECT id + 1000000, list_transform(v, x -> x * 1.01) FROM reps
 )
 SELECT a.id AS id_a, b.id AS id_b,
        round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
@@ -201,17 +228,26 @@ WHERE list_cosine_similarity(a.v, b.v) >= 0.99
 )
 def dedup_embedding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via the scale path: hyperplane-LSH buckets →
-    bucket-join candidates → exact cosine rescore ≥ 0.99.  Every fifth
-    vector gets a rescaled copy (cosine exactly 1 up to fp); rescaling
-    preserves every sign bit, so each true pair collides in ALL tables —
-    recall 1 by construction — and the exact rescore drops any false
-    bucket-mates (random 64-d pairs sit at |cos| ≲ 0.5).  The oracle is
-    the exact all-pairs answer, so this checks the LSH pipeline
-    end-to-end, not just the scorer."""
+    bucket-join candidates → exact cosine rescore ≥ 0.99, over
+    EXACT-DEDUPED vectors (min-id representative per bit-identical
+    embedding — the r10 conversion that keeps the pair set bounded by
+    DISTINCT vectors at the replicated sf1 tier; collapsing exact
+    copies before the near-dup stage is the production order anyway).
+    Every fifth representative gets a rescaled copy (cosine exactly 1
+    up to fp); rescaling preserves every sign bit, so each true pair
+    collides in ALL tables — recall 1 by construction — and the exact
+    rescore drops any false bucket-mates (random 64-d pairs sit at
+    |cos| ≲ 0.5).  The oracle is the exact all-pairs answer, so this
+    checks the LSH pipeline end-to-end, not just the scorer."""
     e = table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 5 == 0)
-    base = e.select(
-        F.col("vec_id").alias("vec_id"),
-        F.col("embedding").cast("array<double>").alias("embedding"),
+    base = (
+        e.select(
+            F.col("vec_id").alias("vec_id"),
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+        .groupBy("embedding")
+        .agg(F.min("vec_id").alias("vec_id"))
+        .select("vec_id", "embedding")
     )
     perturbed = base.select(
         (F.col("vec_id") + 1000000).alias("vec_id"),
