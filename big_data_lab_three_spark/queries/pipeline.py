@@ -258,15 +258,14 @@ def holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day_id")
 
 
-@register(
-    "dsir_importance_resample",
-    ids="curation: DSIR-style data selection — hashed-unigram importance weights (target vs raw unigram LM log-likelihood ratio) + deterministic Gumbel-top-k resample",
-    oracle=f"""
-WITH toks AS (
-    SELECT doc_id, lang, unnest({_DUCK_TOKS}) AS tok
+# shared DSIR scoring chain (SQL side): hashed-unigram log-likelihood
+# ratios → per-doc exact-integer z → Gumbel key.  Consumed by both the
+# resample and the domain census so their scores are one definition.
+_DUCK_DSIR = f"""toks AS (
+    SELECT doc_id, lang, source, unnest({_DUCK_TOKS}) AS tok
     FROM documents
 ), bt AS (
-    SELECT doc_id, lang,
+    SELECT doc_id, lang, source,
            CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 256 AS b
     FROM toks
 ), raw AS (
@@ -286,59 +285,33 @@ WITH toks AS (
                + 0.5) AS BIGINT) AS qc
     FROM raw LEFT JOIN tgt USING (b), tot, ttot
 ), z AS (
-    SELECT bt.doc_id, bt.lang,
+    SELECT bt.doc_id, bt.lang, bt.source,
            CAST(count(*) AS BIGINT) AS n_toks,
            CAST(sum(lrq.qc) AS BIGINT) AS zq
     FROM bt JOIN lrq USING (b)
-    GROUP BY bt.doc_id, bt.lang
+    GROUP BY bt.doc_id, bt.lang, bt.source
 ), k AS (
-    SELECT doc_id, lang, n_toks, zq,
+    SELECT doc_id, lang, source, n_toks, zq,
            CAST(zq AS DOUBLE) / 1000000 / 2.0
            - ln(-ln((CAST(('0x' || substr(
                  md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 15))
                  AS BIGINT) + 0.5) / 1152921504606846976.0)) AS gkey
     FROM z
-)
-SELECT doc_id, lang, n_toks,
-       round(CAST(zq AS DOUBLE) / 1000000, 6) AS logratio_sum,
-       round(gkey, 6) AS priority
-FROM k ORDER BY gkey DESC, doc_id LIMIT 50
-""",
-)
-def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR-shaped data selection (Xie et al. 2023, "Data Selection for
-    Language Models via Importance Resampling"): score every document
-    by the log-likelihood ratio of a TARGET-domain unigram LM (here:
-    the ``lang='en'`` slice) against the RAW-corpus unigram LM over a
-    HASHED feature space (md5 → 256 buckets — the paper's hashed
-    n-grams, and the device that keeps the feature table bounded at
-    any corpus size), then draw a 50-document resample ∝
-    ``exp(z/λ)`` (λ=2) WITHOUT replacement via the deterministic
-    Gumbel-top-k trick — the log-space twin of the registry's
-    Efraimidis-Spirakis sampler (``operators.relational.es_priority``),
-    with the Gumbel noise an md5-pure function of ``doc_id`` so the
-    oracle re-derives the identical sample.
+)"""
 
-    Portability: bucket counts are exact integers; each bucket's
-    smoothed log-ratio ``ln((tf_t+0.5)/(T_t+B/2)) −
-    ln((tf_r+0.5)/(T_r+B/2))`` is one double chain from exact integers,
-    quantized to integer micro-units BEFORE the per-document sum (so
-    ``zq`` is an order-free exact integer); the Gumbel key is one
-    identical double expression; ties broken by ``doc_id``.
 
-    Scale shape: two token-scan aggregations onto a ≤256-row feature
-    table (Zipf-free by construction — hashing bounds it); scoring is
-    a broadcast join of that table against the token stream with a
-    map-side-combining groupBy(doc_id); the resample is
-    TakeOrderedAndProject (per-partition heaps, k-row merge) — never a
-    global sort.  At 100 TB: the feature table stays 256 rows, the two
-    scans pipeline, and nothing quadratic or driver-side exists."""
+def _dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of ``_DUCK_DSIR``: one row per document with
+    ``(doc_id, lang, source, n_toks, zq, gkey)`` — the hashed-unigram
+    importance score ``zq`` (exact integer micro-units) and the
+    deterministic Gumbel-top-k key ``gkey``."""
     docs = table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "text"
+        "doc_id", "lang", "source", "text"
     )
     toks = docs.select(
         "doc_id",
         "lang",
+        "source",
         F.explode(
             F.array_remove(F.split(F.col("text"), r"\s+"), "")
         ).alias("tok"),
@@ -346,6 +319,7 @@ def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     bt = toks.select(
         "doc_id",
         "lang",
+        "source",
         F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
         .cast("long")
         .__mod__(256)
@@ -386,7 +360,7 @@ def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     z = (
         bt.join(F.broadcast(lrq), "b")
-        .groupBy("doc_id", "lang")
+        .groupBy("doc_id", "lang", "source")
         .agg(
             F.count(F.lit(1)).alias("n_toks"),
             F.sum("qc").alias("zq"),
@@ -395,7 +369,9 @@ def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = (
         F.conv(
             F.substring(
-                F.md5(F.concat(F.lit("dsir:"), F.col("doc_id").cast("string"))),
+                F.md5(
+                    F.concat(F.lit("dsir:"), F.col("doc_id").cast("string"))
+                ),
                 1,
                 15,
             ),
@@ -407,9 +383,51 @@ def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     gkey = F.col("zq").cast("double") / F.lit(1000000.0) / F.lit(
         2.0
     ) - F.log(-F.log(u))
+    return z.withColumn("gkey", gkey)
+
+
+@register(
+    "dsir_importance_resample",
+    ids="curation: DSIR-style data selection — hashed-unigram importance weights (target vs raw unigram LM log-likelihood ratio) + deterministic Gumbel-top-k resample",
+    oracle=f"""
+WITH {_DUCK_DSIR}
+SELECT doc_id, lang, n_toks,
+       round(CAST(zq AS DOUBLE) / 1000000, 6) AS logratio_sum,
+       round(gkey, 6) AS priority
+FROM k ORDER BY gkey DESC, doc_id LIMIT 50
+""",
+)
+def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shaped data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by the log-likelihood ratio of a TARGET-domain unigram LM (here:
+    the ``lang='en'`` slice) against the RAW-corpus unigram LM over a
+    HASHED feature space (md5 → 256 buckets — the paper's hashed
+    n-grams, and the device that keeps the feature table bounded at
+    any corpus size), then draw a 50-document resample ∝
+    ``exp(z/λ)`` (λ=2) WITHOUT replacement via the deterministic
+    Gumbel-top-k trick — the log-space twin of the registry's
+    Efraimidis-Spirakis sampler (``operators.relational.es_priority``),
+    with the Gumbel noise an md5-pure function of ``doc_id`` so the
+    oracle re-derives the identical sample.
+
+    Portability: bucket counts are exact integers; each bucket's
+    smoothed log-ratio ``ln((tf_t+0.5)/(T_t+B/2)) −
+    ln((tf_r+0.5)/(T_r+B/2))`` is one double chain from exact integers,
+    quantized to integer micro-units BEFORE the per-document sum (so
+    ``zq`` is an order-free exact integer); the Gumbel key is one
+    identical double expression; ties broken by ``doc_id``.
+
+    Scale shape: two token-scan aggregations onto a ≤256-row feature
+    table (Zipf-free by construction — hashing bounds it); scoring is
+    a broadcast join of that table against the token stream with a
+    map-side-combining groupBy(doc_id); the resample is
+    TakeOrderedAndProject (per-partition heaps, k-row merge) — never a
+    global sort.  At 100 TB: the feature table stays 256 rows, the two
+    scans pipeline, and nothing quadratic or driver-side exists."""
+    z = _dsir_scores(spark, sf_dir)
     return (
-        z.withColumn("gkey", gkey)
-        .orderBy(F.desc("gkey"), "doc_id")
+        z.orderBy(F.desc("gkey"), "doc_id")
         .limit(50)
         .select(
             "doc_id",
@@ -748,3 +766,396 @@ def streaming_minhash_admission_et(
     base.unpersist()
     shutil.rmtree(root, ignore_errors=True)  # out is checkpointed
     return out
+
+
+@register(
+    "dsir_domain_census",
+    ids="curation: DSIR domain-composition census — which sources the importance resample selects, with an exact largest-remainder budget from the selection counts",
+    oracle=f"""
+WITH {_DUCK_DSIR}, sel AS (
+    SELECT source, zq FROM k ORDER BY gkey DESC, doc_id LIMIT 200
+), per AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_selected,
+           CAST(sum(zq) AS BIGINT) AS sel_zq
+    FROM sel GROUP BY source
+), alldocs AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY source
+), j AS (
+    SELECT a.source, a.n_docs,
+           coalesce(p.n_selected, 0) AS n_selected,
+           coalesce(p.sel_zq, 0) AS sel_zq
+    FROM alldocs a LEFT JOIN per p USING (source)
+), fl AS (
+    SELECT source, n_docs, n_selected, sel_zq,
+           99991 * n_selected // 200 AS floor_alloc,
+           99991 * n_selected % 200 AS rem
+    FROM j
+), lo AS (
+    SELECT CAST(99991 - sum(floor_alloc) AS BIGINT) AS leftover FROM fl
+), rk AS (
+    SELECT fl.*, row_number() OVER (ORDER BY rem DESC, source ASC) AS pri
+    FROM fl
+)
+SELECT rk.source, rk.n_docs,
+       CAST(rk.n_selected AS BIGINT) AS n_selected,
+       round(CAST(rk.sel_zq AS DOUBLE) / 1000000, 4) AS selected_logratio,
+       CAST(rk.floor_alloc
+            + CASE WHEN rk.pri <= lo.leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc
+FROM rk, lo ORDER BY rk.source
+""",
+)
+def dsir_domain_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-composition readout of the DSIR selection — the
+    diagnostic the DSIR paper itself reports (which sources the
+    importance resample favors): take the global Gumbel-top-200
+    sample from the shared ``_dsir_scores`` chain, count selections
+    per source, and apportion a 99 991-sample budget by the exact
+    largest-remainder method ∝ selection counts (the
+    ``mix_temperature_allocation`` idiom — a prime budget so the
+    remainders genuinely tie-break).  Everything after the scoring is
+    exact integers: selection counts, floors, remainders; the only
+    doubles are the Gumbel ordering keys (identical chains on both
+    engines) and the reported logratio sum.
+
+    Scale shape: the scoring chain is the DSIR query's (bounded
+    feature table, broadcast join); the census is a 20-row rollup;
+    allocation is census-sized window arithmetic."""
+    from pyspark.sql import Window
+
+    z = _dsir_scores(spark, sf_dir)
+    sel = (
+        z.orderBy(F.desc("gkey"), "doc_id")
+        .limit(200)
+        .select("source", "zq")
+    )
+    per = sel.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_selected"),
+        F.sum("zq").alias("sel_zq"),
+    )
+    alldocs = (
+        table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    j = alldocs.join(F.broadcast(per), "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce(F.col("n_selected"), F.lit(0)).alias("n_selected"),
+        F.coalesce(F.col("sel_zq"), F.lit(0)).alias("sel_zq"),
+    )
+    fl = j.select(
+        "source",
+        "n_docs",
+        "n_selected",
+        "sel_zq",
+        F.expr("div(99991 * n_selected, 200)").alias("floor_alloc"),
+        F.pmod(F.lit(99991) * F.col("n_selected"), F.lit(200)).alias(
+            "rem"
+        ),
+    )
+    lo = fl.agg((F.lit(99991) - F.sum("floor_alloc")).alias("leftover"))
+    rk = fl.withColumn(
+        "pri",
+        F.row_number().over(Window.orderBy(F.desc("rem"), F.asc("source"))),
+    )
+    return (
+        rk.crossJoin(F.broadcast(lo))
+        .select(
+            "source",
+            "n_docs",
+            F.col("n_selected").cast("long").alias("n_selected"),
+            F.round(
+                F.col("sel_zq").cast("double") / F.lit(1000000.0), 4
+            ).alias("selected_logratio"),
+            (
+                F.col("floor_alloc")
+                + F.when(F.col("pri") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("alloc"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "quality_filter_funnel",
+    ids="curation: sequential quality-rule funnel census (Gopher-style min-length / lexical-diversity / repetition / stopword gates) with per-rule attrition per language",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, lang, unnest({_DUCK_TOKS}) AS tok
+    FROM documents
+), tc AS (
+    SELECT doc_id, lang, tok, CAST(count(*) AS BIGINT) AS c
+    FROM toks GROUP BY doc_id, lang, tok
+), d AS (
+    SELECT doc_id, lang,
+           CAST(sum(c) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS nd,
+           CAST(max(c) AS BIGINT) AS topc,
+           CAST(coalesce(sum(CASE WHEN tok IN ('the','a','of','and','is')
+                                  THEN c END), 0) AS BIGINT) AS stopc
+    FROM tc GROUP BY doc_id, lang
+), r AS (
+    SELECT lang,
+           n >= 20 AS r1,
+           n >= 20 AND nd * 1000000 // n >= 500000 AS r2,
+           n >= 20 AND nd * 1000000 // n >= 500000
+               AND topc * 1000000 // n <= 100000 AS r3,
+           n >= 20 AND nd * 1000000 // n >= 500000
+               AND topc * 1000000 // n <= 100000
+               AND stopc * 1000000 // n >= 40000 AS r4
+    FROM d
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS pass_minlen,
+       CAST(sum(CASE WHEN r2 THEN 1 ELSE 0 END) AS BIGINT) AS pass_diversity,
+       CAST(sum(CASE WHEN r3 THEN 1 ELSE 0 END) AS BIGINT) AS pass_repetition,
+       CAST(sum(CASE WHEN r4 THEN 1 ELSE 0 END) AS BIGINT) AS pass_stopword,
+       round(CAST(sum(CASE WHEN r4 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 4) AS keep_rate
+FROM r GROUP BY lang ORDER BY lang
+""",
+)
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential quality-rule FUNNEL — the per-rule attrition report
+    every corpus-curation pipeline publishes (Gopher-rule style):
+    R1 min length (≥20 tokens) → R2 lexical diversity (distinct-token
+    ratio ≥ 0.5) → R3 repetition (top-token share ≤ 0.1) → R4
+    stopword floor (≥ 4%).  Rules compound (a doc must pass every
+    earlier gate), so the four cumulative counts per language ARE the
+    funnel.  All ratios are exact integer micro-unit divisions
+    (``x * 1e6 div n``), so rule verdicts are bit-identical across
+    engines; the only double is the final keep rate.
+
+    Scale shape: one token explode → per-(doc,token) count →
+    per-doc profile (two combiner-friendly shuffles, both keyed by
+    doc_id), then a ≤|langs| census.  No UDFs, no collect."""
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.array_remove(F.split(F.col("text"), r"\s+"), "")
+        ).alias("tok"),
+    )
+    tc = toks.groupBy("doc_id", "lang", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    d = tc.groupBy("doc_id", "lang").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("nd"),
+        F.max("c").alias("topc"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("tok").isin("the", "a", "of", "and", "is"),
+                    F.col("c"),
+                )
+            ),
+            F.lit(0),
+        ).alias("stopc"),
+    )
+    r1 = F.col("n") >= 20
+    r2 = r1 & (F.expr("div(nd * 1000000, n)") >= 500000)
+    r3 = r2 & (F.expr("div(topc * 1000000, n)") <= 100000)
+    r4 = r3 & (F.expr("div(stopc * 1000000, n)") >= 40000)
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(r1.cast("int")).alias("pass_minlen"),
+            F.sum(r2.cast("int")).alias("pass_diversity"),
+            F.sum(r3.cast("int")).alias("pass_repetition"),
+            F.sum(r4.cast("int")).alias("pass_stopword"),
+            F.round(
+                F.sum(r4.cast("int")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("keep_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "bpe_merge_census",
+    ids="text: BPE first-merge census — adjacent character-pair frequencies within tokens (the statistic BPE training's first iteration maximizes), exact top-20",
+    oracle=f"""
+WITH t AS (
+    SELECT unnest({_DUCK_TOKS}) AS tok FROM documents
+), p AS (
+    SELECT unnest([substr(tok, i, 2) for i in range(1, length(tok))])
+               AS pair
+    FROM t WHERE length(tok) >= 2
+), pc AS (
+    SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY pair
+), tot AS (
+    SELECT CAST(sum(cnt) AS BIGINT) AS total FROM pc
+)
+SELECT pc.pair, pc.cnt,
+       CAST(pc.cnt * 1000000 // tot.total AS BIGINT) AS share_micro
+FROM pc, tot
+ORDER BY pc.cnt DESC, pc.pair LIMIT 20
+""",
+)
+def bpe_merge_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE FIRST-MERGE census — the statistic byte-pair-encoding
+    training maximizes on its first iteration: frequencies of adjacent
+    character pairs WITHIN tokens, exact top-20 with each pair's
+    corpus share in integer micro-units.  The tokenizer-construction
+    sibling of ``token_fertility_census`` (which measured how an
+    existing tokenizer performs; this measures what a new one would
+    learn first).
+
+    Everything is exact integers (counts, integer-division shares);
+    ordering ties break on the pair string.
+
+    Scale shape: token explode → per-position pair projection (one
+    codegen scan; positions come from ``sequence``, no UDF) → one
+    combiner-friendly groupBy on the ≤|alphabet|² pair domain —
+    bounded at any corpus size — then TakeOrderedAndProject."""
+    toks = table(spark, sf_dir, "documents").select(
+        F.explode(
+            F.array_remove(F.split(F.col("text"), r"\s+"), "")
+        ).alias("tok")
+    )
+    pairs = (
+        toks.where(F.length("tok") >= 2)
+        .select(
+            "tok",
+            F.explode(
+                F.sequence(F.lit(1), F.length("tok") - 1)
+            ).alias("i"),
+        )
+        .select(F.col("tok").substr(F.col("i"), F.lit(2)).alias("pair"))
+    )
+    pc = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = pc.agg(F.sum("cnt").alias("total"))
+    return (
+        pc.crossJoin(F.broadcast(tot))
+        .select(
+            "pair",
+            "cnt",
+            F.expr("div(cnt * 1000000, total)").alias("share_micro"),
+        )
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(20)
+    )
+
+
+@register(
+    "bigram_logprob",
+    ids="text quality: interpolated bigram-LM log-probability census (order-2 CCNet-style perplexity proxy)",
+    oracle=f"""
+WITH d AS (
+    SELECT doc_id, lang, {_DUCK_TOKS} AS toks FROM documents
+), uni AS (
+    SELECT tok, CAST(count(*) AS BIGINT) AS c1
+    FROM (SELECT unnest(toks) AS tok FROM d) GROUP BY tok
+), tt AS (
+    SELECT CAST(sum(c1) AS BIGINT) AS total FROM uni
+), bg AS (
+    SELECT doc_id, lang,
+           unnest([{{'w1': toks[i], 'w2': toks[i+1]}}
+                   for i in range(1, len(toks))],
+                  recursive := true)
+    FROM d WHERE len(toks) >= 2
+), b2 AS (
+    SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY w1, w2
+), sc AS (
+    SELECT bg.doc_id, bg.lang,
+           avg(ln(0.75 * b2.c2 / ua.c1 + 0.25 * ub.c1 / tt.total))
+               AS avg_lp,
+           CAST(count(*) AS BIGINT) AS n_bigrams
+    FROM bg JOIN b2 USING (w1, w2)
+         JOIN uni ua ON ua.tok = bg.w1
+         JOIN uni ub ON ub.tok = bg.w2, tt
+    GROUP BY bg.doc_id, bg.lang
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(avg_lp), 4) AS mean_logprob,
+       round(min(avg_lp), 4) AS worst_logprob,
+       CAST(sum(CASE WHEN avg_lp < -3.45 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_below_threshold
+FROM sc GROUP BY lang ORDER BY lang
+""",
+)
+def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated BIGRAM-LM scoring census — ``unigram_logprob``'s
+    order-2 sibling and the closer proxy for CCNet-style LM-perplexity
+    filtering: each in-document bigram scores ``ln(0.75·c₂(w₁w₂)/c₁(w₁)
+    + 0.25·c₁(w₂)/T)`` (conditional bigram probability interpolated
+    with the unigram fallback — unseen continuations can't zero out),
+    documents average their bigram scores, and the census reports
+    per-language mean / worst / below-threshold counts with the
+    ``unigram_logprob`` rounding conventions.
+
+    Scale shape: one token explode builds the unigram table, one
+    bigram explode (``zip_with`` over the token array — no shuffle)
+    builds the bigram table; scoring joins the bigram stream to the
+    two Zipf-bounded model tables (dimension-shaped; Spark broadcasts
+    when they fit) and aggregates per doc, then per language.  All
+    model counts are exact integers; ``ln`` on identical doubles is
+    bit-identical."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.array_remove(F.split(F.col("text"), r"\s+"), "").alias("toks"),
+    )
+    toks = d.select(F.explode("toks").alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
+    uni = uni.localCheckpoint()  # model table, reused for w1 AND w2
+    tt = uni.agg(F.sum("c1").alias("total"))
+    n = F.size("toks")
+    st = (
+        d.where(n >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.zip_with(
+                    F.slice("toks", 1, n - 1),
+                    F.slice("toks", 2, n - 1),
+                    lambda a, b: F.struct(
+                        a.alias("w1"), b.alias("w2")
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "lang", F.col("p.w1"), F.col("p.w2"))
+    )
+    b2 = st.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    ua = uni.select(F.col("tok").alias("w1"), F.col("c1").alias("c1a"))
+    ub = uni.select(F.col("tok").alias("w2"), F.col("c1").alias("c1b"))
+    scored = (
+        st.join(b2, ["w1", "w2"])
+        .join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(tt))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.avg(
+                F.log(
+                    F.lit(0.75) * F.col("c2") / F.col("c1a")
+                    + F.lit(0.25) * F.col("c1b") / F.col("total")
+                )
+            ).alias("avg_lp"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("avg_lp"), 4).alias("mean_logprob"),
+            F.round(F.min("avg_lp"), 4).alias("worst_logprob"),
+            F.sum((F.col("avg_lp") < -3.45).cast("int"))
+            .cast("long")
+            .alias("n_below_threshold"),
+        )
+        .orderBy("lang")
+    )

@@ -1539,3 +1539,35 @@ def test_dsir_scores_via_broadcast_feature_table(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, (
         "resample should be per-partition top-k, not a global sort"
     )
+
+
+def test_dsir_domain_census_broadcasts_selection(spark, sf_dir):
+    """The 200-row selection census and the 1-row leftover both
+    broadcast into the per-source readout — the only wide exchanges
+    are the scoring chain's."""
+    df = REG["dsir_domain_census"].spark(spark, sf_dir)
+    assert broadcast_join_count(df) >= 2
+
+
+def test_quality_funnel_bounded_shuffles(spark, sf_dir):
+    """The funnel is two combiner-friendly keyed aggregations plus a
+    language census — never more than four exchanges, no joins."""
+    df = REG["quality_filter_funnel"].spark(spark, sf_dir)
+    n = shuffle_count(df)
+    # source repartition + (doc,tok) agg + doc agg + lang census + sort
+    assert 1 <= n <= 5, f"funnel should be 2 keyed aggs + census, saw {n}"
+
+
+def test_bpe_merge_census_topk_not_global_sort(spark, sf_dir):
+    """Top-20 pairs via per-partition heaps (TakeOrderedAndProject),
+    never a global sort of the pair domain."""
+    df = REG["bpe_merge_census"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bigram_logprob_stays_in_codegen(spark, sf_dir):
+    """Bigram construction is zip_with over the token array (a codegen
+    projection) — no UDF, no per-row Python."""
+    df = REG["bigram_logprob"].spark(spark, sf_dir)
+    assert codegen_stage_count(df) >= 1
