@@ -529,13 +529,14 @@ def run_admission_stream_et(
             _read_or_empty(wm_dir, "mx long").agg(F.max("mx")).first()[0]
         )
         if wm_row is None:
-            late = batch_df.where(F.lit(False))
-            ontime = batch_df
+            ontime = batch_df  # no prior batch → no watermark → no lates
         else:
             wm = wm_row - delay
             late = batch_df.where(F.col("et") < F.lit(wm))
             ontime = batch_df.where(~(F.col("et") < F.lit(wm)))
-        late.select("id", "shard").write.mode("append").parquet(late_dir)
+            late.select("id", "shard").write.mode("append").parquet(
+                late_dir
+            )
 
         digs = ontime.select(
             "id", "shard", F.md5(F.encode("text", "UTF-8")).alias("d")
@@ -1158,4 +1159,286 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_below_threshold"),
         )
         .orderBy("lang")
+    )
+
+
+@register(
+    "boilerplate_prefix_census",
+    ids="curation: boilerplate-prefix census — the most common 3-token document prefix per source with its share (header/template detection)",
+    oracle=f"""
+WITH t AS (
+    SELECT source, {_DUCK_TOKS} AS toks FROM documents
+), p AS (
+    SELECT source, array_to_string(toks[1:3], ' ') AS prefix
+    FROM t WHERE len(toks) >= 3
+), c AS (
+    SELECT source, prefix, CAST(count(*) AS BIGINT) AS cnt
+    FROM p GROUP BY source, prefix
+), n AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM p GROUP BY source
+), rk AS (
+    SELECT c.source, c.prefix, c.cnt,
+           row_number() OVER (PARTITION BY c.source
+                              ORDER BY c.cnt DESC, c.prefix ASC) AS pri
+    FROM c
+)
+SELECT rk.source, n.n_docs, rk.prefix AS top_prefix, rk.cnt AS prefix_count,
+       CAST(rk.cnt * 1000000 // n.n_docs AS BIGINT) AS share_micro
+FROM rk JOIN n USING (source)
+WHERE rk.pri = 1
+ORDER BY rk.source
+""",
+)
+def boilerplate_prefix_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Boilerplate-PREFIX detection census — the RefinedWeb-style
+    template audit: for every source, the single most common 3-token
+    document prefix and the share of that source's documents carrying
+    it (a high share flags injected headers/templates the cleaner
+    should strip).  Exact integer counts and micro-unit shares; the
+    top-1 tie breaks on the prefix string.
+
+    Scale shape: prefix is one codegen projection (``slice`` of the
+    token array, no explode); the census is a (source, prefix) rollup
+    and a per-source top-1 window over prefix-count rows — the window
+    partitions by source, so no global sort; output ≤|sources| rows."""
+    from pyspark.sql import Window
+
+    t = table(spark, sf_dir, "documents").select(
+        "source",
+        F.array_remove(F.split(F.col("text"), r"\s+"), "").alias("toks"),
+    )
+    p = t.where(F.size("toks") >= 3).select(
+        "source",
+        F.concat_ws(" ", F.slice("toks", 1, 3)).alias("prefix"),
+    )
+    p = p.localCheckpoint()  # prefix stream, reused by census + counts
+    c = p.groupBy("source", "prefix").agg(F.count(F.lit(1)).alias("cnt"))
+    n = p.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    rk = c.withColumn(
+        "pri",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(
+                F.desc("cnt"), F.asc("prefix")
+            )
+        ),
+    ).where(F.col("pri") == 1)
+    return (
+        rk.join(F.broadcast(n), "source")
+        .select(
+            "source",
+            "n_docs",
+            F.col("prefix").alias("top_prefix"),
+            F.col("cnt").alias("prefix_count"),
+            F.expr("div(cnt * 1000000, n_docs)").alias("share_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "split_leakage_census",
+    ids="curation: train/val split-leakage audit — 8-gram overlap between md5-assigned folds, with contaminated-doc counts",
+    oracle=f"""
+WITH d AS (
+    SELECT doc_id, {_DUCK_TOKS} AS toks,
+           CAST(('0x' || substr(md5('sl:' || CAST(doc_id AS VARCHAR)),
+                                1, 15)) AS BIGINT) % 10 < 8 AS is_train
+    FROM documents
+), g AS (
+    SELECT doc_id, is_train,
+           unnest([array_to_string(toks[i:i+7], ' ')
+                   for i in range(1, len(toks) - 6)]) AS gram
+    FROM d WHERE len(toks) >= 8
+), tg AS (
+    SELECT DISTINCT gram FROM g WHERE is_train
+), vg AS (
+    SELECT DISTINCT gram FROM g WHERE NOT is_train
+), shared AS (
+    SELECT tg.gram FROM tg JOIN vg USING (gram)
+), contam AS (
+    SELECT DISTINCT g.doc_id
+    FROM g JOIN shared USING (gram)
+    WHERE NOT g.is_train
+), docs AS (
+    SELECT CAST(sum(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_train_docs,
+           CAST(sum(CASE WHEN is_train THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_val_docs
+    FROM d
+)
+SELECT docs.n_train_docs, docs.n_val_docs,
+       (SELECT CAST(count(*) AS BIGINT) FROM tg) AS n_train_grams,
+       (SELECT CAST(count(*) AS BIGINT) FROM vg) AS n_val_grams,
+       (SELECT CAST(count(*) AS BIGINT) FROM shared) AS n_shared_grams,
+       (SELECT CAST(count(*) AS BIGINT) FROM contam)
+           AS n_contaminated_val_docs,
+       round((SELECT CAST(count(*) AS DOUBLE) FROM contam)
+             / docs.n_val_docs, 4) AS leak_rate
+FROM docs
+""",
+)
+def split_leakage_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/validation SPLIT-LEAKAGE audit — the check every
+    held-out-set construction should run before trusting its eval:
+    assign documents to train (80%) / val (20%) folds by an md5 hash
+    of the id (so the oracle recomputes membership independently —
+    the ``cv_fold_balance`` convention), collect each fold's DISTINCT
+    8-gram set, and report the overlap: shared grams and how many val
+    documents carry at least one of them (those docs' eval signal is
+    contaminated by memorizable training text).
+
+    Scale shape: gram extraction is ``shingles`` (no explode until
+    the gram stream, which aggregates to DISTINCT immediately —
+    combiner-friendly); the overlap is one equi-join of two
+    gram-keyed sets; nothing quadratic, nothing driver-side.  At
+    100 TB the gram sets would carry 8-byte ``xxhash64`` digests
+    instead of strings — same plan shape."""
+    from big_data_lab_three_spark.functions.text import shingles
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_remove(F.split(F.col("text"), r"\s+"), "").alias("toks"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("sl:"), F.col("doc_id").cast("string")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .__mod__(10)
+            < 8
+        ).alias("is_train"),
+    )
+    d = d.localCheckpoint()  # fold assignment reused by grams + census
+    g = d.where(F.size("toks") >= 8).select(
+        "doc_id",
+        "is_train",
+        F.explode(shingles(F.col("toks"), 8)).alias("gram"),
+    )
+    g = g.localCheckpoint()  # gram stream, reused 3×
+    tg = g.where("is_train").select("gram").distinct()
+    vg = g.where(~F.col("is_train")).select("gram").distinct()
+    shared = tg.join(vg, "gram")
+    shared = shared.localCheckpoint()  # reused by count + contam join
+    contam = (
+        g.where(~F.col("is_train"))
+        .join(shared, "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    docs = d.agg(
+        F.sum(F.col("is_train").cast("int")).alias("n_train_docs"),
+        F.sum((~F.col("is_train")).cast("int")).alias("n_val_docs"),
+    )
+    counts = (
+        docs.crossJoin(
+            F.broadcast(tg.agg(F.count(F.lit(1)).alias("n_train_grams")))
+        )
+        .crossJoin(
+            F.broadcast(vg.agg(F.count(F.lit(1)).alias("n_val_grams")))
+        )
+        .crossJoin(
+            F.broadcast(
+                shared.agg(F.count(F.lit(1)).alias("n_shared_grams"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                contam.agg(
+                    F.count(F.lit(1)).alias("n_contaminated_val_docs")
+                )
+            )
+        )
+    )
+    return counts.select(
+        "n_train_docs",
+        "n_val_docs",
+        "n_train_grams",
+        "n_val_grams",
+        "n_shared_grams",
+        "n_contaminated_val_docs",
+        F.round(
+            F.col("n_contaminated_val_docs").cast("double")
+            / F.col("n_val_docs"),
+            4,
+        ).alias("leak_rate"),
+    )
+
+
+@register(
+    "woe_iv_census",
+    ids="ml-prim: weight-of-evidence / information-value census per feature bucket (scorecard feature selection), smoothed exact-integer inputs",
+    oracle="""
+WITH b AS (
+    SELECT CAST(floor((l_quantity - 1) / 5) AS BIGINT) AS bucket,
+           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS bad
+    FROM lineitem
+), c AS (
+    SELECT bucket,
+           CAST(sum(1 - bad) AS BIGINT) AS n_good,
+           CAST(sum(bad) AS BIGINT) AS n_bad
+    FROM b GROUP BY bucket
+), t AS (
+    SELECT CAST(sum(n_good) AS BIGINT) AS g,
+           CAST(sum(n_bad) AS BIGINT) AS bd
+    FROM c
+)
+SELECT c.bucket, c.n_good, c.n_bad,
+       round(ln(((c.n_good + 0.5) / (t.g + 5.0))
+                / ((c.n_bad + 0.5) / (t.bd + 5.0))), 6) AS woe,
+       round(((c.n_good + 0.5) / (t.g + 5.0)
+              - (c.n_bad + 0.5) / (t.bd + 5.0))
+             * ln(((c.n_good + 0.5) / (t.g + 5.0))
+                  / ((c.n_bad + 0.5) / (t.bd + 5.0))), 6) AS iv_term
+FROM c, t
+ORDER BY c.bucket
+""",
+)
+def woe_iv_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value census — the scorecard
+    feature-selection primitive (credit-risk lineage, now standard for
+    any binary-label feature audit): bucket ``l_quantity`` into ten
+    width-5 bins, label rows bad when ``l_returnflag = 'R'``, and per
+    bucket report WOE ``ln((good%)/(bad%))`` and its IV contribution
+    ``(good% − bad%)·WOE``, both with +0.5/bucket smoothing so empty
+    cells can't produce infinities.  All inputs are exact integer
+    counts; WOE/IV are single double chains from them, rounded at 6 —
+    so the value hash pins the whole computation.
+
+    Scale shape: one map-side-combining rollup to ten buckets; the
+    totals row broadcasts back; 10-row output."""
+    b = table(spark, sf_dir, "lineitem").select(
+        F.floor((F.col("l_quantity") - 1) / 5)
+        .cast("long")
+        .alias("bucket"),
+        (F.col("l_returnflag") == "R").cast("int").alias("bad"),
+    )
+    c = b.groupBy("bucket").agg(
+        F.sum(F.lit(1) - F.col("bad")).alias("n_good"),
+        F.sum("bad").alias("n_bad"),
+    )
+    t = c.agg(F.sum("n_good").alias("g"), F.sum("n_bad").alias("bd"))
+    good_pct = (F.col("n_good") + F.lit(0.5)) / (F.col("g") + F.lit(5.0))
+    bad_pct = (F.col("n_bad") + F.lit(0.5)) / (F.col("bd") + F.lit(5.0))
+    woe = F.log(good_pct / bad_pct)
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "bucket",
+            "n_good",
+            "n_bad",
+            F.round(woe, 6).alias("woe"),
+            F.round((good_pct - bad_pct) * woe, 6).alias("iv_term"),
+        )
+        .orderBy("bucket")
     )

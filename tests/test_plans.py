@@ -1571,3 +1571,34 @@ def test_bigram_logprob_stays_in_codegen(spark, sf_dir):
     projection) — no UDF, no per-row Python."""
     df = REG["bigram_logprob"].spark(spark, sf_dir)
     assert codegen_stage_count(df) >= 1
+
+
+def test_boilerplate_prefix_window_partitions_by_source(spark, sf_dir):
+    """Per-source top-1 prefix via a source-partitioned window (never a
+    global window), prefix built by slice — no explode of the corpus."""
+    import re
+
+    df = REG["boilerplate_prefix_census"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    wins = re.findall(r"Window .*", plan)
+    assert wins, "expected a window for the per-source top-1"
+    assert all("source" in w for w in wins if "row_number" in w)
+
+
+def test_split_leakage_gram_join_and_counts_broadcast(spark, sf_dir):
+    """The shared-gram set is a keyed equi-join of two DISTINCT gram
+    sets; the five census counts broadcast into the 1-row readout."""
+    df = REG["split_leakage_census"].spark(spark, sf_dir)
+    assert broadcast_join_count(df) >= 4
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_woe_iv_single_rollup_plus_broadcast_totals(spark, sf_dir):
+    """One map-side-combining rollup to ten buckets; the totals row
+    broadcasts back; no second scan of the fact."""
+    df = REG["woe_iv_census"].spark(spark, sf_dir)
+    assert broadcast_join_count(df) >= 1
+    n = shuffle_count(df)
+    # fact rollup + totals agg over the 10-bucket census + sort
+    assert 1 <= n <= 4, f"woe census should be one fact rollup, saw {n}"
