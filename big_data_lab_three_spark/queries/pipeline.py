@@ -32,6 +32,7 @@ from big_data_lab_three_spark.queries.curation import (
     _BROWN_W2_SQL,
     _DUCK_BANDS,
 )
+from big_data_lab_three_spark.queries.dedup import _DUCK_SHINGLES
 from big_data_lab_three_spark.queries.text import _DUCK_TOKS
 from big_data_lab_three_spark.sources import table
 
@@ -1441,4 +1442,348 @@ def woe_iv_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((good_pct - bad_pct) * woe, 6).alias("iv_term"),
         )
         .orderBy("bucket")
+    )
+
+
+@register(
+    "runs_test",
+    ids="hypothesis test: Wald-Wolfowitz runs test for randomness of the daily revenue series around its median",
+    oracle="""
+WITH d AS (
+    SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS day_id,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS n
+    FROM orders GROUP BY 1
+), st AS (
+    SELECT day_id, n,
+           row_number() OVER (ORDER BY n, day_id) AS rn,
+           count(*) OVER () AS cnt
+    FROM d
+), med AS (
+    SELECT n AS m FROM st WHERE rn = (cnt + 1) // 2
+), s AS (
+    SELECT day_id, n > med.m AS above
+    FROM d, med WHERE n <> med.m
+), r AS (
+    SELECT above,
+           lag(above) OVER (ORDER BY day_id) AS prev
+    FROM s
+), agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_obs,
+           CAST(sum(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           CAST(sum(CASE WHEN above THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+           CAST(1 + sum(CASE WHEN prev IS NOT NULL AND above <> prev
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+    FROM r
+)
+SELECT n_obs, n1, n2, n_runs,
+       round(1 + 2.0 * n1 * n2 / (n1 + n2), 4) AS mu_runs,
+       round((n_runs - (1 + 2.0 * n1 * n2 / (n1 + n2)))
+             / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                    / ((n1 + n2) * (n1 + n2) * 1.0 * (n1 + n2 - 1))),
+             4) AS z_stat
+FROM agg
+""",
+)
+def runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz RUNS test — is the daily REVENUE series random
+    around its median, or does it trend/cluster?  The
+    distribution-free randomness check that complements the registry's
+    location tests (``mann_whitney_u``) and drift monitors
+    (``cusum_changepoint``): days are marked above/below the series
+    median (exact lower order statistic; ties dropped, the standard
+    treatment), runs of equal signs are counted by one ``lag``
+    comparison, and the normal-approximation z-statistic comes from
+    the exact integer run/sign counts (``sqrt`` is correctly rounded
+    under IEEE-754 — the τ=0.5 rule — so the chain is portable).
+    Revenue (exact integer cents) rather than order COUNTS because
+    small-SF daily counts are nearly constant — the median absorbs
+    almost every day as a tie and one sign class empties, which
+    degenerates σ to 0.
+
+    Scale shape: one rollup to the ~2400-day census; the median and
+    the run count are windows ON THE CENSUS (the documented
+    census-window class, never over the fact table); 1-row output."""
+    from pyspark.sql import Window
+
+    d = (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("day_id")
+        )
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast(
+                    "long"
+                )
+            ).alias("n")
+        )
+    )
+    d = d.localCheckpoint()  # KB-sized census, reused by median + signs
+    st = d.select(
+        "n",
+        F.row_number().over(Window.orderBy("n", "day_id")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("cnt"),
+    )
+    med = st.where(
+        F.col("rn") == F.expr("div(cnt + 1, 2)")
+    ).select(F.col("n").alias("m"))
+    s = (
+        d.crossJoin(F.broadcast(med))
+        .where(F.col("n") != F.col("m"))
+        .select("day_id", (F.col("n") > F.col("m")).alias("above"))
+    )
+    r = s.select(
+        "above",
+        F.lag("above").over(Window.orderBy("day_id")).alias("prev"),
+    )
+    agg = r.agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(F.col("above").cast("int")).alias("n1"),
+        F.sum((~F.col("above")).cast("int")).alias("n2"),
+        (
+            F.lit(1)
+            + F.sum(
+                (
+                    F.col("prev").isNotNull()
+                    & (F.col("above") != F.col("prev"))
+                ).cast("int")
+            )
+        )
+        .cast("long")
+        .alias("n_runs"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    mu = F.lit(1) + F.lit(2.0) * n1 * n2 / (n1 + n2)
+    var = (
+        F.lit(2.0)
+        * n1
+        * n2
+        * (F.lit(2.0) * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * F.lit(1.0) * (n1 + n2 - F.lit(1)))
+    )
+    return agg.select(
+        "n_obs",
+        "n1",
+        "n2",
+        "n_runs",
+        F.round(mu, 4).alias("mu_runs"),
+        F.round((F.col("n_runs") - mu) / F.sqrt(var), 4).alias("z_stat"),
+    )
+
+
+@register(
+    "jaccard_threshold_sweep",
+    ids="dedup: near-dup threshold-sensitivity sweep — pair counts and mean Jaccard at 0.7/0.8/0.9 over the LSH pipeline's rescored pairs",
+    oracle=f"""
+WITH reps AS (
+  SELECT min(doc_id) AS id, min(text) AS text
+  FROM documents WHERE doc_id % 5 = 0
+  GROUP BY md5(text)
+), base AS (
+  SELECT id, text FROM reps
+  UNION ALL
+  SELECT id + 1000000, text || ' zzz' FROM reps
+), t AS ({_DUCK_SHINGLES}), pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+  FROM t a JOIN t b ON a.id < b.id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7
+), th AS (
+  SELECT CAST(v AS DOUBLE) AS threshold FROM (VALUES (0.7), (0.8), (0.9))
+      AS x(v)
+)
+SELECT th.threshold,
+       CAST(count(p.jaccard) AS BIGINT) AS n_pairs,
+       round(CAST(coalesce(sum(CAST(floor(p.jaccard * 1000000 + 0.5)
+                                    AS BIGINT)), 0) AS DOUBLE)
+             / nullif(count(p.jaccard), 0) / 1000000, 6) AS mean_jaccard
+FROM th LEFT JOIN pairs p ON p.jaccard >= th.threshold
+GROUP BY th.threshold
+ORDER BY th.threshold
+""",
+)
+def jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup THRESHOLD-sensitivity sweep — the calibration table a
+    dedup pipeline publishes before committing to a cutoff: run the
+    verified MinHash+LSH pipeline once at its banding-safe 0.7 floor
+    (over the same exact-deduped seeded base as ``dedup_minhash_lsh``),
+    then report pair count and mean exact Jaccard at 0.7 / 0.8 / 0.9.
+    Sweeping UPWARD from the banded threshold keeps LSH recall
+    identical to the verified query (tightening a rescore filter can't
+    miss candidates); per-pair Jaccards quantize to micro-units before
+    the mean so the sums are order-free.
+
+    Scale shape: one LSH pipeline run (band-keyed shuffles only — no
+    corpus pairs), a 3-row threshold broadcast against the rescored
+    pair table, census-sized output."""
+    from big_data_lab_three_spark.operators.dedup import minhash_lsh_pairs
+
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    reps = (
+        d.groupBy(F.md5("text").alias("dig"))
+        .agg(F.min("doc_id").alias("doc_id"), F.min("text").alias("text"))
+        .drop("dig")
+    )
+    mutated = reps.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    base = reps.select("doc_id", "text").unionByName(mutated)
+    pairs = minhash_lsh_pairs(
+        base, num_perms=32, bands=16, jaccard_threshold=0.7
+    ).select("jaccard")
+    th = spark.createDataFrame(
+        [(0.7,), (0.8,), (0.9,)], schema="threshold double"
+    )
+    joined = F.broadcast(th).join(
+        pairs, pairs["jaccard"] >= th["threshold"], "left"
+    )
+    return (
+        joined.groupBy("threshold")
+        .agg(
+            F.count("jaccard").alias("n_pairs"),
+            F.round(
+                F.coalesce(
+                    F.sum(
+                        F.floor(
+                            F.col("jaccard") * F.lit(1000000) + F.lit(0.5)
+                        )
+                    ),
+                    F.lit(0),
+                ).cast("double")
+                / F.nullif(F.count("jaccard"), F.lit(0))
+                / F.lit(1000000),
+                6,
+            ).alias("mean_jaccard"),
+        )
+        .orderBy("threshold")
+    )
+
+
+@register(
+    "seasonal_strength_census",
+    ids="timeseries: seasonal-strength census — variance explained by the day-of-week component, exact-integer sums of squares",
+    oracle="""
+WITH d AS (
+    SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS day_id,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY 1
+), dw AS (
+    SELECT day_id, n, day_id % 7 AS dow FROM d
+), sfac AS (
+    SELECT dow, CAST(sum(n) AS BIGINT) AS sum_dow,
+           CAST(count(*) AS BIGINT) AS cnt_dow
+    FROM dw GROUP BY dow
+), tt AS (
+    SELECT CAST(sum(n) AS BIGINT) AS total,
+           CAST(count(*) AS BIGINT) AS days
+    FROM dw
+), fac AS (
+    SELECT dow,
+           CAST(round(1e6 * sum_dow * days / (total * cnt_dow)) AS BIGINT)
+               AS sfm
+    FROM sfac, tt
+), ds AS (
+    SELECT dw.day_id, dw.n,
+           CAST(round(1e6 * dw.n / (fac.sfm / 1e6)) AS BIGINT) // 1000
+               AS vdm
+    FROM dw JOIN fac USING (dow)
+), agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS nd,
+           CAST(sum(n) AS BIGINT) AS s1,
+           CAST(sum(n * n) AS BIGINT) AS s2,
+           CAST(sum(vdm) AS BIGINT) AS t1,
+           CAST(sum(vdm * vdm) AS BIGINT) AS t2
+    FROM ds
+)
+SELECT nd AS n_days,
+       round((nd * 1.0 * s2 - s1 * 1.0 * s1) / (nd * 1.0 * nd), 4)
+           AS var_raw,
+       round((nd * 1.0 * t2 - t1 * 1.0 * t1) / (nd * 1.0 * nd) / 1e6, 4)
+           AS var_deseason,
+       round(1 - ((nd * 1.0 * t2 - t1 * 1.0 * t1) / (nd * 1.0 * nd) / 1e6)
+                 / ((nd * 1.0 * s2 - s1 * 1.0 * s1) / (nd * 1.0 * nd)),
+             6) AS seasonal_strength
+FROM agg
+""",
+)
+def seasonal_strength_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seasonal-STRENGTH readout — how much of the daily order-count
+    variance the day-of-week component explains (``1 −
+    Var(deseasonalized)/Var(raw)``, the STL-style strength statistic
+    that decides whether seasonal modeling is worth running at all):
+    reuses ``seasonal_smooth``'s micro-quantized dow factors and
+    deseasonalized series, with both variances computed from EXACT
+    integer sums of squares (``(N·Σx² − (Σx)²)/N²``) — the
+    deseasonalized values step down to milli-units first so Σx² stays
+    inside int64 at 100× this scale.
+
+    Scale shape: one rollup to the day census, a 7-row factor
+    broadcast, one exact-integer aggregate; 1-row output."""
+    d = (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("day_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    dw = d.select("day_id", "n", F.pmod("day_id", F.lit(7)).alias("dow"))
+    dw = dw.localCheckpoint()  # KB-sized census, reused for factors
+    sfac = dw.groupBy("dow").agg(
+        F.sum("n").alias("sum_dow"), F.count(F.lit(1)).alias("cnt_dow")
+    )
+    tt = dw.agg(F.sum("n").alias("total"), F.count(F.lit(1)).alias("days"))
+    fac = sfac.crossJoin(F.broadcast(tt)).select(
+        "dow",
+        F.round(
+            F.lit(1e6)
+            * F.col("sum_dow")
+            * F.col("days")
+            / (F.col("total") * F.col("cnt_dow"))
+        )
+        .cast("long")
+        .alias("sfm"),
+    )
+    ds = dw.join(F.broadcast(fac), "dow").select(
+        "n",
+        F.expr(
+            "div(cast(round(1e6 * n / (sfm / 1e6)) as bigint), 1000)"
+        ).alias("vdm"),
+    )
+    agg = ds.agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+        F.sum("vdm").alias("t1"),
+        F.sum(F.col("vdm") * F.col("vdm")).alias("t2"),
+    )
+    nd = F.col("nd").cast("double")
+    var_raw = (
+        F.col("nd") * F.lit(1.0) * F.col("s2")
+        - F.col("s1") * F.lit(1.0) * F.col("s1")
+    ) / (F.col("nd") * F.lit(1.0) * F.col("nd"))
+    var_d = (
+        F.col("nd") * F.lit(1.0) * F.col("t2")
+        - F.col("t1") * F.lit(1.0) * F.col("t1")
+    ) / (F.col("nd") * F.lit(1.0) * F.col("nd")) / F.lit(1e6)
+    return agg.select(
+        F.col("nd").alias("n_days"),
+        F.round(var_raw, 4).alias("var_raw"),
+        F.round(var_d, 4).alias("var_deseason"),
+        F.round(F.lit(1) - var_d / var_raw, 6).alias("seasonal_strength"),
     )

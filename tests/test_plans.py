@@ -1602,3 +1602,27 @@ def test_woe_iv_single_rollup_plus_broadcast_totals(spark, sf_dir):
     n = shuffle_count(df)
     # fact rollup + totals agg over the 10-bucket census + sort
     assert 1 <= n <= 4, f"woe census should be one fact rollup, saw {n}"
+
+
+def test_runs_test_windows_on_census_only(spark, sf_dir):
+    """The median/run windows operate on the day census (documented
+    census-window class) — the fact table sees one rollup; the median
+    row broadcasts back."""
+    df = REG["runs_test"].spark(spark, sf_dir)
+    assert broadcast_join_count(df) >= 1
+
+
+def test_jaccard_sweep_no_corpus_pairs(spark, sf_dir):
+    """The sweep reuses the banded LSH pipeline — no CartesianProduct,
+    and the 3-row threshold table broadcasts against rescored pairs."""
+    df = REG["jaccard_threshold_sweep"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert broadcast_join_count(df) >= 1
+
+
+def test_seasonal_strength_single_fact_rollup(spark, sf_dir):
+    """One rollup of the fact to the day census; the 7-row factor
+    table broadcasts; the readout is one exact-integer aggregate."""
+    df = REG["seasonal_strength_census"].spark(spark, sf_dir)
+    assert broadcast_join_count(df) >= 2
