@@ -2067,3 +2067,199 @@ def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mde, 6).alias("mde_abs"),
         F.round(mde / p, 6).alias("mde_rel"),
     )
+
+
+@register(
+    "heaps_law_fit",
+    ids="text: Heaps'-law vocabulary-growth fit — cumulative distinct vocabulary vs corpus size across chronological shards, micro-quantized log-log regression",
+    oracle=f"""
+WITH d AS (
+    SELECT doc_id % 4 AS shard, unnest({_DUCK_TOKS}) AS tok
+    FROM documents
+), pershard AS (
+    SELECT shard, CAST(count(*) AS BIGINT) AS n_toks FROM d GROUP BY shard
+), firsts AS (
+    SELECT tok, CAST(min(shard) AS BIGINT) AS fs FROM d GROUP BY tok
+), newv AS (
+    SELECT fs AS shard, CAST(count(*) AS BIGINT) AS n_new
+    FROM firsts GROUP BY fs
+), cum AS (
+    SELECT p.shard,
+           CAST(sum(p.n_toks) OVER (ORDER BY p.shard) AS BIGINT) AS nn,
+           CAST(sum(coalesce(v.n_new, 0)) OVER (ORDER BY p.shard)
+               AS BIGINT) AS vv
+    FROM pershard p LEFT JOIN newv v ON v.shard = p.shard
+), q AS (
+    SELECT shard, nn, vv,
+           CAST(floor(ln(nn) * 1000000 + 0.5) AS BIGINT) AS xq,
+           CAST(floor(ln(vv) * 1000000 + 0.5) AS BIGINT) AS yq
+    FROM cum
+), s AS (
+    SELECT CAST(count(*) AS BIGINT) AS np,
+           CAST(sum(xq) AS BIGINT) AS sx,
+           CAST(sum(yq) AS BIGINT) AS sy,
+           CAST(sum(xq * yq) AS BIGINT) AS sxy,
+           CAST(sum(xq * xq) AS BIGINT) AS sxx
+    FROM q
+), fit AS (
+    SELECT (np * 1.0 * sxy - sx * 1.0 * sy)
+               / (np * 1.0 * sxx - sx * 1.0 * sx) AS beta,
+           (sy * 1.0 - ((np * 1.0 * sxy - sx * 1.0 * sy)
+                        / (np * 1.0 * sxx - sx * 1.0 * sx)) * sx)
+               / np / 1000000 AS lnk
+    FROM s
+)
+SELECT q.shard, q.nn AS cum_tokens, q.vv AS cum_vocab,
+       round(fit.beta, 6) AS heaps_beta,
+       round(fit.lnk, 6) AS heaps_lnk
+FROM q, fit ORDER BY q.shard
+""",
+)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law VOCABULARY-GROWTH fit — ``V = K·N^β`` over the
+    cumulative corpus (``zipf_fit``'s growth-side twin and
+    ``ngram_novelty_decay``'s token-level sibling): the four
+    chronological shard prefixes give four (total tokens, distinct
+    vocabulary) points — cumulative vocabulary from one
+    min-shard-per-token aggregate, never a re-scan per prefix — and
+    the log-log least-squares slope is β.  Both logs quantize to
+    integer micro-units BEFORE the regression sums (4-point Σxy would
+    otherwise inherit partial-sum order), so the closed-form slope is
+    one double chain from exact integers.
+
+    Scale shape: one token explode, two combiner-friendly token-keyed
+    aggregates, census-sized windows; 4-row output (each row carries
+    the shared fit — the ``mix_temperature_allocation`` readout
+    shape)."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents").select(
+        F.pmod("doc_id", F.lit(4)).alias("shard"),
+        F.explode(
+            F.array_remove(F.split(F.col("text"), r"\s+"), "")
+        ).alias("tok"),
+    )
+    d = d.localCheckpoint()  # token stream, reused 2×
+    pershard = d.groupBy("shard").agg(F.count(F.lit(1)).alias("n_toks"))
+    firsts = d.groupBy("tok").agg(F.min("shard").alias("fs"))
+    newv = firsts.groupBy(F.col("fs").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = Window.orderBy("shard").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        pershard.join(F.broadcast(newv), "shard", "left")
+        .select(
+            "shard",
+            F.sum("n_toks").over(w).alias("nn"),
+            F.sum(F.coalesce(F.col("n_new"), F.lit(0)))
+            .over(w)
+            .alias("vv"),
+        )
+    )
+    q = cum.select(
+        "shard",
+        "nn",
+        "vv",
+        F.floor(F.log("nn") * F.lit(1000000) + F.lit(0.5))
+        .cast("long")
+        .alias("xq"),
+        F.floor(F.log("vv") * F.lit(1000000) + F.lit(0.5))
+        .cast("long")
+        .alias("yq"),
+    )
+    q = q.localCheckpoint()  # 4 rows, reused by fit + readout
+    s = q.agg(
+        F.count(F.lit(1)).alias("np"),
+        F.sum("xq").alias("sx"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
+    )
+    np_, sx, sy = F.col("np"), F.col("sx"), F.col("sy")
+    beta = (np_ * F.lit(1.0) * F.col("sxy") - sx * F.lit(1.0) * sy) / (
+        np_ * F.lit(1.0) * F.col("sxx") - sx * F.lit(1.0) * sx
+    )
+    lnk = (sy * F.lit(1.0) - beta * sx) / np_ / F.lit(1000000)
+    fit = s.select(
+        F.round(beta, 6).alias("heaps_beta"),
+        F.round(lnk, 6).alias("heaps_lnk"),
+    )
+    return (
+        q.crossJoin(F.broadcast(fit))
+        .select(
+            "shard",
+            F.col("nn").alias("cum_tokens"),
+            F.col("vv").alias("cum_vocab"),
+            "heaps_beta",
+            "heaps_lnk",
+        )
+        .orderBy("shard")
+    )
+
+
+@register(
+    "burstiness_census",
+    ids="events: burstiness (Fano factor) census — hourly-count variance-to-mean per event type from exact integer sums of squares",
+    oracle="""
+WITH h AS (
+    SELECT event_type,
+           epoch_ns(ts) // 3600000000000 AS hour_id
+    FROM events
+), c AS (
+    SELECT event_type, hour_id, CAST(count(*) AS BIGINT) AS n
+    FROM h GROUP BY event_type, hour_id
+), agg AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(n) AS BIGINT) AS s1,
+           CAST(sum(n * n) AS BIGINT) AS s2
+    FROM c GROUP BY event_type
+)
+SELECT event_type, n_hours, s1 AS n_events,
+       round(CAST(s1 AS DOUBLE) / n_hours, 6) AS mean_per_hour,
+       round((n_hours * 1.0 * s2 - s1 * 1.0 * s1)
+             / (n_hours * 1.0 * n_hours), 6) AS var_per_hour,
+       round(((n_hours * 1.0 * s2 - s1 * 1.0 * s1)
+              / (n_hours * 1.0 * n_hours))
+             / (CAST(s1 AS DOUBLE) / n_hours), 6) AS fano_factor
+FROM agg ORDER BY event_type
+""",
+)
+def burstiness_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BURSTINESS census — the Fano factor (variance-to-mean of hourly
+    event counts, over hours with traffic) per event type: ≈1 means
+    Poisson-like arrivals, ≫1 means bursts — the statistic that sizes
+    streaming-ingest buffers and autoscaling headroom, complementing
+    the registry's drift monitors (which watch level, not clumping).
+    Variance comes from exact integer sums of squares
+    (``(N·Σn² − (Σn)²)/N²``) so every readout is one double chain.
+
+    Scale shape: one rollup to (type, hour) — map-side combining
+    absorbs the per-event fan-in — then a ≤|types| census; hour ids
+    are exact integer division of the epoch-ns contract column."""
+    h = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("div(ts, 3600000000000)").alias("hour_id"),
+    )
+    c = h.groupBy("event_type", "hour_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    agg = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    nh, s1 = F.col("n_hours"), F.col("s1")
+    var = (nh * F.lit(1.0) * F.col("s2") - s1 * F.lit(1.0) * s1) / (
+        nh * F.lit(1.0) * nh
+    )
+    return agg.select(
+        "event_type",
+        "n_hours",
+        s1.alias("n_events"),
+        F.round(s1.cast("double") / nh, 6).alias("mean_per_hour"),
+        F.round(var, 6).alias("var_per_hour"),
+        F.round(var / (s1.cast("double") / nh), 6).alias("fano_factor"),
+    ).orderBy("event_type")

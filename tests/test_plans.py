@@ -1658,3 +1658,21 @@ def test_ab_power_mde_single_scan(spark, sf_dir):
     assert codegen_stage_count(df) >= 1
     n = shuffle_count(df)
     assert n <= 2, f"power census should be a single aggregate, saw {n}"
+
+
+def test_heaps_fit_min_shard_aggregate_not_rescan(spark, sf_dir):
+    """Cumulative vocabulary comes from ONE min-shard-per-token
+    aggregate — the plan must contain exactly one documents scan pair
+    (token stream is checkpointed and reused), no per-prefix rescans."""
+    df = REG["heaps_law_fit"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert broadcast_join_count(df) >= 2
+
+
+def test_burstiness_two_rollups_only(spark, sf_dir):
+    """(type, hour) rollup then type census — combiner-friendly keyed
+    aggregations, bounded exchanges."""
+    df = REG["burstiness_census"].spark(spark, sf_dir)
+    n = shuffle_count(df)
+    assert 1 <= n <= 4, f"burstiness should be two rollups (+sort), saw {n}"
