@@ -2263,3 +2263,202 @@ def burstiness_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var, 6).alias("var_per_hour"),
         F.round(var / (s1.cast("double") / nh), 6).alias("fano_factor"),
     ).orderBy("event_type")
+
+
+@register(
+    "epoch_cap_allocation",
+    ids="training-data: data-constrained token-budget allocation — waterfilling a budget across sources under a 4-epoch repetition cap, exact integer micro-unit waterline",
+    oracle=f"""
+WITH c AS (
+    SELECT source, CAST(sum(len({_DUCK_TOKS})) AS BIGINT) AS n_toks
+    FROM documents GROUP BY source
+), caps AS (
+    SELECT source, n_toks, 4 * n_toks AS cap,
+           row_number() OVER (ORDER BY 4 * n_toks, source) AS rk,
+           count(*) OVER () AS ns,
+           CAST(3 * sum(n_toks) OVER () AS BIGINT) AS budget
+    FROM c
+), pre AS (
+    SELECT caps.*,
+           CAST(coalesce(sum(cap) OVER (ORDER BY rk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS p_before
+    FROM caps
+), cand AS (
+    SELECT rk - 1 AS k,
+           (budget - p_before) * 1000000 // (ns - rk + 1) AS lamq,
+           cap * 1000000 AS capq
+    FROM pre
+), pick AS (
+    SELECT min(k) AS kstar FROM cand WHERE lamq <= capq
+), lam AS (
+    SELECT cand.lamq FROM cand, pick WHERE cand.k = pick.kstar
+)
+SELECT pre.source, pre.n_toks, pre.cap,
+       CAST(least(pre.cap * 1000000, lam.lamq) // 1000000 AS BIGINT)
+           AS alloc_tokens,
+       CAST(least(pre.cap * 1000000, lam.lamq) // 1000000 AS BIGINT)
+           * 1000000 // pre.n_toks AS epochs_micro,
+       pre.cap * 1000000 <= lam.lamq AS capped
+FROM pre, lam ORDER BY pre.source
+""",
+)
+def epoch_cap_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-CONSTRAINED token-budget allocation — the
+    repetition-capped mix plan (the Muennighoff et al. scaling setup:
+    repeating a source beyond ~4 epochs stops helping): waterfill a
+    budget of 3× the corpus token count across sources, each capped at
+    4 epochs of its own tokens.  The waterline λ is found exactly on
+    the cap-sorted census — for k capped sources the candidate level
+    is ``(B − Σ smallest k caps)/(n−k)`` in integer micro-tokens, and
+    k* is the smallest k whose level fits under the next cap — so both
+    engines pick the identical waterline and allocations with no
+    iteration and no floats.
+
+    Scale shape: one projection-only rollup to |sources| rows (token
+    counts from ``size(split(…))`` — no explode), census windows, a
+    2-row broadcast pick; |sources|-row output."""
+    from pyspark.sql import Window
+
+    c = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.size(
+                F.array_remove(F.split(F.col("text"), r"\s+"), "")
+            ).alias("nt"),
+        )
+        .groupBy("source")
+        .agg(F.sum("nt").alias("n_toks"))
+    )
+    wall = Window.partitionBy()
+    caps = c.select(
+        "source",
+        "n_toks",
+        (F.lit(4) * F.col("n_toks")).alias("cap"),
+        F.row_number()
+        .over(Window.orderBy(F.lit(4) * F.col("n_toks"), F.col("source")))
+        .alias("rk"),
+        F.count(F.lit(1)).over(wall).alias("ns"),
+        (F.lit(3) * F.sum("n_toks").over(wall)).alias("budget"),
+    )
+    wcum = Window.orderBy("rk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    pre = caps.withColumn(
+        "p_before", F.coalesce(F.sum("cap").over(wcum), F.lit(0))
+    )
+    pre = pre.localCheckpoint()  # |sources| rows, reused 2×
+    cand = pre.select(
+        (F.col("rk") - 1).alias("k"),
+        F.expr(
+            "div((budget - p_before) * 1000000, ns - rk + 1)"
+        ).alias("lamq"),
+        (F.col("cap") * F.lit(1000000)).alias("capq"),
+    )
+    pick = cand.where(F.col("lamq") <= F.col("capq")).agg(
+        F.min("k").alias("kstar")
+    )
+    lam = cand.join(
+        F.broadcast(pick), cand["k"] == pick["kstar"]
+    ).select("lamq")
+    allocq = F.least(F.col("cap") * F.lit(1000000), F.col("lamq"))
+    return (
+        pre.crossJoin(F.broadcast(lam))
+        .select(
+            "source",
+            "n_toks",
+            "cap",
+            F.expr(
+                "cast(div(least(cap * 1000000, lamq), 1000000) as bigint)"
+            ).alias("alloc_tokens"),
+            F.expr(
+                "div(cast(div(least(cap * 1000000, lamq), 1000000) as bigint)"
+                " * 1000000, n_toks)"
+            ).alias("epochs_micro"),
+            (F.col("cap") * F.lit(1000000) <= F.col("lamq")).alias(
+                "capped"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "context_window_histogram",
+    ids="training-data: context-window truncation census — docs fitting vs truncated and tokens kept vs lost at 32/64/128-token windows",
+    oracle=f"""
+WITH d AS (
+    SELECT CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_toks FROM documents
+), w AS (
+    SELECT CAST(v AS BIGINT) AS window_size
+    FROM (VALUES (32), (64), (128)) AS x(v)
+)
+SELECT w.window_size,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN d.n_toks <= w.window_size THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_fit,
+       CAST(sum(CASE WHEN d.n_toks > w.window_size THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_truncated,
+       CAST(sum(least(d.n_toks, w.window_size)) AS BIGINT) AS tokens_kept,
+       CAST(sum(greatest(d.n_toks - w.window_size, 0)) AS BIGINT)
+           AS tokens_lost,
+       round(CAST(sum(greatest(d.n_toks - w.window_size, 0)) AS DOUBLE)
+             / sum(d.n_toks), 6) AS loss_rate
+FROM w CROSS JOIN d
+GROUP BY w.window_size
+ORDER BY w.window_size
+""",
+)
+def context_window_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CONTEXT-WINDOW truncation census — the sizing table read before
+    choosing a training sequence length: at each candidate window
+    (32/64/128 tokens — spanning this corpus's 10-99 token range),
+    how many documents fit whole, how many truncate, and what share of
+    corpus tokens a hard truncation would discard
+    (``sequence_packing``'s planning-side sibling: packing tells you
+    bin efficiency AFTER choosing a length, this prices the choice).
+    Token counts are ``size(split(…))`` — a projection, no explode;
+    everything is exact integers but the loss rate.
+
+    Scale shape: one projection scan to per-doc counts, a 3-row
+    window broadcast, one grouped aggregate; 3-row output."""
+    d = table(spark, sf_dir, "documents").select(
+        F.size(
+            F.array_remove(F.split(F.col("text"), r"\s+"), "")
+        ).alias("n_toks")
+    )
+    w = spark.createDataFrame(
+        [(32,), (64,), (128,)], schema="window_size long"
+    )
+    j = d.crossJoin(F.broadcast(w))
+    return (
+        j.groupBy("window_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                (F.col("n_toks") <= F.col("window_size")).cast("int")
+            ).alias("n_fit"),
+            F.sum(
+                (F.col("n_toks") > F.col("window_size")).cast("int")
+            ).alias("n_truncated"),
+            F.sum(F.least("n_toks", "window_size")).alias("tokens_kept"),
+            F.sum(
+                F.greatest(
+                    F.col("n_toks") - F.col("window_size"), F.lit(0)
+                )
+            ).alias("tokens_lost"),
+            F.round(
+                F.sum(
+                    F.greatest(
+                        F.col("n_toks") - F.col("window_size"), F.lit(0)
+                    )
+                ).cast("double")
+                / F.sum("n_toks"),
+                6,
+            ).alias("loss_rate"),
+        )
+        .orderBy("window_size")
+    )

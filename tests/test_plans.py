@@ -1676,3 +1676,21 @@ def test_burstiness_two_rollups_only(spark, sf_dir):
     df = REG["burstiness_census"].spark(spark, sf_dir)
     n = shuffle_count(df)
     assert 1 <= n <= 4, f"burstiness should be two rollups (+sort), saw {n}"
+
+
+def test_epoch_cap_projection_rollup_no_explode(spark, sf_dir):
+    """Token counts come from size(split(...)) — a projection, never a
+    token explode; everything after is census-sized."""
+    df = REG["epoch_cap_allocation"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan, "token counting must not explode"
+    assert broadcast_join_count(df) >= 2
+
+
+def test_context_window_broadcast_cross(spark, sf_dir):
+    """The 3-row window table broadcasts against per-doc counts; one
+    grouped aggregate; no explode."""
+    df = REG["context_window_histogram"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan
+    assert broadcast_join_count(df) >= 1
