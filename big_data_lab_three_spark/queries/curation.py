@@ -434,11 +434,23 @@ def admitted_table(spark: SparkSession, root: str) -> DataFrame:
     return spark.read.parquet(os.path.join(root, "admitted"))
 
 
-def run_admission_stream(spark: SparkSession, schema, root: str) -> None:
-    """Drain everything currently staged under ``root/src`` through the
-    foreachBatch admission pipeline (AvailableNow), resuming from
-    ``root/ckpt`` if it exists — a second call after more files land
-    continues the index exactly where the first stopped."""
+def read_or_empty(spark: SparkSession, path: str, ddl: str) -> DataFrame:
+    """Read a parquet sink that may not exist yet (first batch)."""
+    import os
+
+    if os.path.isdir(path):
+        return spark.read.parquet(path)
+    return spark.createDataFrame([], ddl)
+
+
+def index_admit_batch(
+    spark: SparkSession, batch_df: DataFrame, root: str
+) -> None:
+    """The SHARED per-batch admission chain (file-order and event-time
+    variants both call this, so the index logic can never drift
+    between them): probe the accumulating digest + band-key index
+    under ``root``, reject collisions, append the survivors' digests
+    and band keys.  ``batch_df`` must carry (id, shard, text)."""
     import os
 
     from big_data_lab_three_spark.operators.dedup import (
@@ -447,49 +459,48 @@ def run_admission_stream(spark: SparkSession, schema, root: str) -> None:
 
     idx_bands = os.path.join(root, "idx_bands")
     admitted_dir = os.path.join(root, "admitted")
+    digs = batch_df.select(
+        "id", "shard", F.md5(F.encode("text", "UTF-8")).alias("d")
+    )
+    # one signature pass per batch: blocked-check AND the index
+    # append both reuse the checkpointed band keys
+    bands = _portable_band_keys(
+        portable_minhash_signatures(batch_df, id_col="id", num_perms=8)
+    ).localCheckpoint()
+    old_d = read_or_empty(
+        spark, admitted_dir, "id long, shard long, d string"
+    ).select("d")
+    old_b = read_or_empty(spark, idx_bands, "band int, k long")
+    blocked = (
+        bands.join(old_b, ["band", "k"], "left_semi")
+        .select("id")
+        .distinct()
+    )
+    blocked_ids = (
+        digs.join(old_d, "d", "left_semi")
+        .select("id")
+        .distinct()
+        .unionByName(blocked)
+        .distinct()
+    )
+    admitted = digs.join(blocked_ids, "id", "left_anti")
+    admitted = admitted.localCheckpoint()
+    admitted.select("id", "shard", "d").write.mode("append").parquet(
+        admitted_dir
+    )
+    bands.join(admitted.select("id"), "id", "left_semi").select(
+        "band", "k"
+    ).write.mode("append").parquet(idx_bands)
 
-    def _read_or_empty(path: str, ddl: str) -> DataFrame:
-        if os.path.isdir(path):
-            return spark.read.parquet(path)
-        return spark.createDataFrame([], ddl)
 
-    def admit(batch_df: DataFrame, batch_id: int) -> None:
-        # a micro-batch arriving as one file is ONE partition — fan the
-        # signature work (md5 × perms × shingles, the batch's dominant
-        # cost) across the executor cores before computing anything
-        batch_df = batch_df.repartition(16)
-        digs = batch_df.select(
-            "id", "shard", F.md5(F.encode("text", "UTF-8")).alias("d")
-        )
-        # one signature pass per batch: blocked-check AND the index
-        # append both reuse the checkpointed band keys
-        bands = _portable_band_keys(
-            portable_minhash_signatures(batch_df, id_col="id", num_perms=8)
-        ).localCheckpoint()
-        old_d = _read_or_empty(
-            admitted_dir, "id long, shard long, d string"
-        ).select("d")
-        old_b = _read_or_empty(idx_bands, "band int, k long")
-        blocked = (
-            bands.join(old_b, ["band", "k"], "left_semi")
-            .select("id")
-            .distinct()
-        )
-        blocked_ids = (
-            digs.join(old_d, "d", "left_semi")
-            .select("id")
-            .distinct()
-            .unionByName(blocked)
-            .distinct()
-        )
-        admitted = digs.join(blocked_ids, "id", "left_anti")
-        admitted = admitted.localCheckpoint()
-        admitted.select("id", "shard", "d").write.mode("append").parquet(
-            admitted_dir
-        )
-        bands.join(admitted.select("id"), "id", "left_semi").select(
-            "band", "k"
-        ).write.mode("append").parquet(idx_bands)
+def run_foreachbatch_stream(
+    spark: SparkSession, schema, root: str, admit
+) -> None:
+    """Shared stream scaffold: drain everything staged under
+    ``root/src`` through ``admit`` (AvailableNow, one file per
+    micro-batch, oldest first), resuming from ``root/ckpt`` if it
+    exists."""
+    import os
 
     stream = (
         spark.readStream.schema(schema)
@@ -513,6 +524,23 @@ def run_admission_stream(spark: SparkSession, schema, root: str) -> None:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def run_admission_stream(spark: SparkSession, schema, root: str) -> None:
+    """Drain everything currently staged under ``root/src`` through the
+    foreachBatch admission pipeline (AvailableNow), resuming from
+    ``root/ckpt`` if it exists — a second call after more files land
+    continues the index exactly where the first stopped."""
+
+    def admit(batch_df: DataFrame, batch_id: int) -> None:
+        # a micro-batch arriving as one file is ONE partition — fan the
+        # signature work (md5 × perms × shingles, the batch's dominant
+        # cost) across the executor cores, and checkpoint once so the
+        # digest and signature passes don't each re-read the file
+        batch_df = batch_df.repartition(16).localCheckpoint()
+        index_admit_batch(spark, batch_df, root)
+
+    run_foreachbatch_stream(spark, schema, root, admit)
 
 
 @register(
@@ -802,6 +830,57 @@ def ivf_cost_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def order_day_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(day_id, n)`` daily order-count census — the shared first
+    stage of every seasonal/trend query (seasonal_smooth,
+    holt_trend_smooth, and the pipeline module's Holt-Winters /
+    seasonal-strength readouts), factored so the day grid can never
+    drift between them."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("day_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def dow_seasonal_factors(dw: DataFrame) -> DataFrame:
+    """``(dow, sfm)`` micro-quantized day-of-week seasonal factors
+    from a ``(day_id, n, dow)`` census — mean(n | dow) / mean(n),
+    quantized to integer micro-units right after its single double
+    expression (the shared portability convention)."""
+    sfac = dw.groupBy("dow").agg(
+        F.sum("n").alias("sum_dow"), F.count(F.lit(1)).alias("cnt_dow")
+    )
+    tt = dw.agg(F.sum("n").alias("total"), F.count(F.lit(1)).alias("days"))
+    return sfac.crossJoin(F.broadcast(tt)).select(
+        "dow",
+        F.round(
+            F.lit(1e6)
+            * F.col("sum_dow")
+            * F.col("days")
+            / (F.col("total") * F.col("cnt_dow"))
+        )
+        .cast("long")
+        .alias("sfm"),
+    )
+
+
+def deseason_dm():
+    """The deseasonalized micro-unit Column: round(1e6·n/(sfm/1e6))."""
+    return (
+        F.round(F.lit(1e6) * F.col("n") / (F.col("sfm") / F.lit(1e6)))
+        .cast("long")
+        .alias("dm")
+    )
+
+
+
 @register(
     "seasonal_smooth",
     ids="timeseries: seasonal decomposition smoothing — day-of-week indices + truncated EWMA of the deseasonalized daily series (Holt-Winters shape, literal weights)",
@@ -889,50 +968,15 @@ def seasonal_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one rollup shuffle onto the ~2400-day census; dow
     factors are a 7-row broadcast; the 10-target × 32-lag expansion is
     a broadcast join of the census; ≤10-row output."""
-    d = (
-        table(spark, sf_dir, "orders")
-        .groupBy(
-            F.datediff(
-                F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
-            )
-            .cast("long")
-            .alias("day_id")
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    d = order_day_census(spark, sf_dir)
     dw = d.select("day_id", "n", F.pmod("day_id", F.lit(7)).alias("dow"))
     # day-census is KB-sized and reused 3× — localCheckpoint (eager,
     # lineage-truncating, GC-released) instead of a persist the returned
     # lazy frame would pin in executor storage for the whole session
     dw = dw.localCheckpoint()
-    sf = dw.groupBy("dow").agg(
-        F.sum("n").alias("sum_dow"), F.count(F.lit(1)).alias("cnt_dow")
-    )
-    tt = dw.agg(
-        F.sum("n").alias("total"), F.count(F.lit(1)).alias("days")
-    )
-    fac = (
-        sf.crossJoin(F.broadcast(tt))
-        .select(
-            "dow",
-            F.round(
-                F.lit(1e6)
-                * F.col("sum_dow")
-                * F.col("days")
-                / (F.col("total") * F.col("cnt_dow"))
-            )
-            .cast("long")
-            .alias("sfm"),
-        )
-    )
+    fac = dow_seasonal_factors(dw)
     ds = dw.join(F.broadcast(fac), "dow").select(
-        "day_id",
-        "n",
-        "dow",
-        "sfm",
-        F.round(F.lit(1e6) * F.col("n") / (F.col("sfm") / F.lit(1e6)))
-        .cast("long")
-        .alias("dm"),
+        "day_id", "n", "dow", "sfm", deseason_dm()
     )
     ds = ds.localCheckpoint()  # same KB-sized census, reused 3×
     m = ds.agg(F.max("day_id").alias("mx"))
@@ -1964,17 +2008,7 @@ def holt_trend_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one rollup shuffle to the ~2400-day census; two
     10-target × 32-lag broadcast expansions; ≤10-row output."""
-    d = (
-        table(spark, sf_dir, "orders")
-        .groupBy(
-            F.datediff(
-                F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
-            )
-            .cast("long")
-            .alias("day_id")
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    d = order_day_census(spark, sf_dir)
     d = d.localCheckpoint()  # KB-sized day census, reused 3×
     m = d.agg(F.max("day_id").alias("mx"))
     tgt = d.crossJoin(F.broadcast(m)).where(

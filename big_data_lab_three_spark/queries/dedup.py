@@ -100,6 +100,26 @@ def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(reps)
 
 
+def collapsed_seeded_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-deduped ``doc_id % 5`` sample (min-id representative per
+    content digest) plus one ``' zzz'`` near-dup seed per
+    representative — the SHARED population of ``dedup_minhash_lsh``
+    and ``jaccard_threshold_sweep``, factored so the sweep can never
+    silently calibrate a different base than the verified query."""
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    reps = (
+        d.groupBy(F.md5("text").alias("dig"))
+        .agg(F.min("doc_id").alias("doc_id"), F.min("text").alias("text"))
+        .drop("dig")
+    )
+    mutated = reps.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    return reps.select("doc_id", "text").unionByName(mutated)
+
+
+
 @register(
     "dedup_minhash_lsh",
     ids="dedup: MinHash+LSH (shingle→minhash→band→bucket-join→rescore)",
@@ -134,17 +154,7 @@ def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At scale only the band-bucket join shuffles, and it shuffles
     (band, bucket, id) keys — never the documents."""
-    d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
-    reps = (
-        d.groupBy(F.md5("text").alias("dig"))
-        .agg(F.min("doc_id").alias("doc_id"), F.min("text").alias("text"))
-        .drop("dig")
-    )
-    mutated = reps.select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
-    )
-    base = reps.select("doc_id", "text").unionByName(mutated)
+    base = collapsed_seeded_base(spark, sf_dir)
     return minhash_lsh_pairs(
         base, num_perms=32, bands=16, jaccard_threshold=0.7
     ).select("id_a", "id_b", "jaccard")

@@ -31,7 +31,11 @@ from big_data_lab_three_spark.queries.curation import (
     _BROWN_W2,
     _BROWN_W2_SQL,
     _DUCK_BANDS,
+    deseason_dm,
+    dow_seasonal_factors,
+    order_day_census,
 )
+from big_data_lab_three_spark.functions.text import tokens
 from big_data_lab_three_spark.queries.dedup import _DUCK_SHINGLES
 from big_data_lab_three_spark.queries.text import _DUCK_TOKS
 from big_data_lab_three_spark.sources import table
@@ -148,43 +152,13 @@ def holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     factor table is a 7-row broadcast used twice (deseasonalize +
     re-seasonalize); two 10-target × 32-lag broadcast expansions;
     ≤10-row output."""
-    d = (
-        table(spark, sf_dir, "orders")
-        .groupBy(
-            F.datediff(
-                F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
-            )
-            .cast("long")
-            .alias("day_id")
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    d = order_day_census(spark, sf_dir)
     dw = d.select("day_id", "n", F.pmod("day_id", F.lit(7)).alias("dow"))
     dw = dw.localCheckpoint()  # KB-sized day census, reused 3×
-    sfac = dw.groupBy("dow").agg(
-        F.sum("n").alias("sum_dow"), F.count(F.lit(1)).alias("cnt_dow")
-    )
-    tt = dw.agg(F.sum("n").alias("total"), F.count(F.lit(1)).alias("days"))
-    fac = sfac.crossJoin(F.broadcast(tt)).select(
-        "dow",
-        F.round(
-            F.lit(1e6)
-            * F.col("sum_dow")
-            * F.col("days")
-            / (F.col("total") * F.col("cnt_dow"))
-        )
-        .cast("long")
-        .alias("sfm"),
-    )
+    fac = dow_seasonal_factors(dw)
     fac = fac.localCheckpoint()  # 7 rows, reused twice (de/re-season)
     ds = dw.join(F.broadcast(fac), "dow").select(
-        "day_id",
-        "n",
-        "dow",
-        "sfm",
-        F.round(F.lit(1e6) * F.col("n") / (F.col("sfm") / F.lit(1e6)))
-        .cast("long")
-        .alias("dm"),
+        "day_id", "n", "dow", "sfm", deseason_dm()
     )
     ds = ds.localCheckpoint()  # deseasonalized census, reused 3×
     m = ds.agg(F.max("day_id").alias("mx"))
@@ -314,7 +288,7 @@ def _dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "source",
         F.explode(
-            F.array_remove(F.split(F.col("text"), r"\s+"), "")
+            tokens(F.col("text"))
         ).alias("tok"),
     )
     bt = toks.select(
@@ -326,7 +300,9 @@ def _dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .__mod__(256)
         .alias("b"),
     )
-    bt = bt.localCheckpoint()  # token→bucket stream, reused 3×
+    # NOT checkpointed: the token→bucket stream is corpus-sized — at
+    # scale, re-scanning (the explode is a cheap projection) beats
+    # pinning corpus-scale blocks in executor storage
     raw = bt.groupBy("b").agg(F.count(F.lit(1)).alias("tf_r"))
     tgt = (
         bt.where(F.col("lang") == "en")
@@ -507,27 +483,24 @@ def run_admission_stream_et(
     clean-AvailableNow-stop recovery, as for the file-order variant."""
     import os
 
-    from big_data_lab_three_spark.operators.dedup import (
-        portable_minhash_signatures,
+    from big_data_lab_three_spark.queries.curation import (
+        index_admit_batch,
+        read_or_empty,
+        run_foreachbatch_stream,
     )
-    from big_data_lab_three_spark.queries.curation import _portable_band_keys
 
-    idx_bands = os.path.join(root, "idx_bands")
-    admitted_dir = os.path.join(root, "admitted")
     late_dir = os.path.join(root, "late")
     wm_dir = os.path.join(root, "wm")
 
-    def _read_or_empty(path: str, ddl: str) -> DataFrame:
-        if os.path.isdir(path):
-            return spark.read.parquet(path)
-        return spark.createDataFrame([], ddl)
-
     def admit(batch_df: DataFrame, batch_id: int) -> None:
         # single-file micro-batch = ONE partition; fan out before the
-        # signature work (the r9 lesson)
+        # signature work (the r9 lesson), checkpoint once for the
+        # multiple consumers (wm max, late split, admission chain)
         batch_df = batch_df.repartition(16).localCheckpoint()
         wm_row = (
-            _read_or_empty(wm_dir, "mx long").agg(F.max("mx")).first()[0]
+            read_or_empty(spark, wm_dir, "mx long")
+            .agg(F.max("mx"))
+            .first()[0]
         )
         if wm_row is None:
             ontime = batch_df  # no prior batch → no watermark → no lates
@@ -538,62 +511,16 @@ def run_admission_stream_et(
             late.select("id", "shard").write.mode("append").parquet(
                 late_dir
             )
-
-        digs = ontime.select(
-            "id", "shard", F.md5(F.encode("text", "UTF-8")).alias("d")
-        )
-        bands = _portable_band_keys(
-            portable_minhash_signatures(ontime, id_col="id", num_perms=8)
-        ).localCheckpoint()
-        old_d = _read_or_empty(
-            admitted_dir, "id long, shard long, d string"
-        ).select("d")
-        old_b = _read_or_empty(idx_bands, "band int, k long")
-        blocked = (
-            bands.join(old_b, ["band", "k"], "left_semi")
-            .select("id")
-            .distinct()
-        )
-        blocked_ids = (
-            digs.join(old_d, "d", "left_semi")
-            .select("id")
-            .distinct()
-            .unionByName(blocked)
-            .distinct()
-        )
-        admitted = digs.join(blocked_ids, "id", "left_anti")
-        admitted = admitted.localCheckpoint()
-        admitted.select("id", "shard", "d").write.mode("append").parquet(
-            admitted_dir
-        )
-        bands.join(admitted.select("id"), "id", "left_semi").select(
-            "band", "k"
-        ).write.mode("append").parquet(idx_bands)
+        # the SHARED admission chain — identical to the file-order
+        # variant by construction (curation.index_admit_batch)
+        index_admit_batch(spark, ontime, root)
         # advance the durable watermark LAST: the wm in effect for a
         # batch must come from strictly-earlier batches only
         batch_df.agg(F.max("et").alias("mx")).write.mode("append").parquet(
             wm_dir
         )
 
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("latestFirst", "false")
-        .parquet(os.path.join(root, "src"))
-    )
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            stream.writeStream.foreachBatch(admit)
-            .outputMode("append")
-            .option("checkpointLocation", os.path.join(root, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    run_foreachbatch_stream(spark, schema, root, admit)
 
 
 # the sig/band/collide chain of the file-order admission oracle,
@@ -940,7 +867,7 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         F.explode(
-            F.array_remove(F.split(F.col("text"), r"\s+"), "")
+            tokens(F.col("text"))
         ).alias("tok"),
     )
     tc = toks.groupBy("doc_id", "lang", "tok").agg(
@@ -1021,7 +948,7 @@ def bpe_merge_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded at any corpus size — then TakeOrderedAndProject."""
     toks = table(spark, sf_dir, "documents").select(
         F.explode(
-            F.array_remove(F.split(F.col("text"), r"\s+"), "")
+            tokens(F.col("text"))
         ).alias("tok")
     )
     pairs = (
@@ -1106,7 +1033,7 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
-        F.array_remove(F.split(F.col("text"), r"\s+"), "").alias("toks"),
+        tokens(F.col("text")).alias("toks"),
     )
     toks = d.select(F.explode("toks").alias("tok"))
     uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
@@ -1208,13 +1135,12 @@ def boilerplate_prefix_census(
 
     t = table(spark, sf_dir, "documents").select(
         "source",
-        F.array_remove(F.split(F.col("text"), r"\s+"), "").alias("toks"),
+        tokens(F.col("text")).alias("toks"),
     )
     p = t.where(F.size("toks") >= 3).select(
         "source",
         F.concat_ws(" ", F.slice("toks", 1, 3)).alias("prefix"),
     )
-    p = p.localCheckpoint()  # prefix stream, reused by census + counts
     c = p.groupBy("source", "prefix").agg(F.count(F.lit(1)).alias("cnt"))
     n = p.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
     rk = c.withColumn(
@@ -1300,7 +1226,7 @@ def split_leakage_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents").select(
         "doc_id",
-        F.array_remove(F.split(F.col("text"), r"\s+"), "").alias("toks"),
+        tokens(F.col("text")).alias("toks"),
         (
             F.conv(
                 F.substring(
@@ -1320,13 +1246,11 @@ def split_leakage_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             < 8
         ).alias("is_train"),
     )
-    d = d.localCheckpoint()  # fold assignment reused by grams + census
     g = d.where(F.size("toks") >= 8).select(
         "doc_id",
         "is_train",
         F.explode(shingles(F.col("toks"), 8)).alias("gram"),
     )
-    g = g.localCheckpoint()  # gram stream, reused 3×
     tg = g.where("is_train").select("gram").distinct()
     vg = g.where(~F.col("is_train")).select("gram").distinct()
     shared = tg.join(vg, "gram")
@@ -1625,41 +1549,37 @@ def jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus pairs), a 3-row threshold broadcast against the rescored
     pair table, census-sized output."""
     from big_data_lab_three_spark.operators.dedup import minhash_lsh_pairs
+    from big_data_lab_three_spark.queries.dedup import collapsed_seeded_base
 
-    d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
-    reps = (
-        d.groupBy(F.md5("text").alias("dig"))
-        .agg(F.min("doc_id").alias("doc_id"), F.min("text").alias("text"))
-        .drop("dig")
-    )
-    mutated = reps.select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
-    )
-    base = reps.select("doc_id", "text").unionByName(mutated)
     pairs = minhash_lsh_pairs(
-        base, num_perms=32, bands=16, jaccard_threshold=0.7
+        collapsed_seeded_base(spark, sf_dir),
+        num_perms=32,
+        bands=16,
+        jaccard_threshold=0.7,
     ).select("jaccard")
-    th = spark.createDataFrame(
-        [(0.7,), (0.8,), (0.9,)], schema="threshold double"
-    )
-    joined = F.broadcast(th).join(
-        pairs, pairs["jaccard"] >= th["threshold"], "left"
-    )
+    # ONE conditional aggregation over the pair table, then stack to
+    # rows — a threshold⋈pairs outer join would have to BUILD the
+    # unbounded pair side (a broadcast hint on the preserved side of a
+    # left join is unsatisfiable), which caps at memory; this is one
+    # scan and no join at any scale
+    jq = F.floor(F.col("jaccard") * F.lit(1000000) + F.lit(0.5))
+    aggs = []
+    for tag, th in (("7", 0.7), ("8", 0.8), ("9", 0.9)):
+        hit = F.col("jaccard") >= F.lit(th)
+        aggs.append(F.sum(hit.cast("long")).alias(f"n{tag}"))
+        aggs.append(F.sum(F.when(hit, jq)).alias(f"s{tag}"))
+    a = pairs.agg(*aggs)
     return (
-        joined.groupBy("threshold")
-        .agg(
-            F.count("jaccard").alias("n_pairs"),
+        a.selectExpr(
+            "stack(3, 0.7D, n7, s7, 0.8D, n8, s8, 0.9D, n9, s9)"
+            " as (threshold, n_pairs, sq)"
+        )
+        .select(
+            "threshold",
+            F.coalesce(F.col("n_pairs"), F.lit(0)).alias("n_pairs"),
             F.round(
-                F.coalesce(
-                    F.sum(
-                        F.floor(
-                            F.col("jaccard") * F.lit(1000000) + F.lit(0.5)
-                        )
-                    ),
-                    F.lit(0),
-                ).cast("double")
-                / F.nullif(F.count("jaccard"), F.lit(0))
+                F.col("sq").cast("double")
+                / F.nullif(F.col("n_pairs"), F.lit(0))
                 / F.lit(1000000),
                 6,
             ).alias("mean_jaccard"),
@@ -1731,34 +1651,10 @@ def seasonal_strength_census(
 
     Scale shape: one rollup to the day census, a 7-row factor
     broadcast, one exact-integer aggregate; 1-row output."""
-    d = (
-        table(spark, sf_dir, "orders")
-        .groupBy(
-            F.datediff(
-                F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
-            )
-            .cast("long")
-            .alias("day_id")
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    d = order_day_census(spark, sf_dir)
     dw = d.select("day_id", "n", F.pmod("day_id", F.lit(7)).alias("dow"))
     dw = dw.localCheckpoint()  # KB-sized census, reused for factors
-    sfac = dw.groupBy("dow").agg(
-        F.sum("n").alias("sum_dow"), F.count(F.lit(1)).alias("cnt_dow")
-    )
-    tt = dw.agg(F.sum("n").alias("total"), F.count(F.lit(1)).alias("days"))
-    fac = sfac.crossJoin(F.broadcast(tt)).select(
-        "dow",
-        F.round(
-            F.lit(1e6)
-            * F.col("sum_dow")
-            * F.col("days")
-            / (F.col("total") * F.col("cnt_dow"))
-        )
-        .cast("long")
-        .alias("sfm"),
-    )
+    fac = dow_seasonal_factors(dw)
     ds = dw.join(F.broadcast(fac), "dow").select(
         "n",
         F.expr(
@@ -1865,6 +1761,10 @@ def gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"), F.sum("pos").alias("n_pos")
     )
     c = c.localCheckpoint()  # 10-row census, reused by totals + cum
+    # the checkpoint above consumed the ranked scan — release the
+    # fact-sized frame global_ranks persists (by design, for rank
+    # determinism) so a full-registry run doesn't pin it
+    r.unpersist()
     t = c.agg(F.sum("n").alias("nt"), F.sum("n_pos").alias("pt"))
     w = Window.orderBy("decile").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -1940,7 +1840,7 @@ def ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents").select(
         F.pmod("doc_id", F.lit(4)).alias("shard"),
-        F.array_remove(F.split(F.col("text"), r"\s+"), "").alias("toks"),
+        tokens(F.col("text")).alias("toks"),
     )
     g = (
         d.where(F.size("toks") >= 8)
@@ -2136,10 +2036,9 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select(
         F.pmod("doc_id", F.lit(4)).alias("shard"),
         F.explode(
-            F.array_remove(F.split(F.col("text"), r"\s+"), "")
+            tokens(F.col("text"))
         ).alias("tok"),
     )
-    d = d.localCheckpoint()  # token stream, reused 2×
     pershard = d.groupBy("shard").agg(F.count(F.lit(1)).alias("n_toks"))
     firsts = d.groupBy("tok").agg(F.min("shard").alias("fs"))
     newv = firsts.groupBy(F.col("fs").alias("shard")).agg(
@@ -2325,7 +2224,7 @@ def epoch_cap_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             F.size(
-                F.array_remove(F.split(F.col("text"), r"\s+"), "")
+                tokens(F.col("text"))
             ).alias("nt"),
         )
         .groupBy("source")
@@ -2427,7 +2326,7 @@ def context_window_histogram(
     window broadcast, one grouped aggregate; 3-row output."""
     d = table(spark, sf_dir, "documents").select(
         F.size(
-            F.array_remove(F.split(F.col("text"), r"\s+"), "")
+            tokens(F.col("text"))
         ).alias("n_toks")
     )
     w = spark.createDataFrame(

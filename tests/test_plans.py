@@ -1613,12 +1613,17 @@ def test_runs_test_windows_on_census_only(spark, sf_dir):
 
 
 def test_jaccard_sweep_no_corpus_pairs(spark, sf_dir):
-    """The sweep reuses the banded LSH pipeline — no CartesianProduct,
-    and the 3-row threshold table broadcasts against rescored pairs."""
+    """The sweep reuses the banded LSH pipeline — no CartesianProduct —
+    and the three thresholds are ONE conditional aggregation over the
+    rescored pairs (a threshold⋈pairs outer join would have to build
+    the unbounded pair side), stacked to rows afterwards."""
     df = REG["jaccard_threshold_sweep"].spark(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
-    assert broadcast_join_count(df) >= 1
+    assert "Generate" in plan  # the stack() readout
+    # no join may consume the rescored-pair stream after the LSH
+    # pipeline's own joins: the readout side of the plan is agg-only
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_seasonal_strength_single_fact_rollup(spark, sf_dir):
@@ -1631,16 +1636,35 @@ def test_seasonal_strength_single_fact_rollup(spark, sf_dir):
 def test_gains_table_no_global_window_over_fact(spark, sf_dir):
     """Deciles come from distributed exact ranks; any window in the
     plan operates on the 10-row census (partition-less windows over
-    the fact are the banned shape)."""
+    the fact are the banned shape): every Window node's subtree must
+    reach an Aggregate BEFORE any parquet scan."""
     import re
 
     df = REG["gains_table"].spark(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # the ranked scan is range-partitioned; census windows are fine.
-    # Assert no window consumes a raw parquet scan directly: every
-    # Window node must sit above an Aggregate in the tree string.
     assert "CartesianProduct" not in plan
     assert broadcast_join_count(df) >= 1
+
+    def depth(line):  # tree-drawing prefix length = nesting depth
+        m = re.match(r"^[\s:+*()\d-]*", line)
+        return len(m.group(0))
+
+    lines = plan.splitlines()
+    win_lines = [i for i, l in enumerate(lines) if "Window" in l]
+    assert win_lines, "expected census windows in the gains plan"
+    for i in win_lines:
+        d0 = depth(lines[i])
+        agg_seen = False
+        for j in range(i + 1, len(lines)):
+            if lines[j].strip() and depth(lines[j]) <= d0:
+                break
+            if "HashAggregate" in lines[j]:
+                agg_seen = True
+            if "Scan parquet" in lines[j] or "FileScan" in lines[j]:
+                assert agg_seen, (
+                    "Window consumes a raw scan — global window over "
+                    f"the fact:\n{lines[i]}"
+                )
 
 
 def test_novelty_decay_two_gram_aggregates(spark, sf_dir):
