@@ -2361,3 +2361,173 @@ def context_window_histogram(
         )
         .orderBy("window_size")
     )
+
+
+@register(
+    "interevent_latency_census",
+    ids="events: inter-event latency census — exact p50/p95/p99 of per-user event gaps per event type via distributed ranks (no global window)",
+    oracle="""
+WITH g AS (
+    SELECT event_type, event_id,
+           epoch_ns(ts) - lag(epoch_ns(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap
+    FROM events
+), r AS (
+    SELECT event_type, gap,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY gap, event_id) AS rk,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM g WHERE gap IS NOT NULL
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n_gaps,
+       CAST(max(CASE WHEN rk = (n * 50 + 99) // 100 THEN gap END)
+           AS BIGINT) AS p50_ns,
+       CAST(max(CASE WHEN rk = (n * 95 + 99) // 100 THEN gap END)
+           AS BIGINT) AS p95_ns,
+       CAST(max(CASE WHEN rk = (n * 99 + 99) // 100 THEN gap END)
+           AS BIGINT) AS p99_ns,
+       round(CAST(sum(gap) AS DOUBLE) / max(n), 4) AS mean_ns
+FROM r GROUP BY event_type ORDER BY event_type
+""",
+)
+def interevent_latency_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INTER-EVENT latency census — exact p50/p95/p99 of the gap
+    between a user's consecutive events, per event type (the SLO/
+    session-timeout sizing table; ``gapfill``'s measurement-side
+    sibling).  Gaps come from a ``lag`` window PARTITIONED BY USER
+    (bounded per-user state — the scalable window class), and the
+    percentiles are EXACT order statistics at ``ceil(q·n)`` from the
+    distributed-ranks operator partitioned by event type — never a
+    partition-less window over the fact.
+
+    Everything is exact integer nanoseconds but the reported mean.
+
+    Scale shape: one user-keyed window pass, one type-grouped ranked
+    scan (range-partitioned offsets), a ≤|types| census."""
+    from pyspark.sql import Window
+
+    from big_data_lab_three_spark.operators.rankstats import global_ranks
+
+    e = table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "user_id", "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.select(
+        "event_type",
+        "event_id",
+        (F.col("ts") - F.lag("ts").over(w)).alias("gap"),
+    ).where(F.col("gap").isNotNull())
+    r = global_ranks(g, order_cols=["gap", "event_id"],
+                     group_cols=["event_type"])
+    pick = lambda pct: F.max(  # noqa: E731 — census-sized projection
+        F.when(
+            F.col("_rank") == F.expr(f"div(_n * {pct} + 99, 100)"),
+            F.col("gap"),
+        )
+    ).cast("long")
+    out = r.groupBy("event_type").agg(
+        F.max("_n").alias("n_gaps"),
+        pick(50).alias("p50_ns"),
+        pick(95).alias("p95_ns"),
+        pick(99).alias("p99_ns"),
+        F.round(
+            F.sum("gap").cast("double") / F.max("_n"), 4
+        ).alias("mean_ns"),
+    ).orderBy("event_type")
+    out = out.localCheckpoint()  # ≤|types| rows; release the rank cache
+    r.unpersist()
+    return out
+
+
+@register(
+    "watermark_delay_sweep",
+    ids="streaming design: watermark-delay sweep — late-drop counts per (delay, arrival shard) over the event-time admission base, the delay-tuning table",
+    oracle="""
+WITH base AS (
+  SELECT id, shard,
+         10000 * (CASE WHEN CAST(('0x' || substr(
+                      md5('lc:' || CAST(id AS VARCHAR)), 1, 15))
+                      AS BIGINT) % 5 = 0 AND shard > 0
+                  THEN shard - 1 ELSE shard END)
+         + CAST(('0x' || substr(md5('et:' || CAST(id AS VARCHAR)), 1, 15))
+               AS BIGINT) % 10000 AS et
+  FROM (
+    SELECT doc_id AS id, doc_id % 4 AS shard FROM documents
+    UNION ALL
+    SELECT doc_id + 5000002, (doc_id + 2) % 4
+    FROM documents WHERE doc_id % 8 = 0
+    UNION ALL
+    SELECT doc_id + 6000002, (doc_id + 2) % 4
+    FROM documents WHERE doc_id % 8 = 1
+  )
+), cum AS (
+  SELECT shard, max(et) AS mx FROM base GROUP BY shard
+), wm AS (
+  SELECT s.shard, max(c.mx) AS prior_max
+  FROM (VALUES (1), (2), (3)) AS s(shard) JOIN cum c ON c.shard < s.shard
+  GROUP BY s.shard
+), delays AS (
+  SELECT CAST(v AS BIGINT) AS delay FROM (VALUES (2000), (5000), (8000))
+      AS x(v)
+)
+SELECT d.delay, CAST(b.shard AS INTEGER) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(coalesce(sum(CASE WHEN b.et < wm.prior_max - d.delay
+                              THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_late,
+       round(CAST(coalesce(sum(CASE WHEN b.et < wm.prior_max - d.delay
+                                    THEN 1 ELSE 0 END), 0) AS DOUBLE)
+             / count(*), 6) AS late_rate
+FROM base b CROSS JOIN delays d
+LEFT JOIN wm ON wm.shard = b.shard
+GROUP BY d.delay, b.shard
+ORDER BY d.delay, shard
+""",
+)
+def watermark_delay_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATERMARK-DELAY tuning sweep — the table read before choosing
+    ``streaming_minhash_admission_et``'s delay: over the same
+    event-time admission base, how many documents each candidate delay
+    (2 000 / 5 000 / 8 000) would drop as late, per arrival shard.
+    This is the BATCH replay of the stream's watermark arithmetic
+    (prior-shard max event time − delay), so the 5 000 row of this
+    census must agree with the live stream's late counts — the design
+    table and the runtime share one definition.
+
+    Scale shape: one rollup to the 4-row shard census, a triangular
+    4×4 prefix-max join and a 3-row delay broadcast against the base
+    scan; 12-row output."""
+    b = admission_et_base(spark, sf_dir).select("id", "shard", "et")
+    cum = b.groupBy("shard").agg(F.max("et").alias("mx"))
+    shards = spark.createDataFrame([(1,), (2,), (3,)], schema="shard long")
+    wm = (
+        shards.join(
+            cum.select(F.col("shard").alias("cs"), "mx"),
+            F.col("cs") < F.col("shard"),
+        )
+        .groupBy("shard")
+        .agg(F.max("mx").alias("prior_max"))
+    )
+    delays = spark.createDataFrame(
+        [(2000,), (5000,), (8000,)], schema="delay long"
+    )
+    late = F.when(
+        F.col("et") < F.col("prior_max") - F.col("delay"), 1
+    ).otherwise(0)
+    return (
+        b.crossJoin(F.broadcast(delays))
+        .join(F.broadcast(wm), "shard", "left")
+        .groupBy("delay", F.col("shard").cast("int").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum(late), F.lit(0)).alias("n_late"),
+            F.round(
+                F.coalesce(F.sum(late), F.lit(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("late_rate"),
+        )
+        .orderBy("delay", "shard")
+    )

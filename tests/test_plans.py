@@ -1718,3 +1718,36 @@ def test_context_window_broadcast_cross(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Generate" not in plan
     assert broadcast_join_count(df) >= 1
+
+
+def test_interevent_latency_windows_partition_by_user(spark, sf_dir):
+    """The gap window partitions by user (bounded per-user state) —
+    pinned on the pre-checkpoint gap frame (the registered query
+    localCheckpoints its census readout, which truncates the lineage
+    the pin needs to inspect)."""
+    import re
+
+    from pyspark.sql import Window as W
+
+    from big_data_lab_three_spark.sources import table as _table
+
+    e = _table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "user_id", "ts"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.select(
+        "event_type",
+        "event_id",
+        (F.col("ts") - F.lag("ts").over(w)).alias("gap"),
+    ).where(F.col("gap").isNotNull())
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    wins = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan)
+    assert wins, "expected the per-user lag window"
+    assert all("user_id" in w_ for w_ in wins), wins
+
+
+def test_watermark_sweep_census_joins_broadcast(spark, sf_dir):
+    """The delay table and the 3-row prefix-max table broadcast against
+    the base scan; the triangular join is census×census."""
+    df = REG["watermark_delay_sweep"].spark(spark, sf_dir)
+    assert broadcast_join_count(df) >= 2
