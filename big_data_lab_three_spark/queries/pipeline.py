@@ -2531,3 +2531,119 @@ def watermark_delay_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("delay", "shard")
     )
+
+
+@register(
+    "dedup_method_agreement",
+    ids="dedup: detector-agreement census — MinHash-LSH (J>=0.7) vs SimHash (Hamming<=3) pair sets over the shared exact-deduped seeded base",
+    oracle=f"""
+WITH reps AS (
+  SELECT min(doc_id) AS id, min(text) AS text
+  FROM documents WHERE doc_id % 5 = 0
+  GROUP BY md5(text)
+), base AS (
+  SELECT id, text FROM reps
+  UNION ALL
+  SELECT id + 1000000, text || ' zzz' FROM reps
+), t AS ({{SH}}), m AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM t a JOIN t b ON a.id < b.id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7
+), tok AS (
+  SELECT id, list_filter(regexp_split_to_array(text, '\\s+'),
+                         x -> x != '') AS toks
+  FROM base
+), shg AS (
+  SELECT id,
+         unnest([array_to_string(toks[i:i+2], ' ')
+                 for i in range(1, len(toks) - 1)]) AS s
+  FROM tok
+), h AS (
+  SELECT id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h FROM shg
+), votes AS (
+  SELECT id, g.b AS b,
+         sum(CASE WHEN (h >> g.b) & 1 = 1 THEN 1 ELSE -1 END) AS c
+  FROM h CROSS JOIN generate_series(0, 59) AS g(b)
+  GROUP BY id, g.b
+), sig AS (
+  SELECT id,
+         CAST(sum(CASE WHEN c > 0 THEN CAST(1 AS BIGINT) << b
+                       ELSE 0 END) AS BIGINT) AS sig
+  FROM votes GROUP BY id
+), s AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM sig a JOIN sig b ON a.id < b.id
+  WHERE bit_count(xor(a.sig, b.sig)) <= 3
+), u AS (
+  SELECT coalesce(m.id_a, s.id_a) AS id_a,
+         m.id_a IS NOT NULL AS in_m,
+         s.id_a IS NOT NULL AS in_s
+  FROM m FULL OUTER JOIN s ON m.id_a = s.id_a AND m.id_b = s.id_b
+)
+SELECT CAST(sum(CASE WHEN in_m THEN 1 ELSE 0 END) AS BIGINT) AS n_minhash,
+       CAST(sum(CASE WHEN in_s THEN 1 ELSE 0 END) AS BIGINT) AS n_simhash,
+       CAST(sum(CASE WHEN in_m AND in_s THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_both,
+       CAST(sum(CASE WHEN in_m AND NOT in_s THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_only_minhash,
+       CAST(sum(CASE WHEN in_s AND NOT in_m THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_only_simhash,
+       round(CAST(sum(CASE WHEN in_m AND in_s THEN 1 ELSE 0 END)
+                 AS DOUBLE) / count(*), 6) AS set_jaccard
+FROM u
+""".format(SH=_DUCK_SHINGLES),
+)
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detector-AGREEMENT census — how much the two near-dup detectors
+    overlap on the SAME corpus (the meta-evaluation a pipeline runs
+    before trusting one detector as the cheap filter for the other):
+    MinHash-LSH pairs rescored at Jaccard ≥ 0.7 vs SimHash pairs at
+    Hamming ≤ 3, both over the shared exact-deduped seeded base
+    (``collapsed_seeded_base`` — the collapse also keeps both all-pairs
+    ORACLES linear under sf1 replication, unlike the standalone
+    ``dedup_simhash``).  The census reports each set's size, the
+    intersection, each side's exclusive pairs, and the Jaccard of the
+    two pair SETS.  Both pipelines are md5-portable, so the oracle
+    recomputes both detectors exactly — this is a full value gate on
+    the agreement numbers, not a smoke check.
+
+    Scale shape: two bucketed pipelines (band-keyed / pigeonhole-keyed
+    exchanges, never corpus pairs), one full-outer join of two
+    pair-key tables, a 1-row census."""
+    from big_data_lab_three_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+    from big_data_lab_three_spark.queries.dedup import collapsed_seeded_base
+
+    base = collapsed_seeded_base(spark, sf_dir)
+    base = base.localCheckpoint()  # reps-sized; feeds BOTH pipelines
+    m = minhash_lsh_pairs(
+        base, num_perms=32, bands=16, jaccard_threshold=0.7
+    ).select("id_a", "id_b", F.lit(True).alias("in_m"))
+    s = simhash_pairs(base, max_hamming=3).select(
+        "id_a", "id_b", F.lit(True).alias("in_s")
+    )
+    u = m.join(s, ["id_a", "id_b"], "full_outer").select(
+        F.coalesce(F.col("in_m"), F.lit(False)).alias("in_m"),
+        F.coalesce(F.col("in_s"), F.lit(False)).alias("in_s"),
+    )
+    return u.agg(
+        F.sum(F.col("in_m").cast("int")).alias("n_minhash"),
+        F.sum(F.col("in_s").cast("int")).alias("n_simhash"),
+        F.sum((F.col("in_m") & F.col("in_s")).cast("int")).alias("n_both"),
+        F.sum((F.col("in_m") & ~F.col("in_s")).cast("int")).alias(
+            "n_only_minhash"
+        ),
+        F.sum((F.col("in_s") & ~F.col("in_m")).cast("int")).alias(
+            "n_only_simhash"
+        ),
+        F.round(
+            F.sum((F.col("in_m") & F.col("in_s")).cast("int")).cast(
+                "double"
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("set_jaccard"),
+    )

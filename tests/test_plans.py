@@ -1751,3 +1751,12 @@ def test_watermark_sweep_census_joins_broadcast(spark, sf_dir):
     the base scan; the triangular join is census×census."""
     df = REG["watermark_delay_sweep"].spark(spark, sf_dir)
     assert broadcast_join_count(df) >= 2
+
+
+def test_method_agreement_bucketed_pipelines_no_cartesian(spark, sf_dir):
+    """Both detector pipelines stay bucketed (band / pigeonhole keyed
+    joins); the set comparison is one pair-keyed full-outer join."""
+    df = REG["dedup_method_agreement"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
