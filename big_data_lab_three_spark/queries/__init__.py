@@ -99,14 +99,9 @@ def register(name: str, ids: str = "", oracle: str | None = None):
 # reshuffle needed.  This is presentation only: every entry remains
 # registered and locally gated either way.
 _FORCE_FRONT: tuple[str, ...] = (
-    # r10 plan changes — re-verify even though green rows exist: these
-    # three pairwise queries now collapse exact duplicates (min-id
-    # content representative) BEFORE the pair stage, which is what
-    # admits them to the replicated sf1 tier.  Empty once a round
-    # record shows the new plans green.
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_embedding",
+    # (empty — the r10 collapsed-dedup plan changes went green in
+    # CORRECTNESS_r10.json; next entries go here when a registered
+    # plan changes after its last driver pass.)
 )
 
 _DRIVER_ROTATION: tuple[str, ...] = (
