@@ -99,9 +99,13 @@ def register(name: str, ids: str = "", oracle: str | None = None):
 # reshuffle needed.  This is presentation only: every entry remains
 # registered and locally gated either way.
 _FORCE_FRONT: tuple[str, ...] = (
-    # (empty — the r10 collapsed-dedup plan changes went green in
-    # CORRECTNESS_r10.json; next entries go here when a registered
-    # plan changes after its last driver pass.)
+    # r11 plan changes — re-verify even though green rows exist.
+    # bigram_logprob: per-bigram log terms now quantize to integer
+    # micro-units before the per-doc mean (ADVICE r10 — the raw double
+    # average could flip the threshold count by a last-ULP difference),
+    # changing both the Spark plan and the oracle.  Empty once a round
+    # record shows the new plan green.
+    "bigram_logprob",
 )
 
 _DRIVER_ROTATION: tuple[str, ...] = (

@@ -41,6 +41,28 @@ _DUCK_SHINGLES = """
   WHERE len(toks) >= 3
 """
 
+_SEED_OFFSET = 1_000_000
+
+
+def _seed_id(col, k: int = 1):
+    """Seed-row id for the k-th synthesized near-dup copy:
+    ``id + k·1_000_000``, FAIL-LOUD if a tier ever carries source ids
+    at/above the offset (ADVICE r10: a silent collision between seed
+    ids and representative ids would corrupt seeded-pair semantics
+    while both engines stayed hash-green).  The guard is one codegen
+    branch per row — free — and ``raise_error`` aborts the job with
+    the offending id, which is the behavior we want the day a tier's
+    id domain outgrows the convention."""
+    return F.when(col < _SEED_OFFSET, col + k * _SEED_OFFSET).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("seed-id collision: source id "),
+                col.cast("string"),
+                F.lit(f" >= seed offset {_SEED_OFFSET}"),
+            )
+        )
+    )
+
 
 @register(
     "dedup_exact",
@@ -113,7 +135,7 @@ def collapsed_seeded_base(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("dig")
     )
     mutated = reps.select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
+        _seed_id(F.col("doc_id")).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
     )
     return reps.select("doc_id", "text").unionByName(mutated)
@@ -208,9 +230,7 @@ def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     loses nothing vs brute force, not merely that both engines bucket
     alike (the r2 prefix-bucket oracle only showed the latter)."""
     d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
-    dup = d.select(
-        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
-    )
+    dup = d.select(_seed_id(F.col("doc_id")).alias("doc_id"), "text")
     base = d.select("doc_id", "text").unionByName(dup)
     return simhash_pairs(base, max_hamming=3).select(
         "id_a", "id_b", "hamming"
@@ -260,7 +280,7 @@ def dedup_embedding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
     )
     perturbed = base.select(
-        (F.col("vec_id") + 1000000).alias("vec_id"),
+        _seed_id(F.col("vec_id")).alias("vec_id"),
         F.transform(F.col("embedding"), lambda x: x * 1.01).alias("embedding"),
     )
     u = base.unionByName(perturbed)
@@ -309,11 +329,11 @@ def _clusters_seeded_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus two mutated copies of it (one near-dup clique per source)."""
     d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
     m1 = d.select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
+        _seed_id(F.col("doc_id")).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
     )
     m2 = d.select(
-        (F.col("doc_id") + 2000000).alias("doc_id"),
+        _seed_id(F.col("doc_id"), k=2).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zzz yyy")).alias("text"),
     )
     return d.select("doc_id", "text").unionByName(m1).unionByName(m2)

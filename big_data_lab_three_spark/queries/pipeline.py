@@ -996,8 +996,10 @@ WITH d AS (
     SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY w1, w2
 ), sc AS (
     SELECT bg.doc_id, bg.lang,
-           avg(ln(0.75 * b2.c2 / ua.c1 + 0.25 * ub.c1 / tt.total))
-               AS avg_lp,
+           sum(CAST(floor(ln(0.75 * b2.c2 / ua.c1
+                             + 0.25 * ub.c1 / tt.total)
+                          * 1000000 + 0.5) AS BIGINT))
+               / count(*) / 1000000.0 AS avg_lp,
            CAST(count(*) AS BIGINT) AS n_bigrams
     FROM bg JOIN b2 USING (w1, w2)
          JOIN uni ua ON ua.tok = bg.w1
@@ -1029,7 +1031,11 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     two Zipf-bounded model tables (dimension-shaped; Spark broadcasts
     when they fit) and aggregates per doc, then per language.  All
     model counts are exact integers; ``ln`` on identical doubles is
-    bit-identical."""
+    bit-identical, and each bigram's log term quantizes to integer
+    micro-units BEFORE the per-doc mean (``floor(x·1e6 + 0.5)``,
+    negative-safe because both engines floor identically), so the
+    per-doc average — and therefore the ``< -3.45`` threshold count —
+    is immune to partial-sum ordering on either engine."""
     d = table(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
@@ -1067,13 +1073,27 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tt))
         .groupBy("doc_id", "lang")
         .agg(
-            F.avg(
-                F.log(
-                    F.lit(0.75) * F.col("c2") / F.col("c1a")
-                    + F.lit(0.25) * F.col("c1b") / F.col("total")
+            F.sum(
+                F.floor(
+                    F.log(
+                        F.lit(0.75) * F.col("c2") / F.col("c1a")
+                        + F.lit(0.25) * F.col("c1b") / F.col("total")
+                    )
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
                 )
-            ).alias("avg_lp"),
+            ).alias("lp_micro"),
             F.count(F.lit(1)).alias("n_bigrams"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.col("lp_micro").cast("double")
+                / F.col("n_bigrams")
+                / F.lit(1000000.0)
+            ).alias("avg_lp"),
+            "n_bigrams",
         )
     )
     return (

@@ -1686,12 +1686,23 @@ def test_ab_power_mde_single_scan(spark, sf_dir):
 
 def test_heaps_fit_min_shard_aggregate_not_rescan(spark, sf_dir):
     """Cumulative vocabulary comes from ONE min-shard-per-token
-    aggregate — the plan must contain exactly one documents scan pair
-    (token stream is checkpointed and reused), no per-prefix rescans."""
+    aggregate fed by the shared token explode.  The token frame is NOT
+    checkpointed (corpus-sized — the localCheckpoint convention is for
+    KB censuses only), so documents is scanned exactly TWICE upstream
+    (token totals + first-shard vocabulary), never once per prefix.
+    What the FINAL plan must show is the other half of the convention:
+    the 4-row census IS checkpointed, so the fit/readout reruns read
+    the materialized 4 rows — zero parquet scans — instead of
+    re-deriving the corpus aggregation per consumer."""
     df = REG["heaps_law_fit"].spark(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert broadcast_join_count(df) >= 2
+    n_scans = plan.count("Scan parquet")
+    assert n_scans == 0, (
+        f"final plan should read the checkpointed 4-row census, "
+        f"saw {n_scans} parquet scans"
+    )
 
 
 def test_burstiness_two_rollups_only(spark, sf_dir):
