@@ -106,6 +106,11 @@ _FORCE_FRONT: tuple[str, ...] = (
     # changing both the Spark plan and the oracle.  Empty once a round
     # record shows the new plan green.
     "bigram_logprob",
+    # admission streams: sink appends are now batch_id-partitioned and
+    # crash/retry-idempotent (index probes filter to strictly-earlier
+    # batches) — same outputs, different registered plan.
+    "streaming_minhash_admission",
+    "streaming_minhash_admission_et",
 )
 
 _DRIVER_ROTATION: tuple[str, ...] = (

@@ -477,50 +477,81 @@ def run_admission_stream_et(
     than that is LATE — dropped to the ``root/late`` sink, never
     deduped, never indexed.  On-time documents flow through the same
     digest/band-key admission as ``streaming_minhash_admission``.
-    Every batch appends its own max event time (late rows included —
+    Every batch writes its own max event time (late rows included —
     watermarks advance on every observed event) to ``root/wm``, so a
-    stop/restart resumes the watermark exactly.  Failure guarantee is
-    clean-AvailableNow-stop recovery, as for the file-order variant."""
+    stop/restart resumes the watermark exactly.
+
+    CRASH/RETRY-SAFE (r11): all four sinks (late, admitted, idx_bands,
+    wm) land in per-batch ``batch_id=<k>`` partitions in overwrite
+    mode, and every read — the watermark max included — filters to
+    strictly-earlier batches, so a replayed batch classifies lates
+    against exactly the watermark its first attempt saw (never its own
+    partially-written max) and overwrites any partial sink partitions.
+    A redelivery whose writes all completed is skipped outright via
+    the last-written sink's ``_SUCCESS`` marker."""
+    from big_data_lab_three_spark.queries.curation import (
+        run_foreachbatch_stream,
+    )
+
+    def admit(batch_df: DataFrame, batch_id: int) -> None:
+        admit_batch_et(spark, batch_df, batch_id, root, delay)
+
+    run_foreachbatch_stream(spark, schema, root, admit)
+
+
+def admit_batch_et(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    root: str,
+    delay: int = 5000,
+) -> None:
+    """One event-time admission micro-batch (module-level so the
+    kill-mid-batch/replay test can redeliver a batch directly, exactly
+    as a restarted stream would)."""
     import os
 
     from big_data_lab_three_spark.queries.curation import (
+        batch_complete,
+        batch_partition,
         index_admit_batch,
-        read_or_empty,
-        run_foreachbatch_stream,
+        read_index_before,
     )
 
     late_dir = os.path.join(root, "late")
     wm_dir = os.path.join(root, "wm")
-
-    def admit(batch_df: DataFrame, batch_id: int) -> None:
-        # single-file micro-batch = ONE partition; fan out before the
-        # signature work (the r9 lesson), checkpoint once for the
-        # multiple consumers (wm max, late split, admission chain)
-        batch_df = batch_df.repartition(16).localCheckpoint()
-        wm_row = (
-            read_or_empty(spark, wm_dir, "mx long")
-            .agg(F.max("mx"))
-            .first()[0]
+    # redelivered batch whose writes all completed: wm is written
+    # LAST, so its _SUCCESS proves late/admitted/idx_bands too
+    if batch_complete(wm_dir, batch_id):
+        return
+    # single-file micro-batch = ONE partition; fan out before the
+    # signature work (the r9 lesson), checkpoint once for the
+    # multiple consumers (wm max, late split, admission chain)
+    batch_df = batch_df.repartition(16).localCheckpoint()
+    wm_row = (
+        read_index_before(spark, wm_dir, "mx long", batch_id)
+        .agg(F.max("mx"))
+        .first()[0]
+    )
+    if wm_row is None:
+        ontime = batch_df  # no prior batch → no watermark → no lates
+    else:
+        wm = wm_row - delay
+        late = batch_df.where(F.col("et") < F.lit(wm))
+        ontime = batch_df.where(~(F.col("et") < F.lit(wm)))
+        late.select("id", "shard").write.mode("overwrite").parquet(
+            batch_partition(late_dir, batch_id)
         )
-        if wm_row is None:
-            ontime = batch_df  # no prior batch → no watermark → no lates
-        else:
-            wm = wm_row - delay
-            late = batch_df.where(F.col("et") < F.lit(wm))
-            ontime = batch_df.where(~(F.col("et") < F.lit(wm)))
-            late.select("id", "shard").write.mode("append").parquet(
-                late_dir
-            )
-        # the SHARED admission chain — identical to the file-order
-        # variant by construction (curation.index_admit_batch)
-        index_admit_batch(spark, ontime, root)
-        # advance the durable watermark LAST: the wm in effect for a
-        # batch must come from strictly-earlier batches only
-        batch_df.agg(F.max("et").alias("mx")).write.mode("append").parquet(
-            wm_dir
-        )
-
-    run_foreachbatch_stream(spark, schema, root, admit)
+    # the SHARED admission chain — identical to the file-order
+    # variant by construction (curation.index_admit_batch)
+    index_admit_batch(spark, ontime, root, batch_id)
+    # advance the durable watermark LAST: the wm in effect for a
+    # batch must come from strictly-earlier batches only (the
+    # read_index_before filter enforces it even under replay), and
+    # wm's _SUCCESS doubles as the batch's completion marker
+    batch_df.agg(F.max("et").alias("mx")).write.mode("overwrite").parquet(
+        batch_partition(wm_dir, batch_id)
+    )
 
 
 # the sig/band/collide chain of the file-order admission oracle,

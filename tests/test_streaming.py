@@ -418,3 +418,120 @@ def test_et_admission_watermark_survives_stop_restart(
     # the restart genuinely processed the new shards
     assert phase1_adm < resumed_adm
     base.unpersist()
+
+def test_admission_index_replay_after_midbatch_crash(
+    spark, sf_dir, tmp_path
+):
+    """Kill-mid-batch + redelivery on the SHARED admission chain: a
+    crash can strike between the admitted and band-key writes, and the
+    restarted stream redelivers the batch.  Because every probe reads
+    only strictly-earlier ``batch_id`` partitions and every write
+    overwrites its own partition, the replay must reconstruct exactly
+    the uninterrupted run's sinks — no duplicates, no lost band keys,
+    no self-blocking on the crashed attempt's partial writes."""
+    import shutil
+
+    from big_data_lab_three_spark.queries.curation import (
+        admission_base,
+        batch_partition,
+        index_admit_batch,
+    )
+
+    base = admission_base(spark, sf_dir)
+    batches = [
+        base.where(F.col("shard") == s).repartition(8).localCheckpoint()
+        for s in range(4)
+    ]
+
+    def snap(root):
+        out = {}
+        for sub in ("admitted", "idx_bands"):
+            p = os.path.join(root, sub)
+            out[sub] = sorted(
+                tuple(r) for r in spark.read.parquet(p).collect()
+            )
+        return out
+
+    rc = str(tmp_path / "clean")
+    for k, b in enumerate(batches):
+        index_admit_batch(spark, b, rc, k)
+    clean = snap(rc)
+
+    rx = str(tmp_path / "crashy")
+    for k in (0, 1):
+        index_admit_batch(spark, batches[k], rx, k)
+    # attempt 1 of batch 2 runs, but the "crash" lands between its two
+    # sink writes: the band-key partition is lost entirely and the
+    # admitted partition survives only half-written
+    index_admit_batch(spark, batches[2], rx, 2)
+    shutil.rmtree(batch_partition(os.path.join(rx, "idx_bands"), 2))
+    adm2 = batch_partition(os.path.join(rx, "admitted"), 2)
+    half = spark.read.parquet(adm2).limit(3).localCheckpoint()
+    half.write.mode("overwrite").parquet(adm2)
+    # redelivery (what the restarted stream does), then the next batch
+    index_admit_batch(spark, batches[2], rx, 2)
+    index_admit_batch(spark, batches[3], rx, 3)
+    assert snap(rx) == clean
+
+
+def test_et_admission_replay_after_midbatch_crash(spark, sf_dir, tmp_path):
+    """Event-time twin of the kill-mid-batch test, with the watermark
+    hazard on top: the crashed attempt of batch 2 already wrote its own
+    max-event-time row, and a replay that read it would classify batch
+    2's documents against a watermark from the FUTURE (its own data),
+    over-dropping lates.  The strictly-earlier ``batch_id`` filter must
+    make the replay's late split identical to the uninterrupted run's,
+    and a redelivered COMPLETE batch must be skipped outright."""
+    import shutil
+
+    from big_data_lab_three_spark.queries.curation import (
+        batch_partition,
+    )
+    from big_data_lab_three_spark.queries.pipeline import (
+        admission_et_base,
+        admit_batch_et,
+    )
+
+    base = admission_et_base(spark, sf_dir)
+    batches = [
+        base.where(F.col("shard") == s).repartition(8).localCheckpoint()
+        for s in range(4)
+    ]
+
+    def snap(root):
+        out = {}
+        for sub in ("admitted", "idx_bands", "late", "wm"):
+            p = os.path.join(root, sub)
+            out[sub] = (
+                sorted(tuple(r) for r in spark.read.parquet(p).collect())
+                if os.path.isdir(p)
+                else []
+            )
+        return out
+
+    rc = str(tmp_path / "clean")
+    for k, b in enumerate(batches):
+        admit_batch_et(spark, b, k, rc)
+    clean = snap(rc)
+    assert len(clean["late"]) > 0  # the policy genuinely fires
+
+    rx = str(tmp_path / "crashy")
+    for k in (0, 1):
+        admit_batch_et(spark, batches[k], k, rx)
+    # attempt 1 of batch 2 completes its writes, then the "crash" is
+    # simulated by losing the wm completion marker and half of the
+    # admitted partition — late/idx_bands partials survive as-is
+    admit_batch_et(spark, batches[2], 2, rx)
+    shutil.rmtree(batch_partition(os.path.join(rx, "wm"), 2))
+    adm2 = batch_partition(os.path.join(rx, "admitted"), 2)
+    half = spark.read.parquet(adm2).limit(2).localCheckpoint()
+    half.write.mode("overwrite").parquet(adm2)
+    # redelivery recomputes batch 2 against the pre-crash index state
+    admit_batch_et(spark, batches[2], 2, rx)
+    # batch 3 arrives; then batch 3 itself is redelivered COMPLETE —
+    # the _SUCCESS skip path must leave every sink untouched
+    admit_batch_et(spark, batches[3], 3, rx)
+    before = snap(rx)
+    admit_batch_et(spark, batches[3], 3, rx)
+    assert snap(rx) == before
+    assert snap(rx) == clean
