@@ -64,6 +64,7 @@ _MODULES = (
     "big_data_lab_three_spark.queries.stats",
     "big_data_lab_three_spark.queries.curation",
     "big_data_lab_three_spark.queries.pipeline",
+    "big_data_lab_three_spark.queries.corpus",
 )
 
 
