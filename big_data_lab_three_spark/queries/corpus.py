@@ -275,3 +275,308 @@ def bpe_segment_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("compression_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# SemDeDup: cluster-scoped embedding dedup (Abbas et al. 2023 shape)
+# ---------------------------------------------------------------------
+
+_SEMDEDUP_ORACLE = """
+WITH reps AS (
+  SELECT min(vec_id) AS id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings GROUP BY CAST(embedding AS DOUBLE[])
+), base AS (
+  SELECT id, v FROM reps
+  UNION ALL
+  SELECT id + 1000000, list_transform(v, x -> x * 1.01) FROM reps
+), cents AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id < 8
+), sc AS (
+  SELECT base.id, cents.cid,
+         round(list_dot_product(v, cv)
+               / (sqrt(list_dot_product(v, v))
+                  * sqrt(list_dot_product(cv, cv))), 6) AS cq
+  FROM base CROSS JOIN cents
+), asg AS (
+  SELECT id, cid AS cell FROM (
+    SELECT id, cid,
+           row_number() OVER (
+               PARTITION BY id ORDER BY cq DESC, cid ASC) AS rn
+    FROM sc)
+  WHERE rn = 1
+), wc AS (
+  SELECT base.id, base.v, asg.cell FROM base JOIN asg USING (id)
+), dropped AS (
+  SELECT DISTINCT b.id FROM wc a JOIN wc b
+    ON a.cell = b.cell AND a.id < b.id
+  WHERE round(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.95
+)
+SELECT CAST(wc.cell AS BIGINT) AS cell,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(count(d.id) AS BIGINT) AS n_dropped,
+       CAST(count(*) - count(d.id) AS BIGINT) AS n_kept,
+       CAST(coalesce(sum(CASE WHEN d.id IS NULL THEN wc.id END), 0)
+            AS BIGINT) AS sum_kept_id
+FROM wc LEFT JOIN dropped d ON d.id = wc.id
+GROUP BY wc.cell
+ORDER BY cell
+"""
+
+
+def _semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared SemDeDup front half: collapse bit-identical embeddings to
+    min-id representatives, seed one rescaled (×1.01 — cosine exactly 1
+    up to fp) near-dup per representative, and assign every vector to
+    its nearest of 8 deterministic centroids (the ``vec_id < 8``
+    originals, the ``ivf_cost_census`` convention) by 6-decimal cosine
+    with centroid-id tiebreak.  Returns (id, v, cell)."""
+    from big_data_lab_three_spark.functions.vector import dot as _dot
+    from big_data_lab_three_spark.queries.dedup import _seed_id
+
+    e = table(spark, sf_dir, "embeddings")
+    reps = (
+        e.select(
+            F.col("embedding").cast("array<double>").alias("v"), "vec_id"
+        )
+        .groupBy("v")
+        .agg(F.min("vec_id").alias("id"))
+    )
+    base = reps.select("id", "v").unionByName(
+        reps.select(
+            _seed_id(F.col("id")).alias("id"),
+            F.transform("v", lambda x: x * 1.01).alias("v"),
+        )
+    )
+    cents = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    cq = F.round(
+        _dot(F.col("v"), F.col("cv"))
+        / (
+            F.sqrt(_dot(F.col("v"), F.col("v")))
+            * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+        ),
+        6,
+    )
+    best = (
+        base.crossJoin(F.broadcast(cents))
+        .select("id", "v", "cid", cq.alias("cq"))
+        .groupBy("id", "v")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cq").alias("cq"), (-F.col("cid")).alias("negcid")
+                )
+            ).alias("b")
+        )
+    )
+    return best.select(
+        "id", "v", (-F.col("b.negcid")).alias("cell")
+    )
+
+
+@register(
+    "semdedup_prune",
+    ids="dedup: SemDeDup cluster-scoped embedding dedup — centroid-cell "
+    "assignment, intra-cell pairwise cosine prune, per-cell census",
+    oracle=_SEMDEDUP_ORACLE,
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) — the cluster-scoped composition
+    the r10 verdict ranked among the top missing pieces: vectors are
+    assigned to centroid cells, and the pairwise cosine prune runs
+    only WITHIN cells, never across the corpus — the device that turns
+    embedding dedup's O(n²) into O(Σ cell²).  Bit-identical embeddings
+    collapse to min-id representatives FIRST (the r10 collapse-first
+    conversion, which is also what keeps the replicated sf1 tier's
+    pair stage bounded by distinct content); each representative gets
+    a rescaled near-dup seed, so every cell genuinely prunes; a vector
+    drops when any smaller-id cell-mate has 4-decimal cosine ≥ 0.95.
+
+    Output is the per-cell census (sizes, drops, kept-id checksum) —
+    linear in cells — and the oracle recomputes assignment AND prune
+    exactly (6-decimal assignment cosine with centroid tiebreak, the
+    engine-parity formula proven by ``ivf_cost_census``).
+
+    Scale shape: assignment is a broadcast nested-loop over the
+    centroid table (the IVF assign); the prune self-joins on the cell
+    key only — shuffle partitions by cell, pair work bounded per cell;
+    the census is one rollup.  At 100 TB: more centroids, same plan."""
+    wc = _semdedup_cells(spark, sf_dir)
+    a = wc.select(
+        F.col("cell"), F.col("id").alias("id_a"), F.col("v").alias("va")
+    )
+    b = wc.select(
+        F.col("cell"), F.col("id").alias("id_b"), F.col("v").alias("vb")
+    )
+    from big_data_lab_three_spark.functions.vector import dot as _dot
+
+    cos4 = F.round(
+        _dot(F.col("va"), F.col("vb"))
+        / (
+            F.sqrt(_dot(F.col("va"), F.col("va")))
+            * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+        ),
+        4,
+    )
+    dropped = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cos4 >= 0.95)
+        .select(F.col("id_b").alias("did"))
+        .distinct()
+    )
+    return (
+        wc.join(dropped, wc["id"] == dropped["did"], "left")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.count("did").alias("n_dropped"),
+            (F.count(F.lit(1)) - F.count("did")).alias("n_kept"),
+            F.coalesce(
+                F.sum(F.when(F.col("did").isNull(), F.col("id"))),
+                F.lit(0),
+            ).alias("sum_kept_id"),
+        )
+        .orderBy("cell")
+    )
+
+
+@register(
+    "semdedup_cell_census",
+    ids="dedup: SemDeDup cell-assignment census — linear sf1-scale "
+    "witness for the cluster-scoped prune (no pair stage)",
+    oracle="""
+WITH reps AS (
+  SELECT min(vec_id) AS id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings GROUP BY CAST(embedding AS DOUBLE[])
+), base AS (
+  SELECT id, v FROM reps
+  UNION ALL
+  SELECT id + 1000000, list_transform(v, x -> x * 1.01) FROM reps
+), cents AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id < 8
+), sc AS (
+  SELECT base.id, cents.cid,
+         round(list_dot_product(v, cv)
+               / (sqrt(list_dot_product(v, v))
+                  * sqrt(list_dot_product(cv, cv))), 6) AS cq
+  FROM base CROSS JOIN cents
+), asg AS (
+  SELECT id, cid AS cell FROM (
+    SELECT id, cid,
+           row_number() OVER (
+               PARTITION BY id ORDER BY cq DESC, cid ASC) AS rn
+    FROM sc)
+  WHERE rn = 1
+)
+SELECT CAST(cell AS BIGINT) AS cell,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(id) AS BIGINT) AS sum_id,
+       CAST(min(id) AS BIGINT) AS min_id
+FROM asg GROUP BY cell ORDER BY cell
+""",
+)
+def semdedup_cell_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LINEAR half of SemDeDup — cell sizes and id checksums after
+    collapse + seeding + centroid assignment, with NO pair stage: the
+    sf1-scale witness that pins the assignment arithmetic (the part
+    whose cost grows with the corpus) while ``semdedup_prune`` pins
+    the intra-cell prune on the collapsed representative set.
+
+    Scale shape: one groupBy collapse, one broadcast nested-loop
+    assign, one rollup — strictly linear in vectors."""
+    wc = _semdedup_cells(spark, sf_dir)
+    return (
+        wc.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("id").alias("sum_id"),
+            F.min("id").alias("min_id"),
+        )
+        .orderBy("cell")
+    )
+
+
+# ---------------------------------------------------------------------
+# CCNet-style perplexity-bucket quality filter
+# ---------------------------------------------------------------------
+
+
+def _ccnet_oracle() -> str:
+    from big_data_lab_three_spark.queries.pipeline import _DUCK_BIGRAM_SC
+
+    return f"""
+WITH {_DUCK_BIGRAM_SC}, bkt AS (
+    SELECT lang, doc_id, avg_lp,
+           ntile(3) OVER (
+               PARTITION BY lang ORDER BY avg_lp DESC, doc_id) AS bucket
+    FROM sc
+)
+SELECT lang, CAST(bucket AS INTEGER) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CAST(floor(avg_lp * 1000000 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_lp_micro,
+       round(min(avg_lp), 4) AS worst_logprob
+FROM bkt GROUP BY lang, bucket ORDER BY lang, bucket
+"""
+
+
+@register(
+    "ccnet_perplexity_buckets",
+    ids="curation: CCNet-style LM-perplexity head/middle/tail buckets — "
+    "per-language terciles of per-doc bigram-LM scores",
+    oracle=_ccnet_oracle(),
+)
+def ccnet_perplexity_buckets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CCNet-style QUALITY BUCKETING (Wenzek et al. 2020) — the
+    composition ``bigram_logprob`` (per-doc LM scores) and
+    ``quality_filter_funnel`` (gate chain) separately stop short of:
+    per language, documents split into head / middle / tail terciles
+    of LM log-probability (bucket 1 = head = best-scored; CCNet keeps
+    head+middle for training and discards tail).  The census reports
+    each bucket's size, micro-quantized score mass, and worst score.
+
+    Portability: per-doc scores come from the shared micro-quantized
+    bigram scorer (``pipeline.bigram_doc_scores`` / its DuckDB twin
+    ``_DUCK_BIGRAM_SC``, identical by construction); the tercile cut
+    orders by (avg_lp DESC, doc_id) — fully deterministic — and both
+    engines' ``ntile`` put the remainder in the leading buckets.
+
+    Scale shape: the scorer is two token scans against Zipf-bounded
+    model tables; the tercile is one per-language range-partition sort
+    of (doc_id, score) rows — CCNet itself fits percentile cutoffs on
+    a sample at production scale, and that swap (approx percentiles →
+    filter) keeps this plan's downstream identical."""
+    from pyspark.sql import Window
+
+    from big_data_lab_three_spark.queries.pipeline import (
+        bigram_doc_scores,
+    )
+
+    sc = bigram_doc_scores(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(F.desc("avg_lp"), "doc_id")
+    bkt = sc.select(
+        "lang",
+        "doc_id",
+        "avg_lp",
+        F.ntile(3).over(w).alias("bucket"),
+    )
+    return (
+        bkt.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.floor(F.col("avg_lp") * F.lit(1000000.0) + F.lit(0.5))
+            ).alias("sum_lp_micro"),
+            F.round(F.min("avg_lp"), 4).alias("worst_logprob"),
+        )
+        .orderBy("lang", "bucket")
+    )

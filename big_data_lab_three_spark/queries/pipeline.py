@@ -1006,11 +1006,11 @@ def bpe_merge_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "bigram_logprob",
-    ids="text quality: interpolated bigram-LM log-probability census (order-2 CCNet-style perplexity proxy)",
-    oracle=f"""
-WITH d AS (
+# Shared DuckDB fragment: the interpolated-bigram-LM per-document
+# scorer (doc_id, lang, avg_lp, n_bigrams) — used by bigram_logprob
+# here and corpus.ccnet_perplexity_buckets, so the two oracles can
+# never drift from one model definition.
+_DUCK_BIGRAM_SC = f"""d AS (
     SELECT doc_id, lang, {_DUCK_TOKS} AS toks FROM documents
 ), uni AS (
     SELECT tok, CAST(count(*) AS BIGINT) AS c1
@@ -1036,37 +1036,16 @@ WITH d AS (
          JOIN uni ua ON ua.tok = bg.w1
          JOIN uni ub ON ub.tok = bg.w2, tt
     GROUP BY bg.doc_id, bg.lang
-)
-SELECT lang,
-       CAST(count(*) AS BIGINT) AS n_docs,
-       round(avg(avg_lp), 4) AS mean_logprob,
-       round(min(avg_lp), 4) AS worst_logprob,
-       CAST(sum(CASE WHEN avg_lp < -3.45 THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_below_threshold
-FROM sc GROUP BY lang ORDER BY lang
-""",
-)
-def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interpolated BIGRAM-LM scoring census — ``unigram_logprob``'s
-    order-2 sibling and the closer proxy for CCNet-style LM-perplexity
-    filtering: each in-document bigram scores ``ln(0.75·c₂(w₁w₂)/c₁(w₁)
-    + 0.25·c₁(w₂)/T)`` (conditional bigram probability interpolated
-    with the unigram fallback — unseen continuations can't zero out),
-    documents average their bigram scores, and the census reports
-    per-language mean / worst / below-threshold counts with the
-    ``unigram_logprob`` rounding conventions.
+)"""
 
-    Scale shape: one token explode builds the unigram table, one
-    bigram explode (``zip_with`` over the token array — no shuffle)
-    builds the bigram table; scoring joins the bigram stream to the
-    two Zipf-bounded model tables (dimension-shaped; Spark broadcasts
-    when they fit) and aggregates per doc, then per language.  All
-    model counts are exact integers; ``ln`` on identical doubles is
-    bit-identical, and each bigram's log term quantizes to integer
-    micro-units BEFORE the per-doc mean (``floor(x·1e6 + 0.5)``,
-    negative-safe because both engines floor identically), so the
-    per-doc average — and therefore the ``< -3.45`` threshold count —
-    is immune to partial-sum ordering on either engine."""
+
+def bigram_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document interpolated bigram-LM scores — the SHARED scorer
+    behind ``bigram_logprob`` and ``corpus.ccnet_perplexity_buckets``:
+    (doc_id, lang, avg_lp, n_bigrams) where ``avg_lp`` is the mean of
+    micro-quantized per-bigram log terms (order-free integer sum, see
+    ``bigram_logprob``'s portability note).  DuckDB twin:
+    ``_DUCK_BIGRAM_SC``'s ``sc`` relation."""
     d = table(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
@@ -1097,7 +1076,7 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     b2 = st.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     ua = uni.select(F.col("tok").alias("w1"), F.col("c1").alias("c1a"))
     ub = uni.select(F.col("tok").alias("w2"), F.col("c1").alias("c1b"))
-    scored = (
+    return (
         st.join(b2, ["w1", "w2"])
         .join(ua, "w1")
         .join(ub, "w2")
@@ -1127,6 +1106,44 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_bigrams",
         )
     )
+
+
+@register(
+    "bigram_logprob",
+    ids="text quality: interpolated bigram-LM log-probability census (order-2 CCNet-style perplexity proxy)",
+    oracle=f"""
+WITH {_DUCK_BIGRAM_SC}
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(avg_lp), 4) AS mean_logprob,
+       round(min(avg_lp), 4) AS worst_logprob,
+       CAST(sum(CASE WHEN avg_lp < -3.45 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_below_threshold
+FROM sc GROUP BY lang ORDER BY lang
+""",
+)
+def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated BIGRAM-LM scoring census — ``unigram_logprob``'s
+    order-2 sibling and the closer proxy for CCNet-style LM-perplexity
+    filtering: each in-document bigram scores ``ln(0.75·c₂(w₁w₂)/c₁(w₁)
+    + 0.25·c₁(w₂)/T)`` (conditional bigram probability interpolated
+    with the unigram fallback — unseen continuations can't zero out),
+    documents average their bigram scores, and the census reports
+    per-language mean / worst / below-threshold counts with the
+    ``unigram_logprob`` rounding conventions.
+
+    Scale shape: one token explode builds the unigram table, one
+    bigram explode (``zip_with`` over the token array — no shuffle)
+    builds the bigram table; scoring joins the bigram stream to the
+    two Zipf-bounded model tables (dimension-shaped; Spark broadcasts
+    when they fit) and aggregates per doc, then per language.  All
+    model counts are exact integers; ``ln`` on identical doubles is
+    bit-identical, and each bigram's log term quantizes to integer
+    micro-units BEFORE the per-doc mean (``floor(x·1e6 + 0.5)``,
+    negative-safe because both engines floor identically), so the
+    per-doc average — and therefore the ``< -3.45`` threshold count —
+    is immune to partial-sum ordering on either engine."""
+    scored = bigram_doc_scores(spark, sf_dir)
     return (
         scored.groupBy("lang")
         .agg(

@@ -1771,3 +1771,53 @@ def test_method_agreement_bucketed_pipelines_no_cartesian(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bpe_segment_census_vocab_bounded(spark, sf_dir):
+    """The BPE apply census's final plan: before/after aggregates are
+    1-row frames joined by a broadcast cross — no CartesianProduct, no
+    corpus-sized join; the loop's vocabulary state is checkpointed, so
+    the census reruns never re-derive the merge rounds."""
+    df = REG["bpe_segment_census"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert broadcast_join_count(df) >= 1
+
+
+def test_semdedup_prune_pairs_only_within_cells(spark, sf_dir):
+    """SemDeDup's defining property: the pair stage joins on the cell
+    key (an equi-join — shuffle partitions by cell), NEVER an unkeyed
+    corpus product; the centroid assignment is the only nested-loop
+    and it is broadcast (8-row centroid table)."""
+    df = REG["semdedup_prune"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the assignment's broadcast nested-loop is fine; a NON-broadcast
+    # nested loop would be the all-pairs catastrophe
+    import re
+
+    assert not re.search(r"(?<!Broadcast)NestedLoopJoin", plan.replace(
+        "BroadcastNestedLoopJoin", "Broadcast_NLJ"
+    )), "non-broadcast nested loop in the pair stage"
+
+
+def test_semdedup_cell_census_is_linear(spark, sf_dir):
+    """The sf1 witness must stay linear: no self-join on vectors at
+    all — one collapse groupBy, one broadcast assign, one rollup."""
+    df = REG["semdedup_cell_census"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, "pair-stage join leaked in"
+
+
+def test_ccnet_buckets_window_is_per_language(spark, sf_dir):
+    """The tercile cut must be a per-language partitioned window (a
+    range shuffle), never a single global sort of all scores."""
+    df = REG["ccnet_perplexity_buckets"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert "CartesianProduct" not in plan
+    assert re.search(
+        r"ntile\(3\) windowspecdefinition\(lang#\d+,", plan
+    ), "ntile window is not partitioned by lang"
