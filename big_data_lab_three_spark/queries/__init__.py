@@ -112,6 +112,14 @@ _FORCE_FRONT: tuple[str, ...] = (
     # batches) — same outputs, different registered plan.
     "streaming_minhash_admission",
     "streaming_minhash_admission_et",
+    # r11 collapse-first conversions (exact-dedup collapse before the
+    # pair/clique stage, admitting these to the replicated sf1 tier —
+    # outputs unchanged at the duplicate-free driver tiers, plans and
+    # oracles changed).
+    "dedup_simhash",
+    "dedup_clusters",
+    "dedup_clusters_star",
+    "near_dedup_apply",
 )
 
 _DRIVER_ROTATION: tuple[str, ...] = (

@@ -580,3 +580,244 @@ def ccnet_perplexity_buckets(
         )
         .orderBy("lang", "bucket")
     )
+
+
+@register(
+    "bpe_fertility_by_lang",
+    ids="tokenizer: per-language fertility of the trained BPE — weighted "
+    "symbols-per-token after the 10 learned merges (tokenizer equity)",
+    oracle=_bpe_oracle_rounds()
+    + f"""
+, wl AS (
+    SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+    FROM (SELECT lang, unnest({_DUCK_TOKS}) AS tok FROM documents)
+    GROUP BY lang, tok
+), f AS (
+    SELECT w AS tok, CAST(count(*) AS BIGINT) AS ns
+    FROM s{_BPE_K} GROUP BY w
+)
+SELECT wl.lang,
+       CAST(sum(wl.c) AS BIGINT) AS n_tokens,
+       CAST(sum(wl.c * f.ns) AS BIGINT) AS n_syms,
+       CAST(sum(wl.c * f.ns) * 1000000 // sum(wl.c) AS BIGINT)
+           AS fertility_micro
+FROM wl JOIN f USING (tok)
+GROUP BY wl.lang ORDER BY wl.lang
+""",
+)
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-LANGUAGE fertility of the trained tokenizer — the equity
+    metric every multilingual tokenizer report leads with: after the
+    10 learned merges, how many symbols does an average token of each
+    language cost?  (A language whose tokens segment into more symbols
+    pays more sequence length per word — the under-served-language
+    signal.)  Weighted by corpus frequency; exact integers and one
+    micro-unit division.
+
+    Scale shape: the corpus contributes one (lang, tok) rollup; the
+    trained segmentation contributes a vocabulary-sized (tok →
+    n_symbols) map joined BROADCAST onto it — the corpus is never
+    rescanned per language, and the loop cost is shared with
+    ``bpe_train_merges`` by construction."""
+    _, vocab = _bpe_merge_loop(spark, sf_dir)
+    wl = (
+        table(spark, sf_dir, "documents")
+        .select("lang", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    f = vocab.select("tok", F.size("syms").alias("ns"))
+    return (
+        wl.join(F.broadcast(f), "tok")
+        .groupBy("lang")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("ns")).alias("n_syms"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "n_syms",
+            F.expr("div(n_syms * 1000000, n_tokens)").alias(
+                "fertility_micro"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "dedup_priority_keep",
+    ids="dedup: priority-keep exact dedup — same-content groups keep the "
+    "highest-priority source copy (canonical-over-mirror), per-source census",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, 'mirror'
+  FROM documents WHERE doc_id % 6 = 0
+), pr AS (
+  SELECT doc_id, source, md5(text) AS dig,
+         CASE WHEN source = 'mirror' THEN 0 ELSE 1 END AS prio
+  FROM base
+), keep AS (
+  SELECT dig, doc_id AS kept_id FROM (
+    SELECT dig, doc_id,
+           row_number() OVER (
+               PARTITION BY dig ORDER BY prio DESC, doc_id ASC) AS rn
+    FROM pr) WHERE rn = 1
+)
+SELECT pr.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN keep.kept_id = pr.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(coalesce(sum(CASE WHEN keep.kept_id = pr.doc_id
+                              THEN pr.doc_id END), 0) AS BIGINT)
+           AS sum_kept_id
+FROM pr JOIN keep USING (dig)
+GROUP BY pr.source
+ORDER BY pr.source
+""",
+)
+def dedup_priority_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRIORITY-KEEP exact dedup — the production refinement of
+    ``dedup_exact``'s min-id rule: when the same content arrives from
+    several sources (here: seeded ``mirror`` copies of every sixth
+    document), the pipeline keeps the highest-PRIORITY copy (canonical
+    sources over mirrors), breaking ties on the smaller id — the
+    "which copy do we trust" decision every crawl dedup makes.  The
+    census reports per-source totals, keeps, and a kept-id checksum.
+
+    Scale shape: one digest groupBy via ``max(struct(prio, -id))`` —
+    a combiner-friendly argmax, no window over the corpus — then one
+    source rollup; the shuffle carries 16-byte digests, ids, and a
+    source tag, never text."""
+    from big_data_lab_three_spark.queries.dedup import _seed_id
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    base = d.unionByName(
+        d.where(F.col("doc_id") % 6 == 0).select(
+            _seed_id(F.col("doc_id")).alias("doc_id"),
+            "text",
+            F.lit("mirror").alias("source"),
+        )
+    )
+    pr = base.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("dig"),
+        F.when(F.col("source") == "mirror", F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("prio"),
+    )
+    keep = pr.groupBy("dig").agg(
+        F.max(
+            F.struct(
+                F.col("prio").alias("prio"),
+                (-F.col("doc_id")).alias("negid"),
+            )
+        ).alias("b")
+    ).select("dig", (-F.col("b.negid")).alias("kept_id"))
+    return (
+        pr.join(keep, "dig")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                (F.col("kept_id") == F.col("doc_id")).cast("int")
+            ).cast("long").alias("n_kept"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("kept_id") == F.col("doc_id"),
+                        F.col("doc_id"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("sum_kept_id"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "hard_negative_mining",
+    ids="similarity: hard-negative mining — per probe, top-3 most-similar "
+    "vectors BELOW the near-dup threshold (contrastive training pairs)",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+), q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 8
+), sc AS (
+  SELECT q.qid, v.vec_id,
+         round(list_dot_product(ev, qv)
+               / (sqrt(list_dot_product(ev, ev))
+                  * sqrt(list_dot_product(qv, qv))), 4) AS cq
+  FROM v CROSS JOIN q
+  WHERE v.vec_id <> q.qid
+), neg AS (
+  SELECT qid, vec_id, cq,
+         row_number() OVER (
+             PARTITION BY qid ORDER BY cq DESC, vec_id ASC) AS rank
+  FROM sc WHERE cq < 0.95
+)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS INTEGER) AS rank,
+       CAST(vec_id AS BIGINT) AS neg_id, cq AS cos_sim
+FROM neg WHERE rank <= 3
+ORDER BY qid, rank
+""",
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE mining — the contrastive-training composition the
+    similarity family stops short of: for each probe (the 8
+    ``vec_id < 8`` query vectors), the 3 most-similar corpus vectors
+    that are NOT near-duplicates (4-decimal cosine < 0.95, self
+    excluded) — exactly the "hard negatives" an embedding trainer
+    pairs with each anchor.  Deterministic: cosine ties break on
+    vec_id.
+
+    Scale shape: one broadcast nested-loop of the 8-probe table
+    against the corpus scan (the ``ivf_cost_census`` assign shape),
+    then TakeOrderedAndProject per probe via a qid-partitioned window
+    over probe-keyed rows — linear in the corpus, and the near-dup
+    exclusion is a scan predicate, not a join."""
+    from big_data_lab_three_spark.functions.vector import dot as _dot
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ev")
+    )
+    q = table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    cq = F.round(
+        _dot(F.col("ev"), F.col("qv"))
+        / (
+            F.sqrt(_dot(F.col("ev"), F.col("ev")))
+            * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+        ),
+        4,
+    )
+    sc = (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cq.alias("cq"))
+        .where(F.col("cq") < 0.95)
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cq"), F.asc("vec_id"))
+    return (
+        sc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            "qid",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("vec_id").alias("neg_id"),
+            F.col("cq").alias("cos_sim"),
+        )
+        .orderBy("qid", "rank")
+    )

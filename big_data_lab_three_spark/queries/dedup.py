@@ -186,10 +186,14 @@ def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_simhash",
     ids="dedup: SimHash (60-bit md5-portable, multi-segment pigeonhole buckets)",
     oracle="""
-WITH base AS (
-  SELECT doc_id AS id, text FROM documents WHERE doc_id % 5 = 0
+WITH reps AS (
+  SELECT min(doc_id) AS id, min(text) AS text
+  FROM documents WHERE doc_id % 5 = 0
+  GROUP BY md5(text)
+), base AS (
+  SELECT id, text FROM reps
   UNION ALL
-  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+  SELECT id + 1000000, text FROM reps
 ), t AS (
   SELECT id, list_filter(regexp_split_to_array(text, '\\s+'),
                          x -> x != '') AS toks
@@ -220,7 +224,10 @@ WHERE bit_count(xor(a.sig, b.sig)) <= 3
 """,
 )
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs over a sample seeded with exact duplicates
+    """SimHash near-dup pairs over an EXACT-DEDUPED sample (min-id
+    content representative — the r10/r11 collapse-first conversion
+    that bounds the pair set by DISTINCT content and admits this
+    query to the replicated sf1 tier) seeded with exact duplicates
     (identical text ⇒ identical signature ⇒ Hamming 0).  The 60-bit
     truncated-md5 shingle hash is engine-portable, so the oracle
     recomputes votes and signatures exactly — and because the Spark
@@ -230,8 +237,13 @@ def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     loses nothing vs brute force, not merely that both engines bucket
     alike (the r2 prefix-bucket oracle only showed the latter)."""
     d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
-    dup = d.select(_seed_id(F.col("doc_id")).alias("doc_id"), "text")
-    base = d.select("doc_id", "text").unionByName(dup)
+    reps = (
+        d.groupBy(F.md5("text").alias("dig"))
+        .agg(F.min("doc_id").alias("doc_id"), F.min("text").alias("text"))
+        .drop("dig")
+    )
+    dup = reps.select(_seed_id(F.col("doc_id")).alias("doc_id"), "text")
+    base = reps.select("doc_id", "text").unionByName(dup)
     return simhash_pairs(base, max_hamming=3).select(
         "id_a", "id_b", "hamming"
     )
@@ -292,14 +304,16 @@ def dedup_embedding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CLUSTERS_ORACLE = f"""
-WITH RECURSIVE base AS (
-  SELECT doc_id AS id, text FROM documents WHERE doc_id % 10 = 0
-  UNION ALL
-  SELECT doc_id + 1000000, text || ' zzz'
+WITH RECURSIVE reps AS (
+  SELECT min(doc_id) AS id, min(text) AS text
   FROM documents WHERE doc_id % 10 = 0
+  GROUP BY md5(text)
+), base AS (
+  SELECT id, text FROM reps
   UNION ALL
-  SELECT doc_id + 2000000, text || ' zzz yyy'
-  FROM documents WHERE doc_id % 10 = 0
+  SELECT id + 1000000, text || ' zzz' FROM reps
+  UNION ALL
+  SELECT id + 2000000, text || ' zzz yyy' FROM reps
 ), t AS ({_DUCK_SHINGLES}),
 p AS (
   SELECT a.id AS id_a, b.id AS id_b
@@ -326,8 +340,18 @@ ORDER BY id
 
 def _clusters_seeded_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded corpus for the clustering queries: every tenth document
-    plus two mutated copies of it (one near-dup clique per source)."""
-    d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    COLLAPSED to its min-id content representative (the r11
+    collapse-first conversion — exact-dedup before near-dup is the
+    production order, and it bounds every consumer's pair/clique work
+    by DISTINCT content, admitting the whole cluster family to the
+    replicated sf1 tier) plus two mutated copies of each representative
+    (one near-dup clique per distinct source text)."""
+    s = table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    d = (
+        s.groupBy(F.md5("text").alias("dig"))
+        .agg(F.min("doc_id").alias("doc_id"), F.min("text").alias("text"))
+        .drop("dig")
+    )
     m1 = d.select(
         _seed_id(F.col("doc_id")).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
@@ -398,14 +422,16 @@ def dedup_clusters_star_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _APPLY_ORACLE = f"""
-WITH RECURSIVE base AS (
-  SELECT doc_id AS id, text FROM documents WHERE doc_id % 10 = 0
-  UNION ALL
-  SELECT doc_id + 1000000, text || ' zzz'
+WITH RECURSIVE reps AS (
+  SELECT min(doc_id) AS id, min(text) AS text
   FROM documents WHERE doc_id % 10 = 0
+  GROUP BY md5(text)
+), base AS (
+  SELECT id, text FROM reps
   UNION ALL
-  SELECT doc_id + 2000000, text || ' zzz yyy'
-  FROM documents WHERE doc_id % 10 = 0
+  SELECT id + 1000000, text || ' zzz' FROM reps
+  UNION ALL
+  SELECT id + 2000000, text || ' zzz yyy' FROM reps
 ), t AS ({{shingles}}),
 p AS (
   SELECT a.id AS id_a, b.id AS id_b

@@ -1821,3 +1821,34 @@ def test_ccnet_buckets_window_is_per_language(spark, sf_dir):
     assert re.search(
         r"ntile\(3\) windowspecdefinition\(lang#\d+,", plan
     ), "ntile window is not partitioned by lang"
+
+
+def test_bpe_fertility_broadcasts_vocab_map(spark, sf_dir):
+    """Per-language fertility must join the vocabulary-sized (tok →
+    n_symbols) map BROADCAST onto the (lang, tok) rollup — the corpus
+    is never shuffled against the segmentation."""
+    df = REG["bpe_fertility_by_lang"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert broadcast_join_count(df) >= 1
+
+
+def test_dedup_priority_keep_argmax_not_window(spark, sf_dir):
+    """The keep rule is a combiner-friendly max(struct(prio, -id))
+    groupBy — never a row_number window over the corpus digests."""
+    df = REG["dedup_priority_keep"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan, "argmax fell back to a window sort"
+
+
+def test_hard_negative_mining_broadcast_probes(spark, sf_dir):
+    """The probe table broadcasts against one corpus scan; the window
+    partitions by qid (8 partitions), never a global sort."""
+    df = REG["hard_negative_mining"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    import re
+
+    assert re.search(r"windowspecdefinition\(qid#\d+", plan)
