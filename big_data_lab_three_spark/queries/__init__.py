@@ -120,6 +120,7 @@ _FORCE_FRONT: tuple[str, ...] = (
     "dedup_clusters",
     "dedup_clusters_star",
     "near_dedup_apply",
+    "dedup_incremental",
 )
 
 _DRIVER_ROTATION: tuple[str, ...] = (

@@ -535,18 +535,29 @@ surv1 AS (
   SELECT * FROM batch
   WHERE md5(text) NOT IN (SELECT md5(text) FROM corpus)
 ),
-base AS (SELECT id, text FROM corpus UNION ALL SELECT id, text FROM surv1),
+creps AS (
+  SELECT min(id) AS id, min(text) AS text FROM corpus GROUP BY md5(text)
+),
+breps AS (
+  SELECT min(id) AS id, min(text) AS text FROM surv1 GROUP BY md5(text)
+),
+base AS (SELECT id, text FROM creps UNION ALL SELECT id, text FROM breps),
 t AS ({{shingles}}),
 cross_near AS (
   SELECT DISTINCT b.id
   FROM t b JOIN t c ON b.id >= 5000000 AND c.id < 5000000
   WHERE CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE)
           / len(list_distinct(list_concat(b.sh, c.sh))) >= 0.7
+),
+flagged_dig AS (
+  SELECT md5(breps.text) AS dig
+  FROM breps JOIN cross_near ON cross_near.id = breps.id
 )
 SELECT (SELECT count(*) FROM batch) AS n_batch,
        (SELECT count(*) FROM surv1) AS n_after_exact,
        (SELECT count(*) FROM surv1
-         WHERE id NOT IN (SELECT id FROM cross_near)) AS n_admitted
+         WHERE md5(text) NOT IN (SELECT dig FROM flagged_dig))
+           AS n_admitted
 """.format(shingles=_DUCK_SHINGLES),
 )
 def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -561,10 +572,17 @@ def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup, and one genuinely-new doc per corpus stride, so all
     three admission outcomes are exercised and exactly recomputable.
 
+    The near gate runs over DISTINCT CONTENT on both sides (r11
+    collapse-first conversion: a batch document's admission decision is
+    a pure function of its content, so representatives decide and the
+    verdict propagates back to every id by digest — identical results
+    on duplicate-free tiers, pair work bounded by distinct content on
+    the replicated sf1 tier).
+
     Scale shape: the exact gate shuffles digests; the near gate is the
-    standard band join over the union (at 100 TB the corpus side's
-    signatures are PRECOMPUTED and stored — only the batch recomputes,
-    and the band join prunes to colliding buckets)."""
+    standard band join over the collapsed union (at 100 TB the corpus
+    side's signatures are PRECOMPUTED and stored — only the batch
+    recomputes, and the band join prunes to colliding buckets)."""
     d = table(spark, sf_dir, "documents")
     corpus = d.select("doc_id", "text")
     batch = (
@@ -594,21 +612,37 @@ def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti",
     )
     surv1.persist()
-    union = corpus.unionByName(surv1)
+
+    def _reps(frame: DataFrame) -> DataFrame:
+        return (
+            frame.groupBy(F.md5("text").alias("dig"))
+            .agg(
+                F.min("doc_id").alias("doc_id"),
+                F.min("text").alias("text"),
+            )
+            .drop("dig")
+        )
+
+    breps = _reps(surv1)
+    union = _reps(corpus).unionByName(breps)
     pairs = minhash_lsh_pairs(
         union, num_perms=32, bands=16, jaccard_threshold=0.7
     )
-    flagged = (
+    flagged_dig = (
         pairs.where(
             (F.col("id_a") < 5000000) & (F.col("id_b") >= 5000000)
         )
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
+        .join(breps, "doc_id")
+        .select(F.md5("text").alias("_fd"))
     )
-    # No broadcast hint on `flagged`: it is O(batch)-sized, so a static
-    # hint would be wrong for corpus-sized batches — AQE promotes it to a
-    # broadcast at runtime when it is actually small.
-    admitted = surv1.join(flagged, "doc_id", "left_anti")
+    # No broadcast hint on `flagged_dig`: it is O(batch-content)-sized,
+    # so a static hint would be wrong for corpus-sized batches — AQE
+    # promotes it to a broadcast at runtime when it is actually small.
+    admitted = surv1.join(
+        flagged_dig, F.md5(surv1["text"]) == F.col("_fd"), "left_anti"
+    )
     return (
         batch.agg(F.count(F.lit(1)).alias("n_batch"))
         .crossJoin(
