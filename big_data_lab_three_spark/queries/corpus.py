@@ -821,3 +821,67 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid", "rank")
     )
+
+
+@register(
+    "dedup_soft_weights",
+    ids="dedup: soft dedup — duplication-aware downweighting (weight "
+    "1/copies per content group) instead of dropping, per-source census",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, source
+  FROM documents WHERE doc_id % 10 = 0
+), dig AS (
+  SELECT doc_id, source, md5(text) AS d FROM base
+), cnt AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS copies FROM dig GROUP BY d
+)
+SELECT dig.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT dig.d) AS BIGINT) AS n_distinct,
+       CAST(sum(1000000 // cnt.copies) AS BIGINT) AS weight_micro_sum
+FROM dig JOIN cnt USING (d)
+GROUP BY dig.source
+ORDER BY dig.source
+""",
+)
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT dedup — the downweighting alternative to dropping (the
+    duplication-aware training-mix correction: a document seen k times
+    contributes weight 1/k, so duplicated content keeps exactly one
+    document's worth of gradient mass instead of k or 1).  Every tenth
+    document is seeded with an exact copy so weights genuinely split;
+    the census reports, per source, raw rows, distinct contents, and
+    the total retained weight in exact integer micro-units
+    (``1000000 // copies`` — integer division, engine-identical).
+
+    Scale shape: one digest groupBy builds the copy-count table, one
+    digest-keyed join attaches it (both shuffle 16-byte digests, never
+    text), one source rollup — strictly linear, no pair stage at all,
+    so this query rides every tier including replicated sf1 as-is."""
+    from big_data_lab_three_spark.queries.dedup import _seed_id
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    base = d.unionByName(
+        d.where(F.col("doc_id") % 10 == 0).select(
+            _seed_id(F.col("doc_id")).alias("doc_id"), "text", "source"
+        )
+    )
+    dig = base.select("doc_id", "source", F.md5("text").alias("d"))
+    cnt = dig.groupBy("d").agg(F.count(F.lit(1)).alias("copies"))
+    return (
+        dig.join(cnt, "d")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct(F.col("d")).alias("n_distinct"),
+            F.sum(F.expr("div(1000000, copies)")).alias(
+                "weight_micro_sum"
+            ),
+        )
+        .orderBy("source")
+    )
