@@ -310,9 +310,9 @@ WITH reps AS (
 ), dropped AS (
   SELECT DISTINCT b.id FROM wc a JOIN wc b
     ON a.cell = b.cell AND a.id < b.id
-  WHERE round(list_dot_product(a.v, b.v)
-              / (sqrt(list_dot_product(a.v, a.v))
-                 * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.95
+  WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))) >= 0.95
 )
 SELECT CAST(wc.cell AS BIGINT) AS cell,
        CAST(count(*) AS BIGINT) AS n_vecs,
@@ -395,7 +395,9 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     conversion, which is also what keeps the replicated sf1 tier's
     pair stage bounded by distinct content); each representative gets
     a rescaled near-dup seed, so every cell genuinely prunes; a vector
-    drops when any smaller-id cell-mate has 4-decimal cosine ≥ 0.95.
+    drops when any smaller-id cell-mate has cosine ≥ 0.95 (margins are
+    structural — seeded pairs sit at ~1.0, unrelated 64-d pairs at
+    |cos| ≲ 0.5 — the ``dedup_embedding`` threshold precedent).
 
     Output is the per-cell census (sizes, drops, kept-id checksum) —
     linear in cells — and the oracle recomputes assignment AND prune
@@ -403,44 +405,48 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-parity formula proven by ``ivf_cost_census``).
 
     Scale shape: assignment is a broadcast nested-loop over the
-    centroid table (the IVF assign); the prune self-joins on the cell
-    key only — shuffle partitions by cell, pair work bounded per cell;
-    the census is one rollup.  At 100 TB: more centroids, same plan."""
-    wc = _semdedup_cells(spark, sf_dir)
-    a = wc.select(
-        F.col("cell"), F.col("id").alias("id_a"), F.col("v").alias("va")
-    )
-    b = wc.select(
-        F.col("cell"), F.col("id").alias("id_b"), F.col("v").alias("vb")
-    )
-    from big_data_lab_three_spark.functions.vector import dot as _dot
+    centroid table (the IVF assign); the prune is ONE grouped-map
+    ``applyInPandas`` pass — each cell's vectors arrive once (a single
+    cell-keyed shuffle of (id, vec) rows, never pair rows), the
+    intra-cell cosine matrix is one float64 GEMM, and each cell emits
+    exactly its census row.  This is SemDeDup's own formulation
+    (per-cluster matrices), and it replaced a JVM pair self-join that
+    evaluated three fold-expressions per pair — 13× slower at sf0.1
+    (19.6s → 1.5s, bench r11).  At 100 TB: more centroids bound the
+    per-cell matrix; the shuffle stays linear in vectors."""
+    import pandas as pd
 
-    cos4 = F.round(
-        _dot(F.col("va"), F.col("vb"))
-        / (
-            F.sqrt(_dot(F.col("va"), F.col("va")))
-            * F.sqrt(_dot(F.col("vb"), F.col("vb")))
-        ),
-        4,
-    )
-    dropped = (
-        a.join(b, "cell")
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(cos4 >= 0.95)
-        .select(F.col("id_b").alias("did"))
-        .distinct()
-    )
+    wc = _semdedup_cells(spark, sf_dir)
+
+    def prune(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        ids = pdf["id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = np.stack(pdf["v"].to_numpy())[order].astype(np.float64)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        cos = mn @ mn.T
+        # dropped: any strictly-lower-triangle neighbor ≥ threshold
+        # (ids are sorted, so j < i means a smaller id)
+        dropped = (np.tril(cos >= 0.95, k=-1)).any(axis=1)
+        kept = ~dropped
+        return pd.DataFrame(
+            {
+                "cell": [int(pdf["cell"].iloc[0])],
+                "n_vecs": [len(ids)],
+                "n_dropped": [int(dropped.sum())],
+                "n_kept": [int(kept.sum())],
+                "sum_kept_id": [int(ids[kept].sum()) if kept.any() else 0],
+            }
+        )
+
     return (
-        wc.join(dropped, wc["id"] == dropped["did"], "left")
-        .groupBy("cell")
-        .agg(
-            F.count(F.lit(1)).alias("n_vecs"),
-            F.count("did").alias("n_dropped"),
-            (F.count(F.lit(1)) - F.count("did")).alias("n_kept"),
-            F.coalesce(
-                F.sum(F.when(F.col("did").isNull(), F.col("id"))),
-                F.lit(0),
-            ).alias("sum_kept_id"),
+        wc.groupBy("cell")
+        .applyInPandas(
+            prune,
+            "cell long, n_vecs long, n_dropped long, n_kept long, "
+            "sum_kept_id long",
         )
         .orderBy("cell")
     )

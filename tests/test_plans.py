@@ -1785,13 +1785,16 @@ def test_bpe_segment_census_vocab_bounded(spark, sf_dir):
 
 
 def test_semdedup_prune_pairs_only_within_cells(spark, sf_dir):
-    """SemDeDup's defining property: the pair stage joins on the cell
-    key (an equi-join — shuffle partitions by cell), NEVER an unkeyed
-    corpus product; the centroid assignment is the only nested-loop
-    and it is broadcast (8-row centroid table)."""
+    """SemDeDup's defining property: the prune is ONE grouped-map pass
+    over cell-keyed vectors (a single cell shuffle of (id, vec) rows,
+    intra-cell cosine matrix in Arrow/numpy) — NEVER a pair join or an
+    unkeyed corpus product; the centroid assignment is the only
+    nested-loop and it is broadcast (8-row centroid table)."""
     df = REG["semdedup_prune"].spark(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" in plan, "grouped-map prune missing"
+    assert "SortMergeJoin" not in plan, "pair join leaked back in"
     # the assignment's broadcast nested-loop is fine; a NON-broadcast
     # nested loop would be the all-pairs catastrophe
     import re
