@@ -891,3 +891,112 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------
+# k-core decomposition (iterative graph peeling)
+# ---------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 6
+
+
+def _kcore_oracle(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
+    parts = [
+        """WITH li AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), p AS (
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), e AS (
+    SELECT pa, pb FROM p GROUP BY pa, pb HAVING count(*) >= 2
+), s0 AS MATERIALIZED (
+    SELECT pa AS src, pb AS dst FROM e
+    UNION ALL
+    SELECT pb, pa FROM e
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""", k{r} AS MATERIALIZED (
+    SELECT src FROM s{r - 1} GROUP BY src HAVING count(*) >= {k}
+), s{r} AS MATERIALIZED (
+    SELECT s.src, s.dst FROM s{r - 1} s
+    JOIN k{r} x ON s.src = x.src
+    JOIN k{r} y ON s.dst = y.src
+)"""
+        )
+    sel = "\nUNION ALL ".join(
+        f"SELECT CAST({r} AS INTEGER) AS round, "
+        f"(SELECT CAST(count(*) AS BIGINT) FROM k{r}) AS n_nodes, "
+        f"(SELECT CAST(count(*) AS BIGINT) // 2 FROM s{r}) AS n_edges"
+        for r in range(1, rounds + 1)
+    )
+    parts.append(f"\n{sel}\nORDER BY round")
+    return "".join(parts)
+
+
+@register(
+    "kcore_peel_census",
+    ids="graph: k-core decomposition — 6 peeling rounds over the "
+    "co-purchase graph, nodes/edges surviving each round",
+    oracle=_kcore_oracle(),
+)
+def kcore_peel_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-CORE decomposition census — the iterative graph-peeling
+    family the registry lacked (connected components and PageRank
+    exist; peeling is the third canonical iterative-graph shape, used
+    for spam-farm detection and graph-based corpus filtering): on the
+    co-purchase graph (parts sharing ≥2 orders — the bounded
+    ``copurchase_topk`` pair generation), repeatedly remove nodes with
+    degree < 3; each of the 6 rounds reports surviving nodes and
+    edges.  Exact integers; the oracle replays every round as chained
+    MATERIALIZED CTEs (the ``pagerank_check``/``bpe_train_merges``
+    iterative-oracle pattern).
+
+    Scale shape: pair generation is basket-keyed (fan-out ≤ C(items,2)
+    per order, linear overall); each peel round is one degree rollup +
+    two semi-joins on the shrinking edge table, localCheckpoint'ed
+    bounded state per round — round count is FIXED (6), so the plan
+    and the oracle are both round-bounded, never data-dependent."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .select("pa", "pb")
+    )
+    sym = edges.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionByName(
+        edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    sym = sym.localCheckpoint()
+    rows: list[tuple] = []
+    for r in range(1, _KCORE_ROUNDS + 1):
+        keep = (
+            sym.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("dg"))
+            .where(F.col("dg") >= _KCORE_K)
+            .select("src")
+        ).localCheckpoint()
+        sym = (
+            sym.join(keep, "src", "left_semi")
+            .join(
+                keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
+            )
+            .localCheckpoint()
+        )
+        rows.append((r, keep.count(), sym.count() // 2))
+    return spark.createDataFrame(
+        rows, "round int, n_nodes long, n_edges long"
+    ).orderBy("round")
