@@ -91,23 +91,35 @@ def _bpe_merge_loop(
             break
         a, b, c = top["a"], top["b"], int(top["c"])
         merges.append((rank, a, b, a + b, c))
-        merged = F.aggregate(
-            "syms",
-            F.expr("CAST(array() AS array<string>)"),
-            lambda acc, s: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(a))
-                & (s == F.lit(b)),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1),
-                    F.array(F.lit(a + b)),
-                ),
-            ).otherwise(F.concat(acc, F.array(s))),
-        )
         vocab = vocab.select(
-            "tok", "cnt", merged.alias("syms")
+            "tok", "cnt", bpe_merge_expr("syms", a, b).alias("syms")
         ).localCheckpoint()
     return merges, vocab
+
+
+def bpe_merge_expr(syms, a: str, b: str):
+    """Greedy left-to-right NON-OVERLAPPING merge of the symbol pair
+    (a, b) in a symbol array, as a pure fold expression: append each
+    symbol unless the accumulator's last element is ``a`` and the
+    current is ``b``, in which case replace the last element with
+    ``a+b``.  This IS Sennrich's merge: a consumed position becomes
+    the merged token, which can never equal ``a`` again (``b`` is
+    non-empty), so runs like [a,a,a] under (a,a) yield [aa,a] and
+    [a,b,a,b] under (a,b) yields [ab,ab] — pinned by
+    ``tests/test_llm_ops.py``."""
+    return F.aggregate(
+        syms,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (s == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.lit(a + b)),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
 
 
 def _bpe_oracle_rounds(k: int = _BPE_K) -> str:

@@ -453,3 +453,36 @@ def test_span_mask_apply_matches_decontaminate_extents(spark, sf_dir):
         for r in REG["span_mask_apply"].spark(spark, sf_dir).collect()
     }
     assert ext == msk
+
+
+def test_bpe_merge_fold_is_greedy_nonoverlapping(spark):
+    """The BPE merge fold must implement Sennrich's greedy
+    left-to-right non-overlapping replacement exactly: runs of the
+    merged pair collapse every OTHER position, and a merged token
+    never re-matches as the left symbol."""
+    from big_data_lab_three_spark.queries.corpus import bpe_merge_expr
+
+    cases = [
+        (["a", "a", "a"], "a", "a", ["aa", "a"]),
+        (["a", "a", "a", "a"], "a", "a", ["aa", "aa"]),
+        (["a", "b", "a", "b"], "a", "b", ["ab", "ab"]),
+        (["x", "a", "b", "y"], "a", "b", ["x", "ab", "y"]),
+        (["a", "b", "b"], "a", "b", ["ab", "b"]),
+        (["b", "a"], "a", "b", ["b", "a"]),
+        (["ab", "c"], "ab", "c", ["abc"]),
+    ]
+    df = spark.createDataFrame(
+        [(i, syms, a, b) for i, (syms, a, b, _) in enumerate(cases)],
+        "i int, syms array<string>, a string, b string",
+    )
+    # the fold takes literal (a, b) per merge round — apply per case
+    out = {}
+    for i, (syms, a, b, want) in enumerate(cases):
+        got = (
+            df.where(F.col("i") == i)
+            .select(bpe_merge_expr("syms", a, b).alias("m"))
+            .first()["m"]
+        )
+        out[i] = (got, want)
+    for i, (got, want) in out.items():
+        assert got == want, f"case {i}: {got} != {want}"
