@@ -1012,3 +1012,149 @@ def kcore_peel_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "round int, n_nodes long, n_edges long"
     ).orderBy("round")
+
+
+@register(
+    "vocab_coverage_curve",
+    ids="tokenizer: vocabulary coverage curve — cumulative corpus-token "
+    "share of the top-k vocabulary entries at k in {1,10,20,30}",
+    oracle=f"""
+WITH words AS (
+    SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest({_DUCK_TOKS}) AS tok FROM documents)
+    GROUP BY tok
+), tot AS (
+    SELECT CAST(sum(cnt) AS BIGINT) AS total FROM words
+), rk AS (
+    SELECT cnt,
+           row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rn,
+           sum(cnt) OVER (ORDER BY cnt DESC, tok ASC
+                          ROWS UNBOUNDED PRECEDING) AS cum
+    FROM words
+), ks AS (
+    SELECT CAST(k AS INTEGER) AS k FROM (VALUES (1), (10), (20), (30)) t(k)
+)
+SELECT ks.k,
+       CAST(max(rk.cum) AS BIGINT) AS covered_tokens,
+       CAST(max(rk.cum) * 1000000 // max(tot.total) AS BIGINT)
+           AS coverage_micro
+FROM ks JOIN rk ON rk.rn <= ks.k, tot
+GROUP BY ks.k ORDER BY ks.k
+""",
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary COVERAGE curve — the first chart of every tokenizer
+    sizing exercise: what share of all corpus tokens do the k most
+    frequent vocabulary entries cover, at k ∈ {1, 10, 20, 30}?  (The
+    Zipf complement of ``heaps_law_fit``'s growth view; the knee of
+    this curve is where vocabulary budget stops paying.)  Exact
+    integer counts; rank ties break on the token string; shares are
+    integer micro-unit divisions.
+
+    Scale shape: one corpus token scan collapses to the
+    vocabulary-bounded word table; the cumulative window runs over
+    VOCAB rows ordered by count (Zipf-bounded, never corpus-sized),
+    and the k readout is a broadcast join against a 4-row literal
+    table."""
+    from pyspark.sql import Window
+
+    words = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = words.agg(F.sum("cnt").alias("total"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    rk = words.select(
+        "cnt",
+        F.row_number().over(w).alias("rn"),
+        F.sum("cnt")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    ks = spark.createDataFrame([(1,), (10,), (20,), (30,)], "k int")
+    return (
+        F.broadcast(ks)
+        .join(rk, rk["rn"] <= ks["k"])
+        .crossJoin(F.broadcast(tot))
+        .groupBy("k")
+        .agg(
+            F.max("cum").alias("covered_tokens"),
+            F.expr("div(max(cum) * 1000000, max(total))").alias(
+                "coverage_micro"
+            ),
+        )
+        .orderBy("k")
+    )
+
+
+@register(
+    "source_overlap_matrix",
+    ids="corpus analytics: pairwise source vocabulary overlap — exact "
+    "token-set Jaccard between every source pair",
+    oracle=f"""
+WITH st AS (
+    SELECT DISTINCT source, unnest({_DUCK_TOKS}) AS tok FROM documents
+), n AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS nv FROM st GROUP BY source
+), inter AS (
+    SELECT a.source AS sa, b.source AS sb,
+           CAST(count(*) AS BIGINT) AS n_common
+    FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+    GROUP BY a.source, b.source
+)
+SELECT inter.sa, inter.sb, inter.n_common,
+       na.nv + nb.nv - inter.n_common AS n_union,
+       CAST(inter.n_common * 1000000
+            // (na.nv + nb.nv - inter.n_common) AS BIGINT)
+           AS jaccard_micro
+FROM inter JOIN n na ON na.source = inter.sa
+           JOIN n nb ON nb.source = inter.sb
+ORDER BY inter.sa, inter.sb
+""",
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise SOURCE-vocabulary overlap — the corpus-composition
+    audit behind mix planning (two sources with near-identical
+    vocabularies add redundancy, not diversity): exact token-set
+    Jaccard for every source pair, in integer micro-units.
+
+    Scale shape: the corpus collapses to DISTINCT (source, token) rows
+    (vocabulary × sources bounded); the intersection self-join is
+    keyed on the token, so fan-out per token is bounded by the source
+    count squared — at 100 TB this is a |sources|²-output rollup over
+    a Zipf-bounded table, never a corpus-scale shuffle."""
+    st = (
+        table(spark, sf_dir, "documents")
+        .select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+        .distinct()
+    )
+    st = st.localCheckpoint()  # vocab×sources-bounded, reused 3×
+    n = st.groupBy("source").agg(F.count(F.lit(1)).alias("nv"))
+    a = st.select(F.col("source").alias("sa"), "tok")
+    b = st.select(F.col("source").alias("sb"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .where(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = n.select(F.col("source").alias("sa"), F.col("nv").alias("na"))
+    nb = n.select(F.col("source").alias("sb"), F.col("nv").alias("nb"))
+    return (
+        inter.join(F.broadcast(na), "sa")
+        .join(F.broadcast(nb), "sb")
+        .select(
+            "sa",
+            "sb",
+            "n_common",
+            (F.col("na") + F.col("nb") - F.col("n_common")).alias(
+                "n_union"
+            ),
+            F.expr(
+                "div(n_common * 1000000, na + nb - n_common)"
+            ).alias("jaccard_micro"),
+        )
+        .orderBy("sa", "sb")
+    )
