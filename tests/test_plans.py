@@ -1855,3 +1855,54 @@ def test_hard_negative_mining_broadcast_probes(spark, sf_dir):
     import re
 
     assert re.search(r"windowspecdefinition\(qid#\d+", plan)
+
+
+def test_kcore_rounds_are_semijoin_bounded(spark, sf_dir):
+    """Each peel round must filter edges with SEMI joins on the kept
+    node set — never rebuild pairs; and the pair generation is
+    basket-keyed (no cartesian)."""
+    df = REG["kcore_peel_census"].spark(spark, sf_dir)
+    # the result is a driver-assembled census; pin the loop's edge
+    # pipeline instead by rebuilding its first round here
+    from big_data_lab_three_spark.sources import table as _t
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+    )
+    plan = edges._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert df.count() == 6  # six fixed rounds, data-independent
+
+
+def test_vocab_coverage_window_is_vocab_bounded(spark, sf_dir):
+    """The cumulative window runs over the aggregated vocabulary, so
+    the plan aggregates BEFORE the window (no window over raw tokens)."""
+    df = REG["vocab_coverage_curve"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    # executedPlan prints parents above children: the vocabulary
+    # aggregate must appear BELOW the window (i.e., feed it)
+    assert "HashAggregate" in plan.split("Window", 1)[1], (
+        "window is not running over the aggregated vocabulary"
+    )
+    assert broadcast_join_count(df) >= 1
+
+
+def test_source_overlap_join_keyed_on_token(spark, sf_dir):
+    """The intersection self-join must be keyed on the token (fan-out
+    bounded by sources² per token) — never an unkeyed product — and
+    the per-source size tables broadcast."""
+    df = REG["source_overlap_matrix"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert broadcast_join_count(df) >= 2
