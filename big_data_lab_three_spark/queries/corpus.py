@@ -1158,3 +1158,182 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sa", "sb")
     )
+
+
+@register(
+    "heldout_perplexity_census",
+    ids="text quality: HELD-OUT bigram-LM perplexity census — model from "
+    "the md5-80% train split, smoothed backoff scoring of the test split",
+    oracle=f"""
+WITH d AS (
+    SELECT doc_id, lang, {_DUCK_TOKS} AS toks,
+           CAST(('0x' || substr(md5('hp:' || CAST(doc_id AS VARCHAR)),
+                                1, 15)) AS BIGINT) % 5 AS fold
+    FROM documents
+), tr AS (
+    SELECT * FROM d WHERE fold != 0
+), te AS (
+    SELECT * FROM d WHERE fold = 0
+), uni AS (
+    SELECT tok, CAST(count(*) AS BIGINT) AS c1
+    FROM (SELECT unnest(toks) AS tok FROM tr) GROUP BY tok
+), tt AS (
+    SELECT CAST(sum(c1) AS BIGINT) AS total,
+           CAST(count(*) AS BIGINT) AS vsz
+    FROM uni
+), bg AS (
+    SELECT doc_id, lang,
+           unnest([{{'w1': toks[i], 'w2': toks[i+1]}}
+                   for i in range(1, len(toks))],
+                  recursive := true)
+    FROM tr WHERE len(toks) >= 2
+), b2 AS (
+    SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY w1, w2
+), tbg AS (
+    SELECT doc_id, lang,
+           unnest([{{'w1': toks[i], 'w2': toks[i+1]}}
+                   for i in range(1, len(toks))],
+                  recursive := true)
+    FROM te WHERE len(toks) >= 2
+), sc AS (
+    SELECT tbg.doc_id, tbg.lang,
+           sum(CAST(floor(ln(coalesce(0.75 * b2.c2 / ua.c1, 0.0)
+                             + 0.25 * (coalesce(ub.c1, 0) + 1)
+                               / (tt.total + tt.vsz))
+                          * 1000000 + 0.5) AS BIGINT))
+               / count(*) / 1000000.0 AS avg_lp,
+           CAST(sum(CASE WHEN b2.c2 IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_oov
+    FROM tbg LEFT JOIN b2 USING (w1, w2)
+         LEFT JOIN uni ua ON ua.tok = tbg.w1
+         LEFT JOIN uni ub ON ub.tok = tbg.w2, tt
+    GROUP BY tbg.doc_id, tbg.lang
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_oov) AS BIGINT) AS n_oov_bigrams,
+       round(avg(avg_lp), 4) AS mean_logprob,
+       round(min(avg_lp), 4) AS worst_logprob
+FROM sc GROUP BY lang ORDER BY lang
+""",
+)
+def heldout_perplexity_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HELD-OUT bigram-LM perplexity — the honest-eval twin of
+    ``bigram_logprob`` (which trains and scores on the same corpus):
+    the model (unigram + bigram counts) fits on the md5-derived 80%
+    train fold only, and the 20% test fold is scored with smoothed
+    backoff — an unseen bigram falls back to the add-one unigram term
+    ``0.25·(c₁(w₂)+1)/(T+V)``, so out-of-vocabulary continuations get
+    finite scores instead of breaking the join.  The census reports
+    per-language test-doc counts, OOV-bigram totals (exact integers),
+    and mean/worst per-doc scores under the registry's
+    quantize-before-sum convention.
+
+    Scale shape: identical to ``bigram_logprob`` — two token scans
+    build Zipf-bounded model tables, the test bigram stream LEFT-joins
+    them (Spark broadcasts when they fit), one per-doc rollup, one
+    per-language census.  The md5 fold split is a scan predicate."""
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("hp:"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .__mod__(5)
+    )
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        tokens(F.col("text")).alias("toks"),
+        fold.alias("fold"),
+    )
+    tr = d.where(F.col("fold") != 0)
+    te = d.where(F.col("fold") == 0)
+    uni = (
+        tr.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .localCheckpoint()  # model table, reused for w1 AND w2
+    )
+    tt = uni.agg(
+        F.sum("c1").alias("total"), F.count(F.lit(1)).alias("vsz")
+    )
+
+    def bigrams(frame: DataFrame) -> DataFrame:
+        n = F.size("toks")
+        return (
+            frame.where(n >= 2)
+            .select(
+                "doc_id",
+                "lang",
+                F.explode(
+                    F.zip_with(
+                        F.slice("toks", 1, n - 1),
+                        F.slice("toks", 2, n - 1),
+                        lambda a, b: F.struct(
+                            a.alias("w1"), b.alias("w2")
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .select("doc_id", "lang", F.col("p.w1"), F.col("p.w2"))
+        )
+
+    b2 = (
+        bigrams(tr)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    ua = uni.select(F.col("tok").alias("w1"), F.col("c1").alias("c1a"))
+    ub = uni.select(F.col("tok").alias("w2"), F.col("c1").alias("c1b"))
+    term = F.log(
+        F.coalesce(
+            F.lit(0.75) * F.col("c2") / F.col("c1a"), F.lit(0.0)
+        )
+        + F.lit(0.25)
+        * (F.coalesce(F.col("c1b"), F.lit(0)) + F.lit(1))
+        / (F.col("total") + F.col("vsz"))
+    )
+    sc = (
+        bigrams(te)
+        .join(b2, ["w1", "w2"], "left")
+        .join(ua, "w1", "left")
+        .join(ub, "w2", "left")
+        .crossJoin(F.broadcast(tt))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(
+                F.floor(term * F.lit(1000000.0) + F.lit(0.5))
+            ).alias("lp_micro"),
+            F.count(F.lit(1)).alias("nb"),
+            F.sum(F.col("c2").isNull().cast("int"))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            "lang",
+            (
+                F.col("lp_micro").cast("double")
+                / F.col("nb")
+                / F.lit(1000000.0)
+            ).alias("avg_lp"),
+            "n_oov",
+        )
+    )
+    return (
+        sc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_oov").alias("n_oov_bigrams"),
+            F.round(F.avg("avg_lp"), 4).alias("mean_logprob"),
+            F.round(F.min("avg_lp"), 4).alias("worst_logprob"),
+        )
+        .orderBy("lang")
+    )
