@@ -611,3 +611,59 @@ def test_morton_spread_matches_naive_interleave(u, v):
         naive |= ((u >> i) & 1) << (2 * i)
         naive |= ((v >> i) & 1) << (2 * i + 1)
     assert morton == naive
+
+
+def _py_bpe_merge(syms: list[str], a: str, b: str) -> list[str]:
+    """Reference greedy left-to-right non-overlapping BPE merge
+    (Sennrich's algorithm, the readable O(n) form)."""
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+@SETTINGS
+@given(
+    words=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "ab", "ba"]),
+            min_size=0,
+            max_size=10,
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    pair=st.tuples(
+        st.sampled_from(["a", "b", "c", "ab"]),
+        st.sampled_from(["a", "b", "c", "ba"]),
+    ),
+)
+def test_bpe_merge_fold_matches_reference(spark, words, pair):
+    """The distributed fold must agree with the sequential reference
+    merge on arbitrary symbol sequences — including runs of the merged
+    pair, multi-char symbols, and symbols that EQUAL the merged token
+    (e.g. pair (a,b) with 'ab' already present in the sequence)."""
+    from big_data_lab_three_spark.queries.corpus import bpe_merge_expr
+
+    a, b = pair
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)],
+        "i int, syms array<string>",
+    )
+    got = {
+        r["i"]: r["m"]
+        for r in df.select(
+            "i", bpe_merge_expr("syms", a, b).alias("m")
+        ).collect()
+    }
+    for i, w in enumerate(words):
+        assert got[i] == _py_bpe_merge(w, a, b), (
+            f"pair={pair} syms={w}: fold {got[i]} != "
+            f"reference {_py_bpe_merge(w, a, b)}"
+        )
