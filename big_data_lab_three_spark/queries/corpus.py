@@ -1337,3 +1337,194 @@ def heldout_perplexity_census(
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------
+# TTL-windowed streaming admission (bounded-state dedup)
+# ---------------------------------------------------------------------
+
+_TTL_SIG_CHAIN = """
+dig AS (
+  SELECT id, md5(text) AS d FROM base
+), tok AS (
+  SELECT id, list_filter(regexp_split_to_array(text, '\\s+'),
+                         x -> x != '') AS toks
+  FROM base
+), sh AS (
+  SELECT id,
+         unnest([array_to_string(toks[i:i+2], ' ')
+                 for i in range(1, len(toks) - 1)]) AS s
+  FROM tok
+), hp AS (
+  SELECT id, g.i AS i,
+         CAST(('0x' || substr(md5(s || '|' || CAST(g.i AS VARCHAR)),
+                              1, 15)) AS BIGINT) AS h
+  FROM sh CROSS JOIN generate_series(0, 7) AS g(i)
+), sig AS (
+  SELECT id,
+         min(h) FILTER (WHERE i = 0) AS m0,
+         min(h) FILTER (WHERE i = 1) AS m1,
+         min(h) FILTER (WHERE i = 2) AS m2,
+         min(h) FILTER (WHERE i = 3) AS m3,
+         min(h) FILTER (WHERE i = 4) AS m4,
+         min(h) FILTER (WHERE i = 5) AS m5,
+         min(h) FILTER (WHERE i = 6) AS m6,
+         min(h) FILTER (WHERE i = 7) AS m7
+  FROM hp GROUP BY id
+), banded AS ({BANDS}
+), collide AS (
+  SELECT DISTINCT x.id AS a, y.id AS b
+  FROM dig x JOIN dig y ON x.d = y.d AND x.id <> y.id
+  UNION
+  SELECT DISTINCT x.id, y.id
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.k = y.k AND x.id <> y.id
+)"""
+
+
+def _ttl_oracle() -> str:
+    from big_data_lab_three_spark.queries.curation import _DUCK_BANDS
+
+    return (
+        """
+WITH base AS (
+  SELECT doc_id AS id, text, doc_id % 4 AS shard FROM documents
+  UNION ALL
+  SELECT doc_id + 7000002, text, 1 FROM documents WHERE doc_id % 8 = 0
+  UNION ALL
+  SELECT doc_id + 8000002, text, 2 FROM documents WHERE doc_id % 8 = 4
+  UNION ALL
+  SELECT doc_id + 9000002, text || ' zz qq', 2
+  FROM documents WHERE doc_id % 8 = 1
+  UNION ALL
+  SELECT doc_id + 9500002, text || ' zz qq', 3
+  FROM documents WHERE doc_id % 8 = 5
+), """
+        + _TTL_SIG_CHAIN.lstrip().format(BANDS=_DUCK_BANDS)
+        + """, i0 AS (
+  SELECT id FROM base WHERE shard = 0
+), i1 AS (
+  SELECT id FROM base WHERE shard = 1
+  AND id NOT IN (SELECT c.b FROM collide c JOIN i0 ON c.a = i0.id)
+), i2 AS (
+  SELECT id FROM base WHERE shard = 2
+  AND id NOT IN (SELECT c.b FROM collide c JOIN i1 ON c.a = i1.id)
+), i3 AS (
+  SELECT id FROM base WHERE shard = 3
+  AND id NOT IN (SELECT c.b FROM collide c JOIN i2 ON c.a = i2.id)
+), adm AS (
+  SELECT 0 AS shard, id FROM i0
+  UNION ALL SELECT 1, id FROM i1
+  UNION ALL SELECT 2, id FROM i2
+  UNION ALL SELECT 3, id FROM i3
+)
+SELECT CAST(b.shard AS INTEGER) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(adm.id) AS BIGINT) AS n_admitted,
+       CAST(coalesce(sum(adm.id), 0) AS BIGINT) AS sum_admitted_id
+FROM base b LEFT JOIN adm ON adm.id = b.id
+GROUP BY b.shard
+ORDER BY shard
+"""
+    )
+
+
+@register(
+    "streaming_admission_ttl",
+    ids="streaming: TTL-windowed admission — bounded-state dedup where "
+    "index entries expire after 1 batch (partition pruning IS eviction)",
+    oracle=_ttl_oracle(),
+)
+def streaming_admission_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED-STATE streaming admission — the state-eviction trade
+    every production streaming dedup makes (Spark's
+    ``dropDuplicatesWithinWatermark``, Flink state TTL): the digest +
+    band-key index only answers for the last TTL=1 batches, so a
+    duplicate arriving AFTER its original's entries expired is
+    re-admitted and re-registers its keys — bounded memory bought with
+    bounded lookback.  Four seeded cohorts pin all outcomes: an exact
+    copy one shard later (inside the window → rejected), an exact copy
+    two shards later (expired → re-admitted), and the same pair of
+    outcomes for near-duplicates (band-key expiry, not just digests).
+
+    Because the r11 index layout keys every sink write by
+    ``batch_id`` partition, EVICTION IS PARTITION PRUNING: the probe
+    simply does not read partitions older than ``k − ttl`` — no
+    delete/compact pass, no state rewrite, and the crash/retry
+    idempotence guarantees carry over unchanged.
+
+    The oracle replays the four admission rounds as chained CTEs
+    where round k's collision check joins ONLY round k−1's admitted
+    set — the exact window the TTL probes implement.
+
+    Scale shape: identical per-batch cost to
+    ``streaming_minhash_admission``, but the probed index is bounded
+    by the window instead of growing with the stream — the variant
+    that still works when the stream never ends."""
+    import os
+    import shutil
+    import tempfile
+
+    from big_data_lab_three_spark.queries.curation import (
+        batch_complete,
+        index_admit_batch,
+        run_foreachbatch_stream,
+        stage_admission_shards,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def cohort(mod8: int, offset: int, shard: int, mutate: bool):
+        rows = d.where(F.col("doc_id") % 8 == mod8)
+        txt = (
+            F.concat("text", F.lit(" zz qq")).alias("text")
+            if mutate
+            else F.col("text").alias("text")
+        )
+        return rows.select(
+            (F.col("doc_id") + offset).alias("id"),
+            txt,
+            F.lit(shard).cast("long").alias("shard"),
+        )
+
+    base = (
+        d.select(
+            F.col("doc_id").alias("id"),
+            "text",
+            F.pmod("doc_id", F.lit(4)).alias("shard"),
+        )
+        .unionByName(cohort(0, 7000002, 1, False))
+        .unionByName(cohort(4, 8000002, 2, False))
+        .unionByName(cohort(1, 9000002, 2, True))
+        .unionByName(cohort(5, 9500002, 3, True))
+    )
+    base.persist()
+
+    root = tempfile.mkdtemp(prefix="minhash_admission_ttl_")
+    stage_admission_shards(base, root, range(4))
+
+    def admit(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_complete(os.path.join(root, "idx_bands"), batch_id):
+            return
+        batch_df = batch_df.repartition(16).localCheckpoint()
+        index_admit_batch(spark, batch_df, root, batch_id, ttl=1)
+
+    run_foreachbatch_stream(spark, base.schema, root, admit)
+
+    adm = spark.read.parquet(os.path.join(root, "admitted")).select(
+        F.col("id").alias("aid")
+    )
+    out = (
+        base.join(adm, base["id"] == adm["aid"], "left")
+        .groupBy(F.col("shard").cast("int").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("aid").alias("n_admitted"),
+            F.coalesce(F.sum("aid"), F.lit(0)).alias("sum_admitted_id"),
+        )
+        .orderBy("shard")
+    )
+    out = out.localCheckpoint()
+    base.unpersist()
+    shutil.rmtree(root, ignore_errors=True)  # out is checkpointed
+    return out

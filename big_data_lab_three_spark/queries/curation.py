@@ -465,29 +465,41 @@ def batch_complete(path: str, batch_id: int) -> bool:
 
 
 def read_index_before(
-    spark: SparkSession, path: str, ddl: str, batch_id: int
+    spark: SparkSession,
+    path: str,
+    ddl: str,
+    batch_id: int,
+    ttl: int | None = None,
 ) -> DataFrame:
     """Rows of the batch-keyed sink ``path`` written by batches
     STRICTLY BEFORE ``batch_id`` (the ``batch_id`` partition column is
     dropped after filtering).  Excluding the current batch makes a
     replayed batch's probes deterministic: a crashed attempt's partial
     writes under ``batch_id=<k>`` are invisible to attempt k+1, which
-    recomputes the identical admission set and overwrites them."""
+    recomputes the identical admission set and overwrites them.
+
+    ``ttl`` additionally bounds the lookback to the last ``ttl``
+    batches (``batch_id >= k - ttl``) — the state-eviction window of
+    the TTL admission variant; partition pruning turns expiry into
+    simply not reading old partitions (nothing is rewritten)."""
     import os
 
     if not os.path.isdir(path) or not any(
         e.startswith("batch_id=") for e in os.listdir(path)
     ):
         return spark.createDataFrame([], ddl)
-    return (
-        spark.read.parquet(path)
-        .where(F.col("batch_id") < batch_id)
-        .drop("batch_id")
-    )
+    cond = F.col("batch_id") < batch_id
+    if ttl is not None:
+        cond = cond & (F.col("batch_id") >= batch_id - ttl)
+    return spark.read.parquet(path).where(cond).drop("batch_id")
 
 
 def index_admit_batch(
-    spark: SparkSession, batch_df: DataFrame, root: str, batch_id: int
+    spark: SparkSession,
+    batch_df: DataFrame,
+    root: str,
+    batch_id: int,
+    ttl: int | None = None,
 ) -> None:
     """The SHARED per-batch admission chain (file-order and event-time
     variants both call this, so the index logic can never drift
@@ -503,7 +515,13 @@ def index_admit_batch(
     first attempt probed — its own partial writes are filtered out —
     so it recomputes the identical admission set, and (b) overwrites
     the partial partitions instead of duplicating rows.  Idempotence
-    holds at ANY crash point, not just clean AvailableNow stops."""
+    holds at ANY crash point, not just clean AvailableNow stops.
+
+    ``ttl`` bounds the probe lookback to the last ``ttl`` batches —
+    the bounded-state variant (``corpus.streaming_admission_ttl``):
+    index entries older than the window are simply not read (partition
+    pruning IS the eviction), so a duplicate arriving after its
+    original expired is re-admitted and re-registers its keys."""
     import os
 
     from big_data_lab_three_spark.operators.dedup import (
@@ -521,10 +539,14 @@ def index_admit_batch(
         portable_minhash_signatures(batch_df, id_col="id", num_perms=8)
     ).localCheckpoint()
     old_d = read_index_before(
-        spark, admitted_dir, "id long, shard long, d string", batch_id
+        spark,
+        admitted_dir,
+        "id long, shard long, d string",
+        batch_id,
+        ttl=ttl,
     ).select("d")
     old_b = read_index_before(
-        spark, idx_bands, "band int, k long", batch_id
+        spark, idx_bands, "band int, k long", batch_id, ttl=ttl
     )
     blocked = (
         bands.join(old_b, ["band", "k"], "left_semi")
