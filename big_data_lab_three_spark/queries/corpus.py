@@ -1528,3 +1528,73 @@ def streaming_admission_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     base.unpersist()
     shutil.rmtree(root, ignore_errors=True)  # out is checkpointed
     return out
+
+
+@register(
+    "parquet_schema_evolution",
+    ids="io: parquet schema-evolution round-trip — v1 writer without a "
+    "column, v2 writer with it, mergeSchema read, per-version census",
+    oracle="""
+WITH v1 AS (
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+), v2 AS (
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 1
+)
+SELECT ver,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_priority AS BIGINT) AS n_priority,
+       round(sum_price, 2) AS sum_price
+FROM (
+    SELECT 'v1' AS ver, count(*) AS n_rows,
+           0 AS n_priority, sum(o_totalprice) AS sum_price
+    FROM v1
+    UNION ALL
+    SELECT 'v2', count(*), count(o_orderpriority), sum(o_totalprice)
+    FROM v2
+)
+ORDER BY ver
+""",
+)
+def parquet_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Parquet SCHEMA-EVOLUTION round-trip — the lake-format concern
+    every long-lived 100 TB table hits: an old writer lands files
+    without a column, a new writer lands files with it, and readers
+    must see one table where the missing column is null for old files.
+    Exercised for real: v1 (even order keys, no priority column) and
+    v2 (odd keys, with it) are WRITTEN to disk as separate parquet
+    directories, read back through ``mergeSchema=true``, and the
+    census — row counts, non-null evolved-column counts, price sums —
+    must match the oracle's direct computation from the source table.
+
+    Scale shape: two projection writes + one merged scan + one rollup;
+    ``mergeSchema`` costs a footer read per FILE at planning time
+    (why production tables pin schemas in a metastore — noted, not
+    simulated); the census aggregate is combiner-friendly."""
+    import shutil
+    import tempfile
+
+    o = table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="schema_evo_")
+    ver = F.when(F.col("o_orderkey") % 2 == 0, "v1").otherwise("v2")
+    o.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(f"{root}/ver=v1")
+    o.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).write.mode("overwrite").parquet(f"{root}/ver=v2")
+    merged = spark.read.option("mergeSchema", "true").parquet(root)
+    out = (
+        merged.groupBy("ver")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("o_orderpriority").alias("n_priority"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("ver")
+    )
+    out = out.localCheckpoint()
+    shutil.rmtree(root, ignore_errors=True)  # out is checkpointed
+    return out
