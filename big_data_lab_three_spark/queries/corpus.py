@@ -1598,3 +1598,107 @@ def parquet_schema_evolution(
     out = out.localCheckpoint()
     shutil.rmtree(root, ignore_errors=True)  # out is checkpointed
     return out
+
+
+@register(
+    "byte_fallback_census",
+    ids="tokenizer: byte-fallback census — per-language share of symbol "
+    "occurrences outside the top-16 trained vocabulary (UTF-8 byte cost)",
+    oracle=_bpe_oracle_rounds()
+    + f"""
+, wl AS (
+    SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+    FROM (SELECT lang, unnest({_DUCK_TOKS}) AS tok FROM documents)
+    GROUP BY lang, tok
+), fsy AS (
+    SELECT w, sym, CAST(count(*) AS BIGINT) AS m
+    FROM s{_BPE_K} GROUP BY w, sym
+), vocabw AS (
+    SELECT fsy.sym, CAST(sum(wl.c * fsy.m) AS BIGINT) AS wcnt
+    FROM wl JOIN fsy ON fsy.w = wl.tok
+    GROUP BY fsy.sym
+), topv AS (
+    SELECT sym FROM vocabw ORDER BY wcnt DESC, sym LIMIT 16
+), occ AS (
+    SELECT wl.lang, fsy.sym, CAST(sum(wl.c * fsy.m) AS BIGINT) AS n
+    FROM wl JOIN fsy ON fsy.w = wl.tok
+    GROUP BY wl.lang, fsy.sym
+)
+SELECT occ.lang,
+       CAST(sum(occ.n) AS BIGINT) AS n_occurrences,
+       CAST(sum(CASE WHEN topv.sym IS NOT NULL THEN occ.n ELSE 0 END)
+            AS BIGINT) AS n_in_vocab,
+       CAST(sum(CASE WHEN topv.sym IS NULL
+                     THEN occ.n * length(occ.sym) ELSE 0 END)
+            AS BIGINT) AS fallback_bytes,
+       CAST(sum(CASE WHEN topv.sym IS NULL THEN occ.n ELSE 0 END)
+            * 1000000 // sum(occ.n) AS BIGINT) AS fallback_micro
+FROM occ LEFT JOIN topv ON topv.sym = occ.sym
+GROUP BY occ.lang ORDER BY occ.lang
+""",
+)
+def byte_fallback_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-FALLBACK census — the second tokenizer-equity readout
+    (after ``bpe_fertility_by_lang``): cap the trained vocabulary at
+    its top-16 symbols by weighted frequency and measure, per
+    language, how many symbol occurrences fall OUTSIDE it — each
+    falling back to raw UTF-8 bytes (the SentencePiece/Llama
+    byte-fallback device).  A language whose text keeps missing the
+    vocabulary pays ``length(sym)`` bytes per miss — the
+    under-served-language cost in its most concrete unit.
+
+    Exact integers throughout (weighted counts, byte totals,
+    micro-unit shares); the vocabulary cut ties break on the symbol.
+
+    Scale shape: shares the BPE loop's vocabulary state; the corpus
+    contributes one (lang, tok) rollup; everything after is
+    vocabulary-sized joins, with the 16-row cap table broadcast."""
+    from pyspark.sql import Window
+
+    _, vocab = _bpe_merge_loop(spark, sf_dir)
+    wl = (
+        table(spark, sf_dir, "documents")
+        .select("lang", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    fsy = (
+        vocab.select("tok", F.explode("syms").alias("sym"))
+        .groupBy("tok", "sym")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    joined = wl.join(F.broadcast(fsy), "tok").select(
+        "lang", "sym", (F.col("c") * F.col("m")).alias("n")
+    )
+    occ = joined.groupBy("lang", "sym").agg(F.sum("n").alias("n"))
+    occ = occ.localCheckpoint()  # census-sized, reused by vocab + readout
+    vocabw = occ.groupBy("sym").agg(F.sum("n").alias("wcnt"))
+    w = Window.orderBy(F.desc("wcnt"), F.asc("sym"))
+    topv = (
+        vocabw.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 16)
+        .select("sym", F.lit(1).alias("inv"))
+    )
+    return (
+        occ.join(F.broadcast(topv), "sym", "left")
+        .groupBy("lang")
+        .agg(
+            F.sum("n").alias("n_occurrences"),
+            F.sum(
+                F.when(F.col("inv").isNotNull(), F.col("n")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_in_vocab"),
+            F.sum(
+                F.when(
+                    F.col("inv").isNull(),
+                    F.col("n") * F.length("sym"),
+                ).otherwise(F.lit(0))
+            ).alias("fallback_bytes"),
+            F.expr(
+                "div(sum(CASE WHEN inv IS NULL THEN n ELSE 0 END) "
+                "* 1000000, sum(n))"
+            ).alias("fallback_micro"),
+        )
+        .orderBy("lang")
+    )
