@@ -1702,3 +1702,238 @@ def byte_fallback_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------
+# Iterative Lloyd k-means under an exact chained-CTE oracle
+# ---------------------------------------------------------------------
+
+_KM_DIM = 64
+_KM_ROUNDS = 3  # a1 = assign(C0), C1, a2, C2, a3 — readout from a3/C2
+
+
+def _km_sql_dot(v: str, c: str) -> str:
+    """64-term explicit left-associated dot product between a vector
+    array column and a (micro-sum, count)-represented centroid."""
+    return " + ".join(
+        f"{v}[{i}] * ({c}.s{i} / CAST({c}.n AS DOUBLE))"
+        for i in range(1, _KM_DIM + 1)
+    )
+
+
+def _km_sql_cnorm(c: str) -> str:
+    return " + ".join(
+        f"({c}.s{i} / CAST({c}.n AS DOUBLE))"
+        f" * ({c}.s{i} / CAST({c}.n AS DOUBLE))"
+        for i in range(1, _KM_DIM + 1)
+    )
+
+
+def _km_sql_vnorm(v: str) -> str:
+    return " + ".join(f"{v}[{i}] * {v}[{i}]" for i in range(1, _KM_DIM + 1))
+
+
+def _km_sql_sums(v: str) -> str:
+    return ", ".join(
+        f"CAST(sum(CAST(floor({v}[{i}] * 1000000 + 0.5) AS BIGINT)) "
+        f"AS BIGINT) AS s{i}"
+        for i in range(1, _KM_DIM + 1)
+    )
+
+
+def _kmeans_oracle() -> str:
+    parts = [
+        f"""WITH ve AS MATERIALIZED (
+    SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), c0 AS MATERIALIZED (
+    SELECT vec_id AS cell, CAST(1 AS BIGINT) AS n,
+           {', '.join(f'CAST(floor(CAST(embedding[{i}] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS s{i}' for i in range(1, _KM_DIM + 1))}
+    FROM embeddings WHERE vec_id < 8
+)"""
+    ]
+    for r in range(1, _KM_ROUNDS + 1):
+        c = f"c{r - 1}"
+        parts.append(
+            f""", sc{r} AS (
+    SELECT ve.id, {c}.cell,
+           round(({_km_sql_dot('ve.v', c)})
+                 / (sqrt({_km_sql_vnorm('ve.v')})
+                    * sqrt({_km_sql_cnorm(c)})), 6) AS cq
+    FROM ve CROSS JOIN {c}
+), a{r} AS MATERIALIZED (
+    SELECT id, cell FROM (
+        SELECT id, cell, row_number() OVER (
+            PARTITION BY id ORDER BY cq DESC, cell ASC) AS rn
+        FROM sc{r}) WHERE rn = 1
+)"""
+        )
+        if r < _KM_ROUNDS:
+            parts.append(
+                f""", c{r} AS MATERIALIZED (
+    SELECT a{r}.cell, CAST(count(*) AS BIGINT) AS n,
+           {_km_sql_sums('ve.v')}
+    FROM a{r} JOIN ve USING (id) GROUP BY a{r}.cell
+)"""
+            )
+    last_c = f"c{_KM_ROUNDS - 1}"
+    last_a = f"a{_KM_ROUNDS}"
+    parts.append(
+        f"""
+SELECT {last_a}.cell,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum({last_a}.id) AS BIGINT) AS sum_member_id,
+       round(any_value(sqrt({_km_sql_cnorm(last_c)})) / 1000000.0, 4)
+           AS centroid_norm
+FROM {last_a} JOIN {last_c} ON {last_c}.cell = {last_a}.cell
+GROUP BY {last_a}.cell
+ORDER BY {last_a}.cell
+"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "kmeans_lloyd_census",
+    ids="ML: distributed Lloyd k-means — 3 cosine-assignment rounds with "
+    "micro-quantized centroid sums, exact cross-engine value oracle",
+    oracle=_kmeans_oracle(),
+)
+def kmeans_lloyd_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative LLOYD K-MEANS as a first-class oracle-verified
+    distributed operator — the update step ``label_centroids`` and
+    the driver-side ``_spherical_kmeans`` (IVF codebooks) each cover
+    half of: 3 full rounds of (cosine assignment → centroid
+    recomputation) over the embeddings, both halves distributed, with
+    the DuckDB oracle replaying every round to exact value parity.
+
+    Cross-engine determinism is by construction: member components
+    quantize to integer micro-units BEFORE the centroid sums (exact
+    BIGINTs; the mean is the rational s/n evaluated identically), the
+    assignment cosine is one explicit left-associated 64-term double
+    chain on both engines rounded to 6 decimals with cell-id
+    tiebreaks, and the uniform (s, n) centroid representation scales
+    every centroid by 1e6 — which cosine cancels.
+
+    Scale shape: each assignment is a broadcast nested-loop of the
+    k-row centroid table against one corpus scan; each update is ONE
+    combiner-friendly hash aggregate with 64 per-dimension integer
+    sums (no explode, the ``label_centroids`` plan); round state is a
+    k-row localCheckpoint.  At 100 TB: bigger k, same plan — this IS
+    how MLlib's KMeans structures an iteration, minus its
+    run-to-convergence driver loop (fixed rounds keep the oracle
+    bounded)."""
+    e = table(spark, sf_dir, "embeddings")
+    ve = e.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    ve = ve.localCheckpoint()  # scanned once per round, 3 rounds
+
+    micro = lambda col: F.floor(col * F.lit(1000000.0) + F.lit(0.5))
+    cents = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"),
+        F.lit(1).cast("long").alias("n"),
+        F.array(
+            *[
+                micro(F.element_at(F.col("embedding").cast("array<double>"), i))
+                .cast("long")
+                for i in range(1, _KM_DIM + 1)
+            ]
+        ).alias("s"),
+    )
+
+    def assign(cent: DataFrame) -> DataFrame:
+        n = F.col("n").cast("double")
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("v"),
+                F.col("s"),
+                lambda x, y: x * (y.cast("double") / n),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        vnorm = F.sqrt(
+            F.aggregate(
+                F.transform(F.col("v"), lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        cnorm = F.sqrt(
+            F.aggregate(
+                F.transform(
+                    F.col("s"),
+                    lambda y: (y.cast("double") / n)
+                    * (y.cast("double") / n),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        cq = F.round(dot / (vnorm * cnorm), 6)
+        return (
+            ve.crossJoin(F.broadcast(cent))
+            .select("id", "cell", cq.alias("cq"))
+            .groupBy("id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("cq").alias("cq"),
+                        (-F.col("cell")).alias("negcell"),
+                    )
+                ).alias("b")
+            )
+            .select("id", (-F.col("b.negcell")).alias("cell"))
+        )
+
+    def update(asg: DataFrame) -> DataFrame:
+        sums = [
+            F.sum(micro(F.element_at(F.col("v"), i)).cast("long")).alias(
+                f"_s{i}"
+            )
+            for i in range(1, _KM_DIM + 1)
+        ]
+        agg = (
+            asg.join(ve, "id")
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"), *sums)
+        )
+        return agg.select(
+            "cell",
+            "n",
+            F.array(
+                *[F.col(f"_s{i}") for i in range(1, _KM_DIM + 1)]
+            ).alias("s"),
+        )
+
+    cent = cents.localCheckpoint()
+    for r in range(1, _KM_ROUNDS + 1):
+        asg = assign(cent)
+        if r < _KM_ROUNDS:
+            cent = update(asg).localCheckpoint()
+    n = F.col("n").cast("double")
+    cnorm = F.sqrt(
+        F.aggregate(
+            F.transform(
+                F.col("s"),
+                lambda y: (y.cast("double") / n) * (y.cast("double") / n),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    cent_norms = cent.select(
+        "cell",
+        F.round(cnorm / F.lit(1000000.0), 4).alias("centroid_norm"),
+    )
+    return (
+        asg.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("id").alias("sum_member_id"),
+        )
+        .join(F.broadcast(cent_norms), "cell")
+        .select("cell", "n_members", "sum_member_id", "centroid_norm")
+        .orderBy("cell")
+    )

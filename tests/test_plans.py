@@ -1906,3 +1906,15 @@ def test_source_overlap_join_keyed_on_token(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert broadcast_join_count(df) >= 2
+
+
+def test_kmeans_update_is_single_aggregate_no_explode(spark, sf_dir):
+    """Each k-means round must keep the label_centroids plan: the
+    centroid update is one hash aggregate with 64 per-dimension sums
+    (no vector explode), and every assignment joins the k-row centroid
+    table broadcast."""
+    df = REG["kmeans_lloyd_census"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert broadcast_join_count(df) >= 1
+    assert "Generate" not in plan, "vector explode leaked into k-means"
