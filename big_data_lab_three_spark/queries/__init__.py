@@ -100,27 +100,17 @@ def register(name: str, ids: str = "", oracle: str | None = None):
 # reshuffle needed.  This is presentation only: every entry remains
 # registered and locally gated either way.
 _FORCE_FRONT: tuple[str, ...] = (
-    # r11 plan changes — re-verify even though green rows exist.
-    # bigram_logprob: per-bigram log terms now quantize to integer
-    # micro-units before the per-doc mean (ADVICE r10 — the raw double
-    # average could flip the threshold count by a last-ULP difference),
-    # changing both the Spark plan and the oracle.  Empty once a round
-    # record shows the new plan green.
-    "bigram_logprob",
-    # admission streams: sink appends are now batch_id-partitioned and
-    # crash/retry-idempotent (index probes filter to strictly-earlier
-    # batches) — same outputs, different registered plan.
-    "streaming_minhash_admission",
-    "streaming_minhash_admission_et",
-    # r11 collapse-first conversions (exact-dedup collapse before the
-    # pair/clique stage, admitting these to the replicated sf1 tier —
-    # outputs unchanged at the duplicate-free driver tiers, plans and
-    # oracles changed).
-    "dedup_simhash",
-    "dedup_clusters",
-    "dedup_clusters_star",
-    "near_dedup_apply",
-    "dedup_incremental",
+    # r12 plan changes — re-verify even though green rows exist.
+    # BPE family: the DuckDB oracle's run-parity merge-site selection now
+    # groups candidate runs by a DENSE span index (row_number over
+    # surviving spans) instead of raw position (ADVICE r11 — from round 2
+    # onward span positions have gaps, so a self-pair run over >=3
+    # consecutive copies split into separate groups and the oracle
+    # dropped symbols).  Spark side unchanged; oracle text changed.
+    "bpe_train_merges",
+    "bpe_segment_census",
+    "bpe_fertility_by_lang",
+    "byte_fallback_census",
 )
 
 _DRIVER_ROTATION: tuple[str, ...] = (

@@ -130,7 +130,17 @@ def _bpe_oracle_rounds(k: int = _BPE_K) -> str:
     with the run-parity window trick (consecutive candidate runs take
     every other position — exactly left-to-right greedy), and emits
     span table ``s{r}``.  ``MATERIALIZED`` pins each multi-referenced
-    CTE so the 10-round chain can't inline exponentially."""
+    CTE so the 10-round chain can't inline exponentially.
+
+    Run grouping uses the DENSE span index ``seq`` (row_number over
+    surviving spans), NOT the raw ``pos``: from round 2 onward consumed
+    positions leave gaps in ``pos``, so a self-pair run (a == b, e.g.
+    merging ('ab','ab') over the spans of 'abababab' after round 1)
+    would split into separate pos-based groups and BOTH overlapping
+    sites would be selected, deleting a symbol from the span table.
+    ``seq``-based grouping keeps exactly the truly span-adjacent
+    candidates in one run — pinned by the abab regression case in
+    ``tests/test_llm_ops.py``."""
     parts = [
         f"""WITH words AS MATERIALIZED (
     SELECT tok, CAST(count(*) AS BIGINT) AS cnt
@@ -149,7 +159,8 @@ def _bpe_oracle_rounds(k: int = _BPE_K) -> str:
         parts.append(
             f""", adj{r} AS MATERIALIZED (
     SELECT w, cnt, pos, sym,
-           lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+           lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt,
+           row_number() OVER (PARTITION BY w ORDER BY pos) AS seq
     FROM {prev}
 ), t{r} AS MATERIALIZED (
     SELECT sym AS a, nxt AS b, CAST(sum(cnt) AS BIGINT) AS c
@@ -160,8 +171,8 @@ def _bpe_oracle_rounds(k: int = _BPE_K) -> str:
         SELECT w, pos,
                row_number() OVER (PARTITION BY w, grp ORDER BY pos) AS rn
         FROM (SELECT x.w, x.pos,
-                     x.pos - row_number() OVER (
-                         PARTITION BY x.w ORDER BY x.pos) AS grp
+                     x.seq - row_number() OVER (
+                         PARTITION BY x.w ORDER BY x.seq) AS grp
               FROM adj{r} x, t{r}
               WHERE x.sym = t{r}.a AND x.nxt = t{r}.b))
     WHERE rn % 2 = 1

@@ -486,3 +486,65 @@ def test_bpe_merge_fold_is_greedy_nonoverlapping(spark):
         out[i] = (got, want)
     for i, (got, want) in out.items():
         assert got == want, f"case {i}: {got} != {want}"
+
+
+def test_bpe_oracle_run_parity_uses_dense_span_index(spark, tmp_path):
+    """ADVICE r11 regression: from round 2 onward surviving span
+    positions have gaps, so a self-pair argmax over >=3 consecutive
+    copies (('ab','ab') over the spans of 'abababab' after round 1)
+    split into separate pos-based run groups and the oracle selected
+    BOTH overlapping sites, deleting symbols from the span table.  The
+    dense-seq run grouping must keep the DuckDB chain in lockstep with
+    the (hypothesis-pinned) Spark fold, round by round."""
+    import duckdb
+
+    from big_data_lab_three_spark.queries.corpus import (
+        _bpe_merge_loop,
+        _bpe_oracle_rounds,
+    )
+
+    fix = tmp_path / "bpe_selfpair"
+    fix.mkdir()
+    spark.createDataFrame(
+        [(1, "abababab xy"), (2, "abababab")],
+        "doc_id bigint, text string",
+    ).coalesce(1).write.parquet(str(fix / "documents.parquet"))
+
+    k = 3
+    merges, vocab = _bpe_merge_loop(spark, str(fix), k=k)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{fix}/documents.parquet/*.parquet')"
+    )
+    sel = "\nUNION ALL ".join(
+        f"SELECT CAST({r} AS INTEGER) AS rank, a, b, a || b AS merged, c "
+        f"FROM t{r}"
+        for r in range(1, k + 1)
+    )
+    want = [
+        tuple(row)
+        for row in con.execute(
+            _bpe_oracle_rounds(k) + sel + " ORDER BY rank"
+        ).fetchall()
+    ]
+    # round 2's argmax IS the self-pair run; round 3 diverges if the
+    # oracle dropped a span (the pre-fix behavior picked (x,y) here)
+    assert want == merges
+    assert merges[1][1:3] == ("ab", "ab")
+    assert merges[2][1:4] == ("abab", "abab", "abababab")
+
+    # and the final span tables agree symbol-for-symbol
+    oracle_syms = [
+        tuple(row)
+        for row in con.execute(
+            _bpe_oracle_rounds(k)
+            + f" SELECT w, list(sym ORDER BY pos) AS syms FROM s{k} "
+            "GROUP BY w ORDER BY w"
+        ).fetchall()
+    ]
+    spark_syms = sorted(
+        (r["tok"], r["syms"]) for r in vocab.select("tok", "syms").collect()
+    )
+    assert oracle_syms == spark_syms
