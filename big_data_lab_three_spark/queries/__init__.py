@@ -111,6 +111,16 @@ _FORCE_FRONT: tuple[str, ...] = (
     "bpe_segment_census",
     "bpe_fertility_by_lang",
     "byte_fallback_census",
+    # admission streams: read_index_before now lists committed
+    # (_SUCCESS-marked) strictly-earlier partitions explicitly instead
+    # of filtering a whole-directory read (ADVICE r11 — a torn FIRST
+    # batch made whole-directory schema inference fail on retry).
+    "streaming_minhash_admission",
+    "streaming_minhash_admission_et",
+    "streaming_admission_ttl",
+    # DECIMAL(12,2) sum instead of double sum (ADVICE r11 ULP margin);
+    # cohort ids routed through the fail-loud _cohort_id guard.
+    "parquet_schema_evolution",
 )
 
 _DRIVER_ROTATION: tuple[str, ...] = (

@@ -1393,6 +1393,30 @@ dig AS (
 )"""
 
 
+# Seeded-cohort id offsets for the TTL admission fixture; the GUARD
+# below fails loud if a tier's doc_id domain ever reaches the smallest
+# offset (mirrors dedup._seed_id — ADVICE r11: a silent collision
+# between cohort ids and source ids would corrupt cohort semantics
+# while both engines stayed hash-green).
+_COHORT_MIN_OFFSET = 7_000_002
+
+
+def _cohort_id(col, offset: int):
+    """``doc_id + offset`` for a seeded admission cohort, FAIL-LOUD
+    (``raise_error``, one codegen branch per row) when a source id is
+    at/above the smallest cohort offset."""
+    assert offset >= _COHORT_MIN_OFFSET
+    return F.when(col < _COHORT_MIN_OFFSET, col + offset).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("cohort-id collision: source doc_id "),
+                col.cast("string"),
+                F.lit(f" >= cohort offset {_COHORT_MIN_OFFSET}"),
+            )
+        )
+    )
+
+
 def _ttl_oracle() -> str:
     from big_data_lab_three_spark.queries.curation import _DUCK_BANDS
 
@@ -1493,7 +1517,7 @@ def streaming_admission_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
             else F.col("text").alias("text")
         )
         return rows.select(
-            (F.col("doc_id") + offset).alias("id"),
+            _cohort_id(F.col("doc_id"), offset).alias("id"),
             txt,
             F.lit(shard).cast("long").alias("shard"),
         )
@@ -1557,11 +1581,13 @@ SELECT ver,
        CAST(n_priority AS BIGINT) AS n_priority,
        round(sum_price, 2) AS sum_price
 FROM (
-    SELECT 'v1' AS ver, count(*) AS n_rows,
-           0 AS n_priority, sum(o_totalprice) AS sum_price
+    SELECT 'v1' AS ver, count(*) AS n_rows, 0 AS n_priority,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS sum_price
     FROM v1
     UNION ALL
-    SELECT 'v2', count(*), count(o_orderpriority), sum(o_totalprice)
+    SELECT 'v2', count(*), count(o_orderpriority),
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
     FROM v2
 )
 ORDER BY ver
@@ -1602,7 +1628,15 @@ def parquet_schema_evolution(
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.count("o_orderpriority").alias("n_priority"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            # DECIMAL(12,2) before summing (ADVICE r11, the temporal.py
+            # convention): at sf1 magnitudes a double partial-sum's
+            # ordering drift can approach the 0.005 rounding margin;
+            # fixed-point sums are exact and engine-order-free
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(12,2)")), 2
+            )
+            .cast("double")
+            .alias("sum_price"),
         )
         .orderBy("ver")
     )

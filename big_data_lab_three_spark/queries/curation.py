@@ -481,17 +481,37 @@ def read_index_before(
     ``ttl`` additionally bounds the lookback to the last ``ttl``
     batches (``batch_id >= k - ttl``) — the state-eviction window of
     the TTL admission variant; partition pruning turns expiry into
-    simply not reading old partitions (nothing is rewritten)."""
+    simply not reading old partitions (nothing is rewritten).
+
+    Only partitions carrying Spark's ``_SUCCESS`` marker are read, as
+    explicit paths with the declared schema (ADVICE r11): if the FIRST
+    batch crashes mid-first-write, the sink holds a single uncommitted
+    ``batch_id=0`` partition with no readable footers, and a
+    whole-directory ``spark.read.parquet(path)`` would fail schema
+    inference instead of giving the retry the empty frame the
+    idempotence contract promises.  The strictly-earlier + TTL window
+    is applied at the listing, so expiry is still "don't read the
+    directory" — no filter over a partition column is needed."""
     import os
 
-    if not os.path.isdir(path) or not any(
-        e.startswith("batch_id=") for e in os.listdir(path)
-    ):
+    if not os.path.isdir(path):
         return spark.createDataFrame([], ddl)
-    cond = F.col("batch_id") < batch_id
-    if ttl is not None:
-        cond = cond & (F.col("batch_id") >= batch_id - ttl)
-    return spark.read.parquet(path).where(cond).drop("batch_id")
+    lo = batch_id - ttl if ttl is not None else None
+    parts = []
+    for entry in sorted(os.listdir(path)):
+        if not entry.startswith("batch_id="):
+            continue
+        try:
+            k = int(entry.split("=", 1)[1])
+        except ValueError:
+            continue
+        if k >= batch_id or (lo is not None and k < lo):
+            continue
+        if os.path.isfile(os.path.join(path, entry, "_SUCCESS")):
+            parts.append(os.path.join(path, entry))
+    if not parts:
+        return spark.createDataFrame([], ddl)
+    return spark.read.schema(ddl).parquet(*parts)
 
 
 def index_admit_batch(

@@ -548,3 +548,30 @@ def test_bpe_oracle_run_parity_uses_dense_span_index(spark, tmp_path):
         (r["tok"], r["syms"]) for r in vocab.select("tok", "syms").collect()
     )
     assert oracle_syms == spark_syms
+
+
+def test_seeded_id_guards_fail_loud_on_collision(spark):
+    """The seeded-id helpers (dedup._seed_id, corpus._cohort_id) must
+    shift ids below their offset and ABORT — not silently alias — the
+    moment a source id reaches the offset domain."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from big_data_lab_three_spark.queries.corpus import _cohort_id
+    from big_data_lab_three_spark.queries.dedup import _seed_id
+
+    ok = spark.createDataFrame([(7,)], "doc_id long")
+    assert ok.select(_seed_id(F.col("doc_id")).alias("i")).first()["i"] == 1_000_007
+    assert (
+        ok.select(_cohort_id(F.col("doc_id"), 7_000_002).alias("i")).first()["i"]
+        == 7_000_009
+    )
+    bad_seed = spark.createDataFrame([(1_000_000,)], "doc_id long")
+    bad_cohort = spark.createDataFrame([(7_000_002,)], "doc_id long")
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)):
+        bad_seed.select(_seed_id(F.col("doc_id")).alias("i")).collect()
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)):
+        bad_cohort.select(
+            _cohort_id(F.col("doc_id"), 7_000_002).alias("i")
+        ).collect()

@@ -535,3 +535,55 @@ def test_et_admission_replay_after_midbatch_crash(spark, sf_dir, tmp_path):
     admit_batch_et(spark, batches[3], 3, rx)
     assert snap(rx) == before
     assert snap(rx) == clean
+
+
+def test_admission_replay_after_first_batch_crash(spark, sf_dir, tmp_path):
+    """ADVICE r11 gap: a crash mid-FIRST-write leaves the sink with a
+    single uncommitted ``batch_id=0`` partition — a torn file, no
+    ``_SUCCESS``, no readable footer.  The retry's probes must see the
+    empty index (``read_index_before`` reads only committed
+    strictly-earlier partitions as explicit paths) instead of failing
+    whole-directory schema inference, and the replay must reconstruct
+    exactly the uninterrupted run's sinks."""
+    from big_data_lab_three_spark.queries.curation import (
+        admission_base,
+        batch_partition,
+        index_admit_batch,
+        read_index_before,
+    )
+
+    base = admission_base(spark, sf_dir)
+    batches = [
+        base.where(F.col("shard") == s).repartition(8).localCheckpoint()
+        for s in range(2)
+    ]
+
+    def snap(root):
+        out = {}
+        for sub in ("admitted", "idx_bands"):
+            out[sub] = sorted(
+                tuple(r)
+                for r in spark.read.parquet(
+                    os.path.join(root, sub)
+                ).collect()
+            )
+        return out
+
+    rc = str(tmp_path / "clean")
+    for k, b in enumerate(batches):
+        index_admit_batch(spark, b, rc, k)
+    clean = snap(rc)
+
+    rx = str(tmp_path / "crashy")
+    adm0 = batch_partition(os.path.join(rx, "admitted"), 0)
+    os.makedirs(adm0)
+    with open(os.path.join(adm0, "part-00000.snappy.parquet"), "wb") as f:
+        f.write(b"PAR1torn-not-a-footer")
+    ddl = "id long, shard long, d string"
+    # the retry of batch 0 AND a hypothetical batch 1 probe must both
+    # treat the torn partition as nonexistent, not raise
+    assert read_index_before(spark, adm0.rsplit("/", 1)[0], ddl, 0).count() == 0
+    assert read_index_before(spark, adm0.rsplit("/", 1)[0], ddl, 1).count() == 0
+    for k, b in enumerate(batches):
+        index_admit_batch(spark, b, rx, k)
+    assert snap(rx) == clean
