@@ -1351,6 +1351,253 @@ def heldout_perplexity_census(
 
 
 # ---------------------------------------------------------------------
+# Interpolated Kneser-Ney trigram LM (held-out scoring)
+# ---------------------------------------------------------------------
+
+# The KN probability ladder as ONE shared arithmetic text, compiled by
+# both engines (Spark F.expr / DuckDB SQL) so the float expression
+# trees are identical operation-for-operation — the registry's parity
+# convention for transcendental scoring (see bigram_doc_scores).
+# Continuation counts and discount algebra are exact integers joined
+# onto the test trigram stream; D = 0.75 at both upper orders.
+#   p1: add-one-smoothed CONTINUATION unigram N1+(.w3)/N1+(..) — the
+#       same finite-OOV floor as heldout_perplexity_census's unigram.
+#   p2: max(N1+(.w2w3)-D,0)/N1+(.w2.) + D*N1+(w2.)/N1+(.w2.) * p1,
+#       falling back to p1 when w2 was never a trigram middle.
+#   p3: max(c3-D,0)/ctx + D*N1+(w1w2.)/ctx * p2, falling back to p2
+#       when the (w1,w2) context is unseen.
+_KN_P1 = "((cu + 1) / (btypes + vsz + 1.0))"
+_KN_P2 = (
+    "(CASE WHEN m > 0 THEN (greatest(nl - 0.75, 0.0) + 0.75 * rt * "
+    f"{_KN_P1}) / m ELSE {_KN_P1} END)"
+)
+_KN_P3 = (
+    "(CASE WHEN cctx > 0 THEN (greatest(c3 - 0.75, 0.0) + 0.75 * r3 * "
+    f"{_KN_P2}) / cctx ELSE {_KN_P2} END)"
+)
+_KN_TERM = f"CAST(floor(ln({_KN_P3}) * 1000000 + 0.5) AS BIGINT)"
+
+_DUCK_TRIGRAMS = """unnest([{'w1': toks[i], 'w2': toks[i+1],
+                   'w3': toks[i+2]}
+                   for i in range(1, len(toks) - 1)],
+                  recursive := true)"""
+
+
+@register(
+    "kn_trigram_perplexity",
+    ids="text quality: interpolated Kneser-Ney TRIGRAM LM — the CCNet "
+    "scorer shape; md5-80% train fold, continuation-count smoothing, "
+    "held-out per-language perplexity census",
+    oracle=f"""
+WITH d AS (
+    SELECT doc_id, lang, {_DUCK_TOKS} AS toks,
+           CAST(('0x' || substr(md5('kn:' || CAST(doc_id AS VARCHAR)),
+                                1, 15)) AS BIGINT) % 5 AS fold
+    FROM documents
+), tr AS (
+    SELECT * FROM d WHERE fold != 0
+), te AS (
+    SELECT * FROM d WHERE fold = 0
+), tg AS (
+    SELECT {_DUCK_TRIGRAMS}
+    FROM tr WHERE len(toks) >= 3
+), t3 AS (
+    SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c3
+    FROM tg GROUP BY w1, w2, w3
+), ctx AS (
+    SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS cctx,
+           CAST(count(*) AS BIGINT) AS r3
+    FROM t3 GROUP BY w1, w2
+), cl AS (
+    SELECT w2, w3, CAST(count(*) AS BIGINT) AS nl
+    FROM t3 GROUP BY w2, w3
+), mid AS (
+    SELECT w2, CAST(sum(nl) AS BIGINT) AS m,
+           CAST(count(*) AS BIGINT) AS rt
+    FROM cl GROUP BY w2
+), cuni AS (
+    SELECT w3, CAST(count(*) AS BIGINT) AS cu FROM cl GROUP BY w3
+), tot AS (
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM cl) AS btypes,
+           (SELECT CAST(count(DISTINCT tok) AS BIGINT)
+            FROM (SELECT unnest(toks) AS tok FROM tr)) AS vsz
+), ttg AS (
+    SELECT doc_id, lang, {_DUCK_TRIGRAMS}
+    FROM te WHERE len(toks) >= 3
+), j AS (
+    SELECT ttg.doc_id, ttg.lang,
+           coalesce(t3.c3, 0) AS c3,
+           coalesce(ctx.cctx, 0) AS cctx, coalesce(ctx.r3, 0) AS r3,
+           coalesce(cl.nl, 0) AS nl,
+           coalesce(mid.m, 0) AS m, coalesce(mid.rt, 0) AS rt,
+           coalesce(cuni.cu, 0) AS cu,
+           tot.btypes, tot.vsz
+    FROM ttg
+    LEFT JOIN t3 ON t3.w1 = ttg.w1 AND t3.w2 = ttg.w2
+                AND t3.w3 = ttg.w3
+    LEFT JOIN ctx ON ctx.w1 = ttg.w1 AND ctx.w2 = ttg.w2
+    LEFT JOIN cl ON cl.w2 = ttg.w2 AND cl.w3 = ttg.w3
+    LEFT JOIN mid ON mid.w2 = ttg.w2
+    LEFT JOIN cuni ON cuni.w3 = ttg.w3, tot
+), sc AS (
+    SELECT doc_id, lang,
+           sum({_KN_TERM}) / count(*) / 1000000.0 AS avg_lp,
+           CAST(sum(CASE WHEN c3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unseen
+    FROM j GROUP BY doc_id, lang
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_unseen) AS BIGINT) AS n_unseen_trigrams,
+       round(avg(avg_lp), 4) AS mean_logprob,
+       round(min(avg_lp), 4) AS worst_logprob
+FROM sc GROUP BY lang ORDER BY lang
+""",
+)
+def kn_trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated KNESER-NEY trigram LM with held-out scoring — the
+    actual CCNet-scorer shape (Wenzek et al. train n-gram KN models;
+    ``ccnet_perplexity_buckets`` rode an order-2 proxy until now), and
+    the top rung of the registry's LM ladder: ``unigram_logprob`` →
+    ``bigram_logprob`` → ``heldout_perplexity_census`` → this.
+
+    Model (train fold = md5-derived 80%): trigram counts ``c3``,
+    trigram-context totals/right-type counts per (w1,w2), and KN
+    CONTINUATION counts — N1+(.w2w3) distinct left-extensions per
+    bigram, their per-middle sums N1+(.w2.) and type counts N1+(w2.),
+    and the continuation unigram N1+(.w3).  All are exact integers
+    from two groupBy ladders over ONE trigram aggregation (the cl
+    table derives from t3, not a second corpus scan).  Scoring (test
+    fold = 20%): each test trigram LEFT-joins the five model tables
+    and evaluates the shared ``_KN_P3`` ladder — absolute discount
+    D=0.75 at trigram and bigram orders, add-one continuation-unigram
+    floor so OOV words stay finite — micro-quantized per the registry
+    convention, then per-doc means and a per-language census.
+
+    Scale shape: model tables are n-gram-type-bounded (Zipf), never
+    corpus-bounded; the test stream joins are all model-table-sized
+    on the build side (AQE broadcasts them at driver tiers; at 100 TB
+    they are shuffled hash joins on bounded tables).  One corpus-scale
+    exchange per groupBy ladder stage, no pair blowups, no Python in
+    the hot path — the fold split is a scan predicate."""
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("kn:"), F.col("doc_id").cast("string"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .__mod__(5)
+    )
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        tokens(F.col("text")).alias("toks"),
+        fold.alias("fold"),
+    )
+    tr = d.where(F.col("fold") != 0)
+    te = d.where(F.col("fold") == 0)
+
+    def trigrams(frame: DataFrame) -> DataFrame:
+        return (
+            frame.where(F.size("toks") >= 3)
+            .select(
+                "doc_id",
+                "lang",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(toks) - 2), i -> "
+                        "struct(element_at(toks, i) AS w1, "
+                        "element_at(toks, i + 1) AS w2, "
+                        "element_at(toks, i + 2) AS w3))"
+                    )
+                ).alias("t"),
+            )
+            .select("doc_id", "lang", "t.w1", "t.w2", "t.w3")
+        )
+
+    t3 = (
+        trigrams(tr)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c3"))
+        .localCheckpoint()  # model table, feeds ctx + cl + the join
+    )
+    ctx = t3.groupBy("w1", "w2").agg(
+        F.sum("c3").alias("cctx"), F.count(F.lit(1)).alias("r3")
+    )
+    cl = (
+        t3.groupBy("w2", "w3")
+        .agg(F.count(F.lit(1)).alias("nl"))
+        .localCheckpoint()  # continuation table, feeds mid + cuni + tot
+    )
+    mid = cl.groupBy("w2").agg(
+        F.sum("nl").alias("m"), F.count(F.lit(1)).alias("rt")
+    )
+    cuni = cl.groupBy("w3").agg(F.count(F.lit(1)).alias("cu"))
+    tot = cl.agg(F.count(F.lit(1)).alias("btypes")).crossJoin(
+        tr.select(F.explode("toks").alias("tok"))
+        .agg(F.count_distinct("tok").alias("vsz"))
+    )
+    j = (
+        trigrams(te)
+        .join(t3, ["w1", "w2", "w3"], "left")
+        .join(ctx, ["w1", "w2"], "left")
+        .join(cl, ["w2", "w3"], "left")
+        .join(mid, "w2", "left")
+        .join(cuni, "w3", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("c3", F.lit(0)).alias("c3"),
+            F.coalesce("cctx", F.lit(0)).alias("cctx"),
+            F.coalesce("r3", F.lit(0)).alias("r3"),
+            F.coalesce("nl", F.lit(0)).alias("nl"),
+            F.coalesce("m", F.lit(0)).alias("m"),
+            F.coalesce("rt", F.lit(0)).alias("rt"),
+            F.coalesce("cu", F.lit(0)).alias("cu"),
+            "btypes",
+            "vsz",
+        )
+    )
+    sc = (
+        j.groupBy("doc_id", "lang")
+        .agg(
+            F.sum(F.expr(_KN_TERM)).alias("lp_micro"),
+            F.count(F.lit(1)).alias("nb"),
+            F.sum((F.col("c3") == 0).cast("int"))
+            .cast("long")
+            .alias("n_unseen"),
+        )
+        .select(
+            "lang",
+            (
+                F.col("lp_micro").cast("double")
+                / F.col("nb")
+                / F.lit(1000000.0)
+            ).alias("avg_lp"),
+            "n_unseen",
+        )
+    )
+    return (
+        sc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_unseen").alias("n_unseen_trigrams"),
+            F.round(F.avg("avg_lp"), 4).alias("mean_logprob"),
+            F.round(F.min("avg_lp"), 4).alias("worst_logprob"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------
 # TTL-windowed streaming admission (bounded-state dedup)
 # ---------------------------------------------------------------------
 
@@ -1981,4 +2228,190 @@ def kmeans_lloyd_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cent_norms), "cell")
         .select("cell", "n_members", "sum_member_id", "centroid_norm")
         .orderBy("cell")
+    )
+
+
+# ---------------------------------------------------------------------
+# Cross-document line-level dedup (C4 / RefinedWeb shape)
+# ---------------------------------------------------------------------
+
+# Sentence-structured fixture, built identically in both engines (the
+# corpus ships single-line texts): each document's tokens chunk into
+# 8-token "lines", and three deterministic boilerplate lines are
+# seeded across overlapping doc_id cohorts so the operator has real
+# high-doc-frequency lines to remove at every tier.
+_LINE_W = 8
+_LINE_DF_MIN = 3  # drop lines appearing in >= 3 distinct docs (C4's N)
+_BOILER = (
+    (3, 0, "subscribe to our newsletter for daily updates"),
+    (4, 1, "all rights reserved copyright notice applies"),
+    (7, 2, "click here to accept cookies and continue"),
+)
+
+
+@register(
+    "line_dedup_crossdoc",
+    ids="dedup: CROSS-DOCUMENT line-level dedup — drop every line whose "
+    "doc-frequency >= 3 (C4/RefinedWeb boilerplate removal), reassemble, "
+    "per-source census with content checksum",
+    oracle=f"""
+WITH d AS (
+    SELECT doc_id, source, {_DUCK_TOKS} AS toks FROM documents
+), lined AS (
+    SELECT doc_id, source,
+           (CASE WHEN doc_id % {_BOILER[0][0]} = {_BOILER[0][1]}
+                 THEN ['{_BOILER[0][2]}'] ELSE [] END)
+           || [array_to_string(toks[i:i+{_LINE_W - 1}], ' ')
+               for i in range(1, len(toks) + 1, {_LINE_W})]
+           || (CASE WHEN doc_id % {_BOILER[1][0]} = {_BOILER[1][1]}
+                    THEN ['{_BOILER[1][2]}'] ELSE [] END)
+           || (CASE WHEN doc_id % {_BOILER[2][0]} = {_BOILER[2][1]}
+                    THEN ['{_BOILER[2][2]}'] ELSE [] END) AS lines
+    FROM d
+), ex AS (
+    SELECT doc_id, source,
+           unnest([{{'pos': i, 'line': lines[i]}}
+                   for i in range(1, len(lines) + 1)],
+                  recursive := true)
+    FROM lined
+), ldf AS (
+    SELECT line, CAST(count(DISTINCT doc_id) AS BIGINT) AS df_docs
+    FROM ex GROUP BY line
+), marked AS (
+    SELECT ex.doc_id, ex.source, ex.pos, ex.line,
+           ldf.df_docs < {_LINE_DF_MIN} AS keep
+    FROM ex JOIN ldf USING (line)
+), per_doc AS (
+    SELECT doc_id, source,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_dropped,
+           coalesce(string_agg(line, chr(10) ORDER BY pos)
+                        FILTER (WHERE keep), '') AS clean
+    FROM marked GROUP BY doc_id, source
+), whole AS (
+    SELECT d.doc_id, d.source,
+           coalesce(p.n_lines, 0) AS n_lines,
+           coalesce(p.n_dropped, 0) AS n_dropped,
+           coalesce(p.clean, '') AS clean
+    FROM d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_lines) AS BIGINT) AS n_lines,
+       CAST(sum(n_dropped) AS BIGINT) AS n_lines_dropped,
+       CAST(sum(CASE WHEN n_dropped > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_docs_touched,
+       CAST(sum(CAST(('0x' || substr(md5(clean), 1, 15)) AS BIGINT)
+                % 1000000007) AS BIGINT) AS clean_checksum
+FROM whole GROUP BY source ORDER BY source
+""",
+)
+def line_dedup_crossdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-DOCUMENT line-level dedup — the C4/RefinedWeb boilerplate
+    rule the within-stream ``text.line_dedup`` doesn't cover: hash
+    every line, count the DISTINCT documents containing it, drop every
+    occurrence of a line whose doc-frequency reaches ``_LINE_DF_MIN``,
+    and reassemble the surviving lines in original order.  The census
+    proves the rewrite end-to-end: per source, total/dropped line
+    counts, touched-doc counts, and a checksum over the REASSEMBLED
+    text (md5-15-hex mod 1e9+7, summed) that any reassembly-order or
+    drop-set divergence would break.
+
+    The sentence fixture is built in-query (corpus texts are
+    single-line): 8-token chunk lines plus three seeded boilerplate
+    lines over overlapping ``doc_id`` cohorts (every 3rd/4th/7th doc),
+    so high-doc-frequency lines exist at every tier; organic chunk
+    collisions (the synthetic vocabulary is small) exercise the same
+    path and stay engine-agreed by construction.
+
+    Scale shape: linear and bucketed — one corpus-scale exchange to
+    count per-line doc-frequency (combiner-friendly: count DISTINCT
+    doc per line key), one hash join of the line stream against the
+    line-frequency table on the same key, one per-doc rollup.  No
+    pair stage, no skew hazard beyond the boilerplate keys themselves
+    (bounded: one row per distinct line in the frequency table)."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", tokens(F.col("text")).alias("toks")
+    )
+    chunk = (
+        "CASE WHEN size(toks) = 0 THEN array() ELSE "
+        f"transform(sequence(0, cast(ceil(size(toks) / {_LINE_W}.0) "
+        "as int) - 1), "
+        f"i -> array_join(slice(toks, i * {_LINE_W} + 1, {_LINE_W}), ' ')) "
+        "END"
+    )
+
+    def boiler(mod: int, rem: int, line: str):
+        return F.when(
+            F.col("doc_id") % mod == rem, F.array(F.lit(line))
+        ).otherwise(F.expr("CAST(array() AS array<string>)"))
+
+    lined = d.select(
+        "doc_id",
+        "source",
+        F.concat(
+            boiler(*_BOILER[0]),
+            F.expr(chunk),
+            boiler(*_BOILER[1]),
+            boiler(*_BOILER[2]),
+        ).alias("lines"),
+    )
+    ex = lined.select(
+        "doc_id", "source", F.posexplode("lines").alias("pos", "line")
+    )
+    ldf = ex.groupBy("line").agg(
+        F.count_distinct("doc_id").alias("df_docs")
+    )
+    marked = ex.join(ldf, "line").select(
+        "doc_id",
+        "source",
+        "pos",
+        "line",
+        (F.col("df_docs") < _LINE_DF_MIN).alias("keep"),
+    )
+    per_doc = marked.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("keep"), F.struct("pos", "line")
+                        )
+                    )
+                ),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("clean"),
+    )
+    full = (
+        d.select("doc_id", "source")
+        .join(per_doc.drop("source"), "doc_id", "left")
+        .select(
+            "source",
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+            F.coalesce("clean", F.lit("")).alias("clean"),
+        )
+    )
+    csum = (
+        F.conv(F.substring(F.md5(F.encode("clean", "UTF-8")), 1, 15), 16, 10)
+        .cast("long")
+        .__mod__(1000000007)
+    )
+    return (
+        full.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_lines").alias("n_lines"),
+            F.sum("n_dropped").alias("n_lines_dropped"),
+            F.sum((F.col("n_dropped") > 0).cast("long")).alias(
+                "n_docs_touched"
+            ),
+            F.sum(csum).alias("clean_checksum"),
+        )
+        .orderBy("source")
     )
