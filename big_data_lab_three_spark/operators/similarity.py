@@ -402,10 +402,22 @@ def _cell_keys(
     return df.mapInPandas(run, schema)
 
 
+def adaptive_nlist(n_vecs: int, target_cell: int = 256, floor: int = 16) -> int:
+    """IVF cell count as a function of corpus size: enough cells that
+    the EXPECTED inverted list holds ~``target_cell`` vectors, never
+    fewer than ``floor`` — the enforced form of "more centroids bound
+    the per-cell scan" (r11 verdict watch item).  Per-cell candidate
+    work is then ``nprobe × target_cell`` regardless of corpus scale;
+    pinned by ``tests/test_scaling.py``'s bound property."""
+    import math
+
+    return max(floor, math.ceil(n_vecs / target_cell))
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
-    nlist: int = 16,
+    nlist: int | None = 16,
     nprobe: int = 4,
     k: int = 5,
     vec_col: str = "embedding",
@@ -449,6 +461,11 @@ def ivf_topk(
     codebook would silently skew toward the earliest files/epoch, and
     recompaction would retrain a different quantizer from identical
     data."""
+    if nlist is None:
+        # adaptive path: cells scale with the corpus so the expected
+        # inverted list stays ~256 vectors at any tier (one bounded
+        # count job; fixture queries pass an explicit nlist instead)
+        nlist = adaptive_nlist(corpus.count())
     cap = max(nlist * 10_000, 100_000)
     train = corpus.select(
         F.col(id_col).alias("_i"), F.col(vec_col).alias("_v")

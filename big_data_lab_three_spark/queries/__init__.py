@@ -121,6 +121,13 @@ _FORCE_FRONT: tuple[str, ...] = (
     # DECIMAL(12,2) sum instead of double sum (ADVICE r11 ULP margin);
     # cohort ids routed through the fail-loud _cohort_id guard.
     "parquet_schema_evolution",
+    # centroid counts now scale with the corpus (r11 verdict item 5):
+    # outputs unchanged at driver tiers (formula gives the historical
+    # k=8 below 2048 vectors) but the registered plans gained the
+    # bounded count job and the adaptive cents filter.
+    "semdedup_prune",
+    "semdedup_cell_census",
+    "kmeans_lloyd_census",
 )
 
 _DRIVER_ROTATION: tuple[str, ...] = (

@@ -304,7 +304,52 @@ def bpe_segment_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SemDeDup: cluster-scoped embedding dedup (Abbas et al. 2023 shape)
 # ---------------------------------------------------------------------
 
-_SEMDEDUP_ORACLE = """
+# Centroid count SCALES WITH THE CORPUS (r11 verdict watch item: a
+# fixture-fixed k=8 leaves the per-cell matrix unbounded at 100×).
+# Both engines derive it from the same count with the same formula, so
+# the oracle stays exact at every tier: n_cells = max(8, ceil(n/256)).
+# At the driver tiers (<= 2048 vectors) this IS the historical k=8;
+# the sf1 tier (20k vectors) gets 79 cells, exercising the growth.
+# _CELL_CAP is the fail-loud per-cell bound enforced inside the
+# grouped-map prune — the enforced form of "more centroids bound the
+# per-cell GEMM" (16×target: a 4096² float64 cosine matrix is ~134 MB,
+# comfortably inside one task; anything bigger aborts with the cell id
+# instead of silently going quadratic).
+_CELL_TARGET = 256
+_CELL_CAP = 16 * _CELL_TARGET
+
+
+def _n_cells(n_vecs: int, floor: int = 8) -> int:
+    """Centroid count for ``n_vecs`` corpus vectors: enough cells that
+    the EXPECTED cell holds ~``_CELL_TARGET`` vectors, never fewer
+    than ``floor``.  Pure integer function — both engines compute it
+    from the same corpus count (see ``_DUCK_N_CELLS``)."""
+    import math
+
+    return max(floor, math.ceil(n_vecs / _CELL_TARGET))
+
+
+_DUCK_N_CELLS = (
+    "(SELECT greatest(8, CAST(ceil(count(*) / 256.0) AS BIGINT)) "
+    "FROM embeddings)"
+)
+
+
+def _check_cell_bound(cell, n: int) -> None:
+    """Fail-loud per-cell size guard for grouped-map prune stages: a
+    cell past ``_CELL_CAP`` means the centroid count stopped scaling
+    with the corpus (or assignment collapsed onto one centroid) and
+    the intra-cell O(cell²) stage is about to go quadratic — abort
+    with the cell id rather than spill or OOM silently."""
+    if n > _CELL_CAP:
+        raise ValueError(
+            f"semdedup cell {cell!r} holds {n} vectors > cap "
+            f"{_CELL_CAP}; centroid count must scale with the corpus "
+            "(_n_cells)"
+        )
+
+
+_SEMDEDUP_ORACLE = f"""
 WITH reps AS (
   SELECT min(vec_id) AS id, CAST(embedding AS DOUBLE[]) AS v
   FROM embeddings GROUP BY CAST(embedding AS DOUBLE[])
@@ -314,7 +359,7 @@ WITH reps AS (
   SELECT id + 1000000, list_transform(v, x -> x * 1.01) FROM reps
 ), cents AS (
   SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
-  FROM embeddings WHERE vec_id < 8
+  FROM embeddings WHERE vec_id < {_DUCK_N_CELLS}
 ), sc AS (
   SELECT base.id, cents.cid,
          round(list_dot_product(v, cv)
@@ -353,13 +398,17 @@ def _semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared SemDeDup front half: collapse bit-identical embeddings to
     min-id representatives, seed one rescaled (×1.01 — cosine exactly 1
     up to fp) near-dup per representative, and assign every vector to
-    its nearest of 8 deterministic centroids (the ``vec_id < 8``
-    originals, the ``ivf_cost_census`` convention) by 6-decimal cosine
-    with centroid-id tiebreak.  Returns (id, v, cell)."""
+    its nearest of ``_n_cells(corpus)`` deterministic centroids (the
+    lowest-``vec_id`` originals, the ``ivf_cost_census`` convention) by
+    6-decimal cosine with centroid-id tiebreak.  The centroid count
+    scales with the corpus (``max(8, ceil(n/256))``, computed from the
+    same count by both engines) so per-cell work stays bounded at any
+    tier.  Returns (id, v, cell)."""
     from big_data_lab_three_spark.functions.vector import dot as _dot
     from big_data_lab_three_spark.queries.dedup import _seed_id
 
     e = table(spark, sf_dir, "embeddings")
+    n_cells = _n_cells(e.count())
     reps = (
         e.select(
             F.col("embedding").cast("array<double>").alias("v"), "vec_id"
@@ -373,7 +422,7 @@ def _semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("v", lambda x: x * 1.01).alias("v"),
         )
     )
-    cents = e.where(F.col("vec_id") < 8).select(
+    cents = e.where(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cid"),
         F.col("embedding").cast("array<double>").alias("cv"),
     )
@@ -444,6 +493,7 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     def prune(pdf: "pd.DataFrame") -> "pd.DataFrame":
         import numpy as np
 
+        _check_cell_bound(int(pdf["cell"].iloc[0]), len(pdf))
         ids = pdf["id"].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]
@@ -479,7 +529,7 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     "semdedup_cell_census",
     ids="dedup: SemDeDup cell-assignment census — linear sf1-scale "
     "witness for the cluster-scoped prune (no pair stage)",
-    oracle="""
+    oracle=f"""
 WITH reps AS (
   SELECT min(vec_id) AS id, CAST(embedding AS DOUBLE[]) AS v
   FROM embeddings GROUP BY CAST(embedding AS DOUBLE[])
@@ -489,7 +539,7 @@ WITH reps AS (
   SELECT id + 1000000, list_transform(v, x -> x * 1.01) FROM reps
 ), cents AS (
   SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
-  FROM embeddings WHERE vec_id < 8
+  FROM embeddings WHERE vec_id < {_DUCK_N_CELLS}
 ), sc AS (
   SELECT base.id, cents.cid,
          round(list_dot_product(v, cv)
@@ -2040,7 +2090,7 @@ def _kmeans_oracle() -> str:
 ), c0 AS MATERIALIZED (
     SELECT vec_id AS cell, CAST(1 AS BIGINT) AS n,
            {', '.join(f'CAST(floor(CAST(embedding[{i}] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS s{i}' for i in range(1, _KM_DIM + 1))}
-    FROM embeddings WHERE vec_id < 8
+    FROM embeddings WHERE vec_id < {_DUCK_N_CELLS}
 )"""
     ]
     for r in range(1, _KM_ROUNDS + 1):
@@ -2122,7 +2172,9 @@ def kmeans_lloyd_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     ve = ve.localCheckpoint()  # scanned once per round, 3 rounds
 
     micro = lambda col: F.floor(col * F.lit(1000000.0) + F.lit(0.5))
-    cents = e.where(F.col("vec_id") < 8).select(
+    # initial-centroid count scales with the corpus — same _n_cells
+    # formula the oracle's c0 computes from the same count
+    cents = e.where(F.col("vec_id") < _n_cells(e.count())).select(
         F.col("vec_id").alias("cell"),
         F.lit(1).cast("long").alias("n"),
         F.array(

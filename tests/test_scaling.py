@@ -142,3 +142,72 @@ def test_runtime_stays_sublinear_one_more_decade(spark, name):
         f"{name}: {t_mid:.3f}s @ sf0.1 -> {t_big:.3f}s @ sf1 "
         f"(x{ratio:.1f} for 10x data, twice) — superlinear growth"
     )
+
+
+# ---------------------------------------------------------------------
+# Centroid-count scale pins (r11 verdict item 5): the "more centroids
+# bound the per-cell work" claim is a FORMULA + a FAIL-LOUD guard, not
+# a docstring assertion.
+# ---------------------------------------------------------------------
+
+
+def test_cell_count_bounds_expected_cell_size():
+    """For any corpus size, the adaptive centroid formulas keep the
+    EXPECTED cell at/below the target — the property that makes the
+    per-cell GEMM / inverted-list scan scale-free."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from big_data_lab_three_spark.operators.similarity import (
+        adaptive_nlist,
+    )
+    from big_data_lab_three_spark.queries.corpus import (
+        _CELL_TARGET,
+        _n_cells,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(min_value=1, max_value=10**13))
+    def check(n):
+        for cells, floor, target in (
+            (_n_cells(n), 8, _CELL_TARGET),
+            (adaptive_nlist(n), 16, 256),
+        ):
+            assert cells >= floor
+            if n > floor * target:  # above the floor regime
+                assert math.ceil(n / cells) <= target
+            else:  # floor regime: cell size still <= floor*target/floor
+                assert n / cells <= target * floor
+
+    check()
+    # the driver tiers keep the historical k=8 (outputs unchanged);
+    # the sf1 tier (20k embeddings) genuinely grows
+    from big_data_lab_three_spark.queries.corpus import _n_cells as nc
+
+    assert nc(500) == 8 and nc(2000) == 8 and nc(20000) == 79
+
+
+def test_semdedup_cell_cap_fails_loud():
+    """The grouped-map prune must ABORT on a cell past _CELL_CAP (the
+    quadratic-blowup tripwire), not spill into an unbounded GEMM."""
+    from big_data_lab_three_spark.queries.corpus import (
+        _CELL_CAP,
+        _check_cell_bound,
+    )
+
+    _check_cell_bound(0, _CELL_CAP)  # at the cap: fine
+    with pytest.raises(ValueError, match="centroid count must scale"):
+        _check_cell_bound(3, _CELL_CAP + 1)
+
+
+def test_semdedup_cells_stay_bounded_at_big_tier(spark):
+    """Integration pin at the biggest always-available tier: every
+    SemDeDup cell holds <= _CELL_CAP vectors under the adaptive
+    centroid count (the sf1 decade gate re-proves this at 10×)."""
+    from big_data_lab_three_spark.queries.corpus import _CELL_CAP
+
+    reg = load_all()
+    rows = reg["semdedup_cell_census"].spark(spark, BIG).collect()
+    assert rows and max(r["n_vecs"] for r in rows) <= _CELL_CAP
