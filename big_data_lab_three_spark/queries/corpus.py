@@ -2164,6 +2164,41 @@ def kmeans_lloyd_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     how MLlib's KMeans structures an iteration, minus its
     run-to-convergence driver loop (fixed rounds keep the oracle
     bounded)."""
+    ve, asg, cent = _lloyd_state(spark, sf_dir)
+    n = F.col("n").cast("double")
+    cnorm = F.sqrt(
+        F.aggregate(
+            F.transform(
+                F.col("s"),
+                lambda y: (y.cast("double") / n) * (y.cast("double") / n),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    cent_norms = cent.select(
+        "cell",
+        F.round(cnorm / F.lit(1000000.0), 4).alias("centroid_norm"),
+    )
+    return (
+        asg.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("id").alias("sum_member_id"),
+        )
+        .join(F.broadcast(cent_norms), "cell")
+        .select("cell", "n_members", "sum_member_id", "centroid_norm")
+        .orderBy("cell")
+    )
+
+
+def _lloyd_state(spark: SparkSession, sf_dir: str):
+    """The distributed Lloyd loop behind ``kmeans_lloyd_census``,
+    exposed for the MLlib parity bench: returns ``(ve, asg, cent)`` —
+    the (id, v) vector table, the final round's assignment (id, cell),
+    and the final centroids in (cell, n, s) micro-sum representation
+    (centroid vector = s/n, uniformly scaled 1e6 — cosine cancels
+    it)."""
     e = table(spark, sf_dir, "embeddings")
     ve = e.select(
         F.col("vec_id").alias("id"),
@@ -2256,31 +2291,7 @@ def kmeans_lloyd_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         asg = assign(cent)
         if r < _KM_ROUNDS:
             cent = update(asg).localCheckpoint()
-    n = F.col("n").cast("double")
-    cnorm = F.sqrt(
-        F.aggregate(
-            F.transform(
-                F.col("s"),
-                lambda y: (y.cast("double") / n) * (y.cast("double") / n),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    cent_norms = cent.select(
-        "cell",
-        F.round(cnorm / F.lit(1000000.0), 4).alias("centroid_norm"),
-    )
-    return (
-        asg.groupBy("cell")
-        .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.sum("id").alias("sum_member_id"),
-        )
-        .join(F.broadcast(cent_norms), "cell")
-        .select("cell", "n_members", "sum_member_id", "centroid_norm")
-        .orderBy("cell")
-    )
+    return ve, asg, cent
 
 
 # ---------------------------------------------------------------------

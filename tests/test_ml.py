@@ -240,3 +240,37 @@ def test_cross_validate_reports_sane_folds(labeled):
         assert r["n_train"] + r["n_test"] == total
         assert r["n_test"] > 0
         assert 0.0 <= r["accuracy"] <= 1.0
+
+
+# ---------------------------------------------------------------------
+# MLlib parity (r11 verdict item 6): the hand-rolled distributed
+# operators validated against pyspark.ml at equal parameters — the way
+# png_pixel_stats validated the vendored codec.  Full numbers at
+# sf0.01/sf0.1 live in EXPERIMENTS.md (tools/mllib_parity.py).
+# ---------------------------------------------------------------------
+
+
+def test_lloyd_kmeans_matches_mllib_objective(spark, sf_dir):
+    """At equal k and update count, the hand-rolled Lloyd loop's mean
+    cosine distance to assigned centroids must land within 10% of
+    pyspark.ml KMeans' (deterministic under fixed seeds; relabeling-
+    insensitive).  A large gap would mean the update step is wrong —
+    measured 0.979 at sf0.01 and 0.9993 at sf0.1."""
+    from tools.mllib_parity import kmeans_parity
+
+    r = kmeans_parity(spark, sf_dir)
+    assert 0.8 <= r["cost_ratio"] <= 1.10, r
+
+
+def test_minhash_lsh_matches_mllib_pairs(spark, sf_dir):
+    """At an equal collision budget (16 bands x 2 rows vs 16 single-
+    hash tables) and the same exact-Jaccard 0.7 gate, both detectors
+    must find every planted near-dup pair and (post-rescore) nearly
+    the same full pair set — measured IDENTICAL sets at sf0.01
+    (81 = 81) and sf0.1 (820 = 820)."""
+    from tools.mllib_parity import minhash_parity
+
+    r = minhash_parity(spark, sf_dir)
+    assert r["recall_ours"] == 1.0, r
+    assert r["recall_mllib"] == 1.0, r
+    assert r["pairset_agreement"] >= 0.95, r

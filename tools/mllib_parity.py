@@ -1,0 +1,238 @@
+"""MLlib parity bench (r11 verdict item 6): validate the hand-rolled
+distributed operators against ``pyspark.ml`` at equal parameters —
+the way ``png_pixel_stats`` validated the vendored PNG codec against
+a reference decoder.
+
+Two comparisons, both printed as one JSON line for EXPERIMENTS.md:
+
+1. **Lloyd k-means** (``kmeans_lloyd_census``'s ``_lloyd_state`` vs
+   ``pyspark.ml.clustering.KMeans``): equal k (``_n_cells`` of the
+   corpus), equal update count (our 3-assignment/2-update loop vs
+   ``maxIter=2`` — MLlib assigns once more against its final
+   centers, the same shape), vectors L2-normalized for the library so
+   its Euclidean objective matches our cosine assignment.  Metric:
+   MEAN COSINE DISTANCE to the assigned centroid — the clustering
+   objective itself, deterministic under fixed seeds, insensitive to
+   cluster relabeling (assignment-overlap would need a Hungarian
+   match and still break on ties).  Parity = our cost within a few
+   percent of the library's (our init is the first-k rows —
+   deterministic and oracle-friendly; MLlib gets k-means|| — so the
+   library may win slightly; a LARGE gap would mean the update step
+   is wrong).
+
+2. **MinHash LSH** (``operators.dedup.minhash_lsh_pairs`` vs
+   ``pyspark.ml.feature.MinHashLSH``): the same 3-shingle sets on
+   both sides (CountVectorizer binary featurization, lossless
+   vocabulary), equal collision budget (our 16 bands × 2 rows vs the
+   library's 16 single-hash tables), the same exact-Jaccard 0.7 gate
+   (ours rescores shingle sets; ``approxSimilarityJoin`` filters by
+   true vector-set Jaccard distance <= 0.3).  Planted near-dup pairs
+   (every 10th doc gets a ``+1_000_000``-id copy with two appended
+   tokens, Jaccard ~0.95) give both methods a ground truth; the
+   readout is each method's planted-pair recall plus the Jaccard
+   agreement of the two full pair sets.
+
+Usage: python tools/mllib_parity.py [sf_dir]
+       (default /root/testdata/sf0.01; tests pin the same numbers at
+       sf0.001 via tests/test_ml.py::test_mllib_*)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _cos_dist_to_center(vecs: DataFrame, centers: DataFrame) -> float:
+    """Mean cosine distance of (id, v, cell) rows to their (cell, c)
+    centroid — the shared readout metric.  ``c`` may be any uniform
+    scaling of the centroid (cosine cancels it)."""
+    j = vecs.join(F.broadcast(centers), "cell")
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("c"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda col: F.sqrt(
+        F.aggregate(
+            F.transform(col, lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    cos = dot / (norm(F.col("v")) * norm(F.col("c")))
+    return j.agg(F.avg(F.lit(1.0) - cos)).first()[0]
+
+
+def kmeans_parity(spark: SparkSession, sf_dir: str) -> dict:
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    from big_data_lab_three_spark.queries.corpus import (
+        _KM_ROUNDS,
+        _lloyd_state,
+        _n_cells,
+    )
+    from big_data_lab_three_spark.sources import table
+
+    t0 = time.time()
+    ve, asg, cent = _lloyd_state(spark, sf_dir)
+    ours_vecs = asg.join(ve, "id").select("id", "cell", "v")
+    ours_centers = cent.select(
+        "cell",
+        F.transform(
+            "s", lambda y: y.cast("double") / F.col("n").cast("double")
+        ).alias("c"),
+    )
+    cost_ours = _cos_dist_to_center(ours_vecs, ours_centers)
+    t_ours = time.time() - t0
+
+    t0 = time.time()
+    e = table(spark, sf_dir, "embeddings")
+    k = _n_cells(e.count())
+    unit = e.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).select(
+        "id",
+        "v",
+        F.transform(
+            "v",
+            lambda x: x
+            / F.sqrt(
+                F.aggregate(
+                    F.transform(F.col("v"), lambda y: y * y),
+                    F.lit(0.0),
+                    lambda acc, y: acc + y,
+                )
+            ),
+        ).alias("u"),
+    )
+    feat = unit.select("id", "v", array_to_vector("u").alias("f"))
+    km = KMeans(
+        k=k,
+        maxIter=_KM_ROUNDS - 1,
+        seed=7,
+        featuresCol="f",
+        predictionCol="cell",
+    )
+    model = km.fit(feat)
+    pred = model.transform(feat).select("id", "cell", "v")
+    centers = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, c array<double>",
+    )
+    cost_lib = _cos_dist_to_center(pred, centers)
+    t_lib = time.time() - t0
+    return {
+        "k": k,
+        "cost_ours": round(cost_ours, 6),
+        "cost_mllib": round(cost_lib, 6),
+        "cost_ratio": round(cost_ours / cost_lib, 4) if cost_lib else None,
+        "sec_ours": round(t_ours, 2),
+        "sec_mllib": round(t_lib, 2),
+    }
+
+
+def _planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_lab_three_spark.sources import table
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" zz qq")).alias("text"),
+    )
+    return d.unionByName(dup)
+
+
+def minhash_parity(spark: SparkSession, sf_dir: str) -> dict:
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    from big_data_lab_three_spark.functions.text import shingles, tokens
+    from big_data_lab_three_spark.operators.dedup import minhash_lsh_pairs
+
+    corpus = _planted_corpus(spark, sf_dir).localCheckpoint()
+    planted = {
+        (r["doc_id"], r["doc_id"] + 1_000_000)
+        for r in corpus.where(F.col("doc_id") % 10 == 0)
+        .where(F.col("doc_id") < 1_000_000)
+        .select("doc_id")
+        .collect()
+    }
+
+    t0 = time.time()
+    ours = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            corpus, num_perms=32, bands=16, jaccard_threshold=0.7
+        )
+        .select("id_a", "id_b")
+        .collect()
+    }
+    t_ours = time.time() - t0
+
+    t0 = time.time()
+    sh = corpus.select(
+        "doc_id",
+        F.array_distinct(shingles(tokens(F.col("text")), 3)).alias("sh"),
+    ).where(F.size("sh") > 0)
+    cv = CountVectorizer(
+        inputCol="sh", outputCol="f", binary=True, vocabSize=1 << 20, minDF=1.0
+    ).fit(sh)
+    feat = cv.transform(sh).select("doc_id", "f")
+    lsh = MinHashLSH(
+        inputCol="f", outputCol="h", numHashTables=16, seed=7
+    ).fit(feat)
+    joined = lsh.approxSimilarityJoin(feat, feat, 0.3, distCol="dist")
+    lib = {
+        (r["a"], r["b"])
+        for r in joined.where(
+            F.col("datasetA.doc_id") < F.col("datasetB.doc_id")
+        )
+        .select(
+            F.col("datasetA.doc_id").alias("a"),
+            F.col("datasetB.doc_id").alias("b"),
+        )
+        .collect()
+    }
+    t_lib = time.time() - t0
+
+    union = ours | lib
+    return {
+        "n_planted": len(planted),
+        "recall_ours": round(len(ours & planted) / len(planted), 4),
+        "recall_mllib": round(len(lib & planted) / len(planted), 4),
+        "n_pairs_ours": len(ours),
+        "n_pairs_mllib": len(lib),
+        "pairset_agreement": (
+            round(len(ours & lib) / len(union), 4) if union else 1.0
+        ),
+        "sec_ours": round(t_ours, 2),
+        "sec_mllib": round(t_lib, 2),
+    }
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from big_data_lab_three_spark.session import get_spark
+
+    spark = get_spark("mllib_parity")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = {
+        "sf_dir": sf_dir,
+        "kmeans": kmeans_parity(spark, sf_dir),
+        "minhash": minhash_parity(spark, sf_dir),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
