@@ -2478,3 +2478,262 @@ def line_dedup_crossdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------
+# Distributed multinomial Naive Bayes (reference M5 at corpus scale)
+# ---------------------------------------------------------------------
+
+# Seeded per-language marker tokens (corpus texts share one uniform
+# 31-token vocabulary across langs — measured: per-lang frequency
+# profiles are flat, so the raw label is textually unlearnable and a
+# classifier correctly degenerates to the prior).  Three disjoint
+# stopword-like markers per language, appended in-query by BOTH
+# engines, give the operator a real signal to recover — the same
+# build-the-fixture-in-query convention as line_dedup_crossdoc and
+# the admission cohorts.  An md5-selected ~15% of docs stay
+# markerless, so the held-out confusion matrix keeps explainable
+# off-diagonal mass (markerless docs fall back to shared-vocab noise
+# and the prior) and the smoothing path is genuinely exercised.
+_NB_MARKERS = (
+    ("en", "of and is"),
+    ("de", "der und ist"),
+    ("fr", "le et est"),
+    ("es", "el y es"),
+    ("zh", "de shi zai"),
+)
+
+
+@register(
+    "nb_lang_confusion",
+    ids="ML: distributed multinomial Naive Bayes language classifier — "
+    "sparse per-token features, md5-80% train fold, exact integer score "
+    "algebra, held-out confusion census (reference M5+A9+A10 at corpus "
+    "scale)",
+    oracle=f"""
+WITH d AS (
+    SELECT doc_id, lang,
+           list_filter(regexp_split_to_array(
+               text || CASE WHEN CAST(('0x' || substr(md5(
+                   'nbm:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                   % 100 < 85 THEN CASE lang WHEN 'en' THEN ' of and is' WHEN 'de' THEN ' der und ist' WHEN 'fr' THEN ' le et est' WHEN 'es' THEN ' el y es' WHEN 'zh' THEN ' de shi zai' ELSE '' END ELSE '' END, '\\s+'), x -> x != '') AS toks,
+           CAST(('0x' || substr(md5('nb:' || CAST(doc_id AS VARCHAR)),
+                                1, 15)) AS BIGINT) % 5 AS fold
+    FROM documents
+), tr AS (
+    SELECT * FROM d WHERE fold != 0 AND len(toks) > 0
+), te AS (
+    SELECT * FROM d WHERE fold = 0 AND len(toks) > 0
+), pri AS (
+    SELECT lang, CAST(count(*) AS BIGINT) AS nc FROM tr GROUP BY lang
+), tot AS (
+    SELECT CAST(sum(nc) AS BIGINT) AS n FROM pri
+), trt AS (
+    SELECT lang, tok FROM (SELECT lang, unnest(toks) AS tok FROM tr)
+), vsz AS (
+    SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM trt
+), cb AS (
+    SELECT lang, tok, CAST(count(*) AS BIGINT) AS cnt
+    FROM trt GROUP BY lang, tok
+), cw AS (
+    SELECT lang, tok,
+           CAST(floor(ln(cnt + 1) * 1000000 + 0.5) AS BIGINT) AS w
+    FROM cb
+), dm AS (
+    SELECT tc.lang,
+           CAST(floor(ln(tc.t + vsz.v) * 1000000 + 0.5) AS BIGINT) AS wd,
+           CAST(floor(ln(pri.nc / CAST(tot.n AS DOUBLE))
+                      * 1000000 + 0.5) AS BIGINT) AS w0
+    FROM (SELECT lang, CAST(sum(cnt) AS BIGINT) AS t
+          FROM cb GROUP BY lang) tc
+    JOIN pri ON pri.lang = tc.lang, vsz, tot
+), tet AS (
+    SELECT doc_id, lang AS actual, tok
+    FROM (SELECT doc_id, lang, unnest(toks) AS tok FROM te)
+), hs AS (
+    SELECT tet.doc_id, cw.lang AS cand, CAST(sum(cw.w) AS BIGINT) AS s1
+    FROM tet JOIN cw ON cw.tok = tet.tok
+    GROUP BY tet.doc_id, cw.lang
+), sc AS (
+    SELECT g.doc_id, g.actual, g.cand,
+           coalesce(hs.s1, 0) - g.nt * dm.wd + dm.w0 AS score
+    FROM (SELECT te.doc_id, te.lang AS actual,
+                 CAST(len(te.toks) AS BIGINT) AS nt, pri.lang AS cand
+          FROM te CROSS JOIN pri) g
+    LEFT JOIN hs ON hs.doc_id = g.doc_id AND hs.cand = g.cand
+    JOIN dm ON dm.lang = g.cand
+), best AS (
+    SELECT doc_id, actual, cand AS predicted FROM (
+        SELECT doc_id, actual, cand,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, cand ASC
+               ) AS rn
+        FROM sc) WHERE rn = 1
+)
+SELECT actual, predicted,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+FROM best GROUP BY actual, predicted ORDER BY actual, predicted
+""",
+)
+def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed MULTINOMIAL NAIVE BAYES language classifier — the
+    reference's model zoo (``src/train.py:53`` trains NB; M5) and its
+    evaluation ops (A9 accuracy, A10 confusion via ``pd.crosstab``)
+    re-expressed as corpus-scale relational algebra with a FULL value
+    oracle (``pkg/ml/models.py`` covers the same surface through
+    ``pyspark.ml``; this is the from-counts formulation a 100 TB
+    corpus needs).
+
+    Train (md5-80% fold): class priors and SPARSE per-(lang, token)
+    counts — no feature hashing, so rare language markers keep their
+    identity (a 256-bucket hash smeared them into the shared-vocab
+    mass and the classifier degenerated to the majority class;
+    measured before this formulation was chosen).  Score (held-out
+    20%) via the sparse decomposition of add-one log-likelihoods::
+
+        score(c) = Σ_t floor(ln(cnt(c,t)+1)·1e6)      (hits only —
+                                                       cnt=0 → ln 1 = 0)
+                 - N_doc · floor(ln(T_c+V)·1e6)       (per-class denom)
+                 + floor(ln(n_c/N)·1e6)               (prior)
+
+    Every piece quantizes to integers separately, so the per-(doc,
+    candidate) score is an exact BIGINT on both engines and the argmax
+    (score DESC, lang ASC) has no float tie hazard.  Readout: the
+    held-out confusion matrix with per-cell doc-id checksums.
+
+    Scale shape: training is one corpus token scan into an
+    (n-gram-type × langs)-bounded SPARSE parameter table; scoring
+    joins test tokens against it KEYED ON THE TOKEN (only matching
+    (candidate, token) pairs flow — the zero contributions never
+    materialize), then a (doc × |langs|) bounded grid adds denominator
+    and prior, and the argmax is a max-score + min-lang pair of
+    groupBys — NO corpus-partitioned window, no dense grid, no
+    feature-space explode."""
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("nb:"), F.col("doc_id").cast("string"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .__mod__(5)
+    )
+    marked = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("nbm:"), F.col("doc_id").cast("string"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .__mod__(100)
+        < 85
+    )
+    marker = F.when(
+        marked,
+        F.coalesce(
+            *[
+                F.when(F.col("lang") == l, F.lit(" " + m))
+                for l, m in _NB_MARKERS
+            ],
+            F.lit(""),
+        ),
+    ).otherwise(F.lit(""))
+    d = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            tokens(F.concat("text", marker)).alias("toks"),
+            fold.alias("fold"),
+        )
+        .where(F.size("toks") > 0)
+    )
+    tr = d.where(F.col("fold") != 0)
+    te = d.where(F.col("fold") == 0)
+
+    pri = tr.groupBy("lang").agg(F.count(F.lit(1)).alias("nc"))
+    pri = pri.localCheckpoint()  # class table, reused 3×
+    tot = pri.agg(F.sum("nc").alias("n"))
+    trt = tr.select("lang", F.explode("toks").alias("tok"))
+    cb = trt.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    cb = cb.localCheckpoint()  # sparse params, feed cw + tc
+    vsz = trt.agg(F.count_distinct("tok").alias("v"))
+    micro = lambda col: F.floor(col * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    cw = cb.select(
+        "lang", "tok", micro(F.log(F.col("cnt") + F.lit(1))).alias("w")
+    )
+    dm = (
+        cb.groupBy("lang")
+        .agg(F.sum("cnt").alias("t"))
+        .join(pri, "lang")
+        .crossJoin(F.broadcast(vsz))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            micro(F.log(F.col("t") + F.col("v"))).alias("wd"),
+            micro(
+                F.log(F.col("nc") / F.col("n").cast("double"))
+            ).alias("w0"),
+        )
+    )
+    tet = te.select(
+        "doc_id",
+        F.col("lang").alias("actual"),
+        F.explode("toks").alias("tok"),
+    )
+    hs = (
+        tet.select("doc_id", "tok")
+        .join(cw.withColumnRenamed("lang", "cand"), "tok")
+        .groupBy("doc_id", "cand")
+        .agg(F.sum("w").alias("s1"))
+    )
+    grid = te.select(
+        "doc_id",
+        F.col("lang").alias("actual"),
+        F.size("toks").cast("long").alias("nt"),
+    ).crossJoin(F.broadcast(pri.select(F.col("lang").alias("cand"))))
+    sc = (
+        grid.join(hs, ["doc_id", "cand"], "left")
+        .join(F.broadcast(dm.withColumnRenamed("lang", "cand")), "cand")
+        .select(
+            "doc_id",
+            "actual",
+            "cand",
+            (
+                F.coalesce("s1", F.lit(0))
+                - F.col("nt") * F.col("wd")
+                + F.col("w0")
+            ).alias("score"),
+        )
+    )
+    sc = sc.localCheckpoint()  # scored twice (max join-back)
+    ms = sc.groupBy("doc_id").agg(F.max("score").alias("ms"))
+    best = (
+        sc.join(ms, "doc_id")
+        .where(F.col("score") == F.col("ms"))
+        .groupBy("doc_id", "actual")
+        .agg(F.min("cand").alias("predicted"))
+    )
+    return (
+        best.groupBy("actual", "predicted")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("sum_doc_id"),
+        )
+        .orderBy("actual", "predicted")
+    )

@@ -1918,3 +1918,72 @@ def test_kmeans_update_is_single_aggregate_no_explode(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert broadcast_join_count(df) >= 1
     assert "Generate" not in plan, "vector explode leaked into k-means"
+
+
+def test_kn_trigram_model_joins_are_keyed_and_bounded(spark, sf_dir):
+    """KN scoring must stay linear in the test stream: every model
+    lookup is a KEYED join against an n-gram-type-bounded table (AQE
+    broadcasts them at test tiers), the only nested loop is the
+    broadcast of the 1-row totals, and nothing windows or sorts the
+    corpus."""
+    import re
+
+    df = REG["kn_trigram_perplexity"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan, "KN ladder fell back to a window"
+    assert not re.search(
+        r"(?<!Broadcast)NestedLoopJoin",
+        plan.replace("BroadcastNestedLoopJoin", "Broadcast_NLJ"),
+    ), "non-broadcast nested loop in the scoring join"
+    assert broadcast_join_count(df) >= 3, (
+        "model tables should broadcast at test tiers"
+    )
+
+
+def test_line_dedup_crossdoc_is_linear_keyed(spark, sf_dir):
+    """Cross-document line dedup must be one frequency rollup + one
+    line-keyed join + one per-doc rollup — no pair stage, no window,
+    no corpus product; reassembly is a grouped collect_list, never a
+    global sort."""
+    import re
+
+    df = REG["line_dedup_crossdoc"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan, "reassembly fell back to a window"
+    assert not re.search(
+        r"(?<!Broadcast)NestedLoopJoin",
+        plan.replace("BroadcastNestedLoopJoin", "Broadcast_NLJ"),
+    )
+
+
+def test_nb_scoring_is_sparse_and_broadcast(spark, sf_dir, monkeypatch):
+    """NB scoring must stay sparse: test tokens join the (lang, token)
+    parameter table KEYED ON THE TOKEN (zero contributions never
+    materialize), the per-class denominator/prior tables broadcast,
+    and the argmax is groupBy algebra — no corpus-partitioned window,
+    no cartesian, no dense feature grid.  localCheckpoints are no-op'd
+    so the WHOLE plan (scoring stage included) is inspected, not just
+    the post-checkpoint readout."""
+    import re
+
+    # Spark 4: the session returns pyspark.sql.classic DataFrames,
+    # whose localCheckpoint overrides the pyspark.sql.DataFrame base —
+    # patch the concrete class
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    monkeypatch.setattr(
+        DataFrame, "localCheckpoint", lambda self, eager=True: self
+    )
+    df = REG["nb_lang_confusion"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan, "argmax fell back to a window"
+    assert not re.search(
+        r"(?<!Broadcast)NestedLoopJoin",
+        plan.replace("BroadcastNestedLoopJoin", "Broadcast_NLJ"),
+    )
+    assert broadcast_join_count(df) >= 2, (
+        "denominator/prior tables should broadcast"
+    )
