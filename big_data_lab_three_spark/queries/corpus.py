@@ -2737,3 +2737,156 @@ def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("actual", "predicted")
     )
+
+
+# ---------------------------------------------------------------------
+# Exact-substring dedup extents (Lee et al. 2022 removal accounting)
+# ---------------------------------------------------------------------
+
+_SSD_W = 8  # window width in tokens (the repeated_span_census grain)
+
+
+@register(
+    "substring_dedup_extents",
+    ids="dedup: exact-substring dedup extents — per-source union-of-"
+    "intervals coverage of corpus-repeated 8-token windows (the Lee "
+    "et al. 2022 'what would substring dedup remove' accounting)",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id AS id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 5000000, source, text
+  FROM documents WHERE doc_id % 13 = 0
+), tok AS (
+  SELECT id, source, {_DUCK_TOKS} AS toks FROM base
+), nt AS (
+  SELECT source, CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+  FROM tok GROUP BY source
+), sp AS (
+  SELECT id, source, u.pos AS pos, u.g AS g FROM (
+    SELECT id, source,
+           unnest([{{'pos': i,
+                     'g': array_to_string(toks[i:i+{_SSD_W - 1}], ' ')}}
+                   for i in range(1, len(toks) - {_SSD_W - 2})]) AS u
+    FROM tok)
+), rep AS (
+  SELECT g FROM sp GROUP BY g HAVING count(*) >= 2
+), hit AS (
+  SELECT id, source, pos,
+         lead(pos) OVER (PARTITION BY id ORDER BY pos) AS nxt
+  FROM sp WHERE g IN (SELECT g FROM rep)
+), per_doc AS (
+  SELECT id, source,
+         CAST(count(*) AS BIGINT) AS n_win,
+         CAST(sum(CASE WHEN nxt IS NULL THEN {_SSD_W}
+                       ELSE least({_SSD_W}, nxt - pos) END) AS BIGINT)
+             AS cov
+  FROM hit GROUP BY id, source
+)
+SELECT p.source,
+       CAST(count(*) AS BIGINT) AS n_docs_affected,
+       CAST(sum(n_win) AS BIGINT) AS n_repeated_windows,
+       CAST(sum(cov) AS BIGINT) AS n_tokens_covered,
+       CAST(sum(cov) * 1000000 // min(nt.n_tokens) AS BIGINT)
+           AS covered_micro
+FROM per_doc p JOIN nt ON nt.source = p.source
+GROUP BY p.source ORDER BY p.source
+""",
+)
+def substring_dedup_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING dedup accounting (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better") — the APPLY-side twin
+    of ``repeated_span_census`` (which ranks the repeated spans
+    themselves): for every document, the union-of-intervals coverage
+    of all 8-token windows whose exact text occurs >= 2 times anywhere
+    in the corpus, rolled up per source — "how many tokens would
+    substring dedup remove, and from how many documents".  Seeded
+    replicas (every 13th doc, the ``repeated_span_census`` cohort)
+    guarantee full-document extents exist at every tier; organic
+    window collisions exercise the same path.
+
+    Interval union is the ``span_decontaminate`` lead-trick: flagged
+    window starts sorted per doc contribute ``min(W, next_start −
+    start)`` tokens each (the final window contributes W), which IS
+    the union length of overlapping fixed-width intervals — no
+    interval explode, no per-token rows.
+
+    Scale shape: one window explode (corpus-linear, the price
+    ``repeated_span_census`` already pays), one combiner-friendly
+    frequency rollup on the window text, one semi join back on the
+    same key, one per-DOC window (partitions bounded by document
+    length), two rollups.  No pair stage — the repeated-window set is
+    frequency-filtered before anything joins it."""
+    d = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "source", "text"
+    )
+    base = d.unionByName(
+        d.where(F.col("id") % 13 == 0).select(
+            (F.col("id") + 5000000).alias("id"), "source", "text"
+        )
+    )
+    tok = base.select(
+        "id", "source", tokens(F.col("text")).alias("toks")
+    )
+    nt = tok.groupBy("source").agg(
+        F.sum(F.size("toks")).cast("long").alias("n_tokens")
+    )
+    w = _SSD_W
+    sp = (
+        tok.where(F.size("toks") >= w)
+        .select(
+            "id",
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {w - 1}), i -> "
+                    f"struct(i AS pos, array_join(slice(toks, i, {w}), "
+                    "' ') AS g))"
+                )
+            ).alias("u"),
+        )
+        .select("id", "source", "u.pos", "u.g")
+    )
+    sp = sp.localCheckpoint()  # window stream feeds rep AND the probe
+    rep = (
+        sp.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .select("g")
+    )
+    from pyspark.sql import Window
+
+    hit = (
+        sp.join(rep, "g", "left_semi")
+        .select(
+            "id",
+            "source",
+            "pos",
+            F.lead("pos").over(
+                Window.partitionBy("id").orderBy("pos")
+            ).alias("nxt"),
+        )
+    )
+    per_doc = hit.groupBy("id", "source").agg(
+        F.count(F.lit(1)).alias("n_win"),
+        F.sum(
+            F.when(F.col("nxt").isNull(), F.lit(w)).otherwise(
+                F.least(F.lit(w), F.col("nxt") - F.col("pos"))
+            )
+        )
+        .cast("long")
+        .alias("cov"),
+    )
+    return (
+        per_doc.join(F.broadcast(nt), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_affected"),
+            F.sum("n_win").alias("n_repeated_windows"),
+            F.sum("cov").alias("n_tokens_covered"),
+            F.expr(
+                "div(sum(cov) * 1000000, min(n_tokens))"
+            ).alias("covered_micro"),
+        )
+        .orderBy("source")
+    )

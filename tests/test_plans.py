@@ -1987,3 +1987,17 @@ def test_nb_scoring_is_sparse_and_broadcast(spark, sf_dir, monkeypatch):
     assert broadcast_join_count(df) >= 2, (
         "denominator/prior tables should broadcast"
     )
+
+
+def test_substring_dedup_window_is_per_doc(spark, sf_dir):
+    """The extent union must window PER DOCUMENT (partitions bounded
+    by doc length), never globally; the repeated-window probe is a
+    keyed semi join — no pair stage, no cartesian."""
+    import re
+
+    df = REG["substring_dedup_extents"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert re.search(
+        r"windowspecdefinition\(id#\d+L?,", plan
+    ), "lead window is not partitioned by doc id"
