@@ -575,3 +575,69 @@ def test_seeded_id_guards_fail_loud_on_collision(spark):
         bad_cohort.select(
             _cohort_id(F.col("doc_id"), 7_000_002).alias("i")
         ).collect()
+
+
+def test_bpe_oracle_differential_on_random_corpora(spark, tmp_path):
+    """DIFFERENTIAL pin for the whole BPE oracle construction (two
+    advisor-found bugs lived here: run-parity grouping and, earlier,
+    the greedy-window parity itself): on random small corpora drawn
+    from a 2-letter alphabet — the regime where overlapping self-pair
+    runs are common — the DuckDB chained-CTE oracle must match the
+    Spark merge loop round-for-round, merges AND final span tables.
+    Deterministic seed; a handful of adversarial corpora beats one
+    hand-picked case."""
+    import random
+
+    import duckdb
+
+    from big_data_lab_three_spark.queries.corpus import (
+        _bpe_merge_loop,
+        _bpe_oracle_rounds,
+    )
+
+    rng = random.Random(20260816)
+    k = 2
+    for case in range(6):
+        words = [
+            "".join(rng.choice("ab") for _ in range(rng.randint(1, 9)))
+            for _ in range(rng.randint(2, 6))
+        ]
+        text = " ".join(words)
+        fix = tmp_path / f"bpe_diff_{case}"
+        fix.mkdir()
+        spark.createDataFrame(
+            [(1, text)], "doc_id bigint, text string"
+        ).coalesce(1).write.parquet(str(fix / "documents.parquet"))
+
+        merges, vocab = _bpe_merge_loop(spark, str(fix), k=k)
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{fix}/documents.parquet/*.parquet')"
+        )
+        sel = "\nUNION ALL ".join(
+            f"SELECT CAST({r} AS INTEGER) AS rank, a, b, a || b, c "
+            f"FROM t{r}"
+            for r in range(1, k + 1)
+        )
+        want = [
+            tuple(row)
+            for row in con.execute(
+                _bpe_oracle_rounds(k) + sel + " ORDER BY rank"
+            ).fetchall()
+        ]
+        assert want == merges, f"case {case} corpus {text!r}"
+        oracle_syms = [
+            tuple(row)
+            for row in con.execute(
+                _bpe_oracle_rounds(k)
+                + f" SELECT w, list(sym ORDER BY pos) AS syms FROM s{k} "
+                "GROUP BY w ORDER BY w"
+            ).fetchall()
+        ]
+        spark_syms = sorted(
+            (r["tok"], r["syms"])
+            for r in vocab.select("tok", "syms").collect()
+        )
+        assert oracle_syms == spark_syms, f"case {case} corpus {text!r}"
