@@ -2890,3 +2890,237 @@ def substring_dedup_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------
+# Unigram-LM (SentencePiece) Viterbi segmentation census
+# ---------------------------------------------------------------------
+
+_ULM_MAXLEN = 8  # corpus words are <= 8 chars; longer words are
+#                  counted out-of-scope in the census, never dropped
+_ULM_MAXPIECE = 4
+_ULM_SENTINEL = -(10**15)
+
+
+def _ulm_dp_steps(ix) -> str:
+    """The unrolled Viterbi DP as lateral-alias SELECT columns, shared
+    by both engines via a per-engine 1-based list-index renderer
+    ``ix(list_name, flat_index)``.  State encoding: ``b_i = 16·S − P``
+    where S is the best micro-quantized log-score of a segmentation of
+    the first i chars and P its piece count — integer scores are >= 1
+    apart and P <= 8 < 16, so one BIGINT max IS the lexicographic
+    (score DESC, pieces ASC) argmax.  ``sf`` is the flat per-word
+    piece-score list: slot (i−1)·4+k holds the score of the length-k
+    piece ENDING at char i (sentinel where k > i)."""
+    cols = ["CAST(0 AS BIGINT) AS b0"]
+    for i in range(1, _ULM_MAXLEN + 1):
+        cands = [
+            f"b{i - k} + 16 * {ix('sf', (i - 1) * _ULM_MAXPIECE + k)} - 1"
+            for k in range(1, min(_ULM_MAXPIECE, i) + 1)
+        ]
+        body = cands[0] if len(cands) == 1 else (
+            "greatest(" + ", ".join(cands) + ")"
+        )
+        cols.append(f"{body} AS b{i}")
+    final = "CASE wlen " + " ".join(
+        f"WHEN {i} THEN b{i}" for i in range(1, _ULM_MAXLEN + 1)
+    ) + " END AS bfin"
+    return ",\n           ".join(cols + [final])
+
+
+_ULM_DUCK_PIECES = f"""(SELECT w, cnt,
+            unnest(flatten(
+                [[{{'i0': i, 'k': k, 'p': w[i:i+k-1]}}
+                  for k in range(1, least({_ULM_MAXPIECE},
+                                          length(w) - i + 1) + 1)]
+                 for i in range(1, length(w) + 1)]),
+                   recursive := true)
+     FROM words WHERE length(w) <= {_ULM_MAXLEN})"""
+
+
+@register(
+    "unigram_lm_viterbi_census",
+    ids="tokenizer: unigram-LM (SentencePiece) Viterbi segmentation — "
+    "frequency-initialized piece scores, exact integer DP over every "
+    "vocabulary word, corpus-weighted segmentation census",
+    oracle=f"""
+WITH words AS MATERIALIZED (
+    SELECT tok AS w, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest({_DUCK_TOKS}) AS tok FROM documents)
+    GROUP BY tok
+), pc AS MATERIALIZED (
+    SELECT * FROM {_ULM_DUCK_PIECES}
+), pf AS MATERIALIZED (
+    SELECT p, CAST(sum(cnt) AS BIGINT) AS f FROM pc GROUP BY p
+), pt AS (
+    SELECT CAST(sum(f) AS BIGINT) AS t FROM pf
+), ps AS MATERIALIZED (
+    SELECT pf.p,
+           CAST(floor(ln(pf.f / CAST(pt.t AS DOUBLE)) * 1000000 + 0.5)
+                AS BIGINT) AS s
+    FROM pf, pt
+), dp AS (
+    SELECT w, cnt, wlen,
+           {_ulm_dp_steps(lambda l, i: f"{l}[{i}]")}
+    FROM (
+        SELECT w, cnt, wlen,
+               [coalesce(list_max([pr.s FOR pr IN pairs
+                                   IF pr.slot = n]),
+                         CAST(-1000000000000000 AS BIGINT))
+                FOR n IN range(1, 33)] AS sf
+        FROM (
+            SELECT pc.w, any_value(pc.cnt) AS cnt,
+                   CAST(any_value(length(pc.w)) AS BIGINT) AS wlen,
+                   list({{'slot': (pc.i0 + pc.k - 2) * 4 + pc.k,
+                          's': ps.s}}) AS pairs
+            FROM pc JOIN ps ON ps.p = pc.p
+            GROUP BY pc.w))
+), seg AS (
+    SELECT w, cnt, wlen,
+           (bfin + ((- bfin) % 16)) // 16 AS best_s,
+           (- bfin) % 16 AS best_p
+    FROM dp
+)
+SELECT CAST(wlen AS INTEGER) AS len_group,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(cnt) AS BIGINT) AS corpus_cnt,
+       CAST(sum(cnt * best_p) AS BIGINT) AS sum_pieces_weighted,
+       CAST(sum(cnt * best_s) AS BIGINT) AS sum_score_weighted
+FROM seg GROUP BY wlen
+UNION ALL
+SELECT -1, CAST(count(*) AS BIGINT), CAST(coalesce(sum(cnt), 0) AS BIGINT),
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+FROM words WHERE length(w) > {_ULM_MAXLEN}
+ORDER BY len_group
+""",
+)
+def unigram_lm_viterbi_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """UNIGRAM-LM tokenizer segmentation (the SentencePiece model
+    family, vs BPE's merge loop): candidate pieces are every substring
+    of length <= 4 of every vocabulary word, piece scores are the
+    frequency-initialized log-probabilities ``ln(f(p)/T)`` (the
+    standard unigram-LM initialization before EM), and each word's
+    optimal segmentation is found by an EXACT-INTEGER Viterbi DP —
+    micro-quantized scores, the (score, piece-count) pair packed into
+    one BIGINT (``16·S − P``) so a single ``greatest`` chain is the
+    lexicographic argmax with no float tie hazards.  The DP is
+    unrolled to the corpus's bounded word length (8 chars) from ONE
+    shared Python generator (``_ulm_dp_steps``), so the two engines
+    execute the identical recurrence; words past the bound are counted
+    in a ``len_group = −1`` census row, never silently dropped.
+    Readout: per word-length group, corpus-weighted piece counts
+    (fertility) and total segmentation scores.
+
+    Scale shape: everything after the one corpus token scan is
+    vocabulary-bounded (Zipf) — the piece explode is <= 26 rows per
+    DISTINCT word, the score table is piece-type-bounded, and the DP
+    is a fixed-depth expression evaluated per vocabulary row (no
+    iteration state, no shuffle growth with corpus size).  At 100 TB
+    the census costs one combiner-friendly groupBy more than reading
+    the data.  Longer words need a longer unroll (L·4 slots, linear),
+    or the grouped-map route ``semdedup_prune`` uses — noted, bounded,
+    fail-visible."""
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("tok").alias("w"), "cnt")
+    )
+    toks = toks.localCheckpoint()  # vocab table: pieces + long-row census
+    inscope = toks.where(F.length("w") <= _ULM_MAXLEN)
+    pc = inscope.select(
+        "w",
+        "cnt",
+        F.explode(
+            F.expr(
+                f"""flatten(transform(sequence(1, length(w)), i ->
+                    transform(sequence(1, least({_ULM_MAXPIECE},
+                                                length(w) - i + 1)),
+                              k -> struct(i AS i0, k AS k,
+                                          substring(w, i, k) AS p))))"""
+            )
+        ).alias("u"),
+    ).select("w", "cnt", "u.i0", "u.k", "u.p")
+    pc = pc.localCheckpoint()  # piece occurrences: freq AND per-word sf
+    pf = pc.groupBy("p").agg(F.sum("cnt").alias("f"))
+    pt = pf.agg(F.sum("f").alias("t"))
+    ps = pf.crossJoin(F.broadcast(pt)).select(
+        "p",
+        F.floor(
+            F.log(F.col("f") / F.col("t").cast("double"))
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("s"),
+    )
+    nslots = _ULM_MAXLEN * _ULM_MAXPIECE
+    wsf = (
+        pc.join(ps, "p")
+        .groupBy("w")
+        .agg(
+            F.first("cnt").alias("cnt"),
+            F.length(F.first("w")).cast("long").alias("wlen"),
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        (
+                            (F.col("i0") + F.col("k") - 2)
+                            * F.lit(_ULM_MAXPIECE)
+                            + F.col("k")
+                        ).cast("int").alias("slot"),
+                        F.col("s").alias("s"),
+                    )
+                )
+            ).alias("sm"),
+        )
+        .select(
+            "w",
+            "cnt",
+            "wlen",
+            F.expr(
+                f"""transform(sequence(1, {nslots}), n ->
+                    coalesce(element_at(sm, n),
+                             CAST({_ULM_SENTINEL} AS BIGINT)))"""
+            ).alias("sf"),
+        )
+    )
+    dp = wsf.selectExpr(
+        "w",
+        "cnt",
+        "wlen",
+        *[
+            c.replace("\n           ", " ")
+            for c in _ulm_dp_steps(
+                lambda l, i: f"element_at({l}, {i})"
+            ).split(",\n           ")
+        ],
+    )
+    seg = dp.select(
+        "w",
+        "cnt",
+        "wlen",
+        F.expr("(bfin + ((- bfin) % 16)) div 16").alias("best_s"),
+        F.expr("(- bfin) % 16").alias("best_p"),
+    )
+    census = seg.groupBy(F.col("wlen").cast("int").alias("len_group")).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("cnt").alias("corpus_cnt"),
+        F.sum(F.col("cnt") * F.col("best_p")).alias(
+            "sum_pieces_weighted"
+        ),
+        F.sum(F.col("cnt") * F.col("best_s")).alias(
+            "sum_score_weighted"
+        ),
+    )
+    longrow = toks.where(F.length("w") > _ULM_MAXLEN).agg(
+        F.lit(-1).cast("int").alias("len_group"),
+        F.count(F.lit(1)).alias("n_words"),
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("corpus_cnt"),
+        F.lit(0).cast("long").alias("sum_pieces_weighted"),
+        F.lit(0).cast("long").alias("sum_score_weighted"),
+    )
+    return census.unionByName(longrow).orderBy("len_group")

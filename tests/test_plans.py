@@ -2001,3 +2001,21 @@ def test_substring_dedup_window_is_per_doc(spark, sf_dir):
     assert re.search(
         r"windowspecdefinition\(id#\d+L?,", plan
     ), "lead window is not partitioned by doc id"
+
+
+def test_unigram_lm_dp_is_vocab_bounded(spark, sf_dir):
+    """The Viterbi DP must be a fixed-depth expression over the
+    VOCABULARY (one corpus token scan, then Zipf-bounded tables):
+    no corpus window, no cartesian, the piece-total broadcast as a
+    1-row scalar, and exactly one corpus-scale exchange (the word
+    count) feeding everything else."""
+    import re
+
+    df = REG["unigram_lm_viterbi_census"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan, "DP fell back to a window"
+    assert not re.search(
+        r"(?<!Broadcast)NestedLoopJoin",
+        plan.replace("BroadcastNestedLoopJoin", "Broadcast_NLJ"),
+    )
