@@ -2938,90 +2938,12 @@ _ULM_DUCK_PIECES = f"""(SELECT w, cnt,
      FROM words WHERE length(w) <= {_ULM_MAXLEN})"""
 
 
-@register(
-    "unigram_lm_viterbi_census",
-    ids="tokenizer: unigram-LM (SentencePiece) Viterbi segmentation — "
-    "frequency-initialized piece scores, exact integer DP over every "
-    "vocabulary word, corpus-weighted segmentation census",
-    oracle=f"""
-WITH words AS MATERIALIZED (
-    SELECT tok AS w, CAST(count(*) AS BIGINT) AS cnt
-    FROM (SELECT unnest({_DUCK_TOKS}) AS tok FROM documents)
-    GROUP BY tok
-), pc AS MATERIALIZED (
-    SELECT * FROM {_ULM_DUCK_PIECES}
-), pf AS MATERIALIZED (
-    SELECT p, CAST(sum(cnt) AS BIGINT) AS f FROM pc GROUP BY p
-), pt AS (
-    SELECT CAST(sum(f) AS BIGINT) AS t FROM pf
-), ps AS MATERIALIZED (
-    SELECT pf.p,
-           CAST(floor(ln(pf.f / CAST(pt.t AS DOUBLE)) * 1000000 + 0.5)
-                AS BIGINT) AS s
-    FROM pf, pt
-), dp AS (
-    SELECT w, cnt, wlen,
-           {_ulm_dp_steps(lambda l, i: f"{l}[{i}]")}
-    FROM (
-        SELECT w, cnt, wlen,
-               [coalesce(list_max([pr.s FOR pr IN pairs
-                                   IF pr.slot = n]),
-                         CAST(-1000000000000000 AS BIGINT))
-                FOR n IN range(1, 33)] AS sf
-        FROM (
-            SELECT pc.w, any_value(pc.cnt) AS cnt,
-                   CAST(any_value(length(pc.w)) AS BIGINT) AS wlen,
-                   list({{'slot': (pc.i0 + pc.k - 2) * 4 + pc.k,
-                          's': ps.s}}) AS pairs
-            FROM pc JOIN ps ON ps.p = pc.p
-            GROUP BY pc.w))
-), seg AS (
-    SELECT w, cnt, wlen,
-           (bfin + ((- bfin) % 16)) // 16 AS best_s,
-           (- bfin) % 16 AS best_p
-    FROM dp
-)
-SELECT CAST(wlen AS INTEGER) AS len_group,
-       CAST(count(*) AS BIGINT) AS n_words,
-       CAST(sum(cnt) AS BIGINT) AS corpus_cnt,
-       CAST(sum(cnt * best_p) AS BIGINT) AS sum_pieces_weighted,
-       CAST(sum(cnt * best_s) AS BIGINT) AS sum_score_weighted
-FROM seg GROUP BY wlen
-UNION ALL
-SELECT -1, CAST(count(*) AS BIGINT), CAST(coalesce(sum(cnt), 0) AS BIGINT),
-       CAST(0 AS BIGINT), CAST(0 AS BIGINT)
-FROM words WHERE length(w) > {_ULM_MAXLEN}
-ORDER BY len_group
-""",
-)
-def unigram_lm_viterbi_census(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """UNIGRAM-LM tokenizer segmentation (the SentencePiece model
-    family, vs BPE's merge loop): candidate pieces are every substring
-    of length <= 4 of every vocabulary word, piece scores are the
-    frequency-initialized log-probabilities ``ln(f(p)/T)`` (the
-    standard unigram-LM initialization before EM), and each word's
-    optimal segmentation is found by an EXACT-INTEGER Viterbi DP —
-    micro-quantized scores, the (score, piece-count) pair packed into
-    one BIGINT (``16·S − P``) so a single ``greatest`` chain is the
-    lexicographic argmax with no float tie hazards.  The DP is
-    unrolled to the corpus's bounded word length (8 chars) from ONE
-    shared Python generator (``_ulm_dp_steps``), so the two engines
-    execute the identical recurrence; words past the bound are counted
-    in a ``len_group = −1`` census row, never silently dropped.
-    Readout: per word-length group, corpus-weighted piece counts
-    (fertility) and total segmentation scores.
-
-    Scale shape: everything after the one corpus token scan is
-    vocabulary-bounded (Zipf) — the piece explode is <= 26 rows per
-    DISTINCT word, the score table is piece-type-bounded, and the DP
-    is a fixed-depth expression evaluated per vocabulary row (no
-    iteration state, no shuffle growth with corpus size).  At 100 TB
-    the census costs one combiner-friendly groupBy more than reading
-    the data.  Longer words need a longer unroll (L·4 slots, linear),
-    or the grouped-map route ``semdedup_prune`` uses — noted, bounded,
-    fail-visible."""
+def _ulm_dp_frame(spark: SparkSession, sf_dir: str):
+    """Shared unigram-LM front half: the vocabulary table and the
+    per-word Viterbi DP frame (w, cnt, wlen, sf, b0..b8, bfin) —
+    ``unigram_lm_viterbi_census`` reads the packed optimum,
+    ``unigram_lm_em_round`` additionally walks the traceback.
+    Returns ``(toks, dp)``."""
     toks = (
         table(spark, sf_dir, "documents")
         .select(F.explode(tokens(F.col("text"))).alias("tok"))
@@ -3092,6 +3014,7 @@ def unigram_lm_viterbi_census(
         "w",
         "cnt",
         "wlen",
+        "sf",
         *[
             c.replace("\n           ", " ")
             for c in _ulm_dp_steps(
@@ -3099,6 +3022,103 @@ def unigram_lm_viterbi_census(
             ).split(",\n           ")
         ],
     )
+    # Materialize the vocab-sized DP frame: the lateral b-aliases
+    # INLINE during analysis (b8 alone is a 4^8-node greatest tree),
+    # and every downstream reference re-expands them — the EM round's
+    # barr/karr references multiplied analysis time past a minute.
+    # The checkpoint pins b0..b8 as plain scan columns; the frame is
+    # vocabulary-bounded, so this is a KB-scale materialization.
+    dp = dp.localCheckpoint()
+    return toks, dp
+
+
+_ULM_BASE_SQL = f"""WITH RECURSIVE words AS MATERIALIZED (
+    SELECT tok AS w, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest({_DUCK_TOKS}) AS tok FROM documents)
+    GROUP BY tok
+), pc AS MATERIALIZED (
+    SELECT * FROM {_ULM_DUCK_PIECES}
+), pf AS MATERIALIZED (
+    SELECT p, CAST(sum(cnt) AS BIGINT) AS f FROM pc GROUP BY p
+), pt AS (
+    SELECT CAST(sum(f) AS BIGINT) AS t FROM pf
+), ps AS MATERIALIZED (
+    SELECT pf.p,
+           CAST(floor(ln(pf.f / CAST(pt.t AS DOUBLE)) * 1000000 + 0.5)
+                AS BIGINT) AS s
+    FROM pf, pt
+), dp AS (
+    SELECT w, cnt, wlen, sf,
+           {_ulm_dp_steps(lambda l, i: f"{l}[{i}]")}
+    FROM (
+        SELECT w, cnt, wlen,
+               [coalesce(list_max([pr.s FOR pr IN pairs
+                                   IF pr.slot = n]),
+                         CAST(-1000000000000000 AS BIGINT))
+                FOR n IN range(1, 33)] AS sf
+        FROM (
+            SELECT pc.w, any_value(pc.cnt) AS cnt,
+                   CAST(any_value(length(pc.w)) AS BIGINT) AS wlen,
+                   list({{'slot': (pc.i0 + pc.k - 2) * 4 + pc.k,
+                          's': ps.s}}) AS pairs
+            FROM pc JOIN ps ON ps.p = pc.p
+            GROUP BY pc.w))
+"""
+
+
+@register(
+    "unigram_lm_viterbi_census",
+    ids="tokenizer: unigram-LM (SentencePiece) Viterbi segmentation — "
+    "frequency-initialized piece scores, exact integer DP over every "
+    "vocabulary word, corpus-weighted segmentation census",
+    oracle=_ULM_BASE_SQL + f"""), seg AS (
+    SELECT w, cnt, wlen,
+           (bfin + ((- bfin) % 16)) // 16 AS best_s,
+           (- bfin) % 16 AS best_p
+    FROM dp
+)
+SELECT CAST(wlen AS INTEGER) AS len_group,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(cnt) AS BIGINT) AS corpus_cnt,
+       CAST(sum(cnt * best_p) AS BIGINT) AS sum_pieces_weighted,
+       CAST(sum(cnt * best_s) AS BIGINT) AS sum_score_weighted
+FROM seg GROUP BY wlen
+UNION ALL
+SELECT -1, CAST(count(*) AS BIGINT), CAST(coalesce(sum(cnt), 0) AS BIGINT),
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+FROM words WHERE length(w) > {_ULM_MAXLEN}
+ORDER BY len_group
+""",
+)
+def unigram_lm_viterbi_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """UNIGRAM-LM tokenizer segmentation (the SentencePiece model
+    family, vs BPE's merge loop): candidate pieces are every substring
+    of length <= 4 of every vocabulary word, piece scores are the
+    frequency-initialized log-probabilities ``ln(f(p)/T)`` (the
+    standard unigram-LM initialization before EM), and each word's
+    optimal segmentation is found by an EXACT-INTEGER Viterbi DP —
+    micro-quantized scores, the (score, piece-count) pair packed into
+    one BIGINT (``16·S − P``) so a single ``greatest`` chain is the
+    lexicographic argmax with no float tie hazards.  The DP is
+    unrolled to the corpus's bounded word length (8 chars) from ONE
+    shared Python generator (``_ulm_dp_steps``), so the two engines
+    execute the identical recurrence; words past the bound are counted
+    in a ``len_group = −1`` census row, never silently dropped.
+    Readout: per word-length group, corpus-weighted piece counts
+    (fertility) and total segmentation scores.
+
+    Scale shape: everything after the one corpus token scan is
+    vocabulary-bounded (Zipf) — the piece explode is <= 26 rows per
+    DISTINCT word, the score table is piece-type-bounded, and the DP
+    is a fixed-depth expression evaluated per vocabulary row (no
+    iteration state, no shuffle growth with corpus size).  At 100 TB
+    the census costs one combiner-friendly groupBy more than reading
+    the data.  Longer words need a longer unroll (L·4 slots, linear),
+    or the grouped-map route ``semdedup_prune`` uses — noted, bounded,
+    fail-visible."""
+    toks, dp = _ulm_dp_frame(spark, sf_dir)
     seg = dp.select(
         "w",
         "cnt",
@@ -3124,3 +3144,137 @@ def unigram_lm_viterbi_census(
         F.lit(0).cast("long").alias("sum_score_weighted"),
     )
     return census.unionByName(longrow).orderBy("len_group")
+
+
+def _ulm_traceback_k(ix, pos: str) -> str:
+    """The Viterbi traceback step as a CASE chain, shared by both
+    engines via the same index renderer as ``_ulm_dp_steps``: at
+    position ``pos``, the chosen piece length is the SMALLEST k whose
+    predecessor state reproduces the packed optimum —
+    ``b[pos−k] + 16·s(pos,k) − 1 = b[pos]`` — re-derived from the DP
+    values instead of stored, so the forward pass stays one packed
+    BIGINT.  ``barr`` is the 1-based list [b0..b8]."""
+    tests = []
+    for k in range(1, _ULM_MAXPIECE + 1):
+        cur = ix("barr", f"{pos} + 1")
+        prev = ix("barr", f"{pos} - {k} + 1")
+        sco = ix("sf", f"({pos} - 1) * {_ULM_MAXPIECE} + {k}")
+        tests.append(
+            f"WHEN {pos} >= {k} AND {prev} + 16 * {sco} - 1 = {cur} "
+            f"THEN {k}"
+        )
+    return "CASE " + " ".join(tests) + " END"
+
+
+_ULM_K_DUCK = _ulm_traceback_k(lambda l, i: f"{l}[{i}]", "pos")
+_ULM_K_SPARK = _ulm_traceback_k(
+    lambda l, i: f"element_at({l}, CAST({i} AS INT))", "pos"
+)
+_ULM_BARR = "[" + ", ".join(f"b{i}" for i in range(_ULM_MAXLEN + 1)) + "]"
+
+
+@register(
+    "unigram_lm_em_round",
+    ids="tokenizer: unigram-LM EM round — Viterbi E-step with exact "
+    "integer traceback, count M-step, re-estimated top-20 piece table",
+    oracle=_ULM_BASE_SQL
+    + f"""), tb AS (
+    SELECT w, cnt, sf, {_ULM_BARR} AS barr,
+           wlen AS pos, CAST([] AS VARCHAR[]) AS ps
+    FROM dp
+    UNION ALL
+    SELECT w, cnt, sf, barr,
+           pos - kk AS pos,
+           list_append(ps, w[CAST(pos - kk + 1 AS BIGINT)
+                             : CAST(pos AS BIGINT)]) AS ps
+    FROM (SELECT *, {_ULM_K_DUCK} AS kk FROM tb WHERE pos > 0)
+), chosen AS (
+    SELECT w, cnt, unnest(ps) AS piece FROM tb WHERE pos = 0
+), m AS (
+    SELECT piece, CAST(sum(cnt) AS BIGINT) AS used_cnt
+    FROM chosen GROUP BY piece
+), mt AS (
+    SELECT CAST(sum(used_cnt) AS BIGINT) AS t FROM m
+)
+SELECT m.piece, m.used_cnt,
+       CAST(m.used_cnt * 1000000 // mt.t AS BIGINT) AS prob_micro
+FROM m, mt
+ORDER BY m.used_cnt DESC, m.piece
+LIMIT 20
+""",
+)
+def unigram_lm_em_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE full unigram-LM EM round (the SentencePiece training step,
+    beside ``bpe_train_merges``'s merge loop): the E-step is the
+    Viterbi segmentation of every vocabulary word under the
+    frequency-initialized piece scores (``_ulm_dp_frame``), its
+    traceback RE-DERIVED from the packed DP values — at each position
+    the chosen piece length is the smallest k whose predecessor state
+    reproduces the optimum, a pure integer test both engines evaluate
+    identically (``_ulm_traceback_k``) — and the M-step re-estimates
+    piece probabilities from the corpus-weighted Viterbi piece counts.
+    Readout: the re-estimated top-20 piece table (count-desc,
+    piece-asc; exact integer counts, micro-unit probabilities).
+
+    The traceback is a bounded fold on the Spark side
+    (``aggregate(sequence(1, 8), …)`` peeling one piece per step) and
+    a recursive CTE on the DuckDB side (the ``lttb_downsample``
+    oracle precedent) — the recurrence text is generated once and
+    rendered per engine.
+
+    Scale shape: identical to ``unigram_lm_viterbi_census`` —
+    everything after the corpus token scan is vocabulary-bounded, the
+    traceback adds a fixed-depth expression per vocabulary row, and
+    the M-step is one groupBy over (pieces-per-word × vocab) rows.
+    This is exactly how a full EM loop would iterate at 100 TB: the
+    corpus is scanned once for word counts, every E/M round after
+    that touches only the Zipf-bounded vocabulary."""
+    toks, dp = _ulm_dp_frame(spark, sf_dir)
+    # the k decision depends only on the position, so it is hoisted
+    # out of the fold into ONE per-position array (kept the plan off
+    # the 3x-inlined-CASE codegen cliff: 70s -> interactive)
+    tb = (
+        dp.withColumn(
+            "barr", F.array(*[f"b{i}" for i in range(_ULM_MAXLEN + 1)])
+        )
+        .withColumn(
+            "karr",
+            F.expr(
+                f"transform(sequence(1, {_ULM_MAXLEN}), "
+                f"pos -> {_ULM_K_SPARK})"
+            ),
+        )
+        .select(
+            "w",
+            "cnt",
+            F.expr(
+                f"""aggregate(
+    sequence(1, {_ULM_MAXLEN}),
+    named_struct('pos', CAST(wlen AS INT),
+                 'ps', CAST(array() AS array<string>)),
+    (acc, st) -> IF(acc.pos <= 0, acc,
+        named_struct(
+            'pos', acc.pos - element_at(karr, acc.pos),
+            'ps', concat(acc.ps, array(substring(
+                w,
+                acc.pos - element_at(karr, acc.pos) + 1,
+                element_at(karr, acc.pos)))))),
+    acc -> acc.ps)"""
+            ).alias("ps"),
+        )
+    )
+    chosen = tb.select(
+        "cnt", F.explode("ps").alias("piece")
+    )
+    m = chosen.groupBy("piece").agg(F.sum("cnt").alias("used_cnt"))
+    mt = m.agg(F.sum("used_cnt").alias("t"))
+    return (
+        m.crossJoin(F.broadcast(mt))
+        .select(
+            "piece",
+            "used_cnt",
+            F.expr("div(used_cnt * 1000000, t)").alias("prob_micro"),
+        )
+        .orderBy(F.desc("used_cnt"), "piece")
+        .limit(20)
+    )
