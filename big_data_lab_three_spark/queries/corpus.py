@@ -2939,11 +2939,13 @@ _ULM_DUCK_PIECES = f"""(SELECT w, cnt,
 
 
 def _ulm_dp_frame(spark: SparkSession, sf_dir: str):
-    """Shared unigram-LM front half: the vocabulary table and the
-    per-word Viterbi DP frame (w, cnt, wlen, sf, b0..b8, bfin) —
+    """Shared unigram-LM front half: the vocabulary table, the piece-
+    occurrence table, and the per-word Viterbi DP frame (w, cnt, wlen,
+    sf, b0..b8, bfin) under the frequency-initialized scores —
     ``unigram_lm_viterbi_census`` reads the packed optimum,
-    ``unigram_lm_em_round`` additionally walks the traceback.
-    Returns ``(toks, dp)``."""
+    ``unigram_lm_em_round`` walks the traceback,
+    ``unigram_lm_round2_census`` re-runs the DP under re-estimated
+    scores (``_ulm_dp_from_scores``).  Returns ``(toks, pc, dp)``."""
     toks = (
         table(spark, sf_dir, "documents")
         .select(F.explode(tokens(F.col("text"))).alias("tok"))
@@ -2979,6 +2981,14 @@ def _ulm_dp_frame(spark: SparkSession, sf_dir: str):
         .cast("long")
         .alias("s"),
     )
+    return toks, pc, _ulm_dp_from_scores(pc, ps)
+
+
+def _ulm_dp_from_scores(pc: DataFrame, ps: DataFrame) -> DataFrame:
+    """The per-word Viterbi DP frame under an arbitrary (p, s) piece-
+    score table: pieces absent from ``ps`` take the sentinel (pruned),
+    so the same function runs round 1 (frequency scores over ALL
+    pieces) and round 2 (re-estimated scores over kept pieces)."""
     nslots = _ULM_MAXLEN * _ULM_MAXPIECE
     wsf = (
         pc.join(ps, "p")
@@ -3028,8 +3038,7 @@ def _ulm_dp_frame(spark: SparkSession, sf_dir: str):
     # barr/karr references multiplied analysis time past a minute.
     # The checkpoint pins b0..b8 as plain scan columns; the frame is
     # vocabulary-bounded, so this is a KB-scale materialization.
-    dp = dp.localCheckpoint()
-    return toks, dp
+    return dp.localCheckpoint()
 
 
 _ULM_BASE_SQL = f"""WITH RECURSIVE words AS MATERIALIZED (
@@ -3118,7 +3127,7 @@ def unigram_lm_viterbi_census(
     the data.  Longer words need a longer unroll (L·4 slots, linear),
     or the grouped-map route ``semdedup_prune`` uses — noted, bounded,
     fail-visible."""
-    toks, dp = _ulm_dp_frame(spark, sf_dir)
+    toks, _pc, dp = _ulm_dp_frame(spark, sf_dir)
     seg = dp.select(
         "w",
         "cnt",
@@ -3173,12 +3182,46 @@ _ULM_K_SPARK = _ulm_traceback_k(
 _ULM_BARR = "[" + ", ".join(f"b{i}" for i in range(_ULM_MAXLEN + 1)) + "]"
 
 
-@register(
-    "unigram_lm_em_round",
-    ids="tokenizer: unigram-LM EM round — Viterbi E-step with exact "
-    "integer traceback, count M-step, re-estimated top-20 piece table",
-    oracle=_ULM_BASE_SQL
-    + f"""), tb AS (
+def _ulm_traceback_pieces(dp: DataFrame) -> DataFrame:
+    """The Viterbi traceback over a DP frame: (w, cnt, ps) where
+    ``ps`` is the chosen piece array.  The k decision depends only on
+    the position, so it is hoisted out of the fold into ONE
+    per-position array (kept the plan off the 3x-inlined-CASE codegen
+    cliff: 70s -> interactive)."""
+    tb = (
+        dp.withColumn(
+            "barr", F.array(*[f"b{i}" for i in range(_ULM_MAXLEN + 1)])
+        )
+        .withColumn(
+            "karr",
+            F.expr(
+                f"transform(sequence(1, {_ULM_MAXLEN}), "
+                f"pos -> {_ULM_K_SPARK})"
+            ),
+        )
+        .select(
+            "w",
+            "cnt",
+            F.expr(
+                f"""aggregate(
+    sequence(1, {_ULM_MAXLEN}),
+    named_struct('pos', CAST(wlen AS INT),
+                 'ps', CAST(array() AS array<string>)),
+    (acc, st) -> IF(acc.pos <= 0, acc,
+        named_struct(
+            'pos', acc.pos - element_at(karr, acc.pos),
+            'ps', concat(acc.ps, array(substring(
+                w,
+                acc.pos - element_at(karr, acc.pos) + 1,
+                element_at(karr, acc.pos)))))),
+    acc -> acc.ps)"""
+            ).alias("ps"),
+        )
+    )
+    return tb
+
+
+_ULM_TB_SQL = f"""), tb AS (
     SELECT w, cnt, sf, {_ULM_BARR} AS barr,
            wlen AS pos, CAST([] AS VARCHAR[]) AS ps
     FROM dp
@@ -3193,7 +3236,16 @@ _ULM_BARR = "[" + ", ".join(f"b{i}" for i in range(_ULM_MAXLEN + 1)) + "]"
 ), m AS (
     SELECT piece, CAST(sum(cnt) AS BIGINT) AS used_cnt
     FROM chosen GROUP BY piece
-), mt AS (
+)"""
+
+
+@register(
+    "unigram_lm_em_round",
+    ids="tokenizer: unigram-LM EM round — Viterbi E-step with exact "
+    "integer traceback, count M-step, re-estimated top-20 piece table",
+    oracle=_ULM_BASE_SQL
+    + _ULM_TB_SQL
+    + f""", mt AS (
     SELECT CAST(sum(used_cnt) AS BIGINT) AS t FROM m
 )
 SELECT m.piece, m.used_cnt,
@@ -3229,40 +3281,8 @@ def unigram_lm_em_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is exactly how a full EM loop would iterate at 100 TB: the
     corpus is scanned once for word counts, every E/M round after
     that touches only the Zipf-bounded vocabulary."""
-    toks, dp = _ulm_dp_frame(spark, sf_dir)
-    # the k decision depends only on the position, so it is hoisted
-    # out of the fold into ONE per-position array (kept the plan off
-    # the 3x-inlined-CASE codegen cliff: 70s -> interactive)
-    tb = (
-        dp.withColumn(
-            "barr", F.array(*[f"b{i}" for i in range(_ULM_MAXLEN + 1)])
-        )
-        .withColumn(
-            "karr",
-            F.expr(
-                f"transform(sequence(1, {_ULM_MAXLEN}), "
-                f"pos -> {_ULM_K_SPARK})"
-            ),
-        )
-        .select(
-            "w",
-            "cnt",
-            F.expr(
-                f"""aggregate(
-    sequence(1, {_ULM_MAXLEN}),
-    named_struct('pos', CAST(wlen AS INT),
-                 'ps', CAST(array() AS array<string>)),
-    (acc, st) -> IF(acc.pos <= 0, acc,
-        named_struct(
-            'pos', acc.pos - element_at(karr, acc.pos),
-            'ps', concat(acc.ps, array(substring(
-                w,
-                acc.pos - element_at(karr, acc.pos) + 1,
-                element_at(karr, acc.pos)))))),
-    acc -> acc.ps)"""
-            ).alias("ps"),
-        )
-    )
+    toks, _pc, dp = _ulm_dp_frame(spark, sf_dir)
+    tb = _ulm_traceback_pieces(dp)
     chosen = tb.select(
         "cnt", F.explode("ps").alias("piece")
     )
@@ -3277,4 +3297,186 @@ def unigram_lm_em_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("used_cnt"), "piece")
         .limit(20)
+    )
+
+
+def _ulm_dp2_sql() -> str:
+    """Round-2 DP chain for the DuckDB side: identical construction to
+    the base ``dp`` but joined against the re-estimated ``s2`` score
+    table (pruned pieces simply have no row, so their slots take the
+    sentinel)."""
+    return f""", dp2 AS (
+    SELECT w, cnt, wlen,
+           {_ulm_dp_steps(lambda l, i: f"{l}[{i}]")}
+    FROM (
+        SELECT w, cnt, wlen,
+               [coalesce(list_max([pr.s FOR pr IN pairs
+                                   IF pr.slot = n]),
+                         CAST({_ULM_SENTINEL} AS BIGINT))
+                FOR n IN range(1, {_ULM_MAXLEN * _ULM_MAXPIECE + 1})] AS sf
+        FROM (
+            SELECT pc.w, any_value(pc.cnt) AS cnt,
+                   CAST(any_value(length(pc.w)) AS BIGINT) AS wlen,
+                   list({{'slot': (pc.i0 + pc.k - 2) * {_ULM_MAXPIECE}
+                          + pc.k, 's': s2.s}}) AS pairs
+            FROM pc JOIN s2 ON s2.p = pc.p
+            GROUP BY pc.w))
+)"""
+
+
+@register(
+    "unigram_lm_round2_census",
+    ids="tokenizer: unigram-LM training iteration 2 — prune unused "
+    "pieces after the EM round, re-segment the vocabulary under the "
+    "re-estimated model, census with model-size delta",
+    oracle=_ULM_BASE_SQL
+    + _ULM_TB_SQL
+    + f""", chars AS (
+    SELECT CAST(count(DISTINCT p) AS BIGINT) AS c FROM pc WHERE k = 1
+), t2 AS (
+    SELECT CAST(sum(used_cnt) AS BIGINT) AS t FROM m
+), allp AS (
+    SELECT DISTINCT p FROM pc
+), s2 AS (
+    SELECT allp.p,
+           CAST(floor(ln((coalesce(m.used_cnt, 0)
+                          + CASE WHEN length(allp.p) = 1
+                                 THEN 1 ELSE 0 END)
+                         / CAST(t2.t + chars.c AS DOUBLE))
+                      * 1000000 + 0.5) AS BIGINT) AS s
+    FROM allp LEFT JOIN m ON m.piece = allp.p, t2, chars
+    WHERE m.piece IS NOT NULL OR length(allp.p) = 1
+)"""
+    + _ulm_dp2_sql()
+    + f""", seg2 AS (
+    SELECT w, cnt, wlen,
+           (bfin + ((- bfin) % 16)) // 16 AS best_s,
+           (- bfin) % 16 AS best_p
+    FROM dp2
+)
+SELECT CAST(wlen AS INTEGER) AS len_group,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(cnt) AS BIGINT) AS corpus_cnt,
+       CAST(sum(cnt * best_p) AS BIGINT) AS sum_pieces_weighted,
+       CAST(sum(cnt * best_s) AS BIGINT) AS sum_score_weighted
+FROM seg2 GROUP BY wlen
+UNION ALL
+SELECT -1, CAST(count(*) AS BIGINT), CAST(coalesce(sum(cnt), 0) AS BIGINT),
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+FROM words WHERE length(w) > {_ULM_MAXLEN}
+UNION ALL
+SELECT -2,
+       (SELECT CAST(count(*) AS BIGINT) FROM s2),
+       (SELECT CAST(count(*) AS BIGINT) FROM allp)
+           - (SELECT CAST(count(*) AS BIGINT) FROM s2),
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+ORDER BY len_group
+""",
+)
+def unigram_lm_round2_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Unigram-LM TRAINING ITERATION 2 — the step that makes the EM
+    round a LOOP (SentencePiece's actual training cycle: E-step →
+    M-step → prune → re-segment): pieces the round-1 Viterbi never
+    used are PRUNED from the model (single characters always survive,
+    with add-one mass, so every word stays segmentable — exactly
+    SentencePiece's required-character floor), the survivors take
+    their re-estimated count-based scores, and the whole vocabulary
+    is re-segmented by a second exact-integer Viterbi DP under the
+    new model.  Readout: the round-2 segmentation census (same shape
+    as ``unigram_lm_viterbi_census`` for direct round-over-round
+    comparison) plus a ``len_group = −2`` row carrying (model pieces
+    kept, pieces pruned).
+
+    Scale shape: the round-1 chain plus one vocabulary-bounded score
+    re-estimation and one more fixed-depth DP — per-iteration cost at
+    100 TB is vocabulary-sized, never corpus-sized; the corpus is
+    scanned exactly once for word counts no matter how many EM rounds
+    run."""
+    toks, pc, dp = _ulm_dp_frame(spark, sf_dir)
+    tb = _ulm_traceback_pieces(dp)
+    m = (
+        tb.select("cnt", F.explode("ps").alias("p"))
+        .groupBy("p")
+        .agg(F.sum("cnt").alias("used_cnt"))
+    )
+    m = m.localCheckpoint()  # model table: scores + t2
+    chars = (
+        pc.where(F.col("k") == 1)
+        .agg(F.count_distinct("p").alias("c"))
+    )
+    t2 = m.agg(F.sum("used_cnt").alias("t"))
+    allp = pc.select("p").distinct()
+    allp = allp.localCheckpoint()  # piece inventory: s2 + prune count
+    s2 = (
+        allp.join(m, "p", "left")
+        .crossJoin(F.broadcast(t2))
+        .crossJoin(F.broadcast(chars))
+        .where(
+            F.col("used_cnt").isNotNull() | (F.length("p") == 1)
+        )
+        .select(
+            "p",
+            F.floor(
+                F.log(
+                    (
+                        F.coalesce("used_cnt", F.lit(0))
+                        + F.when(F.length("p") == 1, F.lit(1)).otherwise(
+                            F.lit(0)
+                        )
+                    )
+                    / (F.col("t") + F.col("c")).cast("double")
+                )
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("s"),
+        )
+    )
+    s2 = s2.localCheckpoint()  # kept-model table: dp2 + kept count
+    dp2 = _ulm_dp_from_scores(pc, s2)
+    seg2 = dp2.select(
+        "cnt",
+        "wlen",
+        F.expr("(bfin + ((- bfin) % 16)) div 16").alias("best_s"),
+        F.expr("(- bfin) % 16").alias("best_p"),
+    )
+    census = seg2.groupBy(
+        F.col("wlen").cast("int").alias("len_group")
+    ).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("cnt").alias("corpus_cnt"),
+        F.sum(F.col("cnt") * F.col("best_p")).alias(
+            "sum_pieces_weighted"
+        ),
+        F.sum(F.col("cnt") * F.col("best_s")).alias(
+            "sum_score_weighted"
+        ),
+    )
+    longrow = toks.where(F.length("w") > _ULM_MAXLEN).agg(
+        F.lit(-1).cast("int").alias("len_group"),
+        F.count(F.lit(1)).alias("n_words"),
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("corpus_cnt"),
+        F.lit(0).cast("long").alias("sum_pieces_weighted"),
+        F.lit(0).cast("long").alias("sum_score_weighted"),
+    )
+    modelrow = (
+        s2.agg(F.count(F.lit(1)).alias("kept"))
+        .crossJoin(
+            F.broadcast(allp.agg(F.count(F.lit(1)).alias("np")))
+        )
+        .select(
+            F.lit(-2).cast("int").alias("len_group"),
+            F.col("kept").alias("n_words"),
+            (F.col("np") - F.col("kept")).alias("corpus_cnt"),
+            F.lit(0).cast("long").alias("sum_pieces_weighted"),
+            F.lit(0).cast("long").alias("sum_score_weighted"),
+        )
+    )
+    return (
+        census.unionByName(longrow)
+        .unionByName(modelrow)
+        .orderBy("len_group")
     )
