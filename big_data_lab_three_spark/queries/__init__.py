@@ -100,34 +100,15 @@ def register(name: str, ids: str = "", oracle: str | None = None):
 # reshuffle needed.  This is presentation only: every entry remains
 # registered and locally gated either way.
 _FORCE_FRONT: tuple[str, ...] = (
-    # r12 plan changes — re-verify even though green rows exist.
-    # BPE family: the DuckDB oracle's run-parity merge-site selection now
-    # groups candidate runs by a DENSE span index (row_number over
-    # surviving spans) instead of raw position (ADVICE r11 — from round 2
-    # onward span positions have gaps, so a self-pair run over >=3
-    # consecutive copies split into separate groups and the oracle
-    # dropped symbols).  Spark side unchanged; oracle text changed.
-    "bpe_train_merges",
-    "bpe_segment_census",
-    "bpe_fertility_by_lang",
-    "byte_fallback_census",
-    # admission streams: read_index_before now lists committed
-    # (_SUCCESS-marked) strictly-earlier partitions explicitly instead
-    # of filtering a whole-directory read (ADVICE r11 — a torn FIRST
-    # batch made whole-directory schema inference fail on retry).
-    "streaming_minhash_admission",
-    "streaming_minhash_admission_et",
-    "streaming_admission_ttl",
-    # DECIMAL(12,2) sum instead of double sum (ADVICE r11 ULP margin);
-    # cohort ids routed through the fail-loud _cohort_id guard.
-    "parquet_schema_evolution",
-    # centroid counts now scale with the corpus (r11 verdict item 5):
-    # outputs unchanged at driver tiers (formula gives the historical
-    # k=8 below 2048 vectors) but the registered plans gained the
-    # bounded count job and the adaptive cents filter.
-    "semdedup_prune",
-    "semdedup_cell_census",
-    "kmeans_lloyd_census",
+    # r13 plan changes — re-verify even though green rows exist.
+    # kn_trigram_perplexity: per-language mean/worst now average
+    # micro-quantized per-doc BIGINTs instead of 4-dp doubles (ADVICE
+    # r12 — cross-document double averaging is summation-order-dependent
+    # and can last-ULP-flip the 4th decimal between engines).
+    "kn_trigram_perplexity",
+    # (The 11 r12 plan changes — BPE four, admission three,
+    # schema-evolution, centroid three — are all green in
+    # CORRECTNESS_r12.json and were removed per the tuple's contract.)
 )
 
 _DRIVER_ROTATION: tuple[str, ...] = (
@@ -197,25 +178,26 @@ _DRIVER_ROTATION: tuple[str, ...] = (
 )
 
 
-def _driver_verified() -> frozenset[str]:
-    """Names with a passing row in any driver ``CORRECTNESS_r*.json``
-    at the repo root.  A row passes when its row count matched and no
-    error was recorded (``hash_match`` may be absent for rows-only
-    checks).  Missing/unreadable records degrade to the empty set —
-    ordering then falls back to FORCE + rotation + registration."""
+def _evidence_rounds() -> dict[str, int]:
+    """Per-name LATEST driver evidence: the highest round whose
+    ``CORRECTNESS_r*.json`` row passed, or -1 when the latest recorded
+    row is a failure (row-count mismatch, schema/hash False, or error).
+    A later failure overwrites an earlier pass — the regressed query
+    must re-enter the driver re-verify prefix.  Missing/unreadable
+    records degrade to the empty dict — ordering then falls back to
+    FORCE + rotation + registration."""
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
-    # LATEST round wins per name: an old green row must not mask a later
-    # recorded failure (the regressed query has to re-enter the driver
-    # re-verify prefix), so verdicts are collected in round order and
-    # overwritten.
-    verdict: dict[str, bool] = {}
+    rounds: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 rec = json.load(f)
@@ -226,7 +208,7 @@ def _driver_verified() -> frozenset[str]:
         for name, row in rec.items():
             if not isinstance(row, dict):
                 continue
-            verdict[name] = bool(
+            good = bool(
                 row.get("rows_match")
                 # schema/hash may be absent on rows-only checks, but a
                 # recorded False means the evidence is a FAILURE — such
@@ -235,24 +217,42 @@ def _driver_verified() -> frozenset[str]:
                 and row.get("hash_match") is not False
                 and not row.get("err")
             )
-    return frozenset(n for n, good in verdict.items() if good)
+            rounds[name] = rnd if good else -1
+    return rounds
+
+
+def _driver_verified() -> frozenset[str]:
+    """Names whose LATEST driver ``CORRECTNESS_r*.json`` row passed."""
+    return frozenset(
+        n for n, rnd in _evidence_rounds().items() if rnd >= 0
+    )
 
 
 def load_all() -> dict[str, Query]:
     """Import all query modules (idempotent) and return the registry,
     reordered so stale-evidence and never-driver-verified queries come
-    first (see the ordering contract above ``_FORCE_FRONT``)."""
+    first (see the ordering contract above ``_FORCE_FRONT``).  Within
+    the all-verified tail, names sort oldest-driver-evidence-first so
+    the driver's 50-name prefix re-freshens the stalest records each
+    round instead of re-proving the same first-50 registration-order
+    names forever (r12 verdict item 3); registration order breaks ties
+    (Python sort is stable)."""
     for mod in _MODULES:
         try:
             importlib.import_module(mod)
         except ModuleNotFoundError:
             pass  # module not built yet (incremental rounds)
-    verified = _driver_verified()
+    evidence = _evidence_rounds()
+    verified = frozenset(n for n, rnd in evidence.items() if rnd >= 0)
     order: list[str] = [n for n in _FORCE_FRONT if n in REGISTRY]
+    verified_tail = sorted(
+        (n for n in REGISTRY if n in verified),
+        key=lambda n: evidence[n],
+    )
     for tier in (
         (n for n in _DRIVER_ROTATION if n not in verified),
         (n for n in REGISTRY if n not in verified),
-        REGISTRY,
+        verified_tail,
     ):
         for n in tier:
             if n in REGISTRY and n not in order:

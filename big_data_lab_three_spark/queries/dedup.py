@@ -585,18 +585,22 @@ def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes, and the band join prunes to colliding buckets)."""
     d = table(spark, sf_dir, "documents")
     corpus = d.select("doc_id", "text")
+    # ADVICE r12: batch ids route through the fail-loud _seed_id guard
+    # (k=5 → the same +5_000_000 offset, outputs unchanged) instead of
+    # a raw add — a silent source-id/batch-id collision would corrupt
+    # the id_a/id_b side split below while both engines stay hash-green.
     batch = (
         d.where(F.col("doc_id") % 4 == 0)
-        .select((F.col("doc_id") + 5000000).alias("doc_id"), "text")
+        .select(_seed_id(F.col("doc_id"), k=5).alias("doc_id"), "text")
         .unionByName(
             d.where(F.col("doc_id") % 4 == 1).select(
-                (F.col("doc_id") + 5000000).alias("doc_id"),
+                _seed_id(F.col("doc_id"), k=5).alias("doc_id"),
                 F.concat(F.col("text"), F.lit(" zz qq")).alias("text"),
             )
         )
         .unionByName(
             d.where(F.col("doc_id") % 4 == 2).select(
-                (F.col("doc_id") + 5000000).alias("doc_id"),
+                _seed_id(F.col("doc_id"), k=5).alias("doc_id"),
                 F.concat(
                     F.lit("fresh doc "),
                     F.col("doc_id"),

@@ -1281,11 +1281,14 @@ def repeated_span_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation — the shuffle carries (16-byte digest, id) rows, never
     text windows; the census aggregate is histogram-sized."""
     from big_data_lab_three_spark.functions.text import shingles, tokens
+    from big_data_lab_three_spark.queries.dedup import _seed_id
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # ADVICE r12: seed ids route through the fail-loud _seed_id guard
+    # (k=5 → the same +5_000_000 offset, outputs unchanged).
     seeded = d.unionByName(
         d.where(F.col("doc_id") % 13 == 0).select(
-            (F.col("doc_id") + 5000000).alias("doc_id"), "text"
+            _seed_id(F.col("doc_id"), k=5).alias("doc_id"), "text"
         )
     )
     spans = seeded.select(

@@ -10,6 +10,7 @@ from big_data_lab_three_spark.queries import (
     _FORCE_FRONT,
     REGISTRY,
     _driver_verified,
+    _evidence_rounds,
     load_all,
 )
 
@@ -92,6 +93,25 @@ def test_unverified_names_respect_module_import_order():
     assert indices == sorted(indices), (
         "never-verified names out of module import order: "
         f"{[n for n, a, b in zip(unverified, indices, sorted(indices)) if a != b]}"
+    )
+
+
+def test_verified_tail_rotates_by_evidence_age():
+    """r12 verdict item 3: within the all-verified tail, names must
+    sort oldest-driver-evidence-first so the driver's 50-name prefix
+    refreshes the stalest CORRECTNESS records each round rather than
+    re-proving the same registration-order first-50 forever."""
+    evidence = _evidence_rounds()
+    verified = _driver_verified()
+    tail = [
+        n
+        for n in load_all()
+        if n not in _FORCE_FRONT and n in verified
+    ]
+    ages = [evidence[n] for n in tail]
+    assert ages == sorted(ages), (
+        "verified tail not ordered oldest-evidence-first: "
+        f"{[n for n, a, b in zip(tail, ages, sorted(ages)) if a != b][:5]}"
     )
 
 

@@ -153,17 +153,22 @@ def test_runtime_stays_sublinear_one_more_decade(spark, name):
 
 def test_cell_count_bounds_expected_cell_size():
     """For any corpus size, the adaptive centroid formulas keep the
-    EXPECTED cell at/below the target — the property that makes the
-    per-cell GEMM / inverted-list scan scale-free."""
+    EXPECTED cell at/below the target until the hard cap, and stay
+    AT the cap beyond it (ADVICE r12: an uncapped count makes the
+    centroid broadcast and the n×k assignment grow with the corpus) —
+    the property pair that keeps assignment linear with a bounded
+    broadcast at every scale."""
     import math
 
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
     from big_data_lab_three_spark.operators.similarity import (
+        _MAX_CELLS,
         adaptive_nlist,
     )
     from big_data_lab_three_spark.queries.corpus import (
+        _CELL_MAX,
         _CELL_TARGET,
         _n_cells,
     )
@@ -171,12 +176,14 @@ def test_cell_count_bounds_expected_cell_size():
     @settings(max_examples=200, deadline=None)
     @given(st.integers(min_value=1, max_value=10**13))
     def check(n):
-        for cells, floor, target in (
-            (_n_cells(n), 8, _CELL_TARGET),
-            (adaptive_nlist(n), 16, 256),
+        for cells, floor, target, cap in (
+            (_n_cells(n), 8, _CELL_TARGET, _CELL_MAX),
+            (adaptive_nlist(n), 16, 256, _MAX_CELLS),
         ):
-            assert cells >= floor
-            if n > floor * target:  # above the floor regime
+            assert floor <= cells <= cap
+            if n > cap * target:  # capped regime: count pinned at cap
+                assert cells == cap
+            elif n > floor * target:  # scaling regime: cell <= target
                 assert math.ceil(n / cells) <= target
             else:  # floor regime: cell size still <= floor*target/floor
                 assert n / cells <= target * floor

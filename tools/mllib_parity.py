@@ -135,7 +135,12 @@ def kmeans_parity(spark: SparkSession, sf_dir: str) -> dict:
         "k": k,
         "cost_ours": round(cost_ours, 6),
         "cost_mllib": round(cost_lib, 6),
-        "cost_ratio": round(cost_ours / cost_lib, 4) if cost_lib else None,
+        # ADVICE r12: a zero library cost with nonzero ours must FAIL
+        # the parity bound readably, not slip past as None (TypeError in
+        # the test) — inf trips `<= 1.10` with the dict in the message.
+        "cost_ratio": round(cost_ours / cost_lib, 4)
+        if cost_lib
+        else (1.0 if not cost_ours else float("inf")),
         "sec_ours": round(t_ours, 2),
         "sec_mllib": round(t_lib, 2),
     }
