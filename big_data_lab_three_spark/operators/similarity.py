@@ -32,6 +32,7 @@ __all__ = [
     "brute_force_topk",
     "cosine_score_pairs",
     "hyperplane_keys",
+    "imi_topk",
     "ivf_topk",
     "ivfpq_topk",
     "lsh_bucketed_topk",
@@ -874,6 +875,128 @@ def ivfpq_topk(
     pairs = top_cand.join(c, "neighbor_id").join(F.broadcast(q), "query_id")
     scored = cosine_score_pairs(
         pairs, "qvec", "cvec", ["query_id", "neighbor_id"]
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _imi_keys(
+    df: DataFrame,
+    books,
+    nprobe: int,
+    vec_col: str,
+    out: str = "cell",
+) -> DataFrame:
+    """Assign each vector to its ``nprobe × nprobe`` nearest JOINT
+    cells of the inverted multi-index: the vector is L2-normalized,
+    split into two halves, each half ranked against its own codebook
+    by Euclidean distance, and the joint key is
+    ``c1 · ksub + c2`` over the top-``nprobe`` cells per half.  One
+    matmul-sized op per Arrow batch per half; ``nprobe=1`` is the
+    corpus-side assignment (one row per vector)."""
+    b_rows = [[list(map(float, c)) for c in book] for book in books]
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out, T.IntegerType(), False)]
+    )
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as np
+
+        b0 = np.asarray(b_rows[0], dtype=np.float64)  # (ksub, d/2)
+        b1 = np.asarray(b_rows[1], dtype=np.float64)
+        ksub = len(b0)
+        dh = b0.shape[1]
+        for b in batches:
+            if len(b) == 0:
+                continue
+            v = _stack(b[vec_col])
+            v = v / np.maximum(
+                np.linalg.norm(v, axis=1, keepdims=True), 1e-12
+            )
+            h0, h1 = v[:, :dh], v[:, dh:]
+            d0 = ((h0[:, None, :] - b0[None]) ** 2).sum(axis=2)
+            d1 = ((h1[:, None, :] - b1[None]) ** 2).sum(axis=2)
+            t0 = np.argsort(d0, axis=1)[:, :nprobe]  # deterministic
+            t1 = np.argsort(d1, axis=1)[:, :nprobe]
+            for i in range(nprobe):
+                for j in range(nprobe):
+                    o = b.copy()
+                    o[out] = (t0[:, i] * ksub + t1[:, j]).astype("int32")
+                    yield o
+
+    return df.mapInPandas(run, schema)
+
+
+def imi_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    ksub: int = 16,
+    nprobe: int = 2,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+    max_iter: int = 8,
+) -> DataFrame:
+    """Inverted MULTI-INDEX ANN (Babenko & Lempitsky 2012, the IMI in
+    FAISS's ``IndexIVF`` family) — the scale path PAST the flat-IVF
+    cell cap this module documents at ``adaptive_nlist``: two
+    independent codebooks of ``ksub`` centroids over the two vector
+    HALVES span ``ksub²`` effective cells from only ``2 · ksub``
+    centroid rows, so a billion-vector corpus can hold ~expected-256
+    inverted lists (ksub = 65k → 4.3B cells) while the broadcast
+    codebooks and the per-vector assignment cost stay
+    corpus-independent — the property flat IVF loses at ``_MAX_CELLS``.
+
+    1. Train the two half-space codebooks with driver-side per-
+       subspace Lloyd's (``_train_pq_books`` with m=2 — IMI training
+       IS PQ training at m=2) on the content-keyed bounded sample.
+    2. Assign every corpus vector to its single nearest joint cell
+       ``(argmin₁, argmin₂)``; queries probe their ``nprobe`` nearest
+       cells PER HALF (``nprobe²`` joint cells — the recall knob).
+    3. Candidates from the joint-cell equi-join, exact cosine rescore
+       + rank — identical contract to ``ivf_topk``: approximation
+       touches only the candidate set, never reported scores.
+
+    Exact-duplicate guarantee (what ``similarity_imi_recall`` pins):
+    an identical vector produces identical half-distances, hence the
+    same argmin cells as its target on both halves, so the target's
+    joint cell is always among the probe's cells at any ``nprobe``."""
+    cap = min(max(2 * ksub * 10_000, 100_000), _TRAIN_SAMPLE_MAX)
+    sample = _content_keyed_sample(
+        corpus.select(
+            F.col(id_col).alias("_i"), F.col(vec_col).alias("_v")
+        ),
+        cap,
+        seed,
+    )
+    books = _train_pq_books(sample, 2, ksub, seed, max_iter)
+
+    cb = _imi_keys(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        ),
+        books, nprobe=1, vec_col="cvec",
+    )
+    qb = _imi_keys(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        ),
+        books, nprobe=nprobe, vec_col="qvec",
+    )
+    candidates = (
+        cb.join(F.broadcast(qb), on="cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qvec", "cvec")
+        .distinct()  # nprobe² probes can revisit a joint cell's pair
+    )
+    scored = cosine_score_pairs(
+        candidates, "qvec", "cvec", ["query_id", "neighbor_id"]
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")

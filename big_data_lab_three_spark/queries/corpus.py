@@ -3883,3 +3883,438 @@ def unigram_lm_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     for extra in rows[1:]:
         out = out.unionByName(extra)
     return out.orderBy("round")
+
+
+# ---------------------------------------------------------------------
+# fastText-style quality classifier (r12 verdict item 6)
+# ---------------------------------------------------------------------
+
+# Seeded spam markers appended (at ~85% rate) to the 'bad' cohort —
+# the same build-the-fixture-in-query convention as _NB_MARKERS: the
+# classifier has a real signal to recover, and the ~15% markerless
+# bad docs keep honest false negatives in the held-out confusion.
+_QC_MARKER = " click free winner prize cheap"
+
+
+@register(
+    "quality_classifier_census",
+    ids="curation: fastText-style linear quality classifier — binary "
+    "NB-weighted linear score trained on seeded good/bad cohorts "
+    "(md5-80% fold), whole-corpus keep/drop census per source with "
+    "held-out confusion (the CCNet/fastText curation stage)",
+    oracle=f"""
+WITH d AS (
+    SELECT doc_id, source,
+           CASE WHEN CAST(('0x' || substr(md5(
+                    'qc:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                    % 10 < 3 THEN 'bad' ELSE 'good' END AS cohort,
+           list_filter(regexp_split_to_array(
+               text || CASE WHEN CAST(('0x' || substr(md5(
+                   'qc:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                   % 10 < 3
+                   AND CAST(('0x' || substr(md5(
+                   'qcm:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                   % 100 < 85
+                   THEN '{_QC_MARKER}' ELSE '' END, '\\s+'),
+               x -> x != '') AS toks,
+           CAST(('0x' || substr(md5('qcf:' || CAST(doc_id AS VARCHAR)),
+                                1, 15)) AS BIGINT) % 5 AS fold
+    FROM documents
+), dd AS (
+    SELECT * FROM d WHERE len(toks) > 0
+), tr AS (
+    SELECT * FROM dd WHERE fold != 0
+), pri AS (
+    SELECT cohort AS cand, CAST(count(*) AS BIGINT) AS nc
+    FROM tr GROUP BY cohort
+), tot AS (
+    SELECT CAST(sum(nc) AS BIGINT) AS n FROM pri
+), trt AS (
+    SELECT cohort AS cand, tok
+    FROM (SELECT cohort, unnest(toks) AS tok FROM tr)
+), vsz AS (
+    SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM trt
+), cb AS (
+    SELECT cand, tok, CAST(count(*) AS BIGINT) AS cnt
+    FROM trt GROUP BY cand, tok
+), cw AS (
+    SELECT cand, tok,
+           CAST(floor(ln(cnt + 1) * 1000000 + 0.5) AS BIGINT) AS w
+    FROM cb
+), dm AS (
+    SELECT tc.cand,
+           CAST(floor(ln(tc.t + vsz.v) * 1000000 + 0.5) AS BIGINT) AS wd,
+           CAST(floor(ln(pri.nc / CAST(tot.n AS DOUBLE))
+                      * 1000000 + 0.5) AS BIGINT) AS w0
+    FROM (SELECT cand, CAST(sum(cnt) AS BIGINT) AS t
+          FROM cb GROUP BY cand) tc
+    JOIN pri ON pri.cand = tc.cand, vsz, tot
+), tet AS (
+    SELECT doc_id, tok
+    FROM (SELECT doc_id, unnest(toks) AS tok FROM dd)
+), hs AS (
+    SELECT tet.doc_id, cw.cand, CAST(sum(cw.w) AS BIGINT) AS s1
+    FROM tet JOIN cw ON cw.tok = tet.tok
+    GROUP BY tet.doc_id, cw.cand
+), sc AS (
+    SELECT g.doc_id, g.source, g.cohort, g.fold, g.cand,
+           coalesce(hs.s1, 0) - g.nt * dm.wd + dm.w0 AS score
+    FROM (SELECT dd.doc_id, dd.source, dd.cohort, dd.fold,
+                 CAST(len(dd.toks) AS BIGINT) AS nt, pri.cand
+          FROM dd CROSS JOIN pri) g
+    LEFT JOIN hs ON hs.doc_id = g.doc_id AND hs.cand = g.cand
+    JOIN dm ON dm.cand = g.cand
+), best AS (
+    SELECT doc_id, source, cohort, fold, cand AS predicted FROM (
+        SELECT doc_id, source, cohort, fold, cand,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, cand ASC
+               ) AS rn
+        FROM sc) WHERE rn = 1
+)
+SELECT source, cohort, predicted,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN fold = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_heldout,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+FROM best GROUP BY source, cohort, predicted
+ORDER BY source, cohort, predicted
+""",
+)
+def quality_classifier_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """fastText-STYLE QUALITY CLASSIFIER — the remaining standard
+    curation stage beside the Gopher rule funnel
+    (``quality_filter_funnel``) and the CCNet perplexity buckets
+    (``ccnet_perplexity_buckets``): CCNet/LLaMA-style pipelines train
+    a linear text classifier on seeded good/bad cohorts and
+    keep-or-drop the whole corpus on its score (r12 verdict item 6).
+
+    The classifier is the closed-form NB-weighted linear score the
+    ``nb_lang_confusion`` machinery provides (binary multinomial NB
+    IS a linear classifier over bag-of-token counts — the same model
+    family fastText's single-layer softmax converges to on sparse
+    counts, trained in one pass instead of SGD epochs): sparse
+    per-(cohort, token) counts from the md5-80% train fold, exact
+    integer score decomposition (hit weights − N·denominator +
+    prior), argmax with (score DESC, cohort ASC) tie order.  No
+    feature hashing for the same measured reason as
+    ``nb_lang_confusion`` — rare markers must keep their identity.
+
+    The WHOLE corpus is then scored (filter decisions are what the
+    pipeline ships; train docs included, as production classifiers
+    do), censused per (source, actual cohort, predicted), with a
+    held-out count per cell so the honest confusion (15% of bad docs
+    carry no marker and mostly land as false negatives) is readable
+    from the same table.
+
+    Scale shape: training is one token scan into a (token-types × 2)
+    sparse parameter table; scoring joins corpus tokens KEYED ON THE
+    TOKEN (zero contributions never materialize), adds the bounded
+    (doc × 2) denominator/prior grid, argmaxes with one groupBy — no
+    corpus window, no dense grid (the ``nb_lang_confusion`` plan with
+    2 classes and a whole-corpus test side)."""
+    hash_mod = lambda salt, mod: (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .__mod__(mod)
+    )
+    is_bad = hash_mod("qc:", 10) < 3
+    marked = hash_mod("qcm:", 100) < 85
+    marker = F.when(is_bad & marked, F.lit(_QC_MARKER)).otherwise(
+        F.lit("")
+    )
+    dd = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.when(is_bad, F.lit("bad"))
+            .otherwise(F.lit("good"))
+            .alias("cohort"),
+            tokens(F.concat("text", marker)).alias("toks"),
+            hash_mod("qcf:", 5).alias("fold"),
+        )
+        .where(F.size("toks") > 0)
+    )
+    tr = dd.where(F.col("fold") != 0)
+
+    pri = tr.groupBy(F.col("cohort").alias("cand")).agg(
+        F.count(F.lit(1)).alias("nc")
+    )
+    pri = pri.localCheckpoint()  # 2-row class table, reused 3×
+    tot = pri.agg(F.sum("nc").alias("n"))
+    trt = tr.select(
+        F.col("cohort").alias("cand"), F.explode("toks").alias("tok")
+    )
+    cb = trt.groupBy("cand", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    cb = cb.localCheckpoint()  # sparse params, feed cw + per-class totals
+    vsz = trt.agg(F.count_distinct("tok").alias("v"))
+    micro = lambda col: F.floor(col * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    cw = cb.select(
+        "cand", "tok", micro(F.log(F.col("cnt") + F.lit(1))).alias("w")
+    )
+    dm = (
+        cb.groupBy("cand")
+        .agg(F.sum("cnt").alias("t"))
+        .join(pri, "cand")
+        .crossJoin(F.broadcast(vsz))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cand",
+            micro(F.log(F.col("t") + F.col("v"))).alias("wd"),
+            micro(
+                F.log(F.col("nc") / F.col("n").cast("double"))
+            ).alias("w0"),
+        )
+    )
+    tet = dd.select("doc_id", F.explode("toks").alias("tok"))
+    hs = (
+        tet.join(cw, "tok")
+        .groupBy("doc_id", "cand")
+        .agg(F.sum("w").alias("s1"))
+    )
+    grid = dd.select(
+        "doc_id",
+        "source",
+        "cohort",
+        "fold",
+        F.size("toks").cast("long").alias("nt"),
+    ).crossJoin(F.broadcast(pri.select("cand")))
+    sc = (
+        grid.join(hs, ["doc_id", "cand"], "left")
+        .join(F.broadcast(dm), "cand")
+        .select(
+            "doc_id",
+            "source",
+            "cohort",
+            "fold",
+            "cand",
+            (
+                F.coalesce("s1", F.lit(0))
+                - F.col("nt") * F.col("wd")
+                + F.col("w0")
+            ).alias("score"),
+        )
+    )
+    # argmax(score DESC, cand ASC) without a corpus window: pack the
+    # exact-integer score with the candidate's order in one struct max
+    # (the nb_lang_confusion convention; 'bad' < 'good' so ASC order
+    # means ties pick 'bad' — encode as max over (score, negord)).
+    best = (
+        sc.withColumn(
+            "ord",
+            F.when(F.col("cand") == "bad", F.lit(1)).otherwise(F.lit(0)),
+        )
+        .groupBy("doc_id", "source", "cohort", "fold")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("score").alias("score"),
+                    F.col("ord").alias("ord"),
+                    F.col("cand").alias("cand"),
+                )
+            ).alias("b")
+        )
+        .select("doc_id", "source", "cohort", "fold", F.col("b.cand").alias("predicted"))
+    )
+    return (
+        best.groupBy("source", "cohort", "predicted")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("fold") == 0).cast("int"))
+            .cast("long")
+            .alias("n_heldout"),
+            F.sum("doc_id").alias("sum_doc_id"),
+        )
+        .orderBy("source", "cohort", "predicted")
+    )
+
+
+# ---------------------------------------------------------------------
+# Corpus-level unigram-LM APPLY (the trained-model sibling of
+# bpe_corpus_apply_census)
+# ---------------------------------------------------------------------
+
+_ULM_S2_SQL = f""", chars AS (
+    SELECT CAST(count(DISTINCT p) AS BIGINT) AS c FROM pc WHERE k = 1
+), t2 AS (
+    SELECT CAST(sum(used_cnt) AS BIGINT) AS t FROM m
+), allp AS (
+    SELECT DISTINCT p FROM pc
+), s2 AS (
+    SELECT allp.p,
+           CAST(floor(ln((coalesce(m.used_cnt, 0)
+                          + CASE WHEN length(allp.p) = 1
+                                 THEN 1 ELSE 0 END)
+                         / CAST(t2.t + chars.c AS DOUBLE))
+                      * 1000000 + 0.5) AS BIGINT) AS s
+    FROM allp LEFT JOIN m ON m.piece = allp.p, t2, chars
+    WHERE m.piece IS NOT NULL OR length(allp.p) = 1
+)"""
+
+
+@register(
+    "unigram_corpus_apply_census",
+    ids="tokenizer: corpus-level unigram-LM APPLY — every document's "
+    "token stream segmented under the TRAINED (post-EM, pruned) model; "
+    "per-language tokens/doc, fertility, compression — the "
+    "bpe_corpus_apply_census twin for the SentencePiece family",
+    oracle=_ULM_BASE_SQL
+    + _ULM_TB_SQL
+    + _ULM_S2_SQL
+    + _ulm_dp2_sql()
+    + f""", f AS (
+    SELECT w AS tok, (- bfin) % 16 AS np FROM dp2
+), stream AS (
+    SELECT doc_id, lang, unnest({_DUCK_TOKS}) AS tok FROM documents
+), pd AS (
+    SELECT doc_id, lang,
+           CAST(count(*) AS BIGINT) AS nt,
+           CAST(sum(f.np) AS BIGINT) AS np,
+           CAST(sum(length(stream.tok)) AS BIGINT) AS nc
+    FROM stream JOIN f USING (tok)
+    GROUP BY doc_id, lang
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS n_tokens,
+       CAST(sum(np) AS BIGINT) AS n_pieces,
+       CAST(sum(nc) AS BIGINT) AS n_chars,
+       CAST(sum(nt) * 1000000 // count(*) AS BIGINT)
+           AS tokens_per_doc_micro,
+       CAST(sum(np) * 1000000 // sum(nt) AS BIGINT) AS fertility_micro,
+       CAST(sum(np) * 1000000 // sum(nc) AS BIGINT) AS compression_micro,
+       CAST(max(np * 1000000 // nt) AS BIGINT)
+           AS worst_doc_fertility_micro
+FROM pd GROUP BY lang ORDER BY lang
+""",
+)
+def unigram_corpus_apply_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CORPUS-LEVEL unigram-LM APPLY — the trained-model sibling of
+    ``bpe_corpus_apply_census`` and the closure of the r12 verdict's
+    apply-side caveat for the SentencePiece family: after one full EM
+    round (Viterbi E-step, count M-step, prune + re-score — the
+    ``unigram_lm_round2_census`` model), every document's token
+    stream is segmented under the TRAINED model and censused per
+    language with the same schema as the BPE apply, so the two
+    tokenizer families are directly comparable on tokens/doc,
+    fertility, and compression at corpus grain.
+
+    The apply is memoized segmentation, as in the BPE twin: the
+    round-2 DP already yields each DISTINCT word's optimal piece
+    count under the trained model (packed in ``bfin``), so the corpus
+    stream joins the vocabulary-bounded (word → n_pieces) map — the
+    per-word DP never re-runs per corpus token.  (Every corpus word
+    is in the vocabulary by construction; the ``len_group = −1``
+    guard in the training censuses pins that the out-of-unroll bucket
+    stays empty at every tier.)
+
+    Scale shape: the training chain's one corpus scan + vocabulary-
+    bounded rounds, then ONE more corpus token scan joined against
+    the piece map (broadcast at driver tiers), one per-doc combiner
+    rollup, one per-language census — no corpus window, no pair
+    stage."""
+    toks, pc, dp = _ulm_dp_frame(spark, sf_dir)
+    tb = _ulm_traceback_pieces(dp)
+    m = (
+        tb.select("cnt", F.explode("ps").alias("p"))
+        .groupBy("p")
+        .agg(F.sum("cnt").alias("used_cnt"))
+        .localCheckpoint()
+    )
+    chars = pc.where(F.col("k") == 1).agg(
+        F.count_distinct("p").alias("c")
+    )
+    t2 = m.agg(F.sum("used_cnt").alias("t"))
+    allp = pc.select("p").distinct()
+    s2 = (
+        allp.join(m.withColumnRenamed("p", "piece"),
+                  F.col("p") == F.col("piece"), "left")
+        .crossJoin(F.broadcast(t2))
+        .crossJoin(F.broadcast(chars))
+        .where(F.col("used_cnt").isNotNull() | (F.length("p") == 1))
+        .select(
+            "p",
+            F.floor(
+                F.log(
+                    (
+                        F.coalesce("used_cnt", F.lit(0))
+                        + F.when(F.length("p") == 1, F.lit(1)).otherwise(
+                            F.lit(0)
+                        )
+                    )
+                    / (F.col("t") + F.col("c")).cast("double")
+                )
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("s"),
+        )
+        .localCheckpoint()
+    )
+    dp2 = _ulm_dp_from_scores(pc, s2)
+    pieces = dp2.select(
+        F.col("w").alias("tok"),
+        F.expr("(- bfin) % 16").alias("np"),
+    )
+    stream = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    pd = (
+        stream.join(F.broadcast(pieces), "tok")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("nt"),
+            F.sum("np").alias("np"),
+            F.sum(F.length("tok")).alias("nc"),
+        )
+    )
+    return (
+        pd.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+            F.sum("np").alias("n_pieces"),
+            F.sum("nc").alias("n_chars"),
+            F.max(F.expr("div(np * 1000000, nt)")).alias(
+                "worst_doc_fertility_micro"
+            ),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "n_pieces",
+            "n_chars",
+            F.expr("div(n_tokens * 1000000, n_docs)").alias(
+                "tokens_per_doc_micro"
+            ),
+            F.expr("div(n_pieces * 1000000, n_tokens)").alias(
+                "fertility_micro"
+            ),
+            F.expr("div(n_pieces * 1000000, n_chars)").alias(
+                "compression_micro"
+            ),
+            "worst_doc_fertility_micro",
+        )
+        .orderBy("lang")
+    )

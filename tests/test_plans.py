@@ -2019,3 +2019,89 @@ def test_unigram_lm_dp_is_vocab_bounded(spark, sf_dir):
         r"(?<!Broadcast)NestedLoopJoin",
         plan.replace("BroadcastNestedLoopJoin", "Broadcast_NLJ"),
     )
+
+
+def test_bpe_corpus_apply_is_keyed_join_no_window(spark, sf_dir):
+    """The corpus-level BPE apply must be one corpus token scan joined
+    against the vocabulary-bounded piece map (broadcast at test
+    tiers) plus two combiner rollups — no corpus window, no pair
+    stage, no non-broadcast nested loop."""
+    import re
+
+    df = REG["bpe_corpus_apply_census"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan, "apply census fell back to a window"
+    assert not re.search(
+        r"(?<!Broadcast)NestedLoopJoin",
+        plan.replace("BroadcastNestedLoopJoin", "Broadcast_NLJ"),
+    )
+    assert broadcast_join_count(df) >= 1, (
+        "piece map should broadcast at test tiers"
+    )
+
+
+def test_unigram_convergence_rounds_are_vocab_bounded(spark, sf_dir):
+    """Every EM round's readout must stay vocabulary-bounded: no
+    corpus window, no cartesian beyond the broadcast of 1-row model
+    census tables, no non-broadcast nested loop — the property that
+    makes per-round cost independent of corpus size."""
+    import re
+
+    df = REG["unigram_lm_convergence"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert not re.search(
+        r"(?<!Broadcast)NestedLoopJoin",
+        plan.replace("BroadcastNestedLoopJoin", "Broadcast_NLJ"),
+    )
+
+
+def test_quality_classifier_scoring_is_sparse_and_broadcast(
+    spark, sf_dir, monkeypatch
+):
+    """The quality classifier shares nb_lang_confusion's scale
+    contract: token-keyed sparse scoring, broadcast denominator/prior
+    tables, groupBy argmax — no corpus window, no dense grid."""
+    import re
+
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    monkeypatch.setattr(
+        DataFrame, "localCheckpoint", lambda self, eager=True: self
+    )
+    df = REG["quality_classifier_census"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan, "argmax fell back to a window"
+    assert not re.search(
+        r"(?<!Broadcast)NestedLoopJoin",
+        plan.replace("BroadcastNestedLoopJoin", "Broadcast_NLJ"),
+    )
+    assert broadcast_join_count(df) >= 2, (
+        "denominator/prior tables should broadcast"
+    )
+
+
+def test_unigram_corpus_apply_is_keyed_join_no_window(spark, sf_dir, monkeypatch):
+    """The unigram apply shares the BPE apply's contract: corpus
+    stream joins the vocabulary-bounded piece map; training rounds
+    stay vocab-bounded — no corpus window, no cartesian, no
+    non-broadcast nested loop (localCheckpoints no-op'd so the whole
+    plan is inspected)."""
+    import re
+
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    monkeypatch.setattr(
+        DataFrame, "localCheckpoint", lambda self, eager=True: self
+    )
+    df = REG["unigram_corpus_apply_census"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert not re.search(
+        r"(?<!Broadcast)NestedLoopJoin",
+        plan.replace("BroadcastNestedLoopJoin", "Broadcast_NLJ"),
+    )
