@@ -568,7 +568,11 @@ def test_seeded_id_guards_fail_loud_on_collision(spark):
         == 7_000_009
     )
     bad_seed = spark.createDataFrame([(1_000_000,)], "doc_id long")
-    bad_cohort = spark.createDataFrame([(7_000_002,)], "doc_id long")
+    # ADVICE r12: the cohort guard binds at the minimum INTER-OFFSET
+    # gap (500_000 — offsets 9_000_002/9_500_002), not the smallest
+    # offset: a doc_id at the gap could alias two cohorts while
+    # staying far below 7_000_002.
+    bad_cohort = spark.createDataFrame([(500_000,)], "doc_id long")
     with pytest.raises((SparkRuntimeException, Py4JJavaError)):
         bad_seed.select(_seed_id(F.col("doc_id")).alias("i")).collect()
     with pytest.raises((SparkRuntimeException, Py4JJavaError)):
@@ -757,3 +761,48 @@ def test_imi_similarity_audit_and_duplicate_guarantee(spark, sf_dir):
     for qid, r in got.items():
         assert r.neighbor_id == qid - 9_000_000
         assert abs(r.cos_sim - 1.0) < 1e-6
+
+
+def test_unigram_oracle_differential_on_random_corpora(spark, tmp_path):
+    """DIFFERENTIAL pin for the whole unigram-LM oracle construction
+    (DP, packed-state argmax, traceback re-derivation, prune +
+    re-estimate across 3 rounds): the registry fixture's vocabulary is
+    only ~31 words, so random small corpora from a 2-letter alphabet —
+    the regime where segmentations tie and the packed (score, pieces)
+    lexicographic argmax does real work — must match between the Spark
+    loop and the DuckDB chained-CTE oracle, round-for-round."""
+    import random
+
+    import duckdb
+
+    from big_data_lab_three_spark.queries import load_all
+
+    reg = load_all()
+    q = reg["unigram_lm_convergence"]
+    rng = random.Random(20260816)
+    for case in range(4):
+        words = [
+            "".join(rng.choice("ab") for _ in range(rng.randint(1, 8)))
+            for _ in range(rng.randint(2, 7))
+        ]
+        # one out-of-unroll word: both engines must EXCLUDE it from the
+        # in-scope census identically, never crash or miscount
+        words.append("abababababab")
+        text = " ".join(words)
+        fix = tmp_path / f"ulm_diff_{case}"
+        fix.mkdir()
+        spark.createDataFrame(
+            [(1, text)], "doc_id bigint, text string"
+        ).coalesce(1).write.parquet(str(fix / "documents.parquet"))
+
+        got = [
+            tuple(r)
+            for r in q.spark(spark, str(fix)).orderBy("round").collect()
+        ]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{fix}/documents.parquet/*.parquet')"
+        )
+        want = [tuple(r) for r in con.execute(q.oracle).fetchall()]
+        assert got == want, f"case {case} corpus {text!r}"
