@@ -274,3 +274,17 @@ def test_minhash_lsh_matches_mllib_pairs(spark, sf_dir):
     assert r["recall_ours"] == 1.0, r
     assert r["recall_mllib"] == 1.0, r
     assert r["pairset_agreement"] >= 0.95, r
+
+
+def test_nb_confusion_matches_mllib(spark, sf_dir):
+    """On the registered nb_lang_confusion fixture, our exact-integer
+    sparse NB scoring must produce the SAME held-out confusion matrix
+    as pyspark.ml NaiveBayes (multinomial, smoothing=1.0 — the same
+    add-one model family) — measured identical (agreement 1.0) at
+    sf0.001 and sf0.01; residual disagreement could come only from
+    float-vs-micro-quantized near-ties."""
+    from tools.mllib_parity import nb_parity
+
+    r = nb_parity(spark, sf_dir)
+    assert r["confusion_agreement"] >= 0.98, r
+    assert abs(r["acc_ours"] - r["acc_mllib"]) <= 0.02, r

@@ -224,6 +224,112 @@ def minhash_parity(spark: SparkSession, sf_dir: str) -> dict:
     }
 
 
+def nb_parity(spark: SparkSession, sf_dir: str) -> dict:
+    """Naive Bayes parity (r13): the registered corpus-scale
+    ``nb_lang_confusion`` (sparse exact-integer score decomposition)
+    vs ``pyspark.ml.classification.NaiveBayes`` (multinomial,
+    smoothing=1.0 — the SAME add-one model family) on the SAME seeded
+    fixture: identical marker/fold construction, CountVectorizer
+    count featurization (lossless vocabulary), library predictions on
+    the held-out fold crosstabbed and compared cell-by-cell against
+    our query's confusion census.  Residual disagreement can come
+    only from float-vs-micro-quantized near-ties."""
+    from pyspark.ml.classification import NaiveBayes
+    from pyspark.ml.feature import CountVectorizer, StringIndexer
+
+    from big_data_lab_three_spark.queries import load_all
+    from big_data_lab_three_spark.queries.corpus import _NB_MARKERS
+    from big_data_lab_three_spark.functions.text import tokens
+    from big_data_lab_three_spark.sources import table
+
+    reg = load_all()
+
+    t0 = time.time()
+    ours = {
+        (r["actual"], r["predicted"]): r["n_docs"]
+        for r in reg["nb_lang_confusion"].spark(spark, sf_dir).collect()
+    }
+    t_ours = time.time() - t0
+
+    # the registered query's exact fixture: md5 fold + marker columns
+    t0 = time.time()
+    hash_mod = lambda salt, mod: (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .__mod__(mod)
+    )
+    marker = F.when(
+        hash_mod("nbm:", 100) < 85,
+        F.coalesce(
+            *[
+                F.when(F.col("lang") == l, F.lit(" " + m))
+                for l, m in _NB_MARKERS
+            ],
+            F.lit(""),
+        ),
+    ).otherwise(F.lit(""))
+    d = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            tokens(F.concat("text", marker)).alias("toks"),
+            hash_mod("nb:", 5).alias("fold"),
+        )
+        .where(F.size("toks") > 0)
+    )
+    cv = CountVectorizer(
+        inputCol="toks", outputCol="f", vocabSize=1 << 20, minDF=1.0
+    ).fit(d.where(F.col("fold") != 0))
+    si = StringIndexer(inputCol="lang", outputCol="y").fit(d)
+    tr = si.transform(cv.transform(d.where(F.col("fold") != 0)))
+    te = si.transform(cv.transform(d.where(F.col("fold") == 0)))
+    nb = NaiveBayes(
+        featuresCol="f",
+        labelCol="y",
+        smoothing=1.0,
+        modelType="multinomial",
+    ).fit(tr)
+    back = {float(i): l for i, l in enumerate(si.labels)}
+    pred = nb.transform(te).select(
+        "lang",
+        F.udf(lambda p: back[float(p)])(F.col("prediction")).alias("pl"),
+    )
+    lib = {
+        (r["lang"], r["pl"]): r["n"]
+        for r in pred.groupBy("lang", "pl")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    t_lib = time.time() - t0
+
+    total = sum(ours.values())
+    diff = sum(
+        abs(ours.get(k, 0) - lib.get(k, 0)) for k in set(ours) | set(lib)
+    )
+    acc = lambda m: (
+        sum(v for (a, p), v in m.items() if a == p) / sum(m.values())
+        if m
+        else 0.0
+    )
+    return {
+        "n_heldout": total,
+        "confusion_agreement": round(1.0 - diff / (2 * total), 4),
+        "acc_ours": round(acc(ours), 4),
+        "acc_mllib": round(acc(lib), 4),
+        "sec_ours": round(t_ours, 2),
+        "sec_mllib": round(t_lib, 2),
+    }
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from big_data_lab_three_spark.session import get_spark
@@ -234,6 +340,7 @@ def main() -> int:
         "sf_dir": sf_dir,
         "kmeans": kmeans_parity(spark, sf_dir),
         "minhash": minhash_parity(spark, sf_dir),
+        "nb": nb_parity(spark, sf_dir),
     }
     print(json.dumps(out))
     return 0
