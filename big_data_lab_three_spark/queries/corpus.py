@@ -4318,3 +4318,164 @@ def unigram_corpus_apply_census(
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------
+# End-to-end curation funnel (composed DAG capstone)
+# ---------------------------------------------------------------------
+
+
+@register(
+    "curation_pipeline_census",
+    ids="curation: END-TO-END pipeline funnel — clean → exact dedup → "
+    "lexical-diversity gate → sequence-budget accounting, per-source "
+    "survivor counts in ONE composed plan",
+    oracle=f"""
+WITH base AS (
+    SELECT doc_id, source, text FROM documents
+    UNION ALL
+    SELECT doc_id + 5000000, 'mirror', text
+    FROM documents WHERE doc_id % 7 = 0
+), raw AS (
+    SELECT doc_id, source, text, {_DUCK_TOKS} AS toks FROM base
+), clean AS (
+    SELECT * FROM raw WHERE len(toks) >= 5
+), uniq AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM clean) WHERE rn = 1
+), qual AS (
+    SELECT * FROM uniq
+    WHERE len(list_distinct(toks)) * 1000000 // len(toks) >= 300000
+)
+SELECT r.source,
+       CAST(count(*) AS BIGINT) AS n_raw,
+       CAST(count(c.doc_id) AS BIGINT) AS n_clean,
+       CAST(count(u.doc_id) AS BIGINT) AS n_unique,
+       CAST(count(q.doc_id) AS BIGINT) AS n_quality,
+       CAST(coalesce(sum(CASE WHEN q.doc_id IS NOT NULL
+                              THEN len(q.toks) END), 0) AS BIGINT)
+           AS n_tokens_kept,
+       CAST(ceil(coalesce(sum(CASE WHEN q.doc_id IS NOT NULL
+                                   THEN len(q.toks) END), 0)
+                 / 2048.0) AS BIGINT) AS n_sequences,
+       CAST(coalesce(sum(q.doc_id), 0) AS BIGINT) AS sum_kept_doc_id
+FROM raw r
+LEFT JOIN clean c ON c.doc_id = r.doc_id
+LEFT JOIN uniq u ON u.doc_id = r.doc_id
+LEFT JOIN qual q ON q.doc_id = r.doc_id
+GROUP BY r.source ORDER BY r.source
+""",
+)
+def curation_pipeline_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """END-TO-END curation funnel — the composed DAG a training-data
+    pipeline actually ships, in ONE Spark plan (the individual stages
+    exist as standalone queries — ``corpus_clean``, ``dedup_exact``,
+    ``quality_filter_funnel``, ``sequence_packing`` — this is the
+    composition, with per-source attrition at every stage):
+
+    A seeded ``mirror`` re-ingest cohort (every 7th doc re-keyed
+    through the fail-loud ``_seed_id`` guard) guarantees the dedup
+    stage visibly attrites at every tier — the funnel numbers are
+    non-degenerate by construction, organic duplicates count the
+    same way.
+
+    1. CLEAN: drop docs under 5 tokens (the min-length gate).
+    2. EXACT DEDUP: md5-content groups keep the min-id copy.
+    3. QUALITY: lexical-diversity gate — distinct-token ratio >= 0.30
+       (micro-unit integer arithmetic, the Gopher-style repetition
+       proxy).
+    4. SEQUENCE BUDGET: surviving tokens per source divided into
+       2048-token training sequences (the number a packer would emit;
+       ``sequence_packing`` pins the actual bin assignment).
+
+    Readout per source: survivors at each stage, kept-token total,
+    sequence count, and a kept-id checksum — the funnel numbers a
+    pipeline dashboard shows per ingest source.
+
+    Scale shape: stage 1 and 3 are scan predicates; stage 2 is the
+    ``dedup_exact`` digest groupBy (one shuffle on 16-byte keys —
+    implemented as a per-digest min-id window over content hash, which
+    Spark executes as the same hash exchange); stage 4 is pure
+    per-source aggregation — NO packing window here (that's
+    ``sequence_packing``'s job).  The composed plan stays one corpus
+    scan + one digest exchange + one census rollup; each LEFT-join
+    back to ``raw`` is keyed on doc_id for the per-stage attrition
+    accounting (at 100 TB the funnel counts would roll up from stage
+    flags in one pass — the flag-column variant of this same plan)."""
+    from big_data_lab_three_spark.queries.dedup import _seed_id
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    base = d.unionByName(
+        d.where(F.col("doc_id") % 7 == 0).select(
+            _seed_id(F.col("doc_id"), k=5).alias("doc_id"),
+            F.lit("mirror").alias("source"),
+            "text",
+        )
+    )
+    raw = base.select(
+        "doc_id", "source", "text", tokens(F.col("text")).alias("toks")
+    )
+    clean = raw.where(F.size("toks") >= 5)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    uniq = (
+        clean.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    qual = uniq.where(
+        F.expr(
+            "div(size(array_distinct(toks)) * 1000000, size(toks))"
+        )
+        >= 300000
+    )
+    flags = (
+        raw.select("doc_id", "source")
+        .join(
+            clean.select("doc_id", F.lit(1).alias("_c")), "doc_id", "left"
+        )
+        .join(
+            uniq.select("doc_id", F.lit(1).alias("_u")), "doc_id", "left"
+        )
+        .join(
+            qual.select(
+                "doc_id",
+                F.size("toks").alias("_qt"),
+            ),
+            "doc_id",
+            "left",
+        )
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.count("_c").alias("n_clean"),
+            F.count("_u").alias("n_unique"),
+            F.count("_qt").alias("n_quality"),
+            F.coalesce(F.sum("_qt"), F.lit(0))
+            .cast("long")
+            .alias("n_tokens_kept"),
+            F.ceil(
+                F.coalesce(F.sum("_qt"), F.lit(0)) / F.lit(2048.0)
+            )
+            .cast("long")
+            .alias("n_sequences"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("_qt").isNotNull(), F.col("doc_id"))
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("sum_kept_doc_id"),
+        )
+        .orderBy("source")
+    )

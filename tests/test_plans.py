@@ -2105,3 +2105,24 @@ def test_unigram_corpus_apply_is_keyed_join_no_window(spark, sf_dir, monkeypatch
         r"(?<!Broadcast)NestedLoopJoin",
         plan.replace("BroadcastNestedLoopJoin", "Broadcast_NLJ"),
     )
+
+
+def test_curation_funnel_is_one_scan_one_digest_exchange(spark, sf_dir):
+    """The composed curation funnel must stay linear: scan predicates
+    for clean/quality, ONE digest-keyed exchange for the dedup window,
+    doc_id-keyed joins for attrition flags — no cartesian, no
+    non-broadcast nested loop, and the only Window partitions by the
+    content digest (bounded groups), never the whole corpus."""
+    import re
+
+    df = REG["curation_pipeline_census"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert not re.search(
+        r"(?<!Broadcast)NestedLoopJoin",
+        plan.replace("BroadcastNestedLoopJoin", "Broadcast_NLJ"),
+    )
+    m = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    assert m and all("md5" in g or "_w" in g for g in m), (
+        f"window not partitioned by content digest: {m}"
+    )
