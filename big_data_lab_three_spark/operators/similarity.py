@@ -900,8 +900,10 @@ def _imi_keys(
     matmul-sized op per Arrow batch per half; ``nprobe=1`` is the
     corpus-side assignment (one row per vector)."""
     b_rows = [[list(map(float, c)) for c in book] for book in books]
+    # int64 joint keys: int32 wraps silently at ksub >= 46341, BELOW
+    # the ksub=65k scale the IMI design targets (review finding r13)
     schema = T.StructType(
-        list(df.schema.fields) + [T.StructField(out, T.IntegerType(), False)]
+        list(df.schema.fields) + [T.StructField(out, T.LongType(), False)]
     )
 
     def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
@@ -926,7 +928,9 @@ def _imi_keys(
             for i in range(nprobe):
                 for j in range(nprobe):
                     o = b.copy()
-                    o[out] = (t0[:, i] * ksub + t1[:, j]).astype("int32")
+                    o[out] = (
+                        t0[:, i].astype("int64") * ksub + t1[:, j]
+                    ).astype("int64")
                     yield o
 
     return df.mapInPandas(run, schema)
@@ -989,11 +993,16 @@ def imi_topk(
         ),
         books, nprobe=nprobe, vec_col="qvec",
     )
+    # No distinct() needed: every corpus vector carries exactly ONE
+    # joint cell (nprobe=1) and a query's nprobe² probed cells are
+    # pairwise distinct (argsort indices are distinct per half), so
+    # the equi-join cannot emit a (query, neighbor) pair twice — a
+    # dedup here would only add a wide shuffle of the vector payloads
+    # (review finding r13).
     candidates = (
         cb.join(F.broadcast(qb), on="cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", "qvec", "cvec")
-        .distinct()  # nprobe² probes can revisit a joint cell's pair
     )
     scored = cosine_score_pairs(
         candidates, "qvec", "cvec", ["query_id", "neighbor_id"]

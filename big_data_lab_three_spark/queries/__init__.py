@@ -178,7 +178,7 @@ _DRIVER_ROTATION: tuple[str, ...] = (
 )
 
 
-def _evidence_rounds() -> dict[str, int]:
+def _evidence_rounds(root: str | None = None) -> dict[str, int]:
     """Per-name LATEST driver evidence: the highest round whose
     ``CORRECTNESS_r*.json`` row passed, or -1 when the latest recorded
     row is a failure (row-count mismatch, schema/hash False, or error).
@@ -191,11 +191,16 @@ def _evidence_rounds() -> dict[str, int]:
     import os
     import re
 
-    root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
-    rounds: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+    if root is None:
+        root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+    # "latest wins" compares PARSED round numbers, not glob order:
+    # lexicographic order breaks on the first unpadded filename
+    # ("r9" > "r10") or at round 100 ("r100" < "r11"), and a stale
+    # record overwriting a newer one inverts the re-verify decision.
+    latest: dict[str, tuple[int, bool]] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         rnd = int(m.group(1)) if m else 0
         try:
@@ -217,8 +222,12 @@ def _evidence_rounds() -> dict[str, int]:
                 and row.get("hash_match") is not False
                 and not row.get("err")
             )
-            rounds[name] = rnd if good else -1
-    return rounds
+            if name not in latest or rnd >= latest[name][0]:
+                latest[name] = (rnd, good)
+    return {
+        name: (rnd if good else -1)
+        for name, (rnd, good) in latest.items()
+    }
 
 
 def _driver_verified() -> frozenset[str]:

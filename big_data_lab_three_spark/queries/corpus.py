@@ -1309,19 +1309,9 @@ def heldout_perplexity_census(
     build Zipf-bounded model tables, the test bigram stream LEFT-joins
     them (Spark broadcasts when they fit), one per-doc rollup, one
     per-language census.  The md5 fold split is a scan predicate."""
-    fold = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("hp:"), F.col("doc_id").cast("string"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        )
-        .cast("long")
-        .__mod__(5)
-    )
+    from big_data_lab_three_spark.functions.numeric import md5_mod
+
+    fold = md5_mod("hp:", F.col("doc_id"), 5)
     d = table(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
@@ -1545,21 +1535,9 @@ def kn_trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     they are shuffled hash joins on bounded tables).  One corpus-scale
     exchange per groupBy ladder stage, no pair blowups, no Python in
     the hot path — the fold split is a scan predicate."""
-    fold = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(F.lit("kn:"), F.col("doc_id").cast("string"))
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        )
-        .cast("long")
-        .__mod__(5)
-    )
+    from big_data_lab_three_spark.functions.numeric import md5_mod
+
+    fold = md5_mod("kn:", F.col("doc_id"), 5)
     d = table(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
@@ -1725,8 +1703,25 @@ dig AS (
 # 9_000_002 vs 9_500_002 are only 500_000 apart, so doc_id >= 500_000
 # would alias them without ever reaching the smallest offset), would
 # corrupt cohort semantics while both engines stayed hash-green).
-_COHORT_SMALLEST_OFFSET = 7_000_002
-_COHORT_MIN_GAP = 500_000  # gap between the 9_000_002/9_500_002 cohorts
+# The four TTL-fixture cohort offsets, in shard order: (mod8 filter,
+# offset, shard, mutate).  Both the Spark cohorts AND the DuckDB
+# oracle's UNION arms render from THIS tuple, and the guard threshold
+# derives from it — adding or moving an offset automatically tightens
+# the guard instead of silently under-protecting (review finding r13).
+_COHORT_SPEC: tuple[tuple[int, int, int, bool], ...] = (
+    (0, 7_000_002, 1, False),
+    (4, 8_000_002, 2, False),
+    (1, 9_000_002, 2, True),
+    (5, 9_500_002, 3, True),
+)
+_COHORT_OFFSETS = tuple(o for _, o, _s, _m in _COHORT_SPEC)
+_COHORT_SMALLEST_OFFSET = min(_COHORT_OFFSETS)
+_COHORT_MIN_GAP = min(
+    b - a
+    for a in _COHORT_OFFSETS
+    for b in _COHORT_OFFSETS
+    if b > a
+)
 _COHORT_GUARD = min(_COHORT_SMALLEST_OFFSET, _COHORT_MIN_GAP)
 
 
@@ -1750,20 +1745,17 @@ def _cohort_id(col, offset: int):
 def _ttl_oracle() -> str:
     from big_data_lab_three_spark.queries.curation import _DUCK_BANDS
 
+    cohort_arms = "".join(
+        f"""
+  UNION ALL
+  SELECT doc_id + {off}, text{" || ' zz qq'" if mut else ''}, {shard}
+  FROM documents WHERE doc_id % 8 = {mod8}"""
+        for mod8, off, shard, mut in _COHORT_SPEC
+    )
     return (
-        """
+        f"""
 WITH base AS (
-  SELECT doc_id AS id, text, doc_id % 4 AS shard FROM documents
-  UNION ALL
-  SELECT doc_id + 7000002, text, 1 FROM documents WHERE doc_id % 8 = 0
-  UNION ALL
-  SELECT doc_id + 8000002, text, 2 FROM documents WHERE doc_id % 8 = 4
-  UNION ALL
-  SELECT doc_id + 9000002, text || ' zz qq', 2
-  FROM documents WHERE doc_id % 8 = 1
-  UNION ALL
-  SELECT doc_id + 9500002, text || ' zz qq', 3
-  FROM documents WHERE doc_id % 8 = 5
+  SELECT doc_id AS id, text, doc_id % 4 AS shard FROM documents{cohort_arms}
 ), """
         + _TTL_SIG_CHAIN.lstrip().format(BANDS=_DUCK_BANDS)
         + """, i0 AS (
@@ -1852,17 +1844,13 @@ def streaming_admission_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(shard).cast("long").alias("shard"),
         )
 
-    base = (
-        d.select(
-            F.col("doc_id").alias("id"),
-            "text",
-            F.pmod("doc_id", F.lit(4)).alias("shard"),
-        )
-        .unionByName(cohort(0, 7000002, 1, False))
-        .unionByName(cohort(4, 8000002, 2, False))
-        .unionByName(cohort(1, 9000002, 2, True))
-        .unionByName(cohort(5, 9500002, 3, True))
+    base = d.select(
+        F.col("doc_id").alias("id"),
+        "text",
+        F.pmod("doc_id", F.lit(4)).alias("shard"),
     )
+    for mod8, offset, shard, mutate in _COHORT_SPEC:
+        base = base.unionByName(cohort(mod8, offset, shard, mutate))
     base.persist()
 
     root = tempfile.mkdtemp(prefix="minhash_admission_ttl_")
@@ -2653,37 +2641,10 @@ def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     and prior, and the argmax is a max-score + min-lang pair of
     groupBys — NO corpus-partitioned window, no dense grid, no
     feature-space explode."""
-    fold = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(F.lit("nb:"), F.col("doc_id").cast("string"))
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        )
-        .cast("long")
-        .__mod__(5)
-    )
-    marked = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(F.lit("nbm:"), F.col("doc_id").cast("string"))
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        )
-        .cast("long")
-        .__mod__(100)
-        < 85
-    )
+    from big_data_lab_three_spark.functions.numeric import md5_mod
+
+    fold = md5_mod("nb:", F.col("doc_id"), 5)
+    marked = md5_mod("nbm:", F.col("doc_id"), 100) < 85
     marker = F.when(
         marked,
         F.coalesce(
@@ -2714,9 +2675,10 @@ def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = trt.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("cnt"))
     cb = cb.localCheckpoint()  # sparse params, feed cw + tc
     vsz = trt.agg(F.count_distinct("tok").alias("v"))
-    micro = lambda col: F.floor(col * F.lit(1000000.0) + F.lit(0.5)).cast(
-        "long"
+    from big_data_lab_three_spark.functions.numeric import (
+        micro_quantize as micro,
     )
+
     cw = cb.select(
         "lang", "tok", micro(F.log(F.col("cnt") + F.lit(1))).alias("w")
     )
@@ -3347,6 +3309,82 @@ def unigram_lm_em_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ULM_INV_SQL = """, chars AS (
+    SELECT CAST(count(DISTINCT p) AS BIGINT) AS c FROM pc WHERE k = 1
+), allp AS MATERIALIZED (
+    SELECT DISTINCT p FROM pc
+)"""
+
+
+def _ulm_s_sql_r(msuf: str, r: int) -> str:
+    """Parameterized score re-estimation: model round ``r`` keeps the
+    pieces round ``msuf``'s Viterbi used plus the single-character
+    floor (add-one mass), scored ``ln((used+floor)/(t+c))`` — the ONE
+    SQL text behind round 2 (``_ULM_S2_SQL``), the convergence chain,
+    and the corpus apply (review finding r13: three drifting copies)."""
+    return f""", t{r} AS (
+    SELECT CAST(sum(used_cnt) AS BIGINT) AS t FROM m{msuf}
+), s{r} AS MATERIALIZED (
+    SELECT allp.p,
+           CAST(floor(ln((coalesce(mm.used_cnt, 0)
+                          + CASE WHEN length(allp.p) = 1
+                                 THEN 1 ELSE 0 END)
+                         / CAST(t{r}.t + chars.c AS DOUBLE))
+                      * 1000000 + 0.5) AS BIGINT) AS s
+    FROM allp LEFT JOIN m{msuf} mm ON mm.piece = allp.p, t{r}, chars
+    WHERE mm.piece IS NOT NULL OR length(allp.p) = 1
+)"""
+
+
+_ULM_S2_SQL = _ULM_INV_SQL + _ulm_s_sql_r("", 2)
+
+
+def _ulm_inventory(pc: DataFrame):
+    """Shared piece inventory: ``(allp, chars)`` — the distinct piece
+    table (localCheckpoint'ed: reused by scores AND the prune
+    accounting) and the single-character type count for the add-one
+    floor."""
+    allp = pc.select("p").distinct().localCheckpoint()
+    chars = pc.where(F.col("k") == 1).agg(
+        F.count_distinct("p").alias("c")
+    )
+    return allp, chars
+
+
+def _ulm_rescore(m: DataFrame, allp: DataFrame, chars: DataFrame):
+    """Shared M-step score re-estimation — the SINGLE Spark
+    implementation behind ``unigram_lm_round2_census``, the
+    convergence loop, and ``unigram_corpus_apply_census`` (review
+    finding r13: three hand-copies could drift independently): keep
+    pieces the Viterbi used plus the single-character floor with
+    add-one mass, scored ``ln((used + floor) / (t + c))`` in
+    micro-units.  SQL twin: ``_ulm_s_sql_r`` / ``_ULM_S2_SQL``."""
+    from big_data_lab_three_spark.functions.numeric import micro_quantize
+
+    t = m.agg(F.sum("used_cnt").alias("t"))
+    return (
+        allp.join(m, "p", "left")
+        .crossJoin(F.broadcast(t))
+        .crossJoin(F.broadcast(chars))
+        .where(F.col("used_cnt").isNotNull() | (F.length("p") == 1))
+        .select(
+            "p",
+            micro_quantize(
+                F.log(
+                    (
+                        F.coalesce("used_cnt", F.lit(0))
+                        + F.when(
+                            F.length("p") == 1, F.lit(1)
+                        ).otherwise(F.lit(0))
+                    )
+                    / (F.col("t") + F.col("c")).cast("double")
+                )
+            ).alias("s"),
+        )
+        .localCheckpoint()
+    )
+
+
 def _ulm_dp2_sql() -> str:
     """Round-2 DP chain for the DuckDB side: identical construction to
     the base ``dp`` but joined against the re-estimated ``s2`` score
@@ -3378,22 +3416,7 @@ def _ulm_dp2_sql() -> str:
     "re-estimated model, census with model-size delta",
     oracle=_ULM_BASE_SQL
     + _ULM_TB_SQL
-    + f""", chars AS (
-    SELECT CAST(count(DISTINCT p) AS BIGINT) AS c FROM pc WHERE k = 1
-), t2 AS (
-    SELECT CAST(sum(used_cnt) AS BIGINT) AS t FROM m
-), allp AS (
-    SELECT DISTINCT p FROM pc
-), s2 AS (
-    SELECT allp.p,
-           CAST(floor(ln((coalesce(m.used_cnt, 0)
-                          + CASE WHEN length(allp.p) = 1
-                                 THEN 1 ELSE 0 END)
-                         / CAST(t2.t + chars.c AS DOUBLE))
-                      * 1000000 + 0.5) AS BIGINT) AS s
-    FROM allp LEFT JOIN m ON m.piece = allp.p, t2, chars
-    WHERE m.piece IS NOT NULL OR length(allp.p) = 1
-)"""
+    + _ULM_S2_SQL
     + _ulm_dp2_sql()
     + f""", seg2 AS (
     SELECT w, cnt, wlen,
@@ -3449,40 +3472,8 @@ def unigram_lm_round2_census(
         .agg(F.sum("cnt").alias("used_cnt"))
     )
     m = m.localCheckpoint()  # model table: scores + t2
-    chars = (
-        pc.where(F.col("k") == 1)
-        .agg(F.count_distinct("p").alias("c"))
-    )
-    t2 = m.agg(F.sum("used_cnt").alias("t"))
-    allp = pc.select("p").distinct()
-    allp = allp.localCheckpoint()  # piece inventory: s2 + prune count
-    s2 = (
-        allp.join(m, "p", "left")
-        .crossJoin(F.broadcast(t2))
-        .crossJoin(F.broadcast(chars))
-        .where(
-            F.col("used_cnt").isNotNull() | (F.length("p") == 1)
-        )
-        .select(
-            "p",
-            F.floor(
-                F.log(
-                    (
-                        F.coalesce("used_cnt", F.lit(0))
-                        + F.when(F.length("p") == 1, F.lit(1)).otherwise(
-                            F.lit(0)
-                        )
-                    )
-                    / (F.col("t") + F.col("c")).cast("double")
-                )
-                * F.lit(1000000.0)
-                + F.lit(0.5)
-            )
-            .cast("long")
-            .alias("s"),
-        )
-    )
-    s2 = s2.localCheckpoint()  # kept-model table: dp2 + kept count
+    allp, chars = _ulm_inventory(pc)
+    s2 = _ulm_rescore(m, allp, chars)  # kept model: dp2 + kept count
     dp2 = _ulm_dp_from_scores(pc, s2)
     seg2 = dp2.select(
         "cnt",
@@ -3676,25 +3667,6 @@ def _ulm_tb_sql_r(dpname: str, suf: str) -> str:
 )"""
 
 
-def _ulm_s_sql_r(msuf: str, r: int) -> str:
-    """Parameterized score re-estimation: model round ``r`` keeps the
-    pieces round ``msuf``'s Viterbi used plus the single-character
-    floor (add-one mass), scored ``ln((used+floor)/(t+c))`` —
-    identical arithmetic to ``unigram_lm_round2_census``'s s2."""
-    return f""", t{r} AS (
-    SELECT CAST(sum(used_cnt) AS BIGINT) AS t FROM m{msuf}
-), s{r} AS MATERIALIZED (
-    SELECT allp.p,
-           CAST(floor(ln((coalesce(mm.used_cnt, 0)
-                          + CASE WHEN length(allp.p) = 1
-                                 THEN 1 ELSE 0 END)
-                         / CAST(t{r}.t + chars.c AS DOUBLE))
-                      * 1000000 + 0.5) AS BIGINT) AS s
-    FROM allp LEFT JOIN m{msuf} mm ON mm.piece = allp.p, t{r}, chars
-    WHERE mm.piece IS NOT NULL OR length(allp.p) = 1
-)"""
-
-
 def _ulm_dp_sql_r(r: int) -> str:
     """Parameterized round-``r`` DP chain (``_ulm_dp2_sql`` shape
     joined against ``s{r}``), PROJECTING ``sf`` so the next round's
@@ -3722,14 +3694,7 @@ def _ulm_convergence_oracle() -> str:
     """K=3-round trajectory oracle: dp (round 1, frequency-init) →
     traceback → s2 → dp2 → traceback → s3 → dp3, then one census row
     per round.  Round 1's model is the full piece inventory."""
-    parts = [
-        _ULM_BASE_SQL,
-        """), chars AS (
-    SELECT CAST(count(DISTINCT p) AS BIGINT) AS c FROM pc WHERE k = 1
-), allp AS MATERIALIZED (
-    SELECT DISTINCT p FROM pc
-)""",
-    ]
+    parts = [_ULM_BASE_SQL, ")" + _ULM_INV_SQL]
     seg_rows = []
     dpname = "dp"
     for r in range(1, _ULM_K_ROUNDS + 1):
@@ -3794,11 +3759,8 @@ def unigram_lm_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent of corpus size, which is exactly what lets a real
     trainer run tens of EM rounds at 100 TB."""
     toks, pc, dp = _ulm_dp_frame(spark, sf_dir)
-    allp = pc.select("p").distinct().localCheckpoint()
+    allp, chars = _ulm_inventory(pc)
     npp = allp.agg(F.count(F.lit(1)).alias("np"))
-    chars = pc.where(F.col("k") == 1).agg(
-        F.count_distinct("p").alias("c")
-    )
     model = npp.select(
         F.col("np").alias("kept_pieces"),
         F.lit(0).cast("long").alias("pruned_pieces"),
@@ -3839,35 +3801,7 @@ def unigram_lm_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.sum("cnt").alias("used_cnt"))
                 .localCheckpoint()
             )
-            t = m.agg(F.sum("used_cnt").alias("t"))
-            s_next = (
-                allp.join(m, "p", "left")
-                .crossJoin(F.broadcast(t))
-                .crossJoin(F.broadcast(chars))
-                .where(
-                    F.col("used_cnt").isNotNull()
-                    | (F.length("p") == 1)
-                )
-                .select(
-                    "p",
-                    F.floor(
-                        F.log(
-                            (
-                                F.coalesce("used_cnt", F.lit(0))
-                                + F.when(
-                                    F.length("p") == 1, F.lit(1)
-                                ).otherwise(F.lit(0))
-                            )
-                            / (F.col("t") + F.col("c")).cast("double")
-                        )
-                        * F.lit(1000000.0)
-                        + F.lit(0.5)
-                    )
-                    .cast("long")
-                    .alias("s"),
-                )
-                .localCheckpoint()
-            )
+            s_next = _ulm_rescore(m, allp, chars)
             model = (
                 s_next.agg(F.count(F.lit(1)).alias("kept_pieces"))
                 .crossJoin(F.broadcast(npp))
@@ -4015,23 +3949,9 @@ def quality_classifier_census(
     (doc × 2) denominator/prior grid, argmaxes with one groupBy — no
     corpus window, no dense grid (the ``nb_lang_confusion`` plan with
     2 classes and a whole-corpus test side)."""
-    hash_mod = lambda salt, mod: (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit(salt), F.col("doc_id").cast("string")
-                    )
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        )
-        .cast("long")
-        .__mod__(mod)
-    )
+    from big_data_lab_three_spark.functions.numeric import md5_mod
+
+    hash_mod = lambda salt, mod: md5_mod(salt, F.col("doc_id"), mod)
     is_bad = hash_mod("qc:", 10) < 3
     marked = hash_mod("qcm:", 100) < 85
     marker = F.when(is_bad & marked, F.lit(_QC_MARKER)).otherwise(
@@ -4063,9 +3983,10 @@ def quality_classifier_census(
     cb = trt.groupBy("cand", "tok").agg(F.count(F.lit(1)).alias("cnt"))
     cb = cb.localCheckpoint()  # sparse params, feed cw + per-class totals
     vsz = trt.agg(F.count_distinct("tok").alias("v"))
-    micro = lambda col: F.floor(col * F.lit(1000000.0) + F.lit(0.5)).cast(
-        "long"
+    from big_data_lab_three_spark.functions.numeric import (
+        micro_quantize as micro,
     )
+
     cw = cb.select(
         "cand", "tok", micro(F.log(F.col("cnt") + F.lit(1))).alias("w")
     )
@@ -4151,24 +4072,6 @@ def quality_classifier_census(
 # bpe_corpus_apply_census)
 # ---------------------------------------------------------------------
 
-_ULM_S2_SQL = f""", chars AS (
-    SELECT CAST(count(DISTINCT p) AS BIGINT) AS c FROM pc WHERE k = 1
-), t2 AS (
-    SELECT CAST(sum(used_cnt) AS BIGINT) AS t FROM m
-), allp AS (
-    SELECT DISTINCT p FROM pc
-), s2 AS (
-    SELECT allp.p,
-           CAST(floor(ln((coalesce(m.used_cnt, 0)
-                          + CASE WHEN length(allp.p) = 1
-                                 THEN 1 ELSE 0 END)
-                         / CAST(t2.t + chars.c AS DOUBLE))
-                      * 1000000 + 0.5) AS BIGINT) AS s
-    FROM allp LEFT JOIN m ON m.piece = allp.p, t2, chars
-    WHERE m.piece IS NOT NULL OR length(allp.p) = 1
-)"""
-
-
 @register(
     "unigram_corpus_apply_census",
     ids="tokenizer: corpus-level unigram-LM APPLY — every document's "
@@ -4240,37 +4143,8 @@ def unigram_corpus_apply_census(
         .agg(F.sum("cnt").alias("used_cnt"))
         .localCheckpoint()
     )
-    chars = pc.where(F.col("k") == 1).agg(
-        F.count_distinct("p").alias("c")
-    )
-    t2 = m.agg(F.sum("used_cnt").alias("t"))
-    allp = pc.select("p").distinct()
-    s2 = (
-        allp.join(m.withColumnRenamed("p", "piece"),
-                  F.col("p") == F.col("piece"), "left")
-        .crossJoin(F.broadcast(t2))
-        .crossJoin(F.broadcast(chars))
-        .where(F.col("used_cnt").isNotNull() | (F.length("p") == 1))
-        .select(
-            "p",
-            F.floor(
-                F.log(
-                    (
-                        F.coalesce("used_cnt", F.lit(0))
-                        + F.when(F.length("p") == 1, F.lit(1)).otherwise(
-                            F.lit(0)
-                        )
-                    )
-                    / (F.col("t") + F.col("c")).cast("double")
-                )
-                * F.lit(1000000.0)
-                + F.lit(0.5)
-            )
-            .cast("long")
-            .alias("s"),
-        )
-        .localCheckpoint()
-    )
+    allp, chars = _ulm_inventory(pc)
+    s2 = _ulm_rescore(m, allp, chars)
     dp2 = _ulm_dp_from_scores(pc, s2)
     pieces = dp2.select(
         F.col("w").alias("tok"),
@@ -4396,16 +4270,14 @@ def curation_pipeline_census(
     sequence count, and a kept-id checksum — the funnel numbers a
     pipeline dashboard shows per ingest source.
 
-    Scale shape: stage 1 and 3 are scan predicates; stage 2 is the
-    ``dedup_exact`` digest groupBy (one shuffle on 16-byte keys —
-    implemented as a per-digest min-id window over content hash, which
-    Spark executes as the same hash exchange); stage 4 is pure
-    per-source aggregation — NO packing window here (that's
-    ``sequence_packing``'s job).  The composed plan stays one corpus
-    scan + one digest exchange + one census rollup; each LEFT-join
-    back to ``raw`` is keyed on doc_id for the per-stage attrition
-    accounting (at 100 TB the funnel counts would roll up from stage
-    flags in one pass — the flag-column variant of this same plan)."""
+    Scale shape: ONE corpus scan, ONE digest-keyed exchange (the
+    min-id dedup window over the 16-byte content hash), one census
+    rollup.  All four stages are FLAG COLUMNS on a single lineage —
+    clean and the diversity gate are pure functions of the text, so
+    content-group members share them and the per-stage attrition
+    rolls up in the same pass; no re-derived subplans joined back on
+    doc_id, no packing window here (that's ``sequence_packing``'s
+    job)."""
     from big_data_lab_three_spark.queries.dedup import _seed_id
 
     d = table(spark, sf_dir, "documents").select(
@@ -4421,58 +4293,50 @@ def curation_pipeline_census(
     raw = base.select(
         "doc_id", "source", "text", tokens(F.col("text")).alias("toks")
     )
-    clean = raw.where(F.size("toks") >= 5)
     from pyspark.sql import Window
 
+    # Single-lineage flag columns (one scan, ONE digest-keyed window
+    # exchange — not four re-derivations joined back on doc_id): clean
+    # and the diversity gate are pure functions of the text, so every
+    # member of a content group shares them and "min-id clean copy"
+    # IS rn == 1 within the digest partition.  The diversity ratio
+    # multiplies in BIGINT — size() returns INT and INT·1e6 wraps past
+    # ~2147 distinct tokens (review finding r13).
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    uniq = (
-        clean.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn")
-    )
-    qual = uniq.where(
-        F.expr(
-            "div(size(array_distinct(toks)) * 1000000, size(toks))"
-        )
-        >= 300000
-    )
-    flags = (
-        raw.select("doc_id", "source")
-        .join(
-            clean.select("doc_id", F.lit(1).alias("_c")), "doc_id", "left"
-        )
-        .join(
-            uniq.select("doc_id", F.lit(1).alias("_u")), "doc_id", "left"
-        )
-        .join(
-            qual.select(
-                "doc_id",
-                F.size("toks").alias("_qt"),
+    scored = (
+        raw.withColumn("_c", F.size("toks") >= 5)
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("_u", F.col("_c") & (F.col("rn") == 1))
+        .withColumn(
+            "_q",
+            F.col("_u")
+            & (
+                F.expr(
+                    "div(CAST(size(array_distinct(toks)) AS BIGINT)"
+                    " * 1000000, CAST(size(toks) AS BIGINT))"
+                )
+                >= 300000
             ),
-            "doc_id",
-            "left",
         )
     )
+    kept_toks = F.when(F.col("_q"), F.size("toks").cast("long"))
     return (
-        flags.groupBy("source")
+        scored.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_raw"),
-            F.count("_c").alias("n_clean"),
-            F.count("_u").alias("n_unique"),
-            F.count("_qt").alias("n_quality"),
-            F.coalesce(F.sum("_qt"), F.lit(0))
+            F.sum(F.col("_c").cast("long")).alias("n_clean"),
+            F.sum(F.col("_u").cast("long")).alias("n_unique"),
+            F.sum(F.col("_q").cast("long")).alias("n_quality"),
+            F.coalesce(F.sum(kept_toks), F.lit(0))
             .cast("long")
             .alias("n_tokens_kept"),
             F.ceil(
-                F.coalesce(F.sum("_qt"), F.lit(0)) / F.lit(2048.0)
+                F.coalesce(F.sum(kept_toks), F.lit(0)) / F.lit(2048.0)
             )
             .cast("long")
             .alias("n_sequences"),
             F.coalesce(
-                F.sum(
-                    F.when(F.col("_qt").isNotNull(), F.col("doc_id"))
-                ),
-                F.lit(0),
+                F.sum(F.when(F.col("_q"), F.col("doc_id"))), F.lit(0)
             )
             .cast("long")
             .alias("sum_kept_doc_id"),

@@ -132,3 +132,33 @@ def test_queued_names_fit_in_driver_prefix():
         f"{len(queued)} queued names exceed the 50-name driver prefix: "
         f"the overflow would never be verified — {queued[50:]}"
     )
+
+
+def test_evidence_rounds_compare_parsed_round_numbers(tmp_path):
+    """'Latest wins' must compare PARSED round numbers, not filename
+    lexicographic order: an unpadded r9 vs r10, and r100 vs r11, must
+    resolve to the numerically-latest record (review finding r13)."""
+    import json
+
+    def write(rnd_name, rows):
+        (tmp_path / f"CORRECTNESS_{rnd_name}.json").write_text(
+            json.dumps(rows)
+        )
+
+    green = {"rows_match": True, "schema_match": True, "hash_match": True}
+    red = {**green, "hash_match": False}
+    # r9 (unpadded, lexicographically LAST) green; r10 records failure:
+    # the numerically-later r10 failure must win -> re-verify (-1)
+    write("r9", {"q1": green})
+    write("r10", {"q1": red})
+    # r11 green; r100 (lexicographically BEFORE r11) records failure:
+    # numerically-later r100 must win
+    write("r11", {"q2": green})
+    write("r100", {"q2": red})
+    # and the symmetric case: later pass clears an earlier failure
+    write("r8", {"q3": red})
+    write("r12", {"q3": green})
+    got = _evidence_rounds(str(tmp_path))
+    assert got["q1"] == -1
+    assert got["q2"] == -1
+    assert got["q3"] == 12

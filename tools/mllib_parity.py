@@ -137,10 +137,12 @@ def kmeans_parity(spark: SparkSession, sf_dir: str) -> dict:
         "cost_mllib": round(cost_lib, 6),
         # ADVICE r12: a zero library cost with nonzero ours must FAIL
         # the parity bound readably, not slip past as None (TypeError in
-        # the test) — inf trips `<= 1.10` with the dict in the message.
+        # the test) — the 1e30 sentinel trips `<= 1.10` with the dict in
+        # the message AND stays valid JSON (float('inf') would make
+        # json.dumps emit bare Infinity, which strict parsers reject).
         "cost_ratio": round(cost_ours / cost_lib, 4)
         if cost_lib
-        else (1.0 if not cost_ours else float("inf")),
+        else (1.0 if not cost_ours else 1e30),
         "sec_ours": round(t_ours, 2),
         "sec_mllib": round(t_lib, 2),
     }
@@ -253,19 +255,9 @@ def nb_parity(spark: SparkSession, sf_dir: str) -> dict:
 
     # the registered query's exact fixture: md5 fold + marker columns
     t0 = time.time()
-    hash_mod = lambda salt, mod: (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        )
-        .cast("long")
-        .__mod__(mod)
-    )
+    from big_data_lab_three_spark.functions.numeric import md5_mod
+
+    hash_mod = lambda salt, mod: md5_mod(salt, F.col("doc_id"), mod)
     marker = F.when(
         hash_mod("nbm:", 100) < 85,
         F.coalesce(
