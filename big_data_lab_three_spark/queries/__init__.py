@@ -100,15 +100,15 @@ def register(name: str, ids: str = "", oracle: str | None = None):
 # reshuffle needed.  This is presentation only: every entry remains
 # registered and locally gated either way.
 _FORCE_FRONT: tuple[str, ...] = (
-    # r13 plan changes — re-verify even though green rows exist.
-    # kn_trigram_perplexity: per-language mean/worst now average
-    # micro-quantized per-doc BIGINTs instead of 4-dp doubles (ADVICE
-    # r12 — cross-document double averaging is summation-order-dependent
-    # and can last-ULP-flip the 4th decimal between engines).
-    "kn_trigram_perplexity",
-    # (The 11 r12 plan changes — BPE four, admission three,
-    # schema-evolution, centroid three — are all green in
-    # CORRECTNESS_r12.json and were removed per the tuple's contract.)
+    # r14 plan changes — re-verify even though green rows exist.
+    # similarity_imi(_recall): probe order rewritten from the cartesian
+    # nprobe-per-half grid to the Babenko–Lempitsky multi-sequence
+    # traversal (joint cells visited in ascending d0[i]+d1[j] order);
+    # recall floor restored to the family's 0.4 convention.
+    "similarity_imi",
+    "similarity_imi_recall",
+    # (kn_trigram_perplexity's r13 micro-quantization change is green
+    # in CORRECTNESS_r13.json and was removed per the tuple's contract.)
 )
 
 _DRIVER_ROTATION: tuple[str, ...] = (

@@ -1696,13 +1696,19 @@ dig AS (
 
 
 # Seeded-cohort id offsets for the TTL admission fixture; the GUARD
-# below fails loud if a tier's doc_id domain ever reaches the MINIMUM
-# INTER-OFFSET GAP between any two cohort offsets (mirrors
-# dedup._seed_id — ADVICE r11/r12: a silent collision between cohort
-# ids and source ids, OR between two cohorts' id ranges (offsets
-# 9_000_002 vs 9_500_002 are only 500_000 apart, so doc_id >= 500_000
-# would alias them without ever reaching the smallest offset), would
-# corrupt cohort semantics while both engines stayed hash-green).
+# below fails loud if a tier's doc_id domain ever reaches a range where
+# a collision is ARITHMETICALLY POSSIBLE (mirrors dedup._seed_id —
+# ADVICE r11/r12: a silent collision between cohort ids and source ids,
+# or between two cohorts' id ranges, would corrupt cohort semantics
+# while both engines stayed hash-green).  Two cohorts (r_a, o_a) and
+# (r_b, o_b) — each filtering doc_id % 8 == r — can emit the same id
+# only if x + o_a == y + o_b with x ≡ r_a, y ≡ r_b (mod 8), which
+# requires (o_a - o_b) ≡ (r_b - r_a) (mod 8); gaps failing that
+# congruence can NEVER alias at any doc_id and must not tighten the
+# guard (ADVICE r13 — the old unconditional min-gap bound of 500_000
+# left ~1 id of headroom at the sf10 tier's ~499_999 max doc_id for a
+# collision that cannot happen: all four offsets are ≡ 2 mod 8 while
+# every residue pair differs by a non-zero amount mod 8).
 # The four TTL-fixture cohort offsets, in shard order: (mod8 filter,
 # offset, shard, mutate).  Both the Spark cohorts AND the DuckDB
 # oracle's UNION arms render from THIS tuple, and the guard threshold
@@ -1716,13 +1722,18 @@ _COHORT_SPEC: tuple[tuple[int, int, int, bool], ...] = (
 )
 _COHORT_OFFSETS = tuple(o for _, o, _s, _m in _COHORT_SPEC)
 _COHORT_SMALLEST_OFFSET = min(_COHORT_OFFSETS)
-_COHORT_MIN_GAP = min(
-    b - a
-    for a in _COHORT_OFFSETS
-    for b in _COHORT_OFFSETS
-    if b > a
+# Inter-cohort gaps where the mod-8 congruence admits a collision; the
+# source table keeps every residue, so the source/cohort bound
+# (smallest offset) is always live, while collidable gaps may be empty.
+_COHORT_COLLIDABLE_GAPS = tuple(
+    ob - oa
+    for ra, oa in ((r, o) for r, o, _s, _m in _COHORT_SPEC)
+    for rb, ob in ((r, o) for r, o, _s, _m in _COHORT_SPEC)
+    if ob > oa and (ob - oa) % 8 == (ra - rb) % 8
 )
-_COHORT_GUARD = min(_COHORT_SMALLEST_OFFSET, _COHORT_MIN_GAP)
+_COHORT_GUARD = min(
+    (_COHORT_SMALLEST_OFFSET,) + _COHORT_COLLIDABLE_GAPS
+)
 
 
 def _cohort_id(col, offset: int):
@@ -3587,18 +3598,22 @@ def bpe_corpus_apply_census(
     divisions (``div``/``//`` on both engines) — no float anywhere.
 
     Scale shape: ONE corpus token scan (shared shape with training's
-    frequency scan), one join against the Zipf-bounded piece map
-    (broadcast at driver tiers, shuffled hash join on the bounded
-    table at 100 TB), one per-doc combiner rollup keyed by the
-    document, one per-language census.  No corpus-partitioned window,
-    no pair stage, loop cost shared with ``bpe_train_merges``."""
+    frequency scan), one join against the Zipf-bounded piece map —
+    UNHINTED (ADVICE r13): the localCheckpoint'ed map's known size
+    lets the planner broadcast it at driver tiers, while a vocabulary
+    that ever outgrew ``autoBroadcastJoinThreshold`` at 100 TB would
+    legitimately fall back to a shuffled hash join on the bounded
+    table instead of being forced through driver memory — one per-doc
+    combiner rollup keyed by the document, one per-language census.
+    No corpus-partitioned window, no pair stage, loop cost shared
+    with ``bpe_train_merges``."""
     _, vocab = _bpe_merge_loop(spark, sf_dir)
     pieces = vocab.select("tok", F.size("syms").alias("ns"))
     stream = table(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok")
     )
     pd = (
-        stream.join(F.broadcast(pieces), "tok")
+        stream.join(pieces, "tok")
         .groupBy("doc_id", "lang")
         .agg(
             F.count(F.lit(1)).alias("nt"),
@@ -4132,9 +4147,12 @@ def unigram_corpus_apply_census(
 
     Scale shape: the training chain's one corpus scan + vocabulary-
     bounded rounds, then ONE more corpus token scan joined against
-    the piece map (broadcast at driver tiers), one per-doc combiner
-    rollup, one per-language census — no corpus window, no pair
-    stage."""
+    the piece map — unhinted, same rationale as
+    ``bpe_corpus_apply_census`` (planner broadcasts the known-size
+    map at driver tiers; an over-threshold vocabulary falls back to
+    a shuffled hash join rather than forcing driver memory) — one
+    per-doc combiner rollup, one per-language census: no corpus
+    window, no pair stage."""
     toks, pc, dp = _ulm_dp_frame(spark, sf_dir)
     tb = _ulm_traceback_pieces(dp)
     m = (
@@ -4154,7 +4172,7 @@ def unigram_corpus_apply_census(
         "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok")
     )
     pd = (
-        stream.join(F.broadcast(pieces), "tok")
+        stream.join(pieces, "tok")
         .groupBy("doc_id", "lang")
         .agg(
             F.count(F.lit(1)).alias("nt"),

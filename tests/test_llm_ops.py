@@ -568,11 +568,29 @@ def test_seeded_id_guards_fail_loud_on_collision(spark):
         == 7_000_009
     )
     bad_seed = spark.createDataFrame([(1_000_000,)], "doc_id long")
-    # ADVICE r12: the cohort guard binds at the minimum INTER-OFFSET
-    # gap (500_000 — offsets 9_000_002/9_500_002), not the smallest
-    # offset: a doc_id at the gap could alias two cohorts while
-    # staying far below 7_000_002.
-    bad_cohort = spark.createDataFrame([(500_000,)], "doc_id long")
+    # ADVICE r13: the guard counts only ARITHMETICALLY COLLIDABLE
+    # inter-offset gaps — a gap can alias two mod-8-filtered cohorts
+    # only when (o_b - o_a) ≡ (r_a - r_b) (mod 8).  For the current
+    # spec (all offsets ≡ 2 mod 8, residues 0/4/1/5) no pair
+    # qualifies, so the guard binds at the smallest offset and a
+    # doc_id at the old unconditional 500_000 min-gap bound (≈ the
+    # sf10 tier's max doc_id) is safe, not an abort.
+    from big_data_lab_three_spark.queries.corpus import (
+        _COHORT_COLLIDABLE_GAPS,
+        _COHORT_GUARD,
+        _COHORT_SMALLEST_OFFSET,
+    )
+
+    assert _COHORT_COLLIDABLE_GAPS == ()
+    assert _COHORT_GUARD == _COHORT_SMALLEST_OFFSET == 7_000_002
+    sf10_like = spark.createDataFrame([(500_000,)], "doc_id long")
+    assert (
+        sf10_like.select(
+            _cohort_id(F.col("doc_id"), 9_500_002).alias("i")
+        ).first()["i"]
+        == 10_000_002
+    )
+    bad_cohort = spark.createDataFrame([(7_000_002,)], "doc_id long")
     with pytest.raises((SparkRuntimeException, Py4JJavaError)):
         bad_seed.select(_seed_id(F.col("doc_id")).alias("i")).collect()
     with pytest.raises((SparkRuntimeException, Py4JJavaError)):
@@ -761,6 +779,55 @@ def test_imi_similarity_audit_and_duplicate_guarantee(spark, sf_dir):
     for qid, r in got.items():
         assert r.neighbor_id == qid - 9_000_000
         assert abs(r.cos_sim - 1.0) < 1e-6
+
+
+def test_imi_multisequence_probes_best_sum_cells(spark):
+    """The query-side probe set must be the T = nprobe² joint cells
+    with the SMALLEST d0[i] + d1[j] (Babenko & Lempitsky 2012 §3
+    multi-sequence traversal), not the cartesian top-nprobe-per-half
+    grid: with asymmetric half-distances the grid provably picks a
+    near×far pair over a better-sum cell, so the two orders differ on
+    this fixture and the test fails against the r13 grid code."""
+    import numpy as np
+
+    from big_data_lab_three_spark.operators.similarity import _imi_keys
+
+    # 4-dim vectors, halves of 2; centroids placed at controlled
+    # squared distances from the NORMALIZED query halves so the sums
+    # interleave: best-4-by-sum = {(0,0) 0.0, (2,0) 0.1, (0,1) 0.2,
+    # (0,2) 0.25} while the top-2-per-half grid takes (2,1) 0.3
+    # instead of (0,2) — the exact near×far waste the traversal fixes.
+    vec = [1.0, 0.0, 0.0, 1.0]
+    nv = np.asarray(vec) / np.sqrt(2.0)
+    q0, q1 = nv[:2], nv[2:]
+    b0 = [(q0 + [np.sqrt(d), 0.0]).tolist() for d in (0.0, 5.0, 0.1, 100.0)]
+    b1 = [(q1 + [np.sqrt(d), 0.0]).tolist() for d in (0.0, 0.2, 0.25, 100.0)]
+    df = spark.createDataFrame(
+        [(1, vec)], "query_id: long, qvec: array<double>"
+    )
+    got = {
+        r.cell
+        for r in _imi_keys(df, [b0, b1], nprobe=2, vec_col="qvec")
+        .collect()
+    }
+    v = np.asarray(vec, dtype=np.float64)
+    v = v / np.linalg.norm(v)
+    d0 = ((v[:2] - np.asarray(b0)) ** 2).sum(axis=1)
+    d1 = ((v[2:] - np.asarray(b1)) ** 2).sum(axis=1)
+    sums = d0[:, None] + d1[None, :]
+    want = {
+        int(i) * 4 + int(j)
+        for i, j in zip(*np.unravel_index(np.argsort(sums, axis=None)[:4],
+                                          sums.shape))
+    }
+    assert got == want
+    # and the grid order would have differed (fixture sanity check):
+    grid = {
+        int(i) * 4 + int(j)
+        for i in np.argsort(d0)[:2]
+        for j in np.argsort(d1)[:2]
+    }
+    assert grid != want
 
 
 def test_unigram_oracle_differential_on_random_corpora(spark, tmp_path):
