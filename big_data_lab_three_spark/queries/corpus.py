@@ -28,16 +28,19 @@ from big_data_lab_three_spark.sources import table
 _BPE_K = 10
 
 
-def _bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bpe_vocab(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """The word-frequency table BPE trains on: ONE corpus token scan
     collapsed to (tok, cnt, syms) where ``syms`` is the initial
     character segmentation.  Everything after this is
     vocabulary-bounded (Zipf), never corpus-sized — the property that
     makes the 10-round loop scale-free: at 100 TB the corpus scan is
     one combiner-friendly groupBy and the loop state is still only the
-    vocabulary."""
+    vocabulary.  ``docs`` overrides the source frame (r14: the frozen-
+    vocab census trains on an md5 fold, not the whole table)."""
     words = (
-        table(spark, sf_dir, "documents")
+        (docs if docs is not None else table(spark, sf_dir, "documents"))
         .select(F.explode(tokens(F.col("text"))).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -50,7 +53,10 @@ def _bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_merge_loop(
-    spark: SparkSession, sf_dir: str, k: int = _BPE_K
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = _BPE_K,
+    docs: DataFrame | None = None,
 ):
     """Run the K-merge BPE training loop; returns ``(merges, vocab)``
     where ``merges`` is the list of (rank, left, right, merged, cnt)
@@ -67,7 +73,7 @@ def _bpe_merge_loop(
     localCheckpoint'ed per round — bounded state, same convention as
     the connected-components iteration — so the plan never compounds
     across rounds."""
-    vocab = _bpe_vocab(spark, sf_dir).localCheckpoint()
+    vocab = _bpe_vocab(spark, sf_dir, docs=docs).localCheckpoint()
     merges: list[tuple] = []
     for rank in range(1, k + 1):
         n = F.size("syms")
@@ -122,7 +128,7 @@ def bpe_merge_expr(syms, a: str, b: str):
     )
 
 
-def _bpe_oracle_rounds(k: int = _BPE_K) -> str:
+def _bpe_oracle_rounds(k: int = _BPE_K, src: str = "documents") -> str:
     """The chained-CTE DuckDB twin of the K-merge loop (the
     ``pagerank_check`` iterative-oracle pattern): round r derives pair
     counts from span table ``s{r-1}``, takes the (count DESC, pair
@@ -144,7 +150,7 @@ def _bpe_oracle_rounds(k: int = _BPE_K) -> str:
     parts = [
         f"""WITH words AS MATERIALIZED (
     SELECT tok, CAST(count(*) AS BIGINT) AS cnt
-    FROM (SELECT unnest({_DUCK_TOKS}) AS tok FROM documents)
+    FROM (SELECT unnest({_DUCK_TOKS}) AS tok FROM {src})
     GROUP BY tok
 ), s0 AS MATERIALIZED (
     SELECT tok AS w, cnt,
@@ -4361,3 +4367,302 @@ def curation_pipeline_census(
         )
         .orderBy("source")
     )
+
+
+def _bpe_oracle_apply_rounds(k: int = _BPE_K) -> str:
+    """Chained-CTE APPLY of an already-trained merge table to a
+    held-out span table ``h0``: round r replays training round r's
+    argmax pair ``t{r}`` (from ``_bpe_oracle_rounds`` — NOT re-derived
+    from the held-out text; the tokenizer is FROZEN) with the same
+    run-parity greedy non-overlap selection, emitting ``h{r}``.  The
+    OOV production path: a held-out token the training fold never saw
+    still flows through every merge left-to-right, exactly like
+    ``bpe_merge_expr``'s per-token fold on the Spark side."""
+    parts = []
+    for r in range(1, k + 1):
+        prev = f"h{r - 1}"
+        parts.append(
+            f""", hadj{r} AS MATERIALIZED (
+    SELECT w, pos, sym,
+           lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt,
+           row_number() OVER (PARTITION BY w ORDER BY pos) AS seq
+    FROM {prev}
+), hk{r} AS (
+    SELECT w, pos FROM (
+        SELECT w, pos,
+               row_number() OVER (PARTITION BY w, grp ORDER BY pos) AS rn
+        FROM (SELECT x.w, x.pos,
+                     x.seq - row_number() OVER (
+                         PARTITION BY x.w ORDER BY x.seq) AS grp
+              FROM hadj{r} x, t{r}
+              WHERE x.sym = t{r}.a AND x.nxt = t{r}.b))
+    WHERE rn % 2 = 1
+), h{r} AS MATERIALIZED (
+    SELECT w, pos, sym FROM (
+        SELECT s.w, s.pos,
+               CASE WHEN k.pos IS NOT NULL
+                    THEN s.sym || lead(s.sym) OVER (
+                        PARTITION BY s.w ORDER BY s.pos)
+                    ELSE s.sym END AS sym,
+               lag(k.pos IS NOT NULL) OVER (
+                   PARTITION BY s.w ORDER BY s.pos) AS pt
+        FROM {prev} s LEFT JOIN hk{r} k ON k.w = s.w AND k.pos = s.pos)
+    WHERE pt IS DISTINCT FROM TRUE
+)"""
+        )
+    return "".join(parts)
+
+
+_BFO_ORACLE = (
+    """WITH docs_f AS MATERIALIZED (
+    SELECT doc_id, lang, text,
+           CAST(('0x' || substr(md5('bfo:' || CAST(doc_id AS VARCHAR)),
+                                1, 15)) AS BIGINT) % 5 AS fold
+    FROM documents
+), train_docs AS MATERIALIZED (
+    SELECT doc_id, lang, text FROM docs_f WHERE fold != 0
+), """
+    + _bpe_oracle_rounds(src="train_docs")[len("WITH "):]
+)
+
+
+@register(
+    "bpe_frozen_oov_apply_census",
+    ids="tokenizer: FROZEN-vocabulary BPE apply with a real OOV path — "
+    "train on the md5-80% fold, segment the held-out 20% (memoized "
+    "in-vocab join + per-token merge fold for OOV), per-language OOV "
+    "rate / fertility / unseen-char census",
+    oracle=_BFO_ORACLE
+    + f"""
+, heldsrc AS (
+    SELECT lang,
+           CASE WHEN doc_id % 4 = 2
+                THEN text || ' ' || repeat('qv', 1 + doc_id % 3)
+                     || ' x' || repeat('z', 1 + doc_id % 2)
+                ELSE text END AS text
+    FROM docs_f WHERE fold = 0
+), held AS MATERIALIZED (
+    SELECT lang, {_DUCK_TOKS} AS toks FROM heldsrc
+), hw AS MATERIALIZED (
+    SELECT lang, tok, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT lang, unnest(toks) AS tok FROM held)
+    GROUP BY lang, tok
+), h0 AS MATERIALIZED (
+    SELECT tok AS w,
+           unnest([{{'pos': i, 'sym': tok[i]}}
+                   for i in range(1, length(tok) + 1)],
+                  recursive := true)
+    FROM (SELECT DISTINCT tok FROM hw)
+)"""
+    + _bpe_oracle_apply_rounds()
+    + f"""
+, hp AS MATERIALIZED (
+    SELECT w AS tok, CAST(count(*) AS BIGINT) AS np
+    FROM h{_BPE_K} GROUP BY w
+), inv AS MATERIALIZED (
+    SELECT DISTINCT sym FROM s0
+), unseen AS MATERIALIZED (
+    SELECT DISTINCT h0.w AS tok
+    FROM h0 LEFT JOIN inv ON h0.sym = inv.sym
+    WHERE inv.sym IS NULL
+), flat AS (
+    SELECT hw.lang, hw.cnt, hp.np,
+           (words.tok IS NULL) AS is_oov,
+           (unseen.tok IS NOT NULL) AS has_unseen
+    FROM hw
+    JOIN hp ON hw.tok = hp.tok
+    LEFT JOIN words ON hw.tok = words.tok
+    LEFT JOIN unseen ON hw.tok = unseen.tok
+)
+SELECT lang,
+       CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN is_oov THEN cnt ELSE 0 END) AS BIGINT)
+           AS n_oov_tokens,
+       CAST(sum(CASE WHEN is_oov THEN cnt ELSE 0 END) * 1000000
+            // sum(cnt) AS BIGINT) AS oov_rate_micro,
+       CAST(sum(CASE WHEN NOT is_oov THEN cnt * np ELSE 0 END) AS BIGINT)
+           AS pieces_invocab,
+       CAST(sum(CASE WHEN is_oov THEN cnt * np ELSE 0 END) AS BIGINT)
+           AS pieces_oov,
+       CASE WHEN sum(CASE WHEN NOT is_oov THEN cnt ELSE 0 END) > 0
+            THEN CAST(sum(CASE WHEN NOT is_oov THEN cnt * np ELSE 0 END)
+                      * 1000000
+                      // sum(CASE WHEN NOT is_oov THEN cnt ELSE 0 END)
+                      AS BIGINT)
+            END AS fertility_invocab_micro,
+       CASE WHEN sum(CASE WHEN is_oov THEN cnt ELSE 0 END) > 0
+            THEN CAST(sum(CASE WHEN is_oov THEN cnt * np ELSE 0 END)
+                      * 1000000
+                      // sum(CASE WHEN is_oov THEN cnt ELSE 0 END)
+                      AS BIGINT)
+            END AS fertility_oov_micro,
+       CAST(sum(CASE WHEN has_unseen THEN cnt ELSE 0 END) AS BIGINT)
+           AS n_unseen_char_tokens
+FROM flat GROUP BY lang ORDER BY lang
+""",
+)
+def bpe_frozen_oov_apply_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FROZEN-vocabulary BPE apply — the production shape the memoized
+    ``bpe_corpus_apply_census`` legitimately sidesteps (its vocabulary
+    comes from the same scan, so every token hits the map by
+    construction; r13 verdict gap #1): train the 10-merge tokenizer on
+    the md5-derived 80% fold ONLY, freeze it, and segment the held-out
+    20% where a real fraction of tokens is OUT-OF-VOCABULARY.  Because
+    the synthetic corpus's templated vocabulary is fully covered by
+    any 80% fold, a deterministic OOV arm is planted on a quarter of
+    held-out docs (same fixture convention as the dedup/TTL cohorts —
+    both engines render it from the same expressions): 'qv'-repeat
+    tokens spelled in training-inventory characters exercise the pure
+    merge-fold path, 'xz'-repeat tokens ('x'/'z' are outside the
+    corpus alphabet) exercise the unseen-character fallback; organic
+    OOV counts identically when the data has it.
+
+    Two segmentation paths, both exercised at corpus grain:
+
+    - IN-VOCAB: the held-out (lang, tok, cnt) stream joins the frozen
+      memoized (tok → n_pieces) map — the fast path a production
+      tokenizer serves from its cache.
+    - OOV: tokens the join misses take the REAL fold path — the 10
+      frozen merges applied left-to-right via ``bpe_merge_expr`` over
+      the character segmentation, exactly Sennrich apply.  A character
+      the training fold never saw simply survives as a singleton
+      symbol (the char-level analogue of byte fallback) and is counted
+      in ``n_unseen_char_tokens``.
+
+    The oracle replays training on the train fold (chained CTEs),
+    then replays the FROZEN merge ranks over the held-out span table
+    (``_bpe_oracle_apply_rounds`` — t{{r}} is read, never re-derived)
+    and computes every census column from that single ground-truth
+    segmentation — so the hash ALSO proves the memoized join and the
+    fold path agree on in-vocab tokens (the memoization-validity
+    property, now oracle-checked rather than asserted).
+
+    Census per language: held-out token count, OOV count + micro rate,
+    pieces via each path, fertility (pieces per token, micro) split by
+    path — the delta is the production cost of OOV — and the
+    unseen-character token count.  All integers; NULL fertility when a
+    side is empty (guarded identically in both engines).
+
+    Scale shape: one train-fold token scan (the training chain's),
+    one held-out token scan collapsed to (lang, tok, cnt) — both scan
+    predicates on the same table — then everything is
+    vocabulary-bounded: the frozen map join (planner broadcasts the
+    localCheckpoint'ed known-size map at driver tiers, shuffled hash
+    join if a 100 TB vocabulary outgrows the threshold), the 10-deep
+    merge fold over DISTINCT OOV tokens only, and the bounded
+    char-inventory anti-join.  No corpus window, no pair stage."""
+    from big_data_lab_three_spark.functions.numeric import md5_mod
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "text",
+        md5_mod("bfo:", F.col("doc_id"), 5).alias("fold"),
+    )
+    tr = d.where(F.col("fold") != 0)
+    # Seeded OOV arm (registry fixture convention — the synthetic
+    # corpus's templated vocabulary is fully covered by the 80% fold,
+    # so without a plant the OOV path would be vacuously green at
+    # every tier): a quarter of held-out docs gain 'qv'-repeat tokens
+    # (OOV spelled entirely in training-inventory characters — the
+    # pure merge-fold path) and 'xz'-repeat tokens ('x'/'z' never
+    # appear in the corpus alphabet — the unseen-character fallback).
+    # Organic OOV, when the data has it, counts identically.
+    te = d.where(F.col("fold") == 0).select(
+        "lang",
+        F.when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.col("text"),
+                F.lit(" "),
+                F.expr("repeat('qv', CAST(1 + doc_id % 3 AS INT))"),
+                F.lit(" x"),
+                F.expr("repeat('z', CAST(1 + doc_id % 2 AS INT))"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    merges, vocab = _bpe_merge_loop(spark, sf_dir, docs=tr)
+    pieces = vocab.select("tok", F.size("syms").alias("np"))
+    chars = F.expr("filter(split(tok, ''), x -> x != '')")
+    inv = (
+        vocab.select(F.explode(chars).alias("sym"))
+        .distinct()
+        .localCheckpoint()
+    )
+    hw = (
+        te.select("lang", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
+    )
+    j = hw.join(pieces, "tok", "left")
+    oov_toks = (
+        j.where(F.col("np").isNull()).select("tok").distinct()
+    )
+    fold_expr = chars
+    for _rank, a, b, _m, _c in merges:
+        fold_expr = bpe_merge_expr(fold_expr, a, b)
+    oov_pieces = oov_toks.select(
+        "tok", F.size(fold_expr).alias("np_oov")
+    ).localCheckpoint()
+    oov_unseen = (
+        oov_toks.select("tok", F.explode(chars).alias("sym"))
+        .join(inv, "sym", "left_anti")
+        .select("tok")
+        .distinct()
+        .withColumn("has_unseen", F.lit(True))
+        .localCheckpoint()
+    )
+    flat = (
+        j.join(oov_pieces, "tok", "left")
+        .join(oov_unseen, "tok", "left")
+        .select(
+            "lang",
+            "cnt",
+            F.col("np").isNull().alias("is_oov"),
+            F.coalesce("np", "np_oov").cast("long").alias("npc"),
+            F.coalesce("has_unseen", F.lit(False)).alias("unseen"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    agg = flat.groupBy("lang").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.sum(F.when(F.col("is_oov"), F.col("cnt")).otherwise(zero))
+        .alias("n_oov_tokens"),
+        F.sum(
+            F.when(~F.col("is_oov"), F.col("cnt") * F.col("npc"))
+            .otherwise(zero)
+        ).alias("pieces_invocab"),
+        F.sum(
+            F.when(F.col("is_oov"), F.col("cnt") * F.col("npc"))
+            .otherwise(zero)
+        ).alias("pieces_oov"),
+        F.sum(F.when(F.col("unseen"), F.col("cnt")).otherwise(zero))
+        .alias("n_unseen_char_tokens"),
+    )
+    return agg.select(
+        "lang",
+        "n_tokens",
+        "n_oov_tokens",
+        F.expr("n_oov_tokens * 1000000 div n_tokens").alias(
+            "oov_rate_micro"
+        ),
+        "pieces_invocab",
+        "pieces_oov",
+        F.when(
+            F.col("n_tokens") - F.col("n_oov_tokens") > 0,
+            F.expr(
+                "pieces_invocab * 1000000"
+                " div (n_tokens - n_oov_tokens)"
+            ),
+        ).alias("fertility_invocab_micro"),
+        F.when(
+            F.col("n_oov_tokens") > 0,
+            F.expr("pieces_oov * 1000000 div n_oov_tokens"),
+        ).alias("fertility_oov_micro"),
+        "n_unseen_char_tokens",
+    ).orderBy("lang")

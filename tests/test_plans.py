@@ -2107,6 +2107,31 @@ def test_unigram_corpus_apply_is_keyed_join_no_window(spark, sf_dir, monkeypatch
     )
 
 
+def test_bpe_frozen_oov_apply_is_keyed_join_no_window(
+    spark, sf_dir, monkeypatch
+):
+    """The frozen-vocab OOV apply shares the apply family's contract:
+    held-out (lang, tok, cnt) stream joins the frozen piece map, OOV
+    remainder takes the vocabulary-bounded merge fold — no corpus
+    window, no cartesian, no non-broadcast nested loop
+    (localCheckpoints no-op'd so the whole plan is inspected)."""
+    import re
+
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    monkeypatch.setattr(
+        DataFrame, "localCheckpoint", lambda self, eager=True: self
+    )
+    df = REG["bpe_frozen_oov_apply_census"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan, "apply census fell back to a window"
+    assert not re.search(
+        r"(?<!Broadcast)NestedLoopJoin",
+        plan.replace("BroadcastNestedLoopJoin", "Broadcast_NLJ"),
+    )
+
+
 def test_curation_funnel_is_one_scan_one_digest_exchange(spark, sf_dir):
     """The composed curation funnel must stay linear: scan predicates
     for clean/quality, ONE digest-keyed exchange for the dedup window,
