@@ -107,6 +107,11 @@ _FORCE_FRONT: tuple[str, ...] = (
     # recall floor restored to the family's 0.4 convention.
     "similarity_imi",
     "similarity_imi_recall",
+    # curation_pipeline_census: funnel v2 — the CCNet LM-score gate
+    # and the quality-classifier verdict composed in as stages 4-5
+    # (two new flag columns + two doc-keyed verdict joins; schema
+    # gains n_lm / n_classified).
+    "curation_pipeline_census",
     # (kn_trigram_perplexity's r13 micro-quantization change is green
     # in CORRECTNESS_r13.json and was removed per the tuple's contract.)
 )

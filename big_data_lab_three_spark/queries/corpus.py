@@ -3850,15 +3850,13 @@ def unigram_lm_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bad docs keep honest false negatives in the held-out confusion.
 _QC_MARKER = " click free winner prize cheap"
 
-
-@register(
-    "quality_classifier_census",
-    ids="curation: fastText-style linear quality classifier — binary "
-    "NB-weighted linear score trained on seeded good/bad cohorts "
-    "(md5-80% fold), whole-corpus keep/drop census per source with "
-    "held-out confusion (the CCNet/fastText curation stage)",
-    oracle=f"""
-WITH d AS (
+# Shared DuckDB fragment: the whole classifier chain through the
+# per-doc argmax verdict ``qbest`` (doc_id, source, cohort, fold,
+# predicted).  qc-prefixed CTE names so it composes into oracles that
+# also use the bigram scorer's d/sc names (the curation funnel, r14);
+# used by quality_classifier_census and curation_pipeline_census — one
+# model definition, two consumers.
+_QC_BEST_SQL = f"""qcd AS (
     SELECT doc_id, source,
            CASE WHEN CAST(('0x' || substr(md5(
                     'qc:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
@@ -3875,64 +3873,74 @@ WITH d AS (
            CAST(('0x' || substr(md5('qcf:' || CAST(doc_id AS VARCHAR)),
                                 1, 15)) AS BIGINT) % 5 AS fold
     FROM documents
-), dd AS (
-    SELECT * FROM d WHERE len(toks) > 0
-), tr AS (
-    SELECT * FROM dd WHERE fold != 0
-), pri AS (
+), qcdd AS (
+    SELECT * FROM qcd WHERE len(toks) > 0
+), qctr AS (
+    SELECT * FROM qcdd WHERE fold != 0
+), qcpri AS (
     SELECT cohort AS cand, CAST(count(*) AS BIGINT) AS nc
-    FROM tr GROUP BY cohort
-), tot AS (
-    SELECT CAST(sum(nc) AS BIGINT) AS n FROM pri
-), trt AS (
+    FROM qctr GROUP BY cohort
+), qctot AS (
+    SELECT CAST(sum(nc) AS BIGINT) AS n FROM qcpri
+), qctrt AS (
     SELECT cohort AS cand, tok
-    FROM (SELECT cohort, unnest(toks) AS tok FROM tr)
-), vsz AS (
-    SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM trt
-), cb AS (
+    FROM (SELECT cohort, unnest(toks) AS tok FROM qctr)
+), qcvsz AS (
+    SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM qctrt
+), qccb AS (
     SELECT cand, tok, CAST(count(*) AS BIGINT) AS cnt
-    FROM trt GROUP BY cand, tok
-), cw AS (
+    FROM qctrt GROUP BY cand, tok
+), qccw AS (
     SELECT cand, tok,
            CAST(floor(ln(cnt + 1) * 1000000 + 0.5) AS BIGINT) AS w
-    FROM cb
-), dm AS (
+    FROM qccb
+), qcdm AS (
     SELECT tc.cand,
-           CAST(floor(ln(tc.t + vsz.v) * 1000000 + 0.5) AS BIGINT) AS wd,
-           CAST(floor(ln(pri.nc / CAST(tot.n AS DOUBLE))
+           CAST(floor(ln(tc.t + qcvsz.v) * 1000000 + 0.5) AS BIGINT) AS wd,
+           CAST(floor(ln(qcpri.nc / CAST(qctot.n AS DOUBLE))
                       * 1000000 + 0.5) AS BIGINT) AS w0
     FROM (SELECT cand, CAST(sum(cnt) AS BIGINT) AS t
-          FROM cb GROUP BY cand) tc
-    JOIN pri ON pri.cand = tc.cand, vsz, tot
-), tet AS (
+          FROM qccb GROUP BY cand) tc
+    JOIN qcpri ON qcpri.cand = tc.cand, qcvsz, qctot
+), qctet AS (
     SELECT doc_id, tok
-    FROM (SELECT doc_id, unnest(toks) AS tok FROM dd)
-), hs AS (
-    SELECT tet.doc_id, cw.cand, CAST(sum(cw.w) AS BIGINT) AS s1
-    FROM tet JOIN cw ON cw.tok = tet.tok
-    GROUP BY tet.doc_id, cw.cand
-), sc AS (
+    FROM (SELECT doc_id, unnest(toks) AS tok FROM qcdd)
+), qchs AS (
+    SELECT qctet.doc_id, qccw.cand, CAST(sum(qccw.w) AS BIGINT) AS s1
+    FROM qctet JOIN qccw ON qccw.tok = qctet.tok
+    GROUP BY qctet.doc_id, qccw.cand
+), qcsc AS (
     SELECT g.doc_id, g.source, g.cohort, g.fold, g.cand,
-           coalesce(hs.s1, 0) - g.nt * dm.wd + dm.w0 AS score
-    FROM (SELECT dd.doc_id, dd.source, dd.cohort, dd.fold,
-                 CAST(len(dd.toks) AS BIGINT) AS nt, pri.cand
-          FROM dd CROSS JOIN pri) g
-    LEFT JOIN hs ON hs.doc_id = g.doc_id AND hs.cand = g.cand
-    JOIN dm ON dm.cand = g.cand
-), best AS (
+           coalesce(qchs.s1, 0) - g.nt * qcdm.wd + qcdm.w0 AS score
+    FROM (SELECT qcdd.doc_id, qcdd.source, qcdd.cohort, qcdd.fold,
+                 CAST(len(qcdd.toks) AS BIGINT) AS nt, qcpri.cand
+          FROM qcdd CROSS JOIN qcpri) g
+    LEFT JOIN qchs ON qchs.doc_id = g.doc_id AND qchs.cand = g.cand
+    JOIN qcdm ON qcdm.cand = g.cand
+), qbest AS (
     SELECT doc_id, source, cohort, fold, cand AS predicted FROM (
         SELECT doc_id, source, cohort, fold, cand,
                row_number() OVER (
                    PARTITION BY doc_id ORDER BY score DESC, cand ASC
                ) AS rn
-        FROM sc) WHERE rn = 1
-)
+        FROM qcsc) WHERE rn = 1
+)"""
+
+
+@register(
+    "quality_classifier_census",
+    ids="curation: fastText-style linear quality classifier — binary "
+    "NB-weighted linear score trained on seeded good/bad cohorts "
+    "(md5-80% fold), whole-corpus keep/drop census per source with "
+    "held-out confusion (the CCNet/fastText curation stage)",
+    oracle=f"""
+WITH {_QC_BEST_SQL}
 SELECT source, cohort, predicted,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(CASE WHEN fold = 0 THEN 1 ELSE 0 END) AS BIGINT)
            AS n_heldout,
        CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
-FROM best GROUP BY source, cohort, predicted
+FROM qbest GROUP BY source, cohort, predicted
 ORDER BY source, cohort, predicted
 """,
 )
@@ -3970,6 +3978,26 @@ def quality_classifier_census(
     (doc × 2) denominator/prior grid, argmaxes with one groupBy — no
     corpus window, no dense grid (the ``nb_lang_confusion`` plan with
     2 classes and a whole-corpus test side)."""
+    best = _qc_best(spark, sf_dir)
+    return (
+        best.groupBy("source", "cohort", "predicted")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("fold") == 0).cast("int"))
+            .cast("long")
+            .alias("n_heldout"),
+            F.sum("doc_id").alias("sum_doc_id"),
+        )
+        .orderBy("source", "cohort", "predicted")
+    )
+
+
+def _qc_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classifier chain through the per-doc argmax verdict:
+    (doc_id, source, cohort, fold, predicted) — the Spark twin of the
+    ``_QC_BEST_SQL`` fragment, shared by ``quality_classifier_census``
+    and the curation funnel's classifier stage (one model definition,
+    two consumers)."""
     from big_data_lab_three_spark.functions.numeric import md5_mod
 
     hash_mod = lambda salt, mod: md5_mod(salt, F.col("doc_id"), mod)
@@ -4075,17 +4103,7 @@ def quality_classifier_census(
         )
         .select("doc_id", "source", "cohort", "fold", F.col("b.cand").alias("predicted"))
     )
-    return (
-        best.groupBy("source", "cohort", "predicted")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum((F.col("fold") == 0).cast("int"))
-            .cast("long")
-            .alias("n_heldout"),
-            F.sum("doc_id").alias("sum_doc_id"),
-        )
-        .orderBy("source", "cohort", "predicted")
-    )
+    return best
 
 
 # ---------------------------------------------------------------------
@@ -4223,56 +4241,88 @@ def unigram_corpus_apply_census(
 # ---------------------------------------------------------------------
 
 
-@register(
-    "curation_pipeline_census",
-    ids="curation: END-TO-END pipeline funnel — clean → exact dedup → "
-    "lexical-diversity gate → sequence-budget accounting, per-source "
-    "survivor counts in ONE composed plan",
-    oracle=f"""
-WITH base AS (
-    SELECT doc_id, source, text FROM documents
+def _curation_funnel_oracle() -> str:
+    from big_data_lab_three_spark.queries.pipeline import _DUCK_BIGRAM_SC
+
+    return f"""
+WITH {_DUCK_BIGRAM_SC}, {_QC_BEST_SQL}, lmsc AS (
+    SELECT doc_id, (- lp_micro) // n_bigrams AS pos_micro FROM sc
+), lmcut AS (
+    SELECT sc.lang, CAST(sum((- lp_micro) // n_bigrams) // count(*)
+                         AS BIGINT) AS cutoff
+    FROM sc GROUP BY sc.lang
+), base AS (
+    SELECT doc_id, doc_id AS orig_id, lang, source, text FROM documents
     UNION ALL
-    SELECT doc_id + 5000000, 'mirror', text
+    SELECT doc_id + 5000000, doc_id, lang, 'mirror', text
     FROM documents WHERE doc_id % 7 = 0
 ), raw AS (
-    SELECT doc_id, source, text, {_DUCK_TOKS} AS toks FROM base
-), clean AS (
-    SELECT * FROM raw WHERE len(toks) >= 5
-), uniq AS (
-    SELECT * FROM (
-        SELECT *, row_number() OVER (
-            PARTITION BY md5(text) ORDER BY doc_id) AS rn
-        FROM clean) WHERE rn = 1
-), qual AS (
-    SELECT * FROM uniq
-    WHERE len(list_distinct(toks)) * 1000000 // len(toks) >= 300000
+    SELECT doc_id, orig_id, lang, source, text, {_DUCK_TOKS} AS toks
+    FROM base
+), flags AS (
+    SELECT r.source, r.doc_id, r.toks,
+           row_number() OVER (
+               PARTITION BY md5(r.text) ORDER BY r.doc_id) AS rn,
+           lmsc.pos_micro, lmcut.cutoff,
+           coalesce(qbest.predicted = 'good', FALSE) AS qc_ok
+    FROM raw r
+    LEFT JOIN lmsc ON lmsc.doc_id = r.orig_id
+    LEFT JOIN lmcut ON lmcut.lang = r.lang
+    LEFT JOIN qbest ON qbest.doc_id = r.orig_id
+), staged AS (
+    SELECT source, doc_id, toks,
+           (len(toks) >= 5) AS f_c,
+           (len(toks) >= 5 AND rn = 1) AS f_u,
+           (len(toks) >= 5 AND rn = 1
+            AND len(list_distinct(toks)) * 1000000 // len(toks)
+                >= 300000) AS f_q,
+           (len(toks) >= 5 AND rn = 1
+            AND len(list_distinct(toks)) * 1000000 // len(toks)
+                >= 300000
+            AND pos_micro IS NOT NULL AND pos_micro <= cutoff) AS f_l,
+           (len(toks) >= 5 AND rn = 1
+            AND len(list_distinct(toks)) * 1000000 // len(toks)
+                >= 300000
+            AND pos_micro IS NOT NULL AND pos_micro <= cutoff
+            AND qc_ok) AS f_k
+    FROM flags
 )
-SELECT r.source,
+SELECT source,
        CAST(count(*) AS BIGINT) AS n_raw,
-       CAST(count(c.doc_id) AS BIGINT) AS n_clean,
-       CAST(count(u.doc_id) AS BIGINT) AS n_unique,
-       CAST(count(q.doc_id) AS BIGINT) AS n_quality,
-       CAST(coalesce(sum(CASE WHEN q.doc_id IS NOT NULL
-                              THEN len(q.toks) END), 0) AS BIGINT)
+       CAST(sum(CASE WHEN f_c THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+       CAST(sum(CASE WHEN f_u THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       CAST(sum(CASE WHEN f_q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       CAST(sum(CASE WHEN f_l THEN 1 ELSE 0 END) AS BIGINT) AS n_lm,
+       CAST(sum(CASE WHEN f_k THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_classified,
+       CAST(coalesce(sum(CASE WHEN f_k THEN len(toks) END), 0) AS BIGINT)
            AS n_tokens_kept,
-       CAST(ceil(coalesce(sum(CASE WHEN q.doc_id IS NOT NULL
-                                   THEN len(q.toks) END), 0)
+       CAST(ceil(coalesce(sum(CASE WHEN f_k THEN len(toks) END), 0)
                  / 2048.0) AS BIGINT) AS n_sequences,
-       CAST(coalesce(sum(q.doc_id), 0) AS BIGINT) AS sum_kept_doc_id
-FROM raw r
-LEFT JOIN clean c ON c.doc_id = r.doc_id
-LEFT JOIN uniq u ON u.doc_id = r.doc_id
-LEFT JOIN qual q ON q.doc_id = r.doc_id
-GROUP BY r.source ORDER BY r.source
-""",
+       CAST(coalesce(sum(CASE WHEN f_k THEN doc_id END), 0) AS BIGINT)
+           AS sum_kept_doc_id
+FROM staged GROUP BY source ORDER BY source
+"""
+
+
+@register(
+    "curation_pipeline_census",
+    ids="curation: END-TO-END pipeline funnel v2 — clean → exact dedup → "
+    "lexical-diversity gate → LM-score gate → quality-classifier gate → "
+    "sequence-budget accounting, per-source survivor counts in ONE "
+    "composed plan",
+    oracle=_curation_funnel_oracle(),
 )
 def curation_pipeline_census(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """END-TO-END curation funnel — the composed DAG a training-data
-    pipeline actually ships, in ONE Spark plan (the individual stages
-    exist as standalone queries — ``corpus_clean``, ``dedup_exact``,
-    ``quality_filter_funnel``, ``sequence_packing`` — this is the
+    """END-TO-END curation funnel v2 — the composed DAG a training-data
+    pipeline actually ships, in ONE Spark plan, now including BOTH
+    model-based stages (r13 verdict gap #2: v1 composed only 2 of the
+    4 real stages; the standalone queries — ``corpus_clean``,
+    ``dedup_exact``, ``quality_filter_funnel``,
+    ``ccnet_perplexity_buckets``, ``quality_classifier_census``,
+    ``sequence_packing`` — exist on their own; this is the
     composition, with per-source attrition at every stage):
 
     A seeded ``mirror`` re-ingest cohort (every 7th doc re-keyed
@@ -4286,49 +4336,101 @@ def curation_pipeline_census(
     3. QUALITY: lexical-diversity gate — distinct-token ratio >= 0.30
        (micro-unit integer arithmetic, the Gopher-style repetition
        proxy).
-    4. SEQUENCE BUDGET: surviving tokens per source divided into
+    4. LM SCORE (CCNet stage): per-doc positive-micro LM cost
+       ``(-lp_micro) div n_bigrams`` from the SHARED bigram scorer
+       (``pipeline.bigram_doc_scores`` — the exact model
+       ``ccnet_perplexity_buckets`` buckets with); keep docs at or
+       under their language's mean cost (the deterministic
+       sample-fit-cutoff stand-in for CCNet's tercile — a corpus-grain
+       ntile would need a per-language window, which this plan
+       forbids).  All-positive integer arithmetic: Spark ``div``
+       truncates toward zero and DuckDB ``//`` floors, which only
+       agree on non-negative operands — lp_micro ≤ 0 by construction,
+       so the negation keeps both engines exact.
+    5. CLASSIFIER (fastText stage): keep docs the shared NB-weighted
+       linear classifier (``_qc_best`` — the exact model
+       ``quality_classifier_census`` censuses) predicts 'good'.
+    6. SEQUENCE BUDGET: surviving tokens per source divided into
        2048-token training sequences (the number a packer would emit;
        ``sequence_packing`` pins the actual bin assignment).
 
-    Readout per source: survivors at each stage, kept-token total,
-    sequence count, and a kept-id checksum — the funnel numbers a
-    pipeline dashboard shows per ingest source.
+    Mirror docs carry their ORIGINAL's model verdicts (scored once,
+    joined on ``orig_id``): a re-ingested copy has identical text, so
+    re-scoring it would compute the same number twice — and the
+    classifier/scorer fixtures key off the original doc_id.
 
-    Scale shape: ONE corpus scan, ONE digest-keyed exchange (the
-    min-id dedup window over the 16-byte content hash), one census
-    rollup.  All four stages are FLAG COLUMNS on a single lineage —
-    clean and the diversity gate are pure functions of the text, so
-    content-group members share them and the per-stage attrition
-    rolls up in the same pass; no re-derived subplans joined back on
-    doc_id, no packing window here (that's ``sequence_packing``'s
-    job)."""
+    Readout per source: survivors at each of 5 gate stages,
+    kept-token total, sequence count, and a kept-id checksum — the
+    funnel numbers a pipeline dashboard shows per ingest source.
+
+    Scale shape: the funnel lineage is still ONE corpus scan with ONE
+    digest-keyed exchange (the min-id dedup window over the 16-byte
+    content hash) and flag columns for the text-pure stages; the two
+    model stages add their standalones' published costs (token scans
+    against Zipf-bounded model tables, groupBy/struct-max argmax — no
+    corpus window) plus TWO doc-keyed joins of the per-doc verdict
+    frames back to the lineage and one broadcast of the per-language
+    cutoff table.  No re-derived text stages joined back on doc_id,
+    no packing window here (that's ``sequence_packing``'s job)."""
     from big_data_lab_three_spark.queries.dedup import _seed_id
+    from big_data_lab_three_spark.queries.pipeline import (
+        bigram_doc_scores,
+    )
+
+    sc = bigram_doc_scores(spark, sf_dir)
+    lmsc = sc.select(
+        F.col("doc_id").alias("orig_id"),
+        F.expr("(- lp_micro) div n_bigrams").alias("pos_micro"),
+    )
+    lmcut = sc.groupBy("lang").agg(
+        F.expr(
+            "sum((- lp_micro) div n_bigrams) div count(1)"
+        ).alias("cutoff")
+    )
+    qb = _qc_best(spark, sf_dir).select(
+        F.col("doc_id").alias("orig_id"), "predicted"
+    )
 
     d = table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "text"
+        "doc_id", "lang", "source", "text"
     )
-    base = d.unionByName(
+    base = d.select(
+        "doc_id", F.col("doc_id").alias("orig_id"), "lang", "source", "text"
+    ).unionByName(
         d.where(F.col("doc_id") % 7 == 0).select(
             _seed_id(F.col("doc_id"), k=5).alias("doc_id"),
+            F.col("doc_id").alias("orig_id"),
+            "lang",
             F.lit("mirror").alias("source"),
             "text",
         )
     )
     raw = base.select(
-        "doc_id", "source", "text", tokens(F.col("text")).alias("toks")
+        "doc_id",
+        "orig_id",
+        "lang",
+        "source",
+        "text",
+        tokens(F.col("text")).alias("toks"),
     )
     from pyspark.sql import Window
 
-    # Single-lineage flag columns (one scan, ONE digest-keyed window
-    # exchange — not four re-derivations joined back on doc_id): clean
-    # and the diversity gate are pure functions of the text, so every
-    # member of a content group shares them and "min-id clean copy"
-    # IS rn == 1 within the digest partition.  The diversity ratio
-    # multiplies in BIGINT — size() returns INT and INT·1e6 wraps past
-    # ~2147 distinct tokens (review finding r13).
+    # Single-lineage flag columns (one funnel scan, ONE digest-keyed
+    # window exchange — the text-pure stages are never re-derived and
+    # joined back): clean and the diversity gate are pure functions of
+    # the text, so every member of a content group shares them and
+    # "min-id clean copy" IS rn == 1 within the digest partition.  The
+    # diversity ratio multiplies in BIGINT — size() returns INT and
+    # INT·1e6 wraps past ~2147 distinct tokens (review finding r13).
+    # The model verdicts join ON THE KEY (orig_id / lang): per-doc
+    # corpus-sized frames shuffle on doc id, the per-language cutoff
+    # broadcasts.
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     scored = (
-        raw.withColumn("_c", F.size("toks") >= 5)
+        raw.join(lmsc, "orig_id", "left")
+        .join(F.broadcast(lmcut), "lang", "left")
+        .join(qb, "orig_id", "left")
+        .withColumn("_c", F.size("toks") >= 5)
         .withColumn("rn", F.row_number().over(w))
         .withColumn("_u", F.col("_c") & (F.col("rn") == 1))
         .withColumn(
@@ -4342,8 +4444,21 @@ def curation_pipeline_census(
                 >= 300000
             ),
         )
+        .withColumn(
+            "_l",
+            F.col("_q")
+            & F.col("pos_micro").isNotNull()
+            & (F.col("pos_micro") <= F.col("cutoff")),
+        )
+        .withColumn(
+            "_k",
+            F.col("_l")
+            & F.coalesce(
+                F.col("predicted") == F.lit("good"), F.lit(False)
+            ),
+        )
     )
-    kept_toks = F.when(F.col("_q"), F.size("toks").cast("long"))
+    kept_toks = F.when(F.col("_k"), F.size("toks").cast("long"))
     return (
         scored.groupBy("source")
         .agg(
@@ -4351,6 +4466,8 @@ def curation_pipeline_census(
             F.sum(F.col("_c").cast("long")).alias("n_clean"),
             F.sum(F.col("_u").cast("long")).alias("n_unique"),
             F.sum(F.col("_q").cast("long")).alias("n_quality"),
+            F.sum(F.col("_l").cast("long")).alias("n_lm"),
+            F.sum(F.col("_k").cast("long")).alias("n_classified"),
             F.coalesce(F.sum(kept_toks), F.lit(0))
             .cast("long")
             .alias("n_tokens_kept"),
@@ -4360,7 +4477,7 @@ def curation_pipeline_census(
             .cast("long")
             .alias("n_sequences"),
             F.coalesce(
-                F.sum(F.when(F.col("_q"), F.col("doc_id"))), F.lit(0)
+                F.sum(F.when(F.col("_k"), F.col("doc_id"))), F.lit(0)
             )
             .cast("long")
             .alias("sum_kept_doc_id"),

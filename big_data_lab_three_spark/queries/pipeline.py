@@ -1031,6 +1031,10 @@ _DUCK_BIGRAM_SC = f"""d AS (
                              + 0.25 * ub.c1 / tt.total)
                           * 1000000 + 0.5) AS BIGINT))
                / count(*) / 1000000.0 AS avg_lp,
+           CAST(sum(CAST(floor(ln(0.75 * b2.c2 / ua.c1
+                                  + 0.25 * ub.c1 / tt.total)
+                               * 1000000 + 0.5) AS BIGINT))
+                AS BIGINT) AS lp_micro,
            CAST(count(*) AS BIGINT) AS n_bigrams
     FROM bg JOIN b2 USING (w1, w2)
          JOIN uni ua ON ua.tok = bg.w1
@@ -1041,8 +1045,9 @@ _DUCK_BIGRAM_SC = f"""d AS (
 
 def bigram_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document interpolated bigram-LM scores — the SHARED scorer
-    behind ``bigram_logprob`` and ``corpus.ccnet_perplexity_buckets``:
-    (doc_id, lang, avg_lp, n_bigrams) where ``avg_lp`` is the mean of
+    behind ``bigram_logprob``, ``corpus.ccnet_perplexity_buckets`` and
+    the curation funnel's LM gate:
+    (doc_id, lang, avg_lp, lp_micro, n_bigrams) where ``avg_lp`` is the mean of
     micro-quantized per-bigram log terms (order-free integer sum, see
     ``bigram_logprob``'s portability note).  DuckDB twin:
     ``_DUCK_BIGRAM_SC``'s ``sc`` relation."""
@@ -1103,6 +1108,11 @@ def bigram_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("n_bigrams")
                 / F.lit(1000000.0)
             ).alias("avg_lp"),
+            # the raw micro-quantized integer sum, for consumers that
+            # need engine-portable integer arithmetic downstream (the
+            # curation funnel's LM gate, r14) — order-free BIGINT, no
+            # double averaging; existing consumers project it away
+            "lp_micro",
             "n_bigrams",
         )
     )

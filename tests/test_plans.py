@@ -2132,14 +2132,25 @@ def test_bpe_frozen_oov_apply_is_keyed_join_no_window(
     )
 
 
-def test_curation_funnel_is_one_scan_one_digest_exchange(spark, sf_dir):
-    """The composed curation funnel must stay linear: scan predicates
-    for clean/quality, ONE digest-keyed exchange for the dedup window,
-    doc_id-keyed joins for attrition flags — no cartesian, no
+def test_curation_funnel_is_one_scan_one_digest_exchange(
+    spark, sf_dir, monkeypatch
+):
+    """The composed curation funnel v2 must stay linear: scan
+    predicates for clean/quality, ONE digest-keyed exchange for the
+    dedup window, doc-keyed joins for the two model-stage verdicts
+    plus a broadcast per-language cutoff — no cartesian, no
     non-broadcast nested loop, and the only Window partitions by the
-    content digest (bounded groups), never the whole corpus."""
+    content digest (bounded groups), never the whole corpus (both
+    model stages argmax via groupBy/struct-max, not windows;
+    localCheckpoints no-op'd so the whole classifier chain is
+    inspected too)."""
     import re
 
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    monkeypatch.setattr(
+        DataFrame, "localCheckpoint", lambda self, eager=True: self
+    )
     df = REG["curation_pipeline_census"].spark(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
@@ -2150,4 +2161,7 @@ def test_curation_funnel_is_one_scan_one_digest_exchange(spark, sf_dir):
     m = re.findall(r"windowspecdefinition\(([^,]+),", plan)
     assert m and all("md5" in g or "_w" in g for g in m), (
         f"window not partitioned by content digest: {m}"
+    )
+    assert broadcast_join_count(df) >= 1, (
+        "per-language LM cutoff should broadcast"
     )
