@@ -57,6 +57,7 @@ def _bpe_merge_loop(
     sf_dir: str,
     k: int = _BPE_K,
     docs: DataFrame | None = None,
+    round_times: list | None = None,
 ):
     """Run the K-merge BPE training loop; returns ``(merges, vocab)``
     where ``merges`` is the list of (rank, left, right, merged, cnt)
@@ -76,6 +77,10 @@ def _bpe_merge_loop(
     vocab = _bpe_vocab(spark, sf_dir, docs=docs).localCheckpoint()
     merges: list[tuple] = []
     for rank in range(1, k + 1):
+        if round_times is not None:
+            import time as _time
+
+            _t0 = _time.time()
         n = F.size("syms")
         pairs = (
             vocab.where(n >= 2)
@@ -100,6 +105,8 @@ def _bpe_merge_loop(
         vocab = vocab.select(
             "tok", "cnt", bpe_merge_expr("syms", a, b).alias("syms")
         ).localCheckpoint()
+        if round_times is not None:
+            round_times.append((rank, _time.time() - _t0))
     return merges, vocab
 
 
@@ -4783,3 +4790,52 @@ def bpe_frozen_oov_apply_census(
         ).alias("fertility_oov_micro"),
         "n_unseen_char_tokens",
     ).orderBy("lang")
+
+
+_BPE_K50 = 50
+
+_BPE_K50_MERGES_SELECT = "\nUNION ALL ".join(
+    f"SELECT CAST({r} AS INTEGER) AS merge_rank, a AS left_sym, "
+    f"b AS right_sym, a || b AS merged, c AS pair_cnt FROM t{r}"
+    for r in range(1, _BPE_K50 + 1)
+)
+
+
+@register(
+    "bpe_train_merges_k50",
+    ids="tokenizer: BPE training at production merge depth — K=50 greedy "
+    "merges, exact merge table, per-round cost flat (vocabulary-bounded "
+    "loop state)",
+    oracle=_bpe_oracle_rounds(_BPE_K50)
+    + f"""
+{_BPE_K50_MERGES_SELECT}
+ORDER BY merge_rank
+""",
+)
+def bpe_train_merges_k50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training at PRODUCTION merge depth (r13 verdict item 6) —
+    the same loop as ``bpe_train_merges`` continued to K=50, emitting
+    the full 50-rank merge table.  The point being proven is the cost
+    model, not new mechanics: every round is vocabulary-bounded (pair
+    explode + combiner groupBy + 1-row driver argmax + fold-merge
+    projection over localCheckpoint'ed bounded state), so per-round
+    wall-time stays FLAT as the rank grows — measured ~0.5s/round on
+    an idle local[32] at sf0.01 with no upward trend from rank 1 to 50
+    (EXPERIMENTS.md r14) — and the corpus scan still runs exactly
+    once.  At a real 100 TB tier the scan dominates and rounds 2..K
+    cost the same as round 1: the property that makes 32k-merge
+    production vocabularies a driver-loop, not a corpus-loop.
+
+    The oracle replays all 50 rounds as chained CTEs (the
+    ``_bpe_oracle_rounds`` machinery at k=50 — full replay, stronger
+    than witness-checking the tail rounds; ~6-20s in DuckDB since the
+    span tables are vocabulary-bounded too).  If the corpus exhausts
+    mergeable pairs before rank 50 both engines emit only the realized
+    ranks (the Spark loop breaks on an empty argmax; the oracle's
+    empty t{{r}} contributes no UNION arm rows)."""
+    merges, _ = _bpe_merge_loop(spark, sf_dir, k=_BPE_K50)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, left_sym string, right_sym string, "
+        "merged string, pair_cnt long",
+    ).orderBy("merge_rank")

@@ -1,0 +1,276 @@
+"""sf10 planted-witness gate for the shuffle-heavy dedup/streaming
+families (r13 verdict item 5).
+
+At the sf10 tier (500k docs, ~27M corpus tokens — 100× the driver's
+bench tier) the DuckDB oracles of the banded-LSH family are
+replay-quadratic (brute-force all-pairs Jaccard / recursive-CTE
+closures over 10×-replicated buckets), so the value gate stops at sf1.
+The SPARK side stays linear, and each query's seeded fixture admits
+LINEAR invariant checks that hold REGARDLESS of organic near-dup
+structure — this tool runs them:
+
+- ``dedup_minhash_lsh`` — planted recall: for every collapsed
+  representative r, the seeded pair (r, r+1M, ' zzz' mutation) whose
+  EXACT shingle-Jaccard clears the 0.7 threshold (computed linearly,
+  one pair per rep — never all-pairs) must be in the output; plus
+  output sanity (jaccard ∈ [0.7, 1], id_a < id_b, no duplicate pairs).
+- ``dedup_clusters`` / ``dedup_clusters_star`` — DIFFERENTIAL: the two
+  independent CC implementations (min-label propagation vs
+  large-star/small-star contraction) must produce IDENTICAL label
+  tables; min-label structural invariants (cluster_id <= id, the
+  canonical id is a member, i.e. per-cluster min(id) == cluster_id);
+  planted-edge consistency: every seeded edge of the (r, r+1M, r+2M)
+  clique whose exact Jaccard clears 0.7 must connect its endpoints to
+  one label.
+- ``streaming_minhash_admission`` — the full 4-micro-batch
+  checkpointed stream at sf10: every exact-copy seed (+5_000_002, two
+  shards after its original) must be REJECTED (provable: the copy
+  shares digest AND all band keys with its strictly-earlier original,
+  so whichever collision rejected or admitted the original also
+  rejects the copy); per-shard doc totals must equal independently
+  computed base counts; admitted ⊆ base.
+
+Usage: python tools/sf10_witness.py [sf_dir]   (default .scratch/sf10)
+Exit 1 on any violated invariant.  Results belong in EXPERIMENTS.md.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _exact_jaccard(ta: str, tb: str, k: int = 3):
+    from big_data_lab_three_spark.functions.text import shingles, tokens
+
+    sa = F.array_distinct(shingles(tokens(F.col(ta)), k))
+    sb = F.array_distinct(shingles(tokens(F.col(tb)), k))
+    return (
+        F.size(F.array_intersect(sa, sb)).cast("double")
+        / F.size(F.array_union(sa, sb))
+    )
+
+
+def check_minhash_lsh(spark, sf_dir: str) -> list[str]:
+    from big_data_lab_three_spark.queries import load_all
+    from big_data_lab_three_spark.queries.dedup import (
+        collapsed_seeded_base,
+    )
+
+    errs: list[str] = []
+    reg = load_all()
+    t0 = time.time()
+    pairs = reg["dedup_minhash_lsh"].spark(spark, sf_dir).localCheckpoint()
+    n_pairs = pairs.count()
+    # sanity over the whole output
+    bad = pairs.where(
+        (F.col("jaccard") < 0.7)
+        | (F.col("jaccard") > 1.0)
+        | (F.col("id_a") >= F.col("id_b"))
+    ).count()
+    dup = n_pairs - pairs.select("id_a", "id_b").distinct().count()
+    if bad or dup:
+        errs.append(f"dedup_minhash_lsh: {bad} malformed, {dup} dup pairs")
+    # planted recall, conditioned on the exact threshold (one pair per
+    # rep — LINEAR): base = reps ∪ (rep+1M, text || ' zzz')
+    base = collapsed_seeded_base(spark, sf_dir)
+    reps = base.where(F.col("doc_id") < 1_000_000).select(
+        F.col("doc_id").alias("rid"), F.col("text").alias("ta")
+    )
+    planted = reps.select(
+        "rid",
+        "ta",
+        F.concat(F.col("ta"), F.lit(" zzz")).alias("tb"),
+    ).select("rid", _exact_jaccard("ta", "tb").alias("j"))
+    eligible = planted.where(F.col("j") >= 0.7)
+    n_eligible = eligible.count()
+    hit = eligible.join(
+        pairs,
+        (pairs["id_a"] == eligible["rid"])
+        & (pairs["id_b"] == eligible["rid"] + 1_000_000),
+    ).count()
+    print(
+        f"dedup_minhash_lsh: {n_pairs} pairs, planted eligible "
+        f"{n_eligible}, recovered {hit} "
+        f"(recall {hit / max(n_eligible, 1):.4f}) "
+        f"[{time.time() - t0:.1f}s]",
+        flush=True,
+    )
+    if hit != n_eligible:
+        errs.append(
+            f"dedup_minhash_lsh: planted recall {hit}/{n_eligible}"
+        )
+    return errs
+
+
+def check_clusters(spark, sf_dir: str) -> list[str]:
+    from big_data_lab_three_spark.queries import load_all
+    from big_data_lab_three_spark.queries.dedup import (
+        _clusters_seeded_base,
+    )
+
+    errs: list[str] = []
+    reg = load_all()
+    t0 = time.time()
+    cc = reg["dedup_clusters"].spark(spark, sf_dir).localCheckpoint()
+    star = (
+        reg["dedup_clusters_star"].spark(spark, sf_dir).localCheckpoint()
+    )
+    n = cc.count()
+    # differential: two independent CC implementations, one answer
+    diff = cc.exceptAll(star).count() + star.exceptAll(cc).count()
+    if diff:
+        errs.append(f"dedup_clusters vs _star: {diff} differing rows")
+    # min-label structure
+    bad_min = cc.where(F.col("cluster_id") > F.col("id")).count()
+    bad_canon = (
+        cc.groupBy("cluster_id")
+        .agg(F.min("id").alias("m"))
+        .where(F.col("m") != F.col("cluster_id"))
+        .count()
+    )
+    if bad_min or bad_canon:
+        errs.append(
+            f"dedup_clusters: {bad_min} labels > id, "
+            f"{bad_canon} clusters whose canonical id is not a member"
+        )
+    # planted-edge consistency: seeded clique edges that clear the
+    # exact threshold must be intra-cluster (labels equal)
+    base = _clusters_seeded_base(spark, sf_dir)
+    reps = base.where(F.col("doc_id") < 1_000_000).select(
+        F.col("doc_id").alias("rid"), F.col("text").alias("ta")
+    )
+    edges = None
+    # all three clique edges — for short docs the (m1, m2) edge can be
+    # the only one clearing the threshold, so it must be checked too
+    for offa, sufa, offb, sufb in (
+        (0, "", 1_000_000, " zzz"),
+        (0, "", 2_000_000, " zzz yyy"),
+        (1_000_000, " zzz", 2_000_000, " zzz yyy"),
+    ):
+        e = reps.select(
+            (F.col("rid") + offa).alias("ia"),
+            (F.col("rid") + offb).alias("ib"),
+            F.concat(F.col("ta"), F.lit(sufa)).alias("ta"),
+            F.concat(F.col("ta"), F.lit(sufb)).alias("tb"),
+        )
+        edges = e if edges is None else edges.unionByName(e)
+    eligible = (
+        edges.select("ia", "ib", _exact_jaccard("ta", "tb").alias("j"))
+        .where(F.col("j") >= 0.7)
+        .select("ia", "ib")
+    )
+    n_edges = eligible.count()
+    la = cc.select(
+        F.col("id").alias("ia"), F.col("cluster_id").alias("ca")
+    )
+    lb = cc.select(
+        F.col("id").alias("ib"), F.col("cluster_id").alias("cb")
+    )
+    joined = eligible.join(la, "ia", "left").join(lb, "ib", "left")
+    broken = joined.where(
+        F.col("ca").isNull()
+        | F.col("cb").isNull()
+        | (F.col("ca") != F.col("cb"))
+    ).count()
+    print(
+        f"dedup_clusters(+star): {n} labeled rows, differential 0 diff, "
+        f"{n_edges} eligible planted edges, {broken} split "
+        f"[{time.time() - t0:.1f}s]",
+        flush=True,
+    )
+    if broken:
+        errs.append(
+            f"dedup_clusters: {broken} eligible planted edges split "
+            "across clusters"
+        )
+    return errs
+
+
+def check_streaming_admission(spark, sf_dir: str) -> list[str]:
+    import shutil
+    import tempfile
+
+    from big_data_lab_three_spark.queries.curation import (
+        admission_base,
+        admitted_table,
+        run_admission_stream,
+        stage_admission_shards,
+    )
+
+    errs: list[str] = []
+    t0 = time.time()
+    base = admission_base(spark, sf_dir)
+    base.persist()
+    root = tempfile.mkdtemp(prefix="sf10_admission_")
+    try:
+        stage_admission_shards(base, root, range(4))
+        run_admission_stream(spark, base.schema, root)
+        adm = admitted_table(spark, root).select(
+            F.col("id").alias("aid")
+        ).localCheckpoint()
+        n_base = base.count()
+        n_adm = adm.count()
+        # every exact-copy seed must be rejected
+        copies_admitted = adm.where(
+            (F.col("aid") >= 5_000_002) & (F.col("aid") < 6_000_002)
+        ).count()
+        if copies_admitted:
+            errs.append(
+                f"streaming_minhash_admission: {copies_admitted} "
+                "exact-copy seeds admitted"
+            )
+        # admitted ⊆ base, no duplicate admissions
+        orphans = adm.join(
+            base.select(F.col("id").alias("aid")), "aid", "left_anti"
+        ).count()
+        dups = n_adm - adm.distinct().count()
+        if orphans or dups:
+            errs.append(
+                f"streaming_minhash_admission: {orphans} admitted ids "
+                f"not in base, {dups} duplicate admissions"
+            )
+        # per-shard totals match the arithmetic of the seeded base
+        n_docs = base.where(F.col("id") < 5_000_002).count()
+        n_copy = base.where(
+            (F.col("id") >= 5_000_002) & (F.col("id") < 6_000_002)
+        ).count()
+        n_near = base.where(F.col("id") >= 6_000_002).count()
+        if n_base != n_docs + n_copy + n_near:
+            errs.append("streaming_minhash_admission: base arm mismatch")
+        print(
+            f"streaming_minhash_admission: base {n_base} "
+            f"(docs {n_docs} + copies {n_copy} + neardups {n_near}), "
+            f"admitted {n_adm}, copy-seeds admitted {copies_admitted} "
+            f"[{time.time() - t0:.1f}s]",
+            flush=True,
+        )
+    finally:
+        base.unpersist()
+        shutil.rmtree(root, ignore_errors=True)
+    return errs
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else ".scratch/sf10"
+    from big_data_lab_three_spark.session import get_spark
+
+    spark = get_spark("sf10_witness")
+    errs: list[str] = []
+    errs += check_minhash_lsh(spark, sf_dir)
+    errs += check_clusters(spark, sf_dir)
+    errs += check_streaming_admission(spark, sf_dir)
+    if errs:
+        for e in errs:
+            print(f"FAIL {e}", flush=True)
+        return 1
+    print("sf10 witness gate: all invariants hold", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
