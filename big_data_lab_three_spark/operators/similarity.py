@@ -229,6 +229,41 @@ def _train_pq_books(mat, m: int, ksub: int, seed: int, max_iter: int):
     return np.stack(books)
 
 
+def _train_opq(mat, m: int, ksub: int, seed: int, max_iter: int,
+               opq_iters: int = 6):
+    """OPQ rotation + codebooks (Ge et al. 2013, the non-parametric
+    alternating solver; FAISS ``OPQMatrix``): iterate (a) train PQ
+    codebooks on the rotated sample, (b) reconstruct each rotated
+    vector from its codes, (c) re-solve the orthogonal Procrustes
+    problem ``min_R ||X·R − Y||_F`` from one d×d SVD — the rotation
+    redistributes variance across the ``m`` subspaces so the same code
+    budget quantizes finer (independent products assume balanced,
+    decorrelated slices; raw embedding dims are neither).  Driver-side
+    on the capped content-keyed sample, like every trainer in this
+    module: the output (R: d×d, books: m×ksub×dsub) is a few KB and a
+    pure function of (mat, m, ksub, seed) however big the corpus is —
+    corpus vectors only ever pay one extra d×d matmul per Arrow batch
+    at encode time."""
+    import numpy as np
+
+    d = mat.shape[1]
+    dsub = d // m
+    rot = np.eye(d)
+    books = _train_pq_books(mat, m, ksub, seed, max_iter)
+    for _ in range(opq_iters):
+        xr = mat @ rot
+        books = _train_pq_books(xr, m, ksub, seed, max_iter)
+        recon = np.empty_like(xr)
+        for j in range(m):
+            sub = xr[:, j * dsub : (j + 1) * dsub]
+            d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            recon[:, j * dsub : (j + 1) * dsub] = books[j][d2.argmin(axis=1)]
+        u, _s, vt = np.linalg.svd(mat.T @ recon)
+        rot = u @ vt
+    books = _train_pq_books(mat @ rot, m, ksub, seed, max_iter)
+    return rot, books
+
+
 def _stack(col: "pd.Series"):
     import numpy as np
 
@@ -576,6 +611,7 @@ def pq_topk(
     id_col: str = "vec_id",
     seed: int = 7,
     max_iter: int = 8,
+    opq: bool = False,
 ) -> DataFrame:
     """Product-quantization ANN (FAISS ``IndexPQ`` shape) — the
     memory-compression scale path next to LSH (bucket pruning) and IVF
@@ -624,7 +660,15 @@ def pq_topk(
         seed,
     )
     dsub = sample.shape[1] // m
-    books_arr = _train_pq_books(sample, m, ksub, seed, max_iter)
+    if opq:
+        # OPQ: learned orthogonal pre-rotation (Ge et al. 2013) before
+        # slicing — same code budget, finer quantization; one extra
+        # d×d matmul per Arrow batch, guarantee-preserving (a
+        # duplicate rotates to the same vector, hence the same codes).
+        rot, books_arr = _train_opq(sample, m, ksub, seed, max_iter)
+    else:
+        rot = None
+        books_arr = _train_pq_books(sample, m, ksub, seed, max_iter)
 
     q_rows = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
@@ -632,6 +676,8 @@ def pq_topk(
     q_ids = np.asarray([r["query_id"] for r in q_rows])
     q_mat = np.asarray([r["qvec"] for r in q_rows], dtype=np.float64)
     q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
+    if rot is not None:
+        q_mat = q_mat @ rot
     # ADC tables: tables[q, j, c] = ||q_slice_j - books[j][c]||²
     tables = (
         (q_mat.reshape(len(q_mat), m, 1, dsub) - books_arr[None]) ** 2
@@ -655,6 +701,8 @@ def pq_topk(
             ids = b["neighbor_id"].to_numpy()
             x = _stack(b["cvec"])
             x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            if rot is not None:
+                x = x @ rot
             xs = x.reshape(len(x), m, 1, dsub)
             codes = ((xs - books_arr[None]) ** 2).sum(axis=3).argmin(axis=2)
             # approx[i, q] = Σ_j tables[q, j, codes[i, j]]
@@ -721,6 +769,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     seed: int = 7,
     max_iter: int = 8,
+    opq: bool = False,
 ) -> DataFrame:
     """Combined IVF-PQ ANN (FAISS ``IndexIVFPQ`` shape) — the index
     virtually every production billion-scale vector deployment runs,
@@ -778,9 +827,22 @@ def ivfpq_topk(
     )
     centers_m = _spherical_kmeans(sample, nlist, seed, max_iter)
     s_assign = np.argmax(sample @ centers_m.T, axis=1)
-    books_arr = _train_pq_books(
-        sample - centers_m[s_assign], m, ksub, seed, max_iter
-    )
+    if opq:
+        # OPQ on the RESIDUALS: coarse assignment is invariant under a
+        # joint rotation (argmax(xR·(CR)ᵀ) == argmax(x·Cᵀ)), so the
+        # learned rotation only re-slices the residual space the PQ
+        # codes quantize — the FAISS ``OPQMatrix`` + ``IndexIVFPQ``
+        # composition.  Guarantee-preserving: a duplicate shares its
+        # query's cell and rotated residual, so its ADC sum stays the
+        # per-term lower bound.
+        rot, books_arr = _train_opq(
+            sample - centers_m[s_assign], m, ksub, seed, max_iter
+        )
+    else:
+        rot = None
+        books_arr = _train_pq_books(
+            sample - centers_m[s_assign], m, ksub, seed, max_iter
+        )
     dsub = sample.shape[1] // m
 
     q_rows = queries.select(
@@ -794,6 +856,8 @@ def ivfpq_topk(
     # Per-(query, probed cell) ADC tables from the query's residual
     # against that cell's centroid: (nq, nprobe, m, ksub).
     qr = q_mat[:, None, :] - centers_m[probe]
+    if rot is not None:
+        qr = qr @ rot
     tables = (
         (qr.reshape(nq, nprobe, m, 1, dsub) - books_arr[None, None]) ** 2
     ).sum(axis=4)
@@ -823,6 +887,8 @@ def ivfpq_topk(
             x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
             cell = np.argmax(x @ centers_m.T, axis=1)
             r = x - centers_m[cell]
+            if rot is not None:
+                r = r @ rot
             codes = (
                 (r.reshape(len(x), m, 1, dsub) - books_arr[None]) ** 2
             ).sum(axis=3).argmin(axis=2)  # (n, m)
@@ -891,6 +957,7 @@ def _imi_keys(
     nprobe: int,
     vec_col: str,
     out: str = "cell",
+    rot=None,
 ) -> DataFrame:
     """Assign each vector to its ``nprobe²`` BEST joint cells of the
     inverted multi-index, ordered by the SUM of half-distances via the
@@ -906,6 +973,9 @@ def _imi_keys(
     argmin fast path — argmin of a sum of per-half terms IS the pair
     of per-half argmins, identical to the traversal's first pop)."""
     b_rows = [[list(map(float, c)) for c in book] for book in books]
+    rot_rows = (
+        None if rot is None else [list(map(float, r)) for r in rot]
+    )
     # int64 joint keys: int32 wraps silently at ksub >= 46341, BELOW
     # the ksub=65k scale the IMI design targets (review finding r13)
     schema = T.StructType(
@@ -919,6 +989,11 @@ def _imi_keys(
 
         b0 = np.asarray(b_rows[0], dtype=np.float64)  # (ksub, d/2)
         b1 = np.asarray(b_rows[1], dtype=np.float64)
+        rm = (
+            None
+            if rot_rows is None
+            else np.asarray(rot_rows, dtype=np.float64)
+        )
         ksub = len(b0)
         dh = b0.shape[1]
         t_cells = min(nprobe * nprobe, ksub * ksub)
@@ -929,6 +1004,8 @@ def _imi_keys(
             v = v / np.maximum(
                 np.linalg.norm(v, axis=1, keepdims=True), 1e-12
             )
+            if rm is not None:
+                v = v @ rm
             h0, h1 = v[:, :dh], v[:, dh:]
             d0 = ((h0[:, None, :] - b0[None]) ** 2).sum(axis=2)
             d1 = ((h1[:, None, :] - b1[None]) ** 2).sum(axis=2)
@@ -990,6 +1067,7 @@ def imi_topk(
     id_col: str = "vec_id",
     seed: int = 7,
     max_iter: int = 8,
+    opq: bool = False,
 ) -> DataFrame:
     """Inverted MULTI-INDEX ANN (Babenko & Lempitsky 2012, the IMI in
     FAISS's ``IndexIVF`` family) — the scale path PAST the flat-IVF
@@ -1026,19 +1104,28 @@ def imi_topk(
         cap,
         seed,
     )
-    books = _train_pq_books(sample, 2, ksub, seed, max_iter)
+    if opq:
+        # OPQ at m=2 (IMI training IS PQ training): the rotation
+        # decorrelates the two HALF-SPACES so the joint cells are
+        # closer to a product of independent quantizers — applied
+        # identically to corpus and queries, so the exact-duplicate
+        # guarantee is untouched (same rotated halves, same argmins).
+        rot, books = _train_opq(sample, 2, ksub, seed, max_iter)
+    else:
+        rot = None
+        books = _train_pq_books(sample, 2, ksub, seed, max_iter)
 
     cb = _imi_keys(
         corpus.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
         ),
-        books, nprobe=1, vec_col="cvec",
+        books, nprobe=1, vec_col="cvec", rot=rot,
     )
     qb = _imi_keys(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
         ),
-        books, nprobe=nprobe, vec_col="qvec",
+        books, nprobe=nprobe, vec_col="qvec", rot=rot,
     )
     # No distinct() needed: every corpus vector carries exactly ONE
     # joint cell (nprobe=1) and a query's nprobe² probed cells are

@@ -107,6 +107,12 @@ _FORCE_FRONT: tuple[str, ...] = (
     # recall floor restored to the family's 0.4 convention.
     "similarity_imi",
     "similarity_imi_recall",
+    # similarity_pq(_recall): OPQ rotation on — learned orthogonal
+    # pre-rotation before the PQ slicing (recall@5 0.72/0.72/0.56 →
+    # 0.88/0.84/0.64 at the same code budget); IMI pair also trains
+    # through _train_opq now (covered by the two rows above).
+    "similarity_pq",
+    "similarity_pq_recall",
     # curation_pipeline_census: funnel v2 — the CCNet LM-score gate
     # and the quality-classifier verdict composed in as stages 4-5
     # (two new flag columns + two doc-keyed verdict joins; schema
