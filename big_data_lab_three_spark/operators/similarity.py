@@ -249,7 +249,6 @@ def _train_opq(mat, m: int, ksub: int, seed: int, max_iter: int,
     d = mat.shape[1]
     dsub = d // m
     rot = np.eye(d)
-    books = _train_pq_books(mat, m, ksub, seed, max_iter)
     for _ in range(opq_iters):
         xr = mat @ rot
         books = _train_pq_books(xr, m, ksub, seed, max_iter)

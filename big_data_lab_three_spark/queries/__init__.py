@@ -113,6 +113,12 @@ _FORCE_FRONT: tuple[str, ...] = (
     # through _train_opq now (covered by the two rows above).
     "similarity_pq",
     "similarity_pq_recall",
+    # both corpus applies: the forced F.broadcast(pieces) hints were
+    # dropped (ADVICE r13 item 3) — join-strategy selection is now the
+    # planner's, which is a registered-plan change even though values
+    # are identical (review finding r14).
+    "bpe_corpus_apply_census",
+    "unigram_corpus_apply_census",
     # curation_pipeline_census: funnel v2 — the CCNet LM-score gate
     # and the quality-classifier verdict composed in as stages 4-5
     # (two new flag columns + two doc-keyed verdict joins; schema

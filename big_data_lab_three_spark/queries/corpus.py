@@ -205,11 +205,18 @@ def _bpe_oracle_rounds(k: int = _BPE_K, src: str = "documents") -> str:
     return "".join(parts)
 
 
-_BPE_MERGES_SELECT = "\nUNION ALL ".join(
-    f"SELECT CAST({r} AS INTEGER) AS merge_rank, a AS left_sym, "
-    f"b AS right_sym, a || b AS merged, c AS pair_cnt FROM t{r}"
-    for r in range(1, _BPE_K + 1)
-)
+def _bpe_merges_select(k: int) -> str:
+    """UNION-ALL readout of the k training argmax rows t1..tk — shared
+    by the K=10 and K=50 oracles so the merge-table shape can never
+    drift between them."""
+    return "\nUNION ALL ".join(
+        f"SELECT CAST({r} AS INTEGER) AS merge_rank, a AS left_sym, "
+        f"b AS right_sym, a || b AS merged, c AS pair_cnt FROM t{r}"
+        for r in range(1, k + 1)
+    )
+
+
+_BPE_MERGES_SELECT = _bpe_merges_select(_BPE_K)
 
 
 @register(
@@ -1751,9 +1758,12 @@ _COHORT_GUARD = min(
 
 def _cohort_id(col, offset: int):
     """``doc_id + offset`` for a seeded admission cohort, FAIL-LOUD
-    (``raise_error``, one codegen branch per row) when a source id is
-    at/above the minimum inter-offset gap (inter-cohort aliasing) or
-    the smallest cohort offset (source/cohort collision)."""
+    (``raise_error``, one codegen branch per row) when a source id
+    reaches ``_COHORT_GUARD`` — the smallest cohort offset (source/
+    cohort collision) or, if the spec ever gains a congruence-
+    collidable offset pair, the smallest such gap (see the derivation
+    above ``_COHORT_SPEC``; the current spec has none, so the guard
+    binds at 7_000_002)."""
     assert offset >= _COHORT_SMALLEST_OFFSET
     return F.when(col < _COHORT_GUARD, col + offset).otherwise(
         F.raise_error(
@@ -4794,11 +4804,7 @@ def bpe_frozen_oov_apply_census(
 
 _BPE_K50 = 50
 
-_BPE_K50_MERGES_SELECT = "\nUNION ALL ".join(
-    f"SELECT CAST({r} AS INTEGER) AS merge_rank, a AS left_sym, "
-    f"b AS right_sym, a || b AS merged, c AS pair_cnt FROM t{r}"
-    for r in range(1, _BPE_K50 + 1)
-)
+_BPE_K50_MERGES_SELECT = _bpe_merges_select(_BPE_K50)
 
 
 @register(

@@ -6,14 +6,19 @@ bench tier) the DuckDB oracles of the banded-LSH family are
 replay-quadratic (brute-force all-pairs Jaccard / recursive-CTE
 closures over 10×-replicated buckets), so the value gate stops at sf1.
 The SPARK side stays linear, and each query's seeded fixture admits
-LINEAR invariant checks that hold REGARDLESS of organic near-dup
-structure — this tool runs them:
+LINEAR invariant checks that (except where noted) hold REGARDLESS of
+organic near-dup structure — this tool runs them:
 
 - ``dedup_minhash_lsh`` — planted recall: for every collapsed
   representative r, the seeded pair (r, r+1M, ' zzz' mutation) whose
   EXACT shingle-Jaccard clears the 0.7 threshold (computed linearly,
   one pair per rep — never all-pairs) must be in the output; plus
   output sanity (jaccard ∈ [0.7, 1], id_a < id_b, no duplicate pairs).
+  NOTE this one is EMPIRICAL, not provable: banded LSH misses a pair
+  at exact Jaccard j with probability (1−j²)¹⁶ (r=2 rows × 16 bands)
+  — ≈2e-5 at j just over 0.7 — so a testdata reseed could in
+  principle produce a legitimate sub-1.0 recall here; the measured
+  value is the evidence, same convention as the ANN recall audits.
 - ``dedup_clusters`` / ``dedup_clusters_star`` — DIFFERENTIAL: the two
   independent CC implementations (min-label propagation vs
   large-star/small-star contraction) must produce IDENTICAL label
@@ -36,10 +41,13 @@ Exit 1 on any violated invariant.  Results belong in EXPERIMENTS.md.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 from pyspark.sql import functions as F  # noqa: E402
 
@@ -178,8 +186,8 @@ def check_clusters(spark, sf_dir: str) -> list[str]:
         | (F.col("ca") != F.col("cb"))
     ).count()
     print(
-        f"dedup_clusters(+star): {n} labeled rows, differential 0 diff, "
-        f"{n_edges} eligible planted edges, {broken} split "
+        f"dedup_clusters(+star): {n} labeled rows, differential "
+        f"{diff} diff, {n_edges} eligible planted edges, {broken} split "
         f"[{time.time() - t0:.1f}s]",
         flush=True,
     )
