@@ -2971,34 +2971,30 @@ def _ulm_dp_steps(ix) -> str:
     return ",\n           ".join(cols + [final])
 
 
-_ULM_DUCK_PIECES = f"""(SELECT w, cnt,
+def _ulm_duck_pieces(src: str = "words") -> str:
+    """Piece-occurrence expansion of a (w, cnt) vocabulary relation —
+    parametrized on the source so the frozen-apply oracle can expand
+    HELD-OUT words against the same structural grid (r14)."""
+    return f"""(SELECT w, cnt,
             unnest(flatten(
                 [[{{'i0': i, 'k': k, 'p': w[i:i+k-1]}}
                   for k in range(1, least({_ULM_MAXPIECE},
                                           length(w) - i + 1) + 1)]
                  for i in range(1, length(w) + 1)]),
                    recursive := true)
-     FROM words WHERE length(w) <= {_ULM_MAXLEN})"""
+     FROM {src} WHERE length(w) <= {_ULM_MAXLEN})"""
 
 
-def _ulm_dp_frame(spark: SparkSession, sf_dir: str):
-    """Shared unigram-LM front half: the vocabulary table, the piece-
-    occurrence table, and the per-word Viterbi DP frame (w, cnt, wlen,
-    sf, b0..b8, bfin) under the frequency-initialized scores —
-    ``unigram_lm_viterbi_census`` reads the packed optimum,
-    ``unigram_lm_em_round`` walks the traceback,
-    ``unigram_lm_round2_census`` re-runs the DP under re-estimated
-    scores (``_ulm_dp_from_scores``).  Returns ``(toks, pc, dp)``."""
-    toks = (
-        table(spark, sf_dir, "documents")
-        .select(F.explode(tokens(F.col("text"))).alias("tok"))
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(F.col("tok").alias("w"), "cnt")
-    )
-    toks = toks.localCheckpoint()  # vocab table: pieces + long-row census
-    inscope = toks.where(F.length("w") <= _ULM_MAXLEN)
-    pc = inscope.select(
+_ULM_DUCK_PIECES = _ulm_duck_pieces()
+
+
+def _ulm_piece_occurrences(words: DataFrame) -> DataFrame:
+    """All (w, cnt, i0, k, p) substring-piece occurrences of the
+    in-unroll words of a (w, cnt) vocabulary — the structural grid the
+    Viterbi DP scores against; factored (r14) so the frozen apply can
+    expand HELD-OUT words with the identical expression."""
+    inscope = words.where(F.length("w") <= _ULM_MAXLEN)
+    return inscope.select(
         "w",
         "cnt",
         F.explode(
@@ -3011,6 +3007,29 @@ def _ulm_dp_frame(spark: SparkSession, sf_dir: str):
             )
         ).alias("u"),
     ).select("w", "cnt", "u.i0", "u.k", "u.p")
+
+
+def _ulm_dp_frame(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+):
+    """Shared unigram-LM front half: the vocabulary table, the piece-
+    occurrence table, and the per-word Viterbi DP frame (w, cnt, wlen,
+    sf, b0..b8, bfin) under the frequency-initialized scores —
+    ``unigram_lm_viterbi_census`` reads the packed optimum,
+    ``unigram_lm_em_round`` walks the traceback,
+    ``unigram_lm_round2_census`` re-runs the DP under re-estimated
+    scores (``_ulm_dp_from_scores``).  Returns ``(toks, pc, dp)``.
+    ``docs`` overrides the source frame (r14: the frozen-vocab apply
+    trains on an md5 fold)."""
+    toks = (
+        (docs if docs is not None else table(spark, sf_dir, "documents"))
+        .select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("tok").alias("w"), "cnt")
+    )
+    toks = toks.localCheckpoint()  # vocab table: pieces + long-row census
+    pc = _ulm_piece_occurrences(toks)
     pc = pc.localCheckpoint()  # piece occurrences: freq AND per-word sf
     pf = pc.groupBy("p").agg(F.sum("cnt").alias("f"))
     pt = pf.agg(F.sum("f").alias("t"))
@@ -3084,9 +3103,13 @@ def _ulm_dp_from_scores(pc: DataFrame, ps: DataFrame) -> DataFrame:
     return dp.localCheckpoint()
 
 
-_ULM_BASE_SQL = f"""WITH RECURSIVE words AS MATERIALIZED (
+def _ulm_base_sql(src: str = "documents") -> str:
+    """The training front half (words → pieces → frequency scores →
+    round-1 DP) as chained CTEs, parametrized on the document source
+    so the frozen-vocab apply can train on an md5 fold (r14)."""
+    return f"""WITH RECURSIVE words AS MATERIALIZED (
     SELECT tok AS w, CAST(count(*) AS BIGINT) AS cnt
-    FROM (SELECT unnest({_DUCK_TOKS}) AS tok FROM documents)
+    FROM (SELECT unnest({_DUCK_TOKS}) AS tok FROM {src})
     GROUP BY tok
 ), pc AS MATERIALIZED (
     SELECT * FROM {_ULM_DUCK_PIECES}
@@ -3116,6 +3139,9 @@ _ULM_BASE_SQL = f"""WITH RECURSIVE words AS MATERIALIZED (
             FROM pc JOIN ps ON ps.p = pc.p
             GROUP BY pc.w))
 """
+
+
+_ULM_BASE_SQL = _ulm_base_sql()
 
 
 @register(
@@ -3419,12 +3445,16 @@ def _ulm_rescore(m: DataFrame, allp: DataFrame, chars: DataFrame):
     )
 
 
-def _ulm_dp2_sql() -> str:
-    """Round-2 DP chain for the DuckDB side: identical construction to
-    the base ``dp`` but joined against the re-estimated ``s2`` score
-    table (pruned pieces simply have no row, so their slots take the
-    sentinel)."""
-    return f""", dp2 AS (
+def _ulm_dp2_sql(
+    src_pc: str = "pc", score: str = "s2", out: str = "dp2"
+) -> str:
+    """DP-under-a-given-score-table chain for the DuckDB side:
+    identical construction to the base ``dp`` but joined against the
+    ``score`` table (pruned pieces simply have no row, so their slots
+    take the sentinel).  Parametrized on the piece source and output
+    name so the frozen-apply oracle can run the SAME machinery over
+    held-out pieces (r14)."""
+    return f""", {out} AS (
     SELECT w, cnt, wlen,
            {_ulm_dp_steps(lambda l, i: f"{l}[{i}]")}
     FROM (
@@ -3434,12 +3464,13 @@ def _ulm_dp2_sql() -> str:
                          CAST({_ULM_SENTINEL} AS BIGINT))
                 FOR n IN range(1, {_ULM_MAXLEN * _ULM_MAXPIECE + 1})] AS sf
         FROM (
-            SELECT pc.w, any_value(pc.cnt) AS cnt,
-                   CAST(any_value(length(pc.w)) AS BIGINT) AS wlen,
-                   list({{'slot': (pc.i0 + pc.k - 2) * {_ULM_MAXPIECE}
-                          + pc.k, 's': s2.s}}) AS pairs
-            FROM pc JOIN s2 ON s2.p = pc.p
-            GROUP BY pc.w))
+            SELECT {src_pc}.w, any_value({src_pc}.cnt) AS cnt,
+                   CAST(any_value(length({src_pc}.w)) AS BIGINT) AS wlen,
+                   list({{'slot': ({src_pc}.i0 + {src_pc}.k - 2)
+                          * {_ULM_MAXPIECE}
+                          + {src_pc}.k, 's': {score}.s}}) AS pairs
+            FROM {src_pc} JOIN {score} ON {score}.p = {src_pc}.p
+            GROUP BY {src_pc}.w))
 )"""
 
 
@@ -4845,3 +4876,258 @@ def bpe_train_merges_k50(spark: SparkSession, sf_dir: str) -> DataFrame:
         "merge_rank int, left_sym string, right_sym string, "
         "merged string, pair_cnt long",
     ).orderBy("merge_rank")
+
+
+# Fallback separator: one sentinel piece in the best path drags the
+# packed optimum to ~16·(−1e15); a fully-scored path bottoms out near
+# 16·8·|min score| ≈ −3e9.  Any threshold between separates exactly.
+_ULM_FALLBACK_FLOOR = -(10**12)
+
+_UFO_ORACLE = (
+    """WITH RECURSIVE docs_f AS MATERIALIZED (
+    SELECT doc_id, lang, text,
+           CAST(('0x' || substr(md5('ufo:' || CAST(doc_id AS VARCHAR)),
+                                1, 15)) AS BIGINT) % 5 AS fold
+    FROM documents
+), train_docs AS MATERIALIZED (
+    SELECT doc_id, lang, text FROM docs_f WHERE fold != 0
+), """
+    + _ulm_base_sql("train_docs")[len("WITH RECURSIVE ") :]
+)
+
+
+@register(
+    "unigram_frozen_oov_apply_census",
+    ids="tokenizer: FROZEN unigram-LM apply with real OOV + char "
+    "fallback — train (EM round + prune) on the md5-80% fold, Viterbi-"
+    "segment the held-out 20% under the frozen scores (memoized "
+    "in-vocab join + fresh DP for OOV, sentinel-detected fallback), "
+    "per-language census",
+    oracle=_UFO_ORACLE
+    + _ULM_TB_SQL
+    + _ULM_S2_SQL
+    + f""", heldsrc AS (
+    SELECT lang,
+           CASE WHEN doc_id % 4 = 2
+                THEN text || ' ' || repeat('qv', 1 + doc_id % 3)
+                     || ' x' || repeat('z', 1 + doc_id % 2)
+                ELSE text END AS text
+    FROM docs_f WHERE fold = 0
+), held AS MATERIALIZED (
+    SELECT lang, {_DUCK_TOKS} AS toks FROM heldsrc
+), hw AS MATERIALIZED (
+    SELECT lang, tok, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT lang, unnest(toks) AS tok FROM held)
+    GROUP BY lang, tok
+), hwords AS MATERIALIZED (
+    SELECT tok AS w, CAST(1 AS BIGINT) AS cnt
+    FROM (SELECT DISTINCT tok FROM hw)
+), hpc AS MATERIALIZED (
+    SELECT * FROM {_ulm_duck_pieces("hwords")}
+)"""
+    + _ulm_dp2_sql(src_pc="hpc", score="s2", out="hdp")
+    + f""", hseg AS (
+    SELECT w AS tok,
+           CASE WHEN bfin > {_ULM_FALLBACK_FLOOR}
+                THEN (- bfin) % 16 END AS np_seg
+    FROM hdp
+), htab AS (
+    SELECT hw.lang, hw.cnt,
+           (words.w IS NULL) AS is_oov,
+           (hseg.np_seg IS NULL) AS is_fallback,
+           CAST(coalesce(hseg.np_seg, length(hw.tok)) AS BIGINT) AS np
+    FROM hw
+    LEFT JOIN words ON words.w = hw.tok
+    LEFT JOIN hseg ON hseg.tok = hw.tok
+)
+SELECT lang,
+       CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN is_oov THEN cnt ELSE 0 END) AS BIGINT)
+           AS n_oov_tokens,
+       CAST(sum(CASE WHEN is_oov THEN cnt ELSE 0 END) * 1000000
+            // sum(cnt) AS BIGINT) AS oov_rate_micro,
+       CAST(sum(CASE WHEN is_fallback THEN cnt ELSE 0 END) AS BIGINT)
+           AS n_fallback_tokens,
+       CAST(sum(CASE WHEN NOT is_oov THEN cnt * np ELSE 0 END) AS BIGINT)
+           AS pieces_invocab,
+       CAST(sum(CASE WHEN is_oov THEN cnt * np ELSE 0 END) AS BIGINT)
+           AS pieces_oov,
+       CASE WHEN sum(CASE WHEN NOT is_oov THEN cnt ELSE 0 END) > 0
+            THEN CAST(sum(CASE WHEN NOT is_oov THEN cnt * np ELSE 0 END)
+                      * 1000000
+                      // sum(CASE WHEN NOT is_oov THEN cnt ELSE 0 END)
+                      AS BIGINT)
+            END AS fertility_invocab_micro,
+       CASE WHEN sum(CASE WHEN is_oov THEN cnt ELSE 0 END) > 0
+            THEN CAST(sum(CASE WHEN is_oov THEN cnt * np ELSE 0 END)
+                      * 1000000
+                      // sum(CASE WHEN is_oov THEN cnt ELSE 0 END)
+                      AS BIGINT)
+            END AS fertility_oov_micro
+FROM htab GROUP BY lang ORDER BY lang
+""",
+)
+def unigram_frozen_oov_apply_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FROZEN unigram-LM apply — the SentencePiece sibling of
+    ``bpe_frozen_oov_apply_census`` (r13 verdict gap #1 covered both
+    tokenizer families): train the full chain (frequency-initialized
+    Viterbi, EM count step, prune + re-score) on the md5-derived 80%
+    fold ONLY, freeze the pruned piece-score table, and segment the
+    held-out 20% where a real fraction of tokens is out-of-vocabulary.
+
+    Three segmentation paths, all exercised at corpus grain:
+
+    - IN-VOCAB: the held-out (lang, tok, cnt) stream joins the frozen
+      memoized (word → n_pieces) map from the round-2 DP — the
+      production cache hit.
+    - OOV, SEGMENTABLE: tokens the map misses run a FRESH Viterbi DP
+      under the frozen scores (``_ulm_dp_from_scores`` over the OOV
+      remainder's piece grid — vocabulary-bounded, never per corpus
+      token).  An unseen WORD spelled in seen pieces segments normally
+      (the single-character floor guarantees a path whenever every
+      character was seen in training — SentencePiece's char coverage).
+    - FALLBACK: a token containing a character the training fold never
+      saw has NO fully-scored path — every segmentation crosses a
+      sentinel slot, detected exactly by ``bfin <`` the fallback floor
+      (one sentinel costs ~16e15, a real path bottoms near −3e9) — and
+      is counted as length(w) UNK-per-char pieces, SentencePiece's
+      byte-fallback shape.
+
+    The oracle replays training on the train fold and runs the SAME
+    DP machinery (``_ulm_dp2_sql`` parametrized to the held-out piece
+    grid) over ALL distinct held-out tokens — so the value hash also
+    proves the memoized map and the fresh DP agree on in-vocab tokens,
+    the memoization-validity property, oracle-checked like the BPE
+    sibling.  The same deterministic OOV arm is planted ('qv'-repeats:
+    OOV over seen chars = segmentable path; 'xz'-repeats: unseen chars
+    = fallback path); organic OOV counts identically.
+
+    Scale shape: the training chain's one corpus scan + vocabulary-
+    bounded rounds; one held-out token scan collapsed to (lang, tok,
+    cnt); the frozen map join and the OOV-remainder DP are both
+    vocabulary-bounded; one per-language census.  No corpus window,
+    no pair stage."""
+    from big_data_lab_three_spark.functions.numeric import md5_mod
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "text",
+        md5_mod("ufo:", F.col("doc_id"), 5).alias("fold"),
+    )
+    tr = d.where(F.col("fold") != 0)
+    te = d.where(F.col("fold") == 0).select(
+        "lang",
+        F.when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.col("text"),
+                F.lit(" "),
+                F.expr("repeat('qv', CAST(1 + doc_id % 3 AS INT))"),
+                F.lit(" x"),
+                F.expr("repeat('z', CAST(1 + doc_id % 2 AS INT))"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+    toks_tr, pc_tr, dp1 = _ulm_dp_frame(spark, sf_dir, docs=tr)
+    tb = _ulm_traceback_pieces(dp1)
+    m = (
+        tb.select("cnt", F.explode("ps").alias("p"))
+        .groupBy("p")
+        .agg(F.sum("cnt").alias("used_cnt"))
+        .localCheckpoint()
+    )
+    allp, chars = _ulm_inventory(pc_tr)
+    s2 = _ulm_rescore(m, allp, chars)
+    dp2 = _ulm_dp_from_scores(pc_tr, s2)
+    pieces = dp2.select(
+        F.col("w").alias("tok"),
+        F.expr("(- bfin) % 16").alias("np_map"),
+    )
+
+    hw = (
+        te.select("lang", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
+    )
+    vocab_flag = toks_tr.select(
+        F.col("w").alias("tok"), F.lit(True).alias("in_vocab")
+    )
+    j = hw.join(pieces, "tok", "left").join(vocab_flag, "tok", "left")
+    # OOV remainder: fresh Viterbi under the FROZEN scores — the real
+    # production apply for unseen words; vocabulary-bounded.
+    oov_words = (
+        j.where(F.col("np_map").isNull())
+        .select(F.col("tok").alias("w"))
+        .distinct()
+        .withColumn("cnt", F.lit(1).cast("long"))
+    )
+    hdp = _ulm_dp_from_scores(_ulm_piece_occurrences(oov_words), s2)
+    oov_seg = hdp.select(
+        F.col("w").alias("tok"),
+        F.when(
+            F.col("bfin") > F.lit(_ULM_FALLBACK_FLOOR),
+            F.expr("(- bfin) % 16"),
+        ).alias("np_oov"),
+    )
+    flat = (
+        j.join(oov_seg, "tok", "left")
+        .select(
+            "lang",
+            "cnt",
+            F.col("in_vocab").isNull().alias("is_oov"),
+            F.coalesce("np_map", "np_oov")
+            .isNull()
+            .alias("is_fallback"),
+            F.coalesce(
+                "np_map", "np_oov", F.length("tok").cast("long")
+            )
+            .cast("long")
+            .alias("np"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    agg = flat.groupBy("lang").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.sum(F.when(F.col("is_oov"), F.col("cnt")).otherwise(zero))
+        .alias("n_oov_tokens"),
+        F.sum(
+            F.when(F.col("is_fallback"), F.col("cnt")).otherwise(zero)
+        ).alias("n_fallback_tokens"),
+        F.sum(
+            F.when(~F.col("is_oov"), F.col("cnt") * F.col("np"))
+            .otherwise(zero)
+        ).alias("pieces_invocab"),
+        F.sum(
+            F.when(F.col("is_oov"), F.col("cnt") * F.col("np"))
+            .otherwise(zero)
+        ).alias("pieces_oov"),
+    )
+    return agg.select(
+        "lang",
+        "n_tokens",
+        "n_oov_tokens",
+        F.expr("n_oov_tokens * 1000000 div n_tokens").alias(
+            "oov_rate_micro"
+        ),
+        "n_fallback_tokens",
+        "pieces_invocab",
+        "pieces_oov",
+        F.when(
+            F.col("n_tokens") - F.col("n_oov_tokens") > 0,
+            F.expr(
+                "pieces_invocab * 1000000"
+                " div (n_tokens - n_oov_tokens)"
+            ),
+        ).alias("fertility_invocab_micro"),
+        F.when(
+            F.col("n_oov_tokens") > 0,
+            F.expr("pieces_oov * 1000000 div n_oov_tokens"),
+        ).alias("fertility_oov_micro"),
+    ).orderBy("lang")

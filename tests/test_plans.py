@@ -2132,6 +2132,32 @@ def test_bpe_frozen_oov_apply_is_keyed_join_no_window(
     )
 
 
+def test_unigram_frozen_oov_apply_is_keyed_join_no_window(
+    spark, sf_dir, monkeypatch
+):
+    """The frozen unigram apply shares the apply family's contract:
+    held-out (lang, tok, cnt) stream joins the frozen piece map, the
+    OOV remainder runs the vocabulary-bounded fresh DP — no corpus
+    window, no cartesian beyond broadcast 1-row model censuses, no
+    non-broadcast nested loop (localCheckpoints no-op'd so the whole
+    training chain is inspected)."""
+    import re
+
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    monkeypatch.setattr(
+        DataFrame, "localCheckpoint", lambda self, eager=True: self
+    )
+    df = REG["unigram_frozen_oov_apply_census"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert not re.search(
+        r"(?<!Broadcast)NestedLoopJoin",
+        plan.replace("BroadcastNestedLoopJoin", "Broadcast_NLJ"),
+    )
+
+
 def test_curation_funnel_is_one_scan_one_digest_exchange(
     spark, sf_dir, monkeypatch
 ):
