@@ -263,6 +263,116 @@ def check_streaming_admission(spark, sf_dir: str) -> list[str]:
     return errs
 
 
+def check_streaming_admission_ttl(spark, sf_dir: str) -> list[str]:
+    """TTL-windowed admission at sf10 (the ADVICE r13 follow-up: with
+    the congruence guard this tier no longer aborts).  Provable
+    invariant: the +7_000_002 exact-copy cohort (one shard after its
+    original) is FULLY rejected — the original's digest/band keys are
+    registered in the probe's TTL=1 window by whichever same-content
+    doc won shard 0, and a rejected shard-1 holder never re-registers.
+    Empirical (reported, loose floors): the +8_000_002 exact-copy
+    cohort lands TWO shards later — its original's entries are
+    EXPIRED, so re-admission is the TTL design point; the mutate
+    cohorts exercise band-key expiry the same way."""
+    import os
+    import shutil
+    import tempfile
+
+    from big_data_lab_three_spark.queries.corpus import (
+        _COHORT_SPEC,
+        _cohort_id,
+    )
+    from big_data_lab_three_spark.queries.curation import (
+        batch_complete,
+        index_admit_batch,
+        run_foreachbatch_stream,
+        stage_admission_shards,
+    )
+    from big_data_lab_three_spark.sources import table
+
+    errs: list[str] = []
+    t0 = time.time()
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.select(
+        F.col("doc_id").alias("id"),
+        "text",
+        F.pmod("doc_id", F.lit(4)).alias("shard"),
+    )
+    for mod8, offset, shard, mutate in _COHORT_SPEC:
+        rows = d.where(F.col("doc_id") % 8 == mod8)
+        txt = (
+            F.concat("text", F.lit(" zz qq")).alias("text")
+            if mutate
+            else F.col("text").alias("text")
+        )
+        base = base.unionByName(
+            rows.select(
+                _cohort_id(F.col("doc_id"), offset).alias("id"),
+                txt,
+                F.lit(shard).cast("long").alias("shard"),
+            )
+        )
+    base.persist()
+    root = tempfile.mkdtemp(prefix="sf10_admission_ttl_")
+    try:
+        stage_admission_shards(base, root, range(4))
+
+        def admit(batch_df, batch_id: int) -> None:
+            if batch_complete(os.path.join(root, "idx_bands"), batch_id):
+                return
+            batch_df = batch_df.repartition(16).localCheckpoint()
+            index_admit_batch(spark, batch_df, root, batch_id, ttl=1)
+
+        run_foreachbatch_stream(spark, base.schema, root, admit)
+        adm = (
+            spark.read.parquet(os.path.join(root, "admitted"))
+            .select(F.col("id").alias("aid"))
+            .localCheckpoint()
+        )
+        rates = {}
+        for mod8, offset, _shard, _mut in _COHORT_SPEC:
+            n_c = base.where(
+                (F.col("id") >= offset) & (F.col("id") < offset + 500_000)
+            ).count()
+            n_a = adm.where(
+                (F.col("aid") >= offset) & (F.col("aid") < offset + 500_000)
+            ).count()
+            rates[offset] = (n_a, n_c)
+        # provable: in-window exact copies fully rejected
+        if rates[7_000_002][0] != 0:
+            errs.append(
+                f"ttl: {rates[7_000_002][0]} in-window exact copies "
+                "admitted"
+            )
+        # empirical design points, loose floors
+        exp_a, exp_n = rates[8_000_002]
+        if exp_a == 0:
+            errs.append(
+                "ttl: expired exact-copy cohort fully rejected — TTL "
+                "eviction is not happening"
+            )
+        near_a, near_n = rates[9_000_002]
+        if near_n and near_a / near_n > 0.5:
+            errs.append(
+                f"ttl: in-window near-dup cohort mostly admitted "
+                f"({near_a}/{near_n})"
+            )
+        print(
+            "streaming_admission_ttl: "
+            f"in-window copies admitted {rates[7_000_002][0]}/"
+            f"{rates[7_000_002][1]} (provably 0), expired copies "
+            f"re-admitted {exp_a}/{exp_n}, in-window near-dups admitted "
+            f"{near_a}/{near_n}, expired near-dups re-admitted "
+            f"{rates[9_500_002][0]}/{rates[9_500_002][1]} "
+            f"[{time.time() - t0:.1f}s]",
+            flush=True,
+        )
+    finally:
+        base.unpersist()
+        shutil.rmtree(root, ignore_errors=True)
+    return errs
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else ".scratch/sf10"
     from big_data_lab_three_spark.session import get_spark
@@ -272,6 +382,7 @@ def main() -> int:
     errs += check_minhash_lsh(spark, sf_dir)
     errs += check_clusters(spark, sf_dir)
     errs += check_streaming_admission(spark, sf_dir)
+    errs += check_streaming_admission_ttl(spark, sf_dir)
     if errs:
         for e in errs:
             print(f"FAIL {e}", flush=True)
