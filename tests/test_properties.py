@@ -667,3 +667,115 @@ def test_bpe_merge_fold_matches_reference(spark, words, pair):
             f"pair={pair} syms={w}: fold {got[i]} != "
             f"reference {_py_bpe_merge(w, a, b)}"
         )
+
+
+@SETTINGS
+@given(
+    d0=st.lists(
+        st.floats(min_value=0.0, max_value=10.0, allow_nan=False),
+        min_size=4,
+        max_size=4,
+    ),
+    d1=st.lists(
+        st.floats(min_value=0.0, max_value=10.0, allow_nan=False),
+        min_size=4,
+        max_size=4,
+    ),
+    nprobe=st.integers(min_value=1, max_value=3),
+)
+def test_imi_multisequence_emits_k_smallest_sums(spark, d0, d1, nprobe):
+    """For ARBITRARY half-distance profiles the multi-sequence
+    traversal must emit exactly the T = nprobe² joint cells with the
+    smallest d0[i] + d1[j] (ties broken any way, but the SET of
+    emitted sums must equal the T smallest sums — the Babenko &
+    Lempitsky contract; a grid or an incomplete frontier both break
+    it on asymmetric profiles)."""
+    import numpy as np
+
+    from big_data_lab_three_spark.operators.similarity import _imi_keys
+
+    # place centroids at exact distances from the normalized halves of
+    # a fixed query vector: c = half + [sqrt(d), 0]
+    vec = [1.0, 0.0, 0.0, 1.0]
+    nv = np.asarray(vec) / np.sqrt(2.0)
+    b0 = [(nv[:2] + [np.sqrt(x), 0.0]).tolist() for x in d0]
+    b1 = [(nv[2:] + [np.sqrt(x), 0.0]).tolist() for x in d1]
+    df = spark.createDataFrame(
+        [(1, vec)], "query_id: long, qvec: array<double>"
+    )
+    got = [
+        r.cell
+        for r in _imi_keys(df, [b0, b1], nprobe=nprobe, vec_col="qvec")
+        .collect()
+    ]
+    t = nprobe * nprobe
+    assert len(got) == t and len(set(got)) == t
+    a0 = np.asarray([((nv[:2] - np.asarray(c)) ** 2).sum() for c in b0])
+    a1 = np.asarray([((nv[2:] - np.asarray(c)) ** 2).sum() for c in b1])
+    sums = np.sort((a0[:, None] + a1[None, :]).ravel())
+    got_sums = np.sort([a0[c // 4] + a1[c % 4] for c in got])
+    assert np.allclose(got_sums, sums[:t], atol=1e-9)
+
+
+def test_opq_rotation_is_orthogonal_and_guarantee_preserving():
+    """The learned OPQ matrix must be ORTHOGONAL (R·Rᵀ = I — the
+    property that makes the rotation distance-preserving, hence the
+    exact-duplicate guarantee rotation-invariant), and two identical
+    vectors must encode to identical codes under (R, books) — pure
+    numpy, no Spark."""
+    import numpy as np
+
+    from big_data_lab_three_spark.operators.similarity import _train_opq
+
+    rng = np.random.default_rng(20260816)
+    mat = rng.standard_normal((500, 16))
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    rot, books = _train_opq(mat, m=4, ksub=8, seed=7, max_iter=4)
+    assert np.allclose(rot @ rot.T, np.eye(16), atol=1e-9)
+    # duplicate → identical codes
+    v = mat[3] @ rot
+    dsub = 16 // 4
+    codes = [
+        (((v[j * dsub : (j + 1) * dsub] - books[j]) ** 2).sum(axis=1))
+        .argmin()
+        for j in range(4)
+    ]
+    v2 = mat[3].copy() @ rot
+    codes2 = [
+        (((v2[j * dsub : (j + 1) * dsub] - books[j]) ** 2).sum(axis=1))
+        .argmin()
+        for j in range(4)
+    ]
+    assert codes == codes2
+    # rotation preserves pairwise distances (isometry)
+    a, b = mat[0], mat[1]
+    assert np.isclose(
+        np.linalg.norm(a - b), np.linalg.norm(a @ rot - b @ rot)
+    )
+
+
+def test_ulm_fallback_floor_separates_sentinel_paths(spark):
+    """The frozen unigram apply's fallback detector: a token whose
+    every segmentation crosses an unscored (sentinel) piece must land
+    BELOW `_ULM_FALLBACK_FLOOR`, and a token with any fully-scored
+    path must land ABOVE it — exercised on a crafted score table where
+    'ab' has a clean path and 'ax' does not ('x' unscored)."""
+    from big_data_lab_three_spark.queries.corpus import (
+        _ULM_FALLBACK_FLOOR,
+        _ulm_dp_from_scores,
+        _ulm_piece_occurrences,
+    )
+
+    words = spark.createDataFrame(
+        [("ab", 1), ("ax", 1)], "w string, cnt long"
+    )
+    ps = spark.createDataFrame(
+        [("a", -5_000_000), ("b", -6_000_000), ("ab", -4_000_000)],
+        "p string, s long",
+    )
+    dp = _ulm_dp_from_scores(_ulm_piece_occurrences(words), ps)
+    got = {r.w: r.bfin for r in dp.collect()}
+    assert got["ab"] > _ULM_FALLBACK_FLOOR
+    # best clean path for 'ab' is the single piece: 16·s('ab') − 1
+    assert got["ab"] == 16 * -4_000_000 - 1
+    assert got["ax"] <= _ULM_FALLBACK_FLOOR
