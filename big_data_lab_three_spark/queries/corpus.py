@@ -1820,6 +1820,38 @@ ORDER BY shard
     )
 
 
+def admission_ttl_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TTL admission fixture's seeded stream: the corpus sharded
+    ``id mod 4`` plus the four ``_COHORT_SPEC`` cohorts (exact copies
+    one and two shards after their originals, and the same pair of
+    near-dup mutations) — factored (r14 review) so the registered
+    query and ``tools/sf10_witness.py`` can NEVER drift onto different
+    streams (the `curation.admission_base` convention)."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def cohort(mod8: int, offset: int, shard: int, mutate: bool):
+        rows = d.where(F.col("doc_id") % 8 == mod8)
+        txt = (
+            F.concat("text", F.lit(" zz qq")).alias("text")
+            if mutate
+            else F.col("text").alias("text")
+        )
+        return rows.select(
+            _cohort_id(F.col("doc_id"), offset).alias("id"),
+            txt,
+            F.lit(shard).cast("long").alias("shard"),
+        )
+
+    base = d.select(
+        F.col("doc_id").alias("id"),
+        "text",
+        F.pmod("doc_id", F.lit(4)).alias("shard"),
+    )
+    for mod8, offset, shard, mutate in _COHORT_SPEC:
+        base = base.unionByName(cohort(mod8, offset, shard, mutate))
+    return base
+
+
 @register(
     "streaming_admission_ttl",
     ids="streaming: TTL-windowed admission — bounded-state dedup where "
@@ -1863,28 +1895,7 @@ def streaming_admission_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         stage_admission_shards,
     )
 
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
-
-    def cohort(mod8: int, offset: int, shard: int, mutate: bool):
-        rows = d.where(F.col("doc_id") % 8 == mod8)
-        txt = (
-            F.concat("text", F.lit(" zz qq")).alias("text")
-            if mutate
-            else F.col("text").alias("text")
-        )
-        return rows.select(
-            _cohort_id(F.col("doc_id"), offset).alias("id"),
-            txt,
-            F.lit(shard).cast("long").alias("shard"),
-        )
-
-    base = d.select(
-        F.col("doc_id").alias("id"),
-        "text",
-        F.pmod("doc_id", F.lit(4)).alias("shard"),
-    )
-    for mod8, offset, shard, mutate in _COHORT_SPEC:
-        base = base.unionByName(cohort(mod8, offset, shard, mutate))
+    base = admission_ttl_base(spark, sf_dir)
     base.persist()
 
     root = tempfile.mkdtemp(prefix="minhash_admission_ttl_")

@@ -280,7 +280,7 @@ def check_streaming_admission_ttl(spark, sf_dir: str) -> list[str]:
 
     from big_data_lab_three_spark.queries.corpus import (
         _COHORT_SPEC,
-        _cohort_id,
+        admission_ttl_base,
     )
     from big_data_lab_three_spark.queries.curation import (
         batch_complete,
@@ -293,25 +293,9 @@ def check_streaming_admission_ttl(spark, sf_dir: str) -> list[str]:
     errs: list[str] = []
     t0 = time.time()
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    base = d.select(
-        F.col("doc_id").alias("id"),
-        "text",
-        F.pmod("doc_id", F.lit(4)).alias("shard"),
-    )
-    for mod8, offset, shard, mutate in _COHORT_SPEC:
-        rows = d.where(F.col("doc_id") % 8 == mod8)
-        txt = (
-            F.concat("text", F.lit(" zz qq")).alias("text")
-            if mutate
-            else F.col("text").alias("text")
-        )
-        base = base.unionByName(
-            rows.select(
-                _cohort_id(F.col("doc_id"), offset).alias("id"),
-                txt,
-                F.lit(shard).cast("long").alias("shard"),
-            )
-        )
+    # the EXACT stream the registered query runs — shared constructor,
+    # never a re-implementation that could drift (r14 review)
+    base = admission_ttl_base(spark, sf_dir)
     base.persist()
     root = tempfile.mkdtemp(prefix="sf10_admission_ttl_")
     try:
@@ -329,14 +313,18 @@ def check_streaming_admission_ttl(spark, sf_dir: str) -> list[str]:
             .select(F.col("id").alias("aid"))
             .localCheckpoint()
         )
+        # Cohort membership by EXACT arithmetic reconstruction from the
+        # spec (id = doc_id + offset over doc_id % 8 == mod8), never by
+        # id-range windows: a range exactly 500_000 wide silently
+        # miscounts on any tier whose doc-id domain reaches 500_000
+        # (r14 review) — the join is domain-proof at every tier.
         rates = {}
         for mod8, offset, _shard, _mut in _COHORT_SPEC:
-            n_c = base.where(
-                (F.col("id") >= offset) & (F.col("id") < offset + 500_000)
-            ).count()
-            n_a = adm.where(
-                (F.col("aid") >= offset) & (F.col("aid") < offset + 500_000)
-            ).count()
+            members = d.where(F.col("doc_id") % 8 == mod8).select(
+                (F.col("doc_id") + offset).alias("aid")
+            )
+            n_c = members.count()
+            n_a = members.join(adm, "aid").count()
             rates[offset] = (n_a, n_c)
         # provable: in-window exact copies fully rejected
         if rates[7_000_002][0] != 0:
