@@ -3,7 +3,7 @@ distributed operators against ``pyspark.ml`` at equal parameters —
 the way ``png_pixel_stats`` validated the vendored PNG codec against
 a reference decoder.
 
-Two comparisons, both printed as one JSON line for EXPERIMENTS.md:
+Four comparisons, all printed as one JSON line for EXPERIMENTS.md:
 
 1. **Lloyd k-means** (``kmeans_lloyd_census``'s ``_lloyd_state`` vs
    ``pyspark.ml.clustering.KMeans``): equal k (``_n_cells`` of the
@@ -32,9 +32,22 @@ Two comparisons, both printed as one JSON line for EXPERIMENTS.md:
    readout is each method's planted-pair recall plus the Jaccard
    agreement of the two full pair sets.
 
+3. **Naive Bayes** (``nb_parity``, r13): the registered
+   ``nb_lang_confusion`` exact-integer sparse scoring vs
+   ``pyspark.ml.classification.NaiveBayes`` — held-out confusion
+   matrices compared cell-by-cell (measured identical at 3 SFs).
+
+4. **Embedding near-dup** (``brp_parity``, r14): our hyperplane-LSH
+   cosine pipeline vs ``pyspark.ml.feature
+   .BucketedRandomProjectionLSH`` on L2-normalized vectors (cos ≥ t ⇔
+   ‖a−b‖ ≤ sqrt(2−2t) — the same predicate), both graded against the
+   exact brute-force ground truth on planted duplicates.
+
 Usage: python tools/mllib_parity.py [sf_dir]
        (default /root/testdata/sf0.01; tests pin the same numbers at
-       sf0.001 via tests/test_ml.py::test_mllib_*)
+       sf0.001 via tests/test_ml.py — test_kmeans/minhash parity
+       bounds, test_nb_confusion_matches_mllib, and
+       test_embedding_near_dup_matches_mllib_brp)
 """
 
 from __future__ import annotations
@@ -343,22 +356,43 @@ def brp_parity(spark: SparkSession, sf_dir: str) -> dict:
     )
     from big_data_lab_three_spark.sources import table
 
+    from big_data_lab_three_spark.functions.vector import l2_norm
+
     thresh = 0.99
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # deterministic id-keyed thinning keeps the brute-force ground
+    # truth under embedding_near_dup_pairs' 100k-row cap at ANY tier
+    # (review finding r14: an sf10 run would otherwise crash main()
+    # and discard the other parity results)
+    n = e.count()
+    step = max(1, (n + 80_000 - 1) // 80_000)
+    if step > 1:
+        e = e.where(F.col("vec_id") % step == 0)
     dup = e.where(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
     )
     corpus = e.unionByName(dup)
-    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    nrm = F.sqrt(
-        F.aggregate(emb, F.lit(0.0), lambda a, x: a + x * x)
+    # norm computed ONCE per row in its own projection (inlining the
+    # aggregate into the per-element lambda is O(d²)/row), via the
+    # shared functions.vector.l2_norm
+    c = (
+        corpus.select(
+            "vec_id",
+            F.transform(
+                F.col("embedding"), lambda x: x.cast("double")
+            ).alias("_e"),
+            F.greatest(l2_norm(F.col("embedding")), F.lit(1e-12)).alias(
+                "_n"
+            ),
+        )
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("_e"), lambda x: x / F.col("_n")
+            ).alias("vec"),
+        )
+        .localCheckpoint()
     )
-    c = corpus.select(
-        "vec_id",
-        F.transform(
-            emb, lambda x: x / F.greatest(nrm, F.lit(1e-12))
-        ).alias("vec"),
-    ).localCheckpoint()
     planted = {
         (r["vec_id"], r["vec_id"] + 1_000_000)
         for r in e.where(F.col("vec_id") % 10 == 0)
