@@ -956,6 +956,15 @@ def ivfpq_topk(
     )
 
 
+# Soft guard for the interpreted per-row frontier heap in _imi_keys:
+# cumulative rows seen per TASK (Arrow batches cap at 10k rows, so a
+# per-batch check could not tell corpus from query).  The bounded
+# query frames this module builds are tens-to-hundreds of rows per
+# partition; a corpus-sized frame passed with nprobe > 1 blows past
+# this within its first partition and fails loudly (ADVICE r14).
+_IMI_QUERY_BATCH_MAX = 100_000
+
+
 def _imi_keys(
     df: DataFrame,
     books,
@@ -976,7 +985,19 @@ def _imi_keys(
     finding r13).  The joint key is ``c1 · ksub + c2``; ``nprobe=1``
     is the corpus-side assignment (one row per vector, the separable
     argmin fast path — argmin of a sum of per-half terms IS the pair
-    of per-half argmins, identical to the traversal's first pop)."""
+    of per-half argmins, identical to the traversal's first pop).
+
+    Contract (ADVICE r14): ``nprobe > 1`` is the QUERY-side path only —
+    the per-row frontier heap is interpreted Python, fine for the
+    bounded |queries| side but the dominant cost if a caller ever
+    passed the corpus frame with nprobe > 1.  A cumulative per-task
+    soft guard raises once a multi-probe task has seen more than
+    ``_IMI_QUERY_BATCH_MAX`` rows (the bounded query side stays far
+    under it; a corpus-sized frame trips it within its first
+    partition).  The two
+    half-codebooks must be equal length — asserted at the top of
+    ``run()`` — because the frontier bound and the joint-key encoding
+    ``c1 · ksub + c2`` both assume one shared ksub."""
     b_rows = [[list(map(float, c)) for c in book] for book in books]
     rot_rows = (
         None if rot is None else [list(map(float, r)) for r in rot]
@@ -994,6 +1015,13 @@ def _imi_keys(
 
         b0 = np.asarray(b_rows[0], dtype=np.float64)  # (ksub, d/2)
         b1 = np.asarray(b_rows[1], dtype=np.float64)
+        if len(b0) != len(b1):
+            # Unequal halves would silently skip cells (the frontier
+            # bound uses len(b0)) and alias joint keys (ADVICE r14).
+            raise ValueError(
+                f"IMI half-codebooks must be equal length, got "
+                f"{len(b0)} vs {len(b1)}"
+            )
         rm = (
             None
             if rot_rows is None
@@ -1002,6 +1030,7 @@ def _imi_keys(
         ksub = len(b0)
         dh = b0.shape[1]
         t_cells = min(nprobe * nprobe, ksub * ksub)
+        rows_seen = 0
         for b in batches:
             if len(b) == 0:
                 continue
@@ -1029,6 +1058,14 @@ def _imi_keys(
             # the corpus), and the heap holds at most T+1 frontier
             # entries over the two SORTED half-distance lists — cost
             # O(ksub log ksub + T log T) per row, corpus-independent.
+            rows_seen += len(b)
+            if rows_seen > _IMI_QUERY_BATCH_MAX:
+                raise ValueError(
+                    f"multi-probe _imi_keys (nprobe={nprobe}) is the "
+                    f"query-side path; this task has seen {rows_seen} "
+                    f"rows > {_IMI_QUERY_BATCH_MAX} — pass the bounded "
+                    f"query frame, not the corpus"
+                )
             o0 = np.argsort(d0, axis=1, kind="stable")
             o1 = np.argsort(d1, axis=1, kind="stable")
             s0 = np.take_along_axis(d0, o0, axis=1)

@@ -100,32 +100,11 @@ def register(name: str, ids: str = "", oracle: str | None = None):
 # reshuffle needed.  This is presentation only: every entry remains
 # registered and locally gated either way.
 _FORCE_FRONT: tuple[str, ...] = (
-    # r14 plan changes — re-verify even though green rows exist.
-    # similarity_imi(_recall): probe order rewritten from the cartesian
-    # nprobe-per-half grid to the Babenko–Lempitsky multi-sequence
-    # traversal (joint cells visited in ascending d0[i]+d1[j] order);
-    # recall floor restored to the family's 0.4 convention.
-    "similarity_imi",
-    "similarity_imi_recall",
-    # similarity_pq(_recall): OPQ rotation on — learned orthogonal
-    # pre-rotation before the PQ slicing (recall@5 0.72/0.72/0.56 →
-    # 0.88/0.84/0.64 at the same code budget); IMI pair also trains
-    # through _train_opq now (covered by the two rows above).
-    "similarity_pq",
-    "similarity_pq_recall",
-    # both corpus applies: the forced F.broadcast(pieces) hints were
-    # dropped (ADVICE r13 item 3) — join-strategy selection is now the
-    # planner's, which is a registered-plan change even though values
-    # are identical (review finding r14).
-    "bpe_corpus_apply_census",
-    "unigram_corpus_apply_census",
-    # curation_pipeline_census: funnel v2 — the CCNet LM-score gate
-    # and the quality-classifier verdict composed in as stages 4-5
-    # (two new flag columns + two doc-keyed verdict joins; schema
-    # gains n_lm / n_classified).
-    "curation_pipeline_census",
-    # (kn_trigram_perplexity's r13 micro-quantization change is green
-    # in CORRECTNESS_r13.json and was removed per the tuple's contract.)
+    # (empty — all 7 r14 seeds [similarity_imi(_recall),
+    # similarity_pq(_recall), bpe/unigram_corpus_apply_census,
+    # curation_pipeline_census] are green in CORRECTNESS_r14.json;
+    # emptied per the tuple's contract.  Re-seed only with names whose
+    # REGISTERED PLAN changes this round.)
 )
 
 _DRIVER_ROTATION: tuple[str, ...] = (

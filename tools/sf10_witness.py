@@ -301,11 +301,13 @@ def check_streaming_admission_ttl(spark, sf_dir: str) -> list[str]:
     try:
         stage_admission_shards(base, root, range(4))
 
+        ttl = 1
+
         def admit(batch_df, batch_id: int) -> None:
             if batch_complete(os.path.join(root, "idx_bands"), batch_id):
                 return
             batch_df = batch_df.repartition(16).localCheckpoint()
-            index_admit_batch(spark, batch_df, root, batch_id, ttl=1)
+            index_admit_batch(spark, batch_df, root, batch_id, ttl=ttl)
 
         run_foreachbatch_stream(spark, base.schema, root, admit)
         adm = (
@@ -318,40 +320,71 @@ def check_streaming_admission_ttl(spark, sf_dir: str) -> list[str]:
         # id-range windows: a range exactly 500_000 wide silently
         # miscounts on any tier whose doc-id domain reaches 500_000
         # (r14 review) — the join is domain-proof at every tier.
-        rates = {}
-        for mod8, offset, _shard, _mut in _COHORT_SPEC:
+        # Each cohort's invariant ROLE derives from the spec tuple
+        # itself, never from hardcoded offset literals (ADVICE r14): an
+        # original with doc_id % 8 == mod8 lands in shard mod8 % 4, the
+        # cohort is staged into the spec's absolute shard, so the
+        # shard delta vs TTL decides in-window vs expired and the
+        # mutate flag decides exact-copy vs near-dup.  If the spec's
+        # offsets/shards/roles change, the checks follow automatically
+        # (and an empty role bucket fails with a clear message below).
+        rates: dict[str, list[tuple[int, int, int]]] = {
+            "in_window_exact": [],
+            "expired_exact": [],
+            "in_window_near": [],
+            "expired_near": [],
+        }
+        for mod8, offset, shard, mut in _COHORT_SPEC:
             members = d.where(F.col("doc_id") % 8 == mod8).select(
                 (F.col("doc_id") + offset).alias("aid")
             )
             n_c = members.count()
             n_a = members.join(adm, "aid").count()
-            rates[offset] = (n_a, n_c)
+            delta = (shard - (mod8 % 4)) % 4
+            role = (
+                ("in_window" if delta <= ttl else "expired")
+                + ("_near" if mut else "_exact")
+            )
+            rates[role].append((offset, n_a, n_c))
+        for role in ("in_window_exact", "expired_exact"):
+            if not rates[role]:
+                errs.append(
+                    f"ttl: _COHORT_SPEC has no {role} cohort — the "
+                    "witness's core invariant has nothing to check"
+                )
         # provable: in-window exact copies fully rejected
-        if rates[7_000_002][0] != 0:
-            errs.append(
-                f"ttl: {rates[7_000_002][0]} in-window exact copies "
-                "admitted"
-            )
+        for offset, n_a, n_c in rates["in_window_exact"]:
+            if n_a != 0:
+                errs.append(
+                    f"ttl: {n_a} in-window exact copies (cohort "
+                    f"+{offset}) admitted"
+                )
         # empirical design points, loose floors
-        exp_a, exp_n = rates[8_000_002]
-        if exp_a == 0:
-            errs.append(
-                "ttl: expired exact-copy cohort fully rejected — TTL "
-                "eviction is not happening"
-            )
-        near_a, near_n = rates[9_000_002]
-        if near_n and near_a / near_n > 0.5:
-            errs.append(
-                f"ttl: in-window near-dup cohort mostly admitted "
-                f"({near_a}/{near_n})"
-            )
+        for offset, n_a, n_c in rates["expired_exact"]:
+            if n_a == 0:
+                errs.append(
+                    f"ttl: expired exact-copy cohort +{offset} fully "
+                    "rejected — TTL eviction is not happening"
+                )
+        for offset, n_a, n_c in rates["in_window_near"]:
+            if n_c and n_a / n_c > 0.5:
+                errs.append(
+                    f"ttl: in-window near-dup cohort +{offset} mostly "
+                    f"admitted ({n_a}/{n_c})"
+                )
+
+        def _fmt(role: str) -> str:
+            return ", ".join(
+                f"+{o}: {a}/{n}" for o, a, n in rates[role]
+            ) or "(none)"
+
         print(
             "streaming_admission_ttl: "
-            f"in-window copies admitted {rates[7_000_002][0]}/"
-            f"{rates[7_000_002][1]} (provably 0), expired copies "
-            f"re-admitted {exp_a}/{exp_n}, in-window near-dups admitted "
-            f"{near_a}/{near_n}, expired near-dups re-admitted "
-            f"{rates[9_500_002][0]}/{rates[9_500_002][1]} "
+            f"in-window copies admitted {_fmt('in_window_exact')} "
+            f"(provably 0), expired copies re-admitted "
+            f"{_fmt('expired_exact')}, in-window near-dups admitted "
+            f"{_fmt('in_window_near')}, expired near-dups re-admitted "
+            f"{_fmt('expired_near')} "
             f"[{time.time() - t0:.1f}s]",
             flush=True,
         )
