@@ -5142,3 +5142,289 @@ def unigram_frozen_oov_apply_census(
             F.expr("pieces_oov * 1000000 div n_oov_tokens"),
         ).alias("fertility_oov_micro"),
     ).orderBy("lang")
+
+
+_SDC_ORACLE = f"""
+WITH j AS (
+  SELECT d.doc_id AS id, d.text, CAST(e.embedding AS DOUBLE[]) AS v
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+  WHERE d.doc_id % 2 = 0
+), reps AS (
+  SELECT min(id) AS id, min(text) AS text, v
+  FROM j GROUP BY md5(text), v
+), folded AS (
+  SELECT id, text, v,
+         CAST(('0x' || substr(md5('sd:' || CAST(id AS VARCHAR)),
+                              1, 15)) AS BIGINT) % 10 < 8 AS is_train
+  FROM reps
+), train AS MATERIALIZED (
+  SELECT id, text, v FROM folded WHERE is_train
+), eval_side AS MATERIALIZED (
+  SELECT id, text, v FROM folded WHERE NOT is_train
+  UNION ALL
+  SELECT id + 1000000, text, v FROM train WHERE id % 5 = 0
+  UNION ALL
+  SELECT id + 2000000,
+         'paraphrase ' || CAST(id AS VARCHAR),
+         list_transform(v, x -> x * 1.01)
+  FROM train WHERE id % 5 = 0
+), sem AS (
+  SELECT DISTINCT e.id
+  FROM eval_side e JOIN train t
+    ON list_cosine_similarity(e.v, t.v) >= 0.99
+), tg AS (
+  SELECT DISTINCT gram FROM (
+    SELECT unnest([array_to_string(toks[i:i+7], ' ')
+                   for i in range(1, len(toks) - 6)]) AS gram
+    FROM (SELECT {_DUCK_TOKS} AS toks FROM train)
+    WHERE len(toks) >= 8)
+), eg AS (
+  SELECT id, unnest([array_to_string(toks[i:i+7], ' ')
+                     for i in range(1, len(toks) - 6)]) AS gram
+  FROM (SELECT id, {_DUCK_TOKS} AS toks FROM eval_side)
+  WHERE len(toks) >= 8
+), lex AS (
+  SELECT DISTINCT eg.id FROM eg JOIN tg USING (gram)
+), flags AS (
+  SELECT e.id,
+         (sem.id IS NOT NULL) AS sem_hit,
+         (lex.id IS NOT NULL) AS lex_hit
+  FROM eval_side e
+  LEFT JOIN sem ON sem.id = e.id
+  LEFT JOIN lex ON lex.id = e.id
+)
+SELECT CAST((SELECT count(*) FROM train) AS BIGINT) AS n_train,
+       CAST(count(*) AS BIGINT) AS n_eval,
+       CAST(sum(CASE WHEN sem_hit THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_sem,
+       CAST(sum(CASE WHEN lex_hit THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_lex,
+       CAST(sum(CASE WHEN sem_hit AND lex_hit THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_both,
+       CAST(sum(CASE WHEN sem_hit AND NOT lex_hit THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_sem_only,
+       CAST(sum(CASE WHEN lex_hit AND NOT sem_hit THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_lex_only,
+       CASE WHEN count(*) > 0 THEN
+         round(CAST(sum(CASE WHEN sem_hit AND NOT lex_hit
+                        THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*), 4) END AS sem_only_leak_rate
+FROM flags
+"""
+
+
+@register(
+    "semantic_decontamination_census",
+    ids="curation: EMBEDDING-level train/eval decontamination — "
+    "hyperplane-LSH cosine near-dup join between md5-assigned folds, "
+    "cross-checked against the lexical 8-gram channel; censuses the "
+    "paraphrased contamination the n-gram check cannot see",
+    oracle=_SDC_ORACLE,
+)
+def semantic_decontamination_census_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Semantic (embedding-level) EVAL DECONTAMINATION — the r14
+    verdict's top-ranked missing production shape: paraphrased
+    contamination survives every n-gram check (`split_leakage_census`,
+    `contamination_check`), so a shipping pipeline also runs an
+    embedding-similarity sweep of the eval fold against the training
+    fold.  This census runs BOTH channels over the same md5-assigned
+    80/20 split and reports their disagreement:
+
+    - **semantic channel**: bipartite hyperplane-LSH join (train keys
+      vs eval keys — no within-fold candidates, unlike running the
+      symmetric `embedding_near_dup_pairs_lsh` on the union) with
+      exact cosine ≥ 0.99 rescore;
+    - **lexical channel**: the 8-gram overlap check, exactly
+      `split_leakage_census`'s shape (distinct fold gram sets, one
+      equi-join, semi-join back to eval docs).
+
+    Two planted cohorts (built from train representatives, `_seed_id`
+    convention, thinned id % 5) make the disagreement provable rather
+    than data-dependent: a VERBATIM copy (same text, same embedding —
+    caught by both channels whenever the source text has ≥ 8 tokens)
+    and a PARAPHRASE (2-token placeholder text, so zero 8-grams and
+    provably lexically invisible; embedding rescaled × 1.01 — colinear,
+    cosine exactly 1, and rescaling preserves every hyperplane sign
+    bit, so the planted pair collides in ALL LSH tables: recall 1 by
+    construction, the `dedup_embedding` argument).  `n_sem_only` is
+    therefore ≥ the paraphrase cohort — the docs an n-gram
+    decontamination pass would have shipped.
+
+    The oracle recomputes ground truth independently: brute-force
+    all-pairs train × eval cosine (so a value-hash match proves the
+    bipartite LSH pipeline loses NOTHING vs exhaustive search on this
+    data, not merely that both engines bucket alike) plus the same
+    gram arithmetic.
+
+    Scale shape: content collapse first (min-id rep per distinct
+    (text, embedding) — bounds everything downstream by DISTINCT
+    content at the replicated tiers, the r11 convention), the rep
+    table localCheckpoint'ed because five arms reuse it; the semantic
+    join is bucket-keyed (never all-pairs), the lexical join is
+    gram-keyed; census aggregates are 1-row broadcast crossJoins.  At
+    100 TB: the LSH join's per-bucket cost is tuned by bits/tables
+    exactly as `embedding_near_dup_pairs_lsh` documents, and the gram
+    sets would carry xxhash64 digests instead of strings."""
+    import numpy as np
+
+    from big_data_lab_three_spark.functions.text import shingles
+    from big_data_lab_three_spark.operators.similarity import (
+        cosine_score_pairs,
+        hyperplane_keys,
+    )
+    from big_data_lab_three_spark.queries.dedup import _seed_id
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 2 == 0)
+        .select(F.col("doc_id").alias("id"), "text")
+    )
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") % 2 == 0)
+        .select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+    )
+    reps = (
+        d.join(e, "id")
+        .groupBy(F.md5("text").alias("dig"), "v")
+        .agg(F.min("id").alias("id"), F.min("text").alias("text"))
+        .select("id", "text", "v")
+    )
+    folded = reps.withColumn(
+        "is_train",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("sd:"), F.col("id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .__mod__(10)
+        < 8,
+    ).localCheckpoint()  # five arms reuse the collapsed rep table
+    train = folded.where("is_train").select("id", "text", "v")
+    evalo = folded.where(~F.col("is_train")).select("id", "text", "v")
+    seeded = train.where(F.col("id") % 5 == 0)
+    verbatim = seeded.select(
+        _seed_id(F.col("id")).alias("id"), "text", "v"
+    )
+    paraphrase = seeded.select(
+        _seed_id(F.col("id"), k=2).alias("id"),
+        F.concat(
+            F.lit("paraphrase "), F.col("id").cast("string")
+        ).alias("text"),
+        F.transform("v", lambda x: x * 1.01).alias("v"),
+    )
+    eval_side = evalo.unionByName(verbatim).unionByName(paraphrase)
+
+    # Semantic channel: bipartite LSH (testdata embeddings are 64-d,
+    # same explicit-dim convention as dedup_embedding).
+    planes = (
+        np.random.default_rng(13).normal(size=(16 * 4, 64)).tolist()
+    )
+    tk = hyperplane_keys(
+        train.select(F.col("id").alias("tid"), F.col("v").alias("vec_t")),
+        planes,
+        tables=4,
+        vec_col="vec_t",
+    )
+    ek = hyperplane_keys(
+        eval_side.select(
+            F.col("id").alias("eid"), F.col("v").alias("vec_e")
+        ),
+        planes,
+        tables=4,
+        vec_col="vec_e",
+    )
+    cands = (
+        ek.join(tk, "key")
+        # a pair colliding in several tables is scored once, not L times
+        .dropDuplicates(["eid", "tid"])
+        .select("eid", "tid", "vec_e", "vec_t")
+    )
+    sem = (
+        cosine_score_pairs(
+            cands, "vec_e", "vec_t", ["eid"], threshold=0.99
+        )
+        .select(F.col("eid").alias("id"))
+        .distinct()
+        .withColumn("sem_hit", F.lit(True))
+    )
+
+    # Lexical channel: split_leakage_census's 8-gram overlap shape.
+    tg = (
+        train.select(tokens(F.col("text")).alias("toks"))
+        .where(F.size("toks") >= 8)
+        .select(F.explode(shingles(F.col("toks"), 8)).alias("gram"))
+        .distinct()
+    )
+    lex = (
+        eval_side.select("id", tokens(F.col("text")).alias("toks"))
+        .where(F.size("toks") >= 8)
+        .select("id", F.explode(shingles(F.col("toks"), 8)).alias("gram"))
+        .join(tg, "gram", "left_semi")
+        .select("id")
+        .distinct()
+        .withColumn("lex_hit", F.lit(True))
+    )
+
+    flags = (
+        eval_side.select("id")
+        .join(sem, "id", "left")
+        .join(lex, "id", "left")
+        .select(
+            F.coalesce("sem_hit", F.lit(False)).alias("sem_hit"),
+            F.coalesce("lex_hit", F.lit(False)).alias("lex_hit"),
+        )
+    )
+    one = F.lit(1)
+    zero = F.lit(0)
+    census = flags.agg(
+        F.count(one).alias("n_eval"),
+        F.sum(F.when(F.col("sem_hit"), one).otherwise(zero)).alias(
+            "n_sem"
+        ),
+        F.sum(F.when(F.col("lex_hit"), one).otherwise(zero)).alias(
+            "n_lex"
+        ),
+        F.sum(
+            F.when(F.col("sem_hit") & F.col("lex_hit"), one).otherwise(
+                zero
+            )
+        ).alias("n_both"),
+        F.sum(
+            F.when(
+                F.col("sem_hit") & ~F.col("lex_hit"), one
+            ).otherwise(zero)
+        ).alias("n_sem_only"),
+        F.sum(
+            F.when(
+                F.col("lex_hit") & ~F.col("sem_hit"), one
+            ).otherwise(zero)
+        ).alias("n_lex_only"),
+    )
+    return census.crossJoin(
+        F.broadcast(train.agg(F.count(one).alias("n_train")))
+    ).select(
+        "n_train",
+        "n_eval",
+        "n_sem",
+        "n_lex",
+        "n_both",
+        "n_sem_only",
+        "n_lex_only",
+        F.when(
+            F.col("n_eval") > 0,
+            F.round(
+                F.col("n_sem_only").cast("double") / F.col("n_eval"), 4
+            ),
+        ).alias("sem_only_leak_rate"),
+    )

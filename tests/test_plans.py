@@ -2191,3 +2191,33 @@ def test_curation_funnel_is_one_scan_one_digest_exchange(
     assert broadcast_join_count(df) >= 1, (
         "per-language LM cutoff should broadcast"
     )
+
+
+def test_semantic_decontamination_is_bucket_keyed_no_allpairs(
+    spark, sf_dir, monkeypatch
+):
+    """The semantic decontamination census must reach its cosine
+    candidates through the bipartite hyperplane-LSH bucket join (an
+    equi-join on the (table, signature) key), never an all-pairs
+    train × eval product: no CartesianProduct, no non-broadcast
+    nested loop (the only BroadcastNestedLoopJoins allowed are the
+    1-row census crossJoins), and no corpus-wide Window.
+    localCheckpoint no-op'd so the whole rep pipeline is inspected."""
+    import re
+
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    monkeypatch.setattr(
+        DataFrame, "localCheckpoint", lambda self, eager=True: self
+    )
+    df = REG["semantic_decontamination_census"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert not re.search(
+        r"(?<!Broadcast)NestedLoopJoin",
+        plan.replace("BroadcastNestedLoopJoin", "Broadcast_NLJ"),
+    )
+    assert broadcast_join_count(df) >= 1, (
+        "1-row n_train census agg should broadcast"
+    )
