@@ -128,6 +128,66 @@ def decode_media(df: DataFrame) -> DataFrame:
     return flat.mapInPandas(run, DECODED_SCHEMA)
 
 
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("dhash", T.LongType(), False),
+    ]
+)
+
+
+def image_dhash(df: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
+    """Perceptual difference hash (dHash) per image through the REAL
+    decode path: payload → codec-registry decode → (height, width)
+    grayscale grid → horizontal-gradient sign bits — bit
+    ``r·(width−1)+c`` is 1 iff ``p[r,c] < p[r,c+1]`` — packed
+    little-endian into one int64 (``height·(width−1)`` bits; 56 at the
+    8×8 default, comfortably inside the sign bit).
+
+    dHash is the standard perceptual near-dup signature (the image
+    twin of simhash): a local pixel edit flips at most the two
+    comparisons that touch it, so near-identical images differ in
+    O(edits) bits and the banded-Hamming machinery the text family
+    uses (`dedup_simhash`'s Manku-style pigeonhole) applies verbatim.
+    One vectorized pass per Arrow batch; the per-image work is a
+    reshape + one elementwise compare + one dot with the bit-weight
+    vector."""
+    if height * (width - 1) > 62:
+        raise ValueError("dhash wider than 62 bits does not fit int64")
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as np
+        import pandas as pd
+
+        decoders = available_decoders()
+        weights = (
+            np.int64(1) << np.arange(height * (width - 1), dtype=np.int64)
+        )
+        for b in batches:
+            if len(b) == 0:
+                continue
+            _require_codec(b["codec"], decoders)
+            out = np.empty(len(b), dtype=np.int64)
+            for n, (c, p) in enumerate(zip(b["codec"], b["payload"])):
+                s = decoders[c](p)
+                if s.size != height * width:
+                    raise ValueError(
+                        f"image_dhash expects {height}x{width} grayscale "
+                        f"({height * width} samples), got {s.size}"
+                    )
+                g = s.reshape(height, width).astype(np.int16)
+                bits = (g[:, :-1] < g[:, 1:]).reshape(-1)
+                out[n] = int(bits @ weights)
+            yield pd.DataFrame(
+                {"media_id": b["media_id"].astype("int64"), "dhash": out}
+            )
+
+    flat = df.select(
+        "media_id", "payload", F.col("meta.codec").alias("codec")
+    )
+    return flat.mapInPandas(run, DHASH_SCHEMA)
+
+
 def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
     """Per-media feature vector: `dim`-bucket byte histogram, L1
     normalized — the deterministic stand-in for an embedding model, with

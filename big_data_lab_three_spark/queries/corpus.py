@@ -5428,3 +5428,235 @@ def semantic_decontamination_census_q(
             ),
         ).alias("sem_only_leak_rate"),
     )
+
+
+_IDN_ORACLE = """
+WITH base AS (
+  SELECT min(doc_id) AS id, doc_id % 4096 AS sk, CAST(-1 AS BIGINT) AS pj
+  FROM documents WHERE doc_id % 3 = 0
+  GROUP BY doc_id % 4096
+), ids AS (
+  SELECT id, sk, pj FROM base
+  UNION ALL
+  SELECT id + 1000000, sk, id % 64 FROM base WHERE id % 5 = 0
+), px AS (
+  SELECT id,
+         [ (CAST(('0x' || substr(md5(CAST(sk AS VARCHAR) || ':' ||
+                   CAST(i // 16 AS VARCHAR)),
+                   (i % 16) * 2 + 1, 2)) AS BIGINT)
+            + CASE WHEN i = pj THEN 128 ELSE 0 END) % 256
+           for i in range(0, 64) ] AS p
+  FROM ids
+), bits AS (
+  SELECT px.id,
+         CAST(sum(CASE WHEN p[(t.b // 7) * 8 + (t.b % 7) + 1]
+                        < p[(t.b // 7) * 8 + (t.b % 7) + 2]
+                  THEN CAST(1 AS BIGINT) << t.b
+                  ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS dh
+  FROM px, range(56) t(b)
+  GROUP BY px.id
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.dh, b.dh)) AS BIGINT) AS hamming
+FROM bits a JOIN bits b ON a.id < b.id
+WHERE bit_count(xor(a.dh, b.dh)) <= 3
+"""
+
+_DHASH_BAND_BITS = 14
+_DHASH_BANDS = 4  # 4 x 14 = 56 dhash bits
+
+
+def _md5_png_media(ids: DataFrame) -> DataFrame:
+    """(id, sk, pj) → MEDIA_SCHEMA rows: an 8×8 grayscale PNG whose 64
+    pixels are the concatenated digest bytes of ``md5(f"{sk}:{k}")``
+    for k = 0..3 (pseudorandom per source key, and exactly the
+    arithmetic the DuckDB oracle replays via hex substrings), with
+    pixel ``pj`` bumped +128 mod 256 when ``pj ≥ 0`` (the planted
+    near-identical mutation).  Encoded by the vendored real codec —
+    the payloads downstream stages decode are genuine PNGs."""
+    from big_data_lab_three_spark.multimodal.media import MEDIA_SCHEMA
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from big_data_lab_three_spark.multimodal.png import encode_png
+
+        for b in batches:
+            if len(b) == 0:
+                continue
+            payloads = []
+            for sk, pj in zip(b["sk"], b["pj"]):
+                raw = b"".join(
+                    hashlib.md5(f"{int(sk)}:{k}".encode()).digest()
+                    for k in range(4)
+                )
+                px = np.frombuffer(raw, np.uint8).copy()
+                if pj >= 0:
+                    px[int(pj)] = (int(px[int(pj)]) + 128) % 256
+                payloads.append(encode_png(px.reshape(8, 8)))
+            yield pd.DataFrame(
+                {
+                    "media_id": b["id"].astype("int64"),
+                    "media_type": "image",
+                    "payload": payloads,
+                    "meta": [
+                        {
+                            "codec": "image/png",
+                            "width": 8,
+                            "height": 8,
+                            "sample_rate": None,
+                            "duration_ms": None,
+                            "n_bytes": len(p),
+                        }
+                        for p in payloads
+                    ],
+                }
+            )
+
+    return ids.select("id", "sk", "pj").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+@register(
+    "image_dhash_near_dup",
+    ids="multimodal+dedup: perceptual image near-dup — REAL PNG "
+    "decode → 56-bit dHash → banded-Hamming candidate join → exact "
+    "Hamming rescore; the image twin of dedup_simhash",
+    oracle=_IDN_ORACLE,
+)
+def image_dhash_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-duplicate pairs — the r14 verdict's
+    missing image twin of `dedup_simhash`: every third document keys
+    an 8×8 grayscale PNG (pixels = md5 digest bytes of the source key
+    ``doc_id % 4096``, so DISTINCT images stay bounded at 4096 and the
+    replicated tiers collapse exactly like the text family), the REAL
+    codec path encodes and decodes them (`multimodal/png.py` →
+    `image_dhash`), a 56-bit horizontal-gradient difference hash is
+    packed per image, and pairs at Hamming ≤ 3 are found by the
+    Manku-style banded pigeonhole: 4 bands × 14 bits — ≤ 3 flipped
+    bits leave ≥ 1 band untouched, so candidate recall is 1 by
+    construction and the exact ``bit_count(xor)`` rescore (JVM-side,
+    codegen) only ever DROPS false bucket-mates.
+
+    Production order mirrors the text pipeline: exact collapse first
+    (min-id representative per payload digest — content-identical
+    images never reach the perceptual stage), THEN the banded join
+    over representatives.  Every fifth representative plants a
+    near-identical copy (one pixel +128 mod 256 → at most the two
+    gradient comparisons touching it flip → Hamming ≤ 2 ≤ 3, found in
+    every run); md5-pseudorandom pixel grids put organic pairs at
+    ~C(56,≤3)/2⁵⁶ ≈ 4e-13 per pair, so the output is exactly the
+    planted arm plus provably-found organic coincidences.
+
+    The oracle replays pixel generation (hex substrings of the same
+    md5), the dHash arithmetic, and the ALL-PAIRS ground truth — a
+    value-hash match proves the banded plan loses nothing vs brute
+    force AND that encode → Arrow → decode → unfilter is byte-exact.
+
+    Scale shape: blobs never shuffle (generation, decode, and hashing
+    are chained Arrow stages); the only exchanges carry (digest, id)
+    for the collapse and (band, bits, id, dhash) for the candidate
+    join — both key-bounded.  At 100 TB the band join's bucket sizes
+    are tuned by band count exactly as `dedup_simhash` documents."""
+    from big_data_lab_three_spark.multimodal.decode import image_dhash
+    from big_data_lab_three_spark.queries.dedup import _seed_id
+
+    ids = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 3 == 0)
+        .select(
+            F.col("doc_id").alias("id"),
+            (F.col("doc_id") % 4096).alias("sk"),
+            F.lit(-1).cast("long").alias("pj"),
+        )
+    )
+    media = _md5_png_media(ids)
+    # exact collapse first: min-id representative per payload digest
+    reps = (
+        media.select(
+            F.col("media_id").alias("id"),
+            (F.col("media_id") % 4096).alias("sk"),
+            "payload",
+            F.md5("payload").alias("dig"),
+        )
+        .groupBy("dig")
+        .agg(
+            F.min("id").alias("id"),
+            F.min("sk").alias("sk"),
+            F.min("payload").alias("payload"),
+        )
+        .localCheckpoint()  # reused by the planted arm + own dhash
+    )
+    rep_media = reps.select(
+        F.col("id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        "payload",
+        F.struct(
+            F.lit("image/png").alias("codec"),
+            F.lit(8).alias("width"),
+            F.lit(8).alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.length("payload").cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+    planted_src = reps.where(F.col("id") % 5 == 0).select(
+        _seed_id(F.col("id")).alias("id"),
+        "sk",
+        (F.col("id") % 64).cast("long").alias("pj"),
+    )
+    planted_media = _md5_png_media(planted_src)
+    all_dh = image_dhash(rep_media).unionByName(
+        image_dhash(planted_media)
+    )
+    banded = all_dh.select(
+        "media_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("bnd"),
+                        F.shiftright(
+                            F.col("dhash"), i * _DHASH_BAND_BITS
+                        )
+                        .bitwiseAND(F.lit((1 << _DHASH_BAND_BITS) - 1))
+                        .alias("bits"),
+                    )
+                    for i in range(_DHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("media_id", "dhash", "bk.bnd", "bk.bits")
+    a = banded.select(
+        F.col("bnd"),
+        F.col("bits"),
+        F.col("media_id").alias("id_a"),
+        F.col("dhash").alias("dh_a"),
+    )
+    b = banded.select(
+        F.col("bnd"),
+        F.col("bits"),
+        F.col("media_id").alias("id_b"),
+        F.col("dhash").alias("dh_b"),
+    )
+    cands = (
+        a.join(b, ["bnd", "bits"])
+        .where(F.col("id_a") < F.col("id_b"))
+        # a pair colliding in several bands is rescored once, not 4×
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.select(
+            "id_a",
+            "id_b",
+            F.bit_count(
+                F.col("dh_a").bitwiseXOR(F.col("dh_b"))
+            )
+            .cast("long")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") <= 3)
+    )

@@ -370,3 +370,55 @@ def test_binaryfile_metadata_query_prunes_content(spark, tmp_path):
     )
     assert "content" not in scan.split("ReadSchema")[-1]
     assert census.count() == 1
+
+
+def test_image_dhash_locality(spark):
+    """dHash through the real decode path: (1) the hash of a known 8×8
+    grid equals the hand-computed horizontal-gradient pack; (2) a
+    single-pixel edit flips at most the TWO comparisons touching it —
+    the locality property the banded-Hamming near-dup join relies on
+    (Hamming ≤ 2 ≤ 3 for every planted mutation)."""
+    import numpy as np
+
+    from big_data_lab_three_spark.multimodal import MEDIA_SCHEMA
+    from big_data_lab_three_spark.multimodal.decode import image_dhash
+
+    rng = np.random.default_rng(41)
+    base = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+    variants = [("orig", base, None)]
+    for n, (r, c) in enumerate([(0, 0), (3, 4), (7, 7), (5, 0)]):
+        px = base.copy()
+        px[r, c] = (int(px[r, c]) + 128) % 256
+        variants.append((f"mut{n}", px, (r, c)))
+    rows = [
+        (
+            i,
+            "image",
+            _png_bytes(px),
+            {
+                "codec": "image/png",
+                "width": 8,
+                "height": 8,
+                "sample_rate": None,
+                "duration_ms": None,
+                "n_bytes": 0,
+            },
+        )
+        for i, (_, px, _e) in enumerate(variants)
+    ]
+    got = {
+        r["media_id"]: r["dhash"]
+        for r in image_dhash(
+            spark.createDataFrame(rows, MEDIA_SCHEMA)
+        ).collect()
+    }
+    expect0 = sum(
+        1 << (r * 7 + c)
+        for r in range(8)
+        for c in range(7)
+        if base[r, c] < base[r, c + 1]
+    )
+    assert got[0] == expect0
+    for i, (_, _px, edit) in enumerate(variants[1:], start=1):
+        ham = bin(got[0] ^ got[i]).count("1")
+        assert ham <= 2, f"edit at {edit} flipped {ham} > 2 dhash bits"

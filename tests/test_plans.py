@@ -2221,3 +2221,28 @@ def test_semantic_decontamination_is_bucket_keyed_no_allpairs(
     assert broadcast_join_count(df) >= 1, (
         "1-row n_train census agg should broadcast"
     )
+
+
+def test_image_dhash_near_dup_is_band_keyed_no_allpairs(
+    spark, sf_dir, monkeypatch
+):
+    """The perceptual image near-dup must reach its Hamming rescore
+    through the banded equi-join (band, bits), never an all-pairs
+    image product; blobs feed chained Arrow stages, and the rescore
+    is JVM bit_count (no Python in the pair path)."""
+    import re
+
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    monkeypatch.setattr(
+        DataFrame, "localCheckpoint", lambda self, eager=True: self
+    )
+    df = REG["image_dhash_near_dup"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert not re.search(
+        r"(?<!Broadcast)NestedLoopJoin",
+        plan.replace("BroadcastNestedLoopJoin", "Broadcast_NLJ"),
+    )
+    assert "bit_count" in plan, "exact rescore must be JVM bit_count"
