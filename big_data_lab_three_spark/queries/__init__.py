@@ -100,11 +100,14 @@ def register(name: str, ids: str = "", oracle: str | None = None):
 # reshuffle needed.  This is presentation only: every entry remains
 # registered and locally gated either way.
 _FORCE_FRONT: tuple[str, ...] = (
-    # (empty — all 7 r14 seeds [similarity_imi(_recall),
-    # similarity_pq(_recall), bpe/unigram_corpus_apply_census,
-    # curation_pipeline_census] are green in CORRECTNESS_r14.json;
-    # emptied per the tuple's contract.  Re-seed only with names whose
-    # REGISTERED PLAN changes this round.)
+    # (the 7 r14 seeds were emptied per the tuple's contract — all
+    # green in CORRECTNESS_r14.json.)
+    # r15 plan change: curation_pipeline_census is funnel v3 — PII
+    # redaction rewrite stage (seeded %11 cohort, shared pii_redact
+    # chain, all later stages see the redacted text), benchmark
+    # 8-gram decontamination gate as stage 6, schema gains
+    # n_pii / pii_chars_delta / n_decontam.
+    "curation_pipeline_census",
 )
 
 _DRIVER_ROTATION: tuple[str, ...] = (

@@ -34,6 +34,40 @@ _DUCK_TOKS = (
     "list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')"
 )
 
+# PII patterns shared by pii_scan / pii_redact / the curation funnel's
+# redaction stage — portable between Spark's and DuckDB's regex engines
+# (no lookaround, no engine-specific classes).
+_PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP_RE = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+_PII_URL_RE = r"https?://[^ ]+"
+
+
+def pii_redact_col(col):
+    """Spark column: ``col`` with emails → <EMAIL>, IPv4s → <IP>,
+    URLs → <URL> (the pii_redact replacement chain, shared so the
+    funnel's redaction stage is the SAME expression)."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(col, _PII_EMAIL_RE, "<EMAIL>"),
+            _PII_IP_RE,
+            "<IP>",
+        ),
+        _PII_URL_RE,
+        "<URL>",
+    )
+
+
+def duck_pii_redact(expr: str) -> str:
+    """The DuckDB twin of :func:`pii_redact_col` around ``expr``
+    (regexes single-quoted for SQL; backslashes pass through
+    verbatim)."""
+    return (
+        "regexp_replace(regexp_replace(regexp_replace("
+        f"{expr}, '{_PII_EMAIL_RE}', '<EMAIL>', 'g'), "
+        f"'{_PII_IP_RE}', '<IP>', 'g'), "
+        f"'{_PII_URL_RE}', '<URL>', 'g')"
+    )
+
 
 @register(
     "token_count",
@@ -572,9 +606,7 @@ def pii_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # function form with literal columns — an F.expr SQL string would
     # re-process the regex backslashes as SQL escapes
-    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-    ip_re = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
-    url_re = r"https?://[^ ]+"
+    email_re, ip_re, url_re = _PII_EMAIL_RE, _PII_IP_RE, _PII_URL_RE
     scanned = seeded.select(
         "lang",
         F.size(F.regexp_extract_all("text", F.lit(email_re), F.lit(0))).alias("n_emails"),
@@ -1020,21 +1052,7 @@ def pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.col("text")).alias("text"),
     )
-    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-    ip_re = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
-    url_re = r"https?://[^ ]+"
-    red = seeded.withColumn(
-        "redacted",
-        F.regexp_replace(
-            F.regexp_replace(
-                F.regexp_replace(F.col("text"), email_re, "<EMAIL>"),
-                ip_re,
-                "<IP>",
-            ),
-            url_re,
-            "<URL>",
-        ),
-    )
+    red = seeded.withColumn("redacted", pii_redact_col(F.col("text")))
     return (
         red.groupBy("lang")
         .agg(

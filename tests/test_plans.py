@@ -2161,15 +2161,17 @@ def test_unigram_frozen_oov_apply_is_keyed_join_no_window(
 def test_curation_funnel_is_one_scan_one_digest_exchange(
     spark, sf_dir, monkeypatch
 ):
-    """The composed curation funnel v2 must stay linear: scan
+    """The composed curation funnel v3 must stay linear: the PII
+    redaction is a codegen projection inside the lineage, scan
     predicates for clean/quality, ONE digest-keyed exchange for the
     dedup window, doc-keyed joins for the two model-stage verdicts
-    plus a broadcast per-language cutoff — no cartesian, no
-    non-broadcast nested loop, and the only Window partitions by the
-    content digest (bounded groups), never the whole corpus (both
-    model stages argmax via groupBy/struct-max, not windows;
-    localCheckpoints no-op'd so the whole classifier chain is
-    inspected too)."""
+    and the contamination verdict, plus TWO broadcasts (per-language
+    LM cutoff + the benchmark gram set's semi-join probe) — no
+    cartesian, no non-broadcast nested loop, and the only Window
+    partitions by the content digest (bounded groups), never the
+    whole corpus (both model stages argmax via groupBy/struct-max,
+    not windows; localCheckpoints no-op'd so the whole classifier
+    chain is inspected too)."""
     import re
 
     from pyspark.sql.classic.dataframe import DataFrame
@@ -2188,8 +2190,8 @@ def test_curation_funnel_is_one_scan_one_digest_exchange(
     assert m and all("md5" in g or "_w" in g for g in m), (
         f"window not partitioned by content digest: {m}"
     )
-    assert broadcast_join_count(df) >= 1, (
-        "per-language LM cutoff should broadcast"
+    assert broadcast_join_count(df) >= 2, (
+        "per-language LM cutoff AND benchmark gram probe should broadcast"
     )
 
 
