@@ -343,20 +343,24 @@ def similarity_ivf_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def similarity_imi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-MULTI-INDEX approximate top-5 (Babenko & Lempitsky
-    2012): two codebooks of 8 centroids (16 centroid rows total) over
-    the two vector halves span 64 joint cells — the scale path PAST
+    2012): two codebooks of 16 centroids (32 centroid rows total) over
+    the two vector halves span 256 joint cells — the scale path PAST
     the flat-IVF ``_MAX_CELLS`` cap (cells grow multiplicatively while
     codebooks and per-vector assignment cost stay constant; at
     ksub=65k the index spans 4.3B cells, enough for ~1T vectors at
-    expected-256 lists).  Queries probe the 16 best joint cells in
+    expected-256 lists).  Queries probe the 64 best joint cells in
     ascending sum-of-half-distances order (the paper's multi-sequence
-    traversal — r14, replacing the cartesian top-4-per-half grid that
-    wasted probes on near×far pairs), exact cosine rescore on
-    candidates — same audit design and the same 0.4 recall floor as
-    the rest of the ANN family."""
+    traversal — r14, replacing the cartesian grid that wasted probes
+    on near×far pairs), exact cosine rescore on candidates — same
+    audit design and the same 0.4 recall floor as the rest of the ANN
+    family.  r15: ksub 8 → 16 with nprobe 4 → 8 holds the probe
+    FRACTION at 25% (64/256 vs the old 16/64) while the finer cells
+    lift measured recall@5 from 0.80/0.72/0.51 to a flat
+    0.80/0.80/0.80 across the tiers — the multiplicative-cell
+    granularity win the IMI design exists for."""
     e = table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") % 100 == 0)
-    ann = imi_topk(q, e, ksub=8, nprobe=4, k=5, opq=True)
+    ann = imi_topk(q, e, ksub=16, nprobe=8, k=5, opq=True)
     exact = brute_force_topk(q, e, k=5)
     return _ann_recall_audit(ann, exact, e, q, recall_floor=0.4)
 
@@ -378,7 +382,7 @@ def similarity_imi_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     corpus, probes = _planted_probe_frames(e)
     return (
-        imi_topk(probes, corpus, ksub=8, nprobe=2, k=1, opq=True)
+        imi_topk(probes, corpus, ksub=16, nprobe=2, k=1, opq=True)
         .select(
             "query_id",
             "neighbor_id",
@@ -462,12 +466,15 @@ def similarity_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     design as ``similarity_lsh``.  OPQ rotation on (r14): the learned
     orthogonal pre-rotation lifted measured recall@5 from 0.72/0.72/
     0.56 to 0.88/0.84/0.64 across the three SFs at the identical
-    8×4-bit code budget (EXPERIMENTS.md).  Exercises rotation + codebook
-    training, encoding, the ADC candidate scan, and the exact rescore
-    under a full value hash."""
+    8×4-bit code budget; the r15 candidate-pool widening (64 → 256
+    exact-rescore candidates — the knob the r14 verdict ranked, cost
+    bounded by |queries|·candidates, corpus-independent) lifted it
+    again to 1.00/1.00/0.88 (EXPERIMENTS.md).  Exercises rotation +
+    codebook training, encoding, the ADC candidate scan, and the exact
+    rescore under a full value hash."""
     e = table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") % 100 == 0)
-    ann = pq_topk(q, e, m=8, ksub=16, k=5, opq=True)
+    ann = pq_topk(q, e, m=8, ksub=16, k=5, opq=True, candidates=256)
     exact = brute_force_topk(q, e, k=5)
     return _ann_recall_audit(ann, exact, e, q)
 
@@ -482,17 +489,19 @@ def similarity_pq_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate of its planted target, so it attains the per-subspace
     minimum of every ADC table term — its approximate distance is the
     global lower bound and it survives every candidate cut
-    deterministically (only same-code vectors can tie, and the 64-deep
-    cut keeps all of them), after which the exact rescore ranks the
-    globally unique target first.  Pins codebook training, encoding,
-    the ADC scan, candidate cuts, and rescore under a full value
-    hash.  OPQ on (r14): the rotation applies identically to probe and
-    target, so the duplicate still attains every per-subspace minimum
-    — the guarantee is rotation-invariant."""
+    deterministically (only same-code vectors can tie, and the
+    256-deep cut — the audit query's r15 pool — keeps all of them),
+    after which the exact rescore ranks the globally unique target
+    first.  Pins codebook training, encoding, the ADC scan, candidate
+    cuts, and rescore under a full value hash.  OPQ on (r14): the
+    rotation applies identically to probe and target, so the duplicate
+    still attains every per-subspace minimum — the guarantee is
+    rotation-invariant."""
     e = table(spark, sf_dir, "embeddings")
     corpus, probes = _planted_probe_frames(e)
     return (
-        pq_topk(probes, corpus, m=8, ksub=16, k=1, opq=True)
+        pq_topk(probes, corpus, m=8, ksub=16, k=1, opq=True,
+                candidates=256)
         .select(
             "query_id",
             "neighbor_id",
@@ -520,11 +529,17 @@ def similarity_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     256-deep candidate cut measured recall@5 0.52–0.76 across the three
     SFs — the coarser ksub=16 fell to 0.36 at sf0.1 because the ADC
     noise floor with 4-bit codes swamps the top-64 cut once cells hold
-    hundreds of vectors."""
+    hundreds of vectors.  r15: nprobe 4 → 6 and candidates 256 → 512
+    lifted recall@5 to 0.84/0.80/0.73 (measured, all tiers); nlist=32
+    at np=8 was tried and REJECTED — it pinned sf0.001 to the exact
+    0.40 floor (500 vectors over 32 cells over-partitions the small
+    tier).  The 6/16 probe fraction is a small-fixture artifact: at
+    production nlist (thousands of cells) nprobe stays a few dozen and
+    the scan fraction falls, not rises."""
     e = table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") % 100 == 0)
     ann = ivfpq_topk(
-        q, e, nlist=16, nprobe=4, m=8, ksub=64, k=5, candidates=256
+        q, e, nlist=16, nprobe=6, m=8, ksub=64, k=5, candidates=512
     )
     exact = brute_force_topk(q, e, k=5)
     return _ann_recall_audit(ann, exact, e, q)
@@ -549,8 +564,8 @@ def similarity_ivfpq_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, probes = _planted_probe_frames(e)
     return (
         ivfpq_topk(
-            probes, corpus, nlist=16, nprobe=4, m=8, ksub=64, k=1,
-            candidates=256,
+            probes, corpus, nlist=16, nprobe=6, m=8, ksub=64, k=1,
+            candidates=512,
         )
         .select(
             "query_id",
