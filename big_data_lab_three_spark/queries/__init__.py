@@ -108,6 +108,17 @@ _FORCE_FRONT: tuple[str, ...] = (
     # 8-gram decontamination gate as stage 6, schema gains
     # n_pii / pii_chars_delta / n_decontam.
     "curation_pipeline_census",
+    # r15 ANN recall-band push (EXPERIMENTS.md): pq candidate pool
+    # 64 → 256 (recall@5 1.00/1.00/0.88), ivfpq nprobe 4 → 6 +
+    # candidates 256 → 512 (0.84/0.80/0.73), imi ksub 8 → 16 +
+    # nprobe 4 → 8 at the same 25% probe fraction (flat 0.80).
+    # Twins pin the new index shapes.
+    "similarity_pq",
+    "similarity_pq_recall",
+    "similarity_ivfpq",
+    "similarity_ivfpq_recall",
+    "similarity_imi",
+    "similarity_imi_recall",
 )
 
 _DRIVER_ROTATION: tuple[str, ...] = (
