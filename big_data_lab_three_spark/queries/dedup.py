@@ -515,6 +515,80 @@ def near_dedup_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def incremental_admission_frames(spark: SparkSession, sf_dir: str):
+    """The incremental-admission pipeline's frames — (corpus, batch,
+    surv1, admitted) — shared by the registered ``dedup_incremental``
+    census and ``tools/sf10_witness.py`` (the r14 convention: witnesses
+    drive the EXACT pipeline the query runs via a shared constructor,
+    never a re-implementation that could drift).  See the query
+    docstring for stage semantics."""
+    d = table(spark, sf_dir, "documents")
+    corpus = d.select("doc_id", "text")
+    # ADVICE r12: batch ids route through the fail-loud _seed_id guard
+    # (k=5 → the same +5_000_000 offset, outputs unchanged) instead of
+    # a raw add — a silent source-id/batch-id collision would corrupt
+    # the id_a/id_b side split below while both engines stay hash-green.
+    batch = (
+        d.where(F.col("doc_id") % 4 == 0)
+        .select(_seed_id(F.col("doc_id"), k=5).alias("doc_id"), "text")
+        .unionByName(
+            d.where(F.col("doc_id") % 4 == 1).select(
+                _seed_id(F.col("doc_id"), k=5).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zz qq")).alias("text"),
+            )
+        )
+        .unionByName(
+            d.where(F.col("doc_id") % 4 == 2).select(
+                _seed_id(F.col("doc_id"), k=5).alias("doc_id"),
+                F.concat(
+                    F.lit("fresh doc "),
+                    F.col("doc_id"),
+                    F.lit(" standalone content"),
+                ).alias("text"),
+            )
+        )
+    )
+    batch.persist()
+    surv1 = batch.join(
+        corpus.select(F.md5("text").alias("_d")).distinct(),
+        F.md5(batch["text"]) == F.col("_d"),
+        "left_anti",
+    )
+    surv1.persist()
+
+    def _reps(frame: DataFrame) -> DataFrame:
+        return (
+            frame.groupBy(F.md5("text").alias("dig"))
+            .agg(
+                F.min("doc_id").alias("doc_id"),
+                F.min("text").alias("text"),
+            )
+            .drop("dig")
+        )
+
+    breps = _reps(surv1)
+    union = _reps(corpus).unionByName(breps)
+    pairs = minhash_lsh_pairs(
+        union, num_perms=32, bands=16, jaccard_threshold=0.7
+    )
+    flagged_dig = (
+        pairs.where(
+            (F.col("id_a") < 5000000) & (F.col("id_b") >= 5000000)
+        )
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .join(breps, "doc_id")
+        .select(F.md5("text").alias("_fd"))
+    )
+    # No broadcast hint on `flagged_dig`: it is O(batch-content)-sized,
+    # so a static hint would be wrong for corpus-sized batches — AQE
+    # promotes it to a broadcast at runtime when it is actually small.
+    admitted = surv1.join(
+        flagged_dig, F.md5(surv1["text"]) == F.col("_fd"), "left_anti"
+    )
+    return corpus, batch, surv1, admitted
+
+
 @register(
     "dedup_incremental",
     ids="dedup: incremental batch-vs-corpus admission (exact digest gate → cross-side LSH)",
@@ -582,70 +656,12 @@ def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the exact gate shuffles digests; the near gate is the
     standard band join over the collapsed union (at 100 TB the corpus
     side's signatures are PRECOMPUTED and stored — only the batch
-    recomputes, and the band join prunes to colliding buckets)."""
-    d = table(spark, sf_dir, "documents")
-    corpus = d.select("doc_id", "text")
-    # ADVICE r12: batch ids route through the fail-loud _seed_id guard
-    # (k=5 → the same +5_000_000 offset, outputs unchanged) instead of
-    # a raw add — a silent source-id/batch-id collision would corrupt
-    # the id_a/id_b side split below while both engines stay hash-green.
-    batch = (
-        d.where(F.col("doc_id") % 4 == 0)
-        .select(_seed_id(F.col("doc_id"), k=5).alias("doc_id"), "text")
-        .unionByName(
-            d.where(F.col("doc_id") % 4 == 1).select(
-                _seed_id(F.col("doc_id"), k=5).alias("doc_id"),
-                F.concat(F.col("text"), F.lit(" zz qq")).alias("text"),
-            )
-        )
-        .unionByName(
-            d.where(F.col("doc_id") % 4 == 2).select(
-                _seed_id(F.col("doc_id"), k=5).alias("doc_id"),
-                F.concat(
-                    F.lit("fresh doc "),
-                    F.col("doc_id"),
-                    F.lit(" standalone content"),
-                ).alias("text"),
-            )
-        )
-    )
-    batch.persist()
-    surv1 = batch.join(
-        corpus.select(F.md5("text").alias("_d")).distinct(),
-        F.md5(batch["text"]) == F.col("_d"),
-        "left_anti",
-    )
-    surv1.persist()
+    recomputes, and the band join prunes to colliding buckets).
 
-    def _reps(frame: DataFrame) -> DataFrame:
-        return (
-            frame.groupBy(F.md5("text").alias("dig"))
-            .agg(
-                F.min("doc_id").alias("doc_id"),
-                F.min("text").alias("text"),
-            )
-            .drop("dig")
-        )
-
-    breps = _reps(surv1)
-    union = _reps(corpus).unionByName(breps)
-    pairs = minhash_lsh_pairs(
-        union, num_perms=32, bands=16, jaccard_threshold=0.7
-    )
-    flagged_dig = (
-        pairs.where(
-            (F.col("id_a") < 5000000) & (F.col("id_b") >= 5000000)
-        )
-        .select(F.col("id_b").alias("doc_id"))
-        .distinct()
-        .join(breps, "doc_id")
-        .select(F.md5("text").alias("_fd"))
-    )
-    # No broadcast hint on `flagged_dig`: it is O(batch-content)-sized,
-    # so a static hint would be wrong for corpus-sized batches — AQE
-    # promotes it to a broadcast at runtime when it is actually small.
-    admitted = surv1.join(
-        flagged_dig, F.md5(surv1["text"]) == F.col("_fd"), "left_anti"
+    Pipeline construction lives in :func:`incremental_admission_frames`
+    (shared with the sf10 witness, r15)."""
+    _corpus, batch, surv1, admitted = incremental_admission_frames(
+        spark, sf_dir
     )
     return (
         batch.agg(F.count(F.lit(1)).alias("n_batch"))

@@ -34,9 +34,21 @@ organic near-dup structure — this tool runs them:
   so whichever collision rejected or admitted the original also
   rejects the copy); per-shard doc totals must equal independently
   computed base counts; admitted ⊆ base.
+- ``dedup_incremental`` (r15) — the shared-constructor pipeline
+  (``incremental_admission_frames``): cohort arithmetic, the provable
+  full rejection of the exact-copy cohort at the digest gate,
+  conditioned near-gate recall (one exact Jaccard per mutant, the
+  (1−j²)¹⁶ empirical convention), a loose fresh-cohort admission
+  floor, containment/id sanity, and census≡frame-count agreement.
 
-Usage: python tools/sf10_witness.py [sf_dir]   (default .scratch/sf10)
-Exit 1 on any violated invariant.  Results belong in EXPERIMENTS.md.
+(The other three r14-verdict heavy names need no witness:
+``cc_chain_census``/``cc_star_census``/``kcore_peel_census`` and
+``dedup_method_agreement`` have LINEAR or collapse-bounded oracles
+and run the full VALUE gate at sf10 directly — r15, EXPERIMENTS.md.)
+
+Usage: python tools/sf10_witness.py [sf_dir] [check ...]
+(default .scratch/sf10, all checks).  Exit 1 on any violated
+invariant.  Results belong in EXPERIMENTS.md.
 """
 
 from __future__ import annotations
@@ -394,16 +406,141 @@ def check_streaming_admission_ttl(spark, sf_dir: str) -> list[str]:
     return errs
 
 
+def check_dedup_incremental(spark, sf_dir: str) -> list[str]:
+    """sf10 witness for ``dedup_incremental`` — the single most
+    expensive dedup name (r14 verdict item 5).  Drives the EXACT
+    registered pipeline via the shared
+    ``incremental_admission_frames`` constructor and checks LINEAR
+    invariants:
+
+    - cohort arithmetic: n_batch equals the three %4-residue cohort
+      counts summed (exactly recomputed from ``documents``);
+    - PROVABLE: the exact-copy cohort (%4==0 — identical text, so its
+      digest is in the corpus digest set by construction) is FULLY
+      removed by the exact gate;
+    - conditioned near-gate recall (EMPIRICAL, the (1−j²)¹⁶ band-miss
+      convention): every mutated-cohort doc whose exact Jaccard
+      against its own origin clears 0.7 must be rejected — one J per
+      mutant, never all-pairs;
+    - fresh-cohort admission floor (EMPIRICAL, loose): the
+      'fresh doc N standalone content' cohort shares no corpus
+      shingles by construction, so ≥ 90% must be admitted;
+    - admitted ⊆ surv1 ⊆ batch, no duplicate ids, and the registered
+      census numbers equal the frame counts."""
+    from big_data_lab_three_spark.queries import load_all
+    from big_data_lab_three_spark.queries.dedup import (
+        incremental_admission_frames,
+    )
+
+    errs: list[str] = []
+    t0 = time.time()
+    _corpus, batch, surv1, admitted = incremental_admission_frames(
+        spark, sf_dir
+    )
+    adm = admitted.localCheckpoint()
+    n_batch, n_surv1, n_adm = batch.count(), surv1.count(), adm.count()
+
+    from big_data_lab_three_spark.sources import table
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    cohort_counts = [
+        d.where(F.col("doc_id") % 4 == r).count() for r in (0, 1, 2)
+    ]
+    if n_batch != sum(cohort_counts):
+        errs.append(
+            f"incremental: n_batch {n_batch} != cohort sum "
+            f"{sum(cohort_counts)}"
+        )
+    orig = (F.col("doc_id") - 5_000_000) % 4
+    # provable: exact copies never survive the exact gate
+    n_copy_surv = surv1.where(orig == 0).count()
+    if n_copy_surv:
+        errs.append(
+            f"incremental: {n_copy_surv} exact-copy batch docs "
+            "survived the exact digest gate (provably 0)"
+        )
+    # conditioned near-gate recall: eligible mutants all rejected
+    mut = d.where(F.col("doc_id") % 4 == 1).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"),
+        F.col("text").alias("ta"),
+        F.concat(F.col("text"), F.lit(" zz qq")).alias("tb"),
+    )
+    eligible = mut.select(
+        "doc_id", _exact_jaccard("ta", "tb").alias("j")
+    ).where(F.col("j") >= 0.7)
+    n_eligible = eligible.count()
+    n_eligible_admitted = eligible.join(adm, "doc_id").count()
+    if n_eligible_admitted:
+        errs.append(
+            f"incremental: {n_eligible_admitted}/{n_eligible} "
+            "J>=0.7 mutants admitted past the near gate"
+        )
+    # fresh cohort: loose admission floor
+    n_fresh = cohort_counts[2]
+    n_fresh_adm = adm.where(orig == 2).count()
+    if n_fresh and n_fresh_adm / n_fresh < 0.9:
+        errs.append(
+            f"incremental: only {n_fresh_adm}/{n_fresh} fresh docs "
+            "admitted (floor 0.9)"
+        )
+    # containment + id sanity
+    orphans = adm.join(
+        surv1.select("doc_id"), "doc_id", "left_anti"
+    ).count()
+    dups = n_adm - adm.select("doc_id").distinct().count()
+    if orphans or dups:
+        errs.append(
+            f"incremental: {orphans} admitted ids not in surv1, "
+            f"{dups} duplicate ids"
+        )
+    # the registered census equals the frame counts
+    row = (
+        load_all()["dedup_incremental"].spark(spark, sf_dir).first()
+    )
+    if (row["n_batch"], row["n_after_exact"], row["n_admitted"]) != (
+        n_batch,
+        n_surv1,
+        n_adm,
+    ):
+        errs.append(
+            f"incremental: census {tuple(row)} != frame counts "
+            f"({n_batch}, {n_surv1}, {n_adm})"
+        )
+    print(
+        f"dedup_incremental: batch {n_batch} (cohorts {cohort_counts}), "
+        f"after exact {n_surv1}, admitted {n_adm}; exact copies "
+        f"surviving 0 (provable), eligible mutants admitted "
+        f"{n_eligible_admitted}/{n_eligible}, fresh admitted "
+        f"{n_fresh_adm}/{n_fresh} [{time.time() - t0:.1f}s]",
+        flush=True,
+    )
+    return errs
+
+
+_CHECKS = (
+    "minhash_lsh",
+    "clusters",
+    "streaming_admission",
+    "streaming_admission_ttl",
+    "dedup_incremental",
+)
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else ".scratch/sf10"
+    only = set(sys.argv[2:])
+    bad = only - set(_CHECKS)
+    if bad:
+        print(f"unknown checks: {sorted(bad)}; have {_CHECKS}")
+        return 2
     from big_data_lab_three_spark.session import get_spark
 
     spark = get_spark("sf10_witness")
     errs: list[str] = []
-    errs += check_minhash_lsh(spark, sf_dir)
-    errs += check_clusters(spark, sf_dir)
-    errs += check_streaming_admission(spark, sf_dir)
-    errs += check_streaming_admission_ttl(spark, sf_dir)
+    for name in _CHECKS:
+        if only and name not in only:
+            continue
+        errs += globals()[f"check_{name}"](spark, sf_dir)
     if errs:
         for e in errs:
             print(f"FAIL {e}", flush=True)
