@@ -188,6 +188,81 @@ def image_dhash(df: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
     return flat.mapInPandas(run, DHASH_SCHEMA)
 
 
+def phash_q() -> list[list[int]]:
+    """The integer-quantized 8×8 DCT-II basis shared by the Spark
+    ``image_phash`` stage and the DuckDB oracle's VALUES table:
+    ``q[x][u] = round(cos((2x+1)·u·π/16) · 1e6)`` — ONE source of
+    truth, so the two engines' DCTs are the SAME exact-integer
+    arithmetic (float cosines would differ in last-bit rounding
+    between numpy expressions and SQL)."""
+    import math
+
+    return [
+        [
+            round(math.cos((2 * x + 1) * u * math.pi / 16) * 1_000_000)
+            for u in range(8)
+        ]
+        for x in range(8)
+    ]
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("phash", T.LongType(), False),
+    ]
+)
+
+
+def image_phash(df: DataFrame) -> DataFrame:
+    """Perceptual DCT hash (pHash) per 8×8 grayscale image through the
+    REAL decode path: payload → codec-registry decode → integer DCT-II
+    (the shared :func:`phash_q` quantized basis — exact int64
+    arithmetic, |c| ≤ 64·255·1e12 < 2⁶³) → drop the DC term → each of
+    the 63 AC coefficients compares against their lower median →
+    63 bits packed into one int64.
+
+    pHash keys on low-frequency STRUCTURE: a uniform brightness shift
+    moves only the DC coefficient (every AC basis row sums to zero),
+    so brightness-shifted re-encodes are PROVABLY Hamming 0 — the
+    perceptual-dup class digest dedup cannot see.  Complements
+    ``image_dhash`` (local-gradient hash) the way the text family
+    pairs simhash with minhash."""
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as np
+        import pandas as pd
+
+        decoders = available_decoders()
+        q = np.asarray(phash_q(), dtype=np.int64)
+        weights = np.int64(1) << np.arange(63, dtype=np.int64)
+        for b in batches:
+            if len(b) == 0:
+                continue
+            _require_codec(b["codec"], decoders)
+            out = np.empty(len(b), dtype=np.int64)
+            for n, (c, p) in enumerate(zip(b["codec"], b["payload"])):
+                s = decoders[c](p)
+                if s.size != 64:
+                    raise ValueError(
+                        f"image_phash expects 8x8 grayscale (64 "
+                        f"samples), got {s.size}"
+                    )
+                g = s.reshape(8, 8).astype(np.int64)
+                coef = q.T @ g @ q
+                ac = np.delete(coef.reshape(-1), 0)
+                med = np.sort(ac, kind="stable")[31]  # lower median of 63
+                out[n] = int((ac > med).astype(np.int64) @ weights)
+            yield pd.DataFrame(
+                {"media_id": b["media_id"].astype("int64"), "phash": out}
+            )
+
+    flat = df.select(
+        "media_id", "payload", F.col("meta.codec").alias("codec")
+    )
+    return flat.mapInPandas(run, PHASH_SCHEMA)
+
+
 def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
     """Per-media feature vector: `dim`-bucket byte histogram, L1
     normalized — the deterministic stand-in for an embedding model, with

@@ -5596,8 +5596,12 @@ def _md5_png_media(ids: DataFrame) -> DataFrame:
     for k = 0..3 (pseudorandom per source key, and exactly the
     arithmetic the DuckDB oracle replays via hex substrings), with
     pixel ``pj`` bumped +128 mod 256 when ``pj ≥ 0`` (the planted
-    near-identical mutation).  Encoded by the vendored real codec —
-    the payloads downstream stages decode are genuine PNGs."""
+    near-identical mutation for the dHash query), or a UNIFORM
+    brightness lift to full range when ``pj == -2`` (every pixel
+    ``+ (255 − max)`` — the pHash query's planted perceptual dup:
+    provably Hamming 0 under the DCT hash, different bytes whenever
+    the shift is nonzero).  Encoded by the vendored real codec — the
+    payloads downstream stages decode are genuine PNGs."""
     from big_data_lab_three_spark.multimodal.media import MEDIA_SCHEMA
 
     def gen(batches):
@@ -5620,6 +5624,10 @@ def _md5_png_media(ids: DataFrame) -> DataFrame:
                 px = np.frombuffer(raw, np.uint8).copy()
                 if pj >= 0:
                     px[int(pj)] = (int(px[int(pj)]) + 128) % 256
+                elif pj == -2:
+                    px = (
+                        px.astype(np.int64) + (255 - int(px.max()))
+                    ).astype(np.uint8)
                 payloads.append(encode_png(px.reshape(8, 8)))
             yield pd.DataFrame(
                 {
@@ -5783,4 +5791,206 @@ def image_dhash_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("hamming"),
         )
         .where(F.col("hamming") <= 3)
+    )
+
+
+def _idn_phash_oracle() -> str:
+    from big_data_lab_three_spark.multimodal.decode import phash_q
+
+    q = phash_q()
+    qvals = ", ".join(
+        f"({x}, {u}, {q[x][u]})" for x in range(8) for u in range(8)
+    )
+    return f"""
+WITH qtab(x, u, q) AS (VALUES {qvals}
+), base AS (
+  SELECT min(doc_id) AS id, doc_id % 4096 AS sk
+  FROM documents WHERE doc_id % 3 = 0
+  GROUP BY doc_id % 4096
+), px0 AS (
+  SELECT id,
+         [ CAST(('0x' || substr(md5(CAST(sk AS VARCHAR) || ':' ||
+                 CAST(i // 16 AS VARCHAR)),
+                 (i % 16) * 2 + 1, 2)) AS BIGINT)
+           for i in range(0, 64) ] AS p
+  FROM base
+), ids AS (
+  SELECT id, p FROM px0
+  UNION ALL
+  SELECT id + 1000000,
+         list_transform(p, x -> x + 255 - list_max(p))
+  FROM px0 WHERE id % 5 = 0
+), dct AS (
+  SELECT ids.id, t.t AS t,
+         CAST(sum(p[i.i + 1] * q1.q * q2.q) AS BIGINT) AS c
+  FROM ids
+  CROSS JOIN range(64) t(t)
+  CROSS JOIN range(64) i(i)
+  JOIN qtab q1 ON q1.x = i.i // 8 AND q1.u = t.t // 8
+  JOIN qtab q2 ON q2.x = i.i % 8 AND q2.u = t.t % 8
+  GROUP BY ids.id, t.t
+), med AS (
+  SELECT id, c AS m FROM (
+    SELECT id, c,
+           row_number() OVER (PARTITION BY id ORDER BY c, t) AS rn
+    FROM dct WHERE t != 0)
+  WHERE rn = 32
+), bits AS (
+  SELECT d.id,
+         CAST(sum(CASE WHEN d.c > med.m
+                  THEN CAST(1 AS BIGINT) << (d.t - 1)
+                  ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS ph
+  FROM dct d JOIN med USING (id)
+  WHERE d.t != 0
+  GROUP BY d.id
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+FROM bits a JOIN bits b ON a.id < b.id
+WHERE bit_count(xor(a.ph, b.ph)) <= 2
+"""
+
+
+_PHASH_BAND_BITS = 21
+_PHASH_BANDS = 3  # 3 x 21 = 63 AC bits; pigeonhole exact for ham <= 2
+
+
+@register(
+    "image_phash_near_dup",
+    ids="multimodal+dedup: perceptual image near-dup via DCT pHash — "
+    "REAL PNG decode → integer 8×8 DCT-II → 63-bit median hash → "
+    "banded-Hamming join; brightness-shift dups provably Hamming 0",
+    oracle=_idn_phash_oracle(),
+)
+def image_phash_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-duplicates via DCT pHash — the
+    low-frequency-structure complement of ``image_dhash_near_dup``
+    (the pHash/dHash pair the r14 verdict named; the text-family
+    analogy is minhash vs simhash).  The same md5-pixel PNG corpus
+    (distinct images bounded at 4096 by the ``doc_id % 4096`` keying,
+    so replicated tiers collapse and the all-pairs oracle stays
+    bounded at EVERY tier) flows through the real codec, then
+    ``image_phash``: an exact-INTEGER 8×8 DCT-II — both engines use
+    the ONE quantized basis from ``multimodal.decode.phash_q``, so
+    there is no cross-engine float rounding anywhere — drops the DC
+    term and compares each of the 63 AC coefficients to their lower
+    median; pairs at Hamming ≤ 2 come from a 3-band × 21-bit
+    pigeonhole join (≤ 2 flips leave ≥ 1 band intact → candidate
+    recall 1) with the exact JVM ``bit_count(xor)`` rescore.
+
+    The planted arm is the class pHash EXISTS for and digest dedup
+    cannot see: every fifth representative gets a UNIFORM
+    brightness-lifted copy (all pixels ``+ (255 − max)``).  A uniform
+    shift lives entirely in the DC coefficient — every AC basis row
+    sums to zero — so the copy's 63 AC terms are IDENTICAL and the
+    pair is PROVABLY Hamming 0, while the bytes differ whenever the
+    shift is nonzero (~78% of reps; shift-0 copies are byte-identical
+    and pair at Hamming 0 trivially).  md5-pseudorandom grids put
+    organic pairs at measured Hamming ≥ 16, so the output is exactly
+    the planted arm.
+
+    The oracle replays pixel generation, the integer DCT (the shared
+    basis as a VALUES table), the median-threshold pack, and the
+    ALL-PAIRS ground truth — a value match proves the banded plan
+    loses nothing vs brute force and that encode → Arrow → decode is
+    byte-exact.  Scale shape: identical to the dHash query — blobs in
+    chained Arrow stages, exchanges carry only (digest, id) and
+    (band, bits, id, phash)."""
+    from big_data_lab_three_spark.multimodal.decode import image_phash
+    from big_data_lab_three_spark.queries.dedup import _seed_id
+
+    ids = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 3 == 0)
+        .select(
+            F.col("doc_id").alias("id"),
+            (F.col("doc_id") % 4096).alias("sk"),
+            F.lit(-1).cast("long").alias("pj"),
+        )
+    )
+    media = _md5_png_media(ids)
+    reps = (
+        media.select(
+            F.col("media_id").alias("id"),
+            (F.col("media_id") % 4096).alias("sk"),
+            "payload",
+            F.md5("payload").alias("dig"),
+        )
+        .groupBy("dig")
+        .agg(
+            F.min("id").alias("id"),
+            F.min("sk").alias("sk"),
+            F.min("payload").alias("payload"),
+        )
+        .localCheckpoint()  # reused by the planted arm + own phash
+    )
+    rep_media = reps.select(
+        F.col("id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        "payload",
+        F.struct(
+            F.lit("image/png").alias("codec"),
+            F.lit(8).alias("width"),
+            F.lit(8).alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.length("payload").cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+    planted_src = reps.where(F.col("id") % 5 == 0).select(
+        _seed_id(F.col("id")).alias("id"),
+        "sk",
+        F.lit(-2).cast("long").alias("pj"),
+    )
+    planted_media = _md5_png_media(planted_src)
+    all_ph = image_phash(rep_media).unionByName(
+        image_phash(planted_media)
+    )
+    banded = all_ph.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("bnd"),
+                        F.shiftright(
+                            F.col("phash"), i * _PHASH_BAND_BITS
+                        )
+                        .bitwiseAND(
+                            F.lit((1 << _PHASH_BAND_BITS) - 1)
+                        )
+                        .alias("bits"),
+                    )
+                    for i in range(_PHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("media_id", "phash", "bk.bnd", "bk.bits")
+    a = banded.select(
+        F.col("bnd"),
+        F.col("bits"),
+        F.col("media_id").alias("id_a"),
+        F.col("phash").alias("ph_a"),
+    )
+    b = banded.select(
+        F.col("bnd"),
+        F.col("bits"),
+        F.col("media_id").alias("id_b"),
+        F.col("phash").alias("ph_b"),
+    )
+    cands = (
+        a.join(b, ["bnd", "bits"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") <= 2)
     )

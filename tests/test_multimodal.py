@@ -422,3 +422,60 @@ def test_image_dhash_locality(spark):
     for i, (_, _px, edit) in enumerate(variants[1:], start=1):
         ham = bin(got[0] ^ got[i]).count("1")
         assert ham <= 2, f"edit at {edit} flipped {ham} > 2 dhash bits"
+
+
+def test_image_phash_brightness_invariance(spark):
+    """pHash through the real decode path: a uniform brightness shift
+    is PROVABLY Hamming 0 (the shift lives in the DC coefficient —
+    every AC basis row sums to zero), while a structural edit (one
+    pixel wrapped by +128) moves the hash.  Also pins the shared
+    integer basis: every AC column of phash_q sums to EXACTLY zero —
+    the ± symmetry of the cosine rows survives quantization, which is
+    what makes the brightness invariance provable rather than
+    approximate."""
+    import numpy as np
+
+    from big_data_lab_three_spark.multimodal import MEDIA_SCHEMA
+    from big_data_lab_three_spark.multimodal.decode import (
+        image_phash,
+        phash_q,
+    )
+
+    q = np.asarray(phash_q())
+    assert q.shape == (8, 8) and q[0, 0] == 1_000_000
+    col_sums = np.abs(q[:, 1:].sum(axis=0))
+    assert int(col_sums.max()) == 0, (
+        "AC basis columns must sum to exactly zero"
+    )
+
+    rng = np.random.default_rng(99)
+    base = rng.integers(0, 200, size=(8, 8), dtype=np.uint8)
+    bright = (base.astype(np.int64) + (255 - int(base.max()))).astype(
+        np.uint8
+    )
+    mutated = base.copy()
+    mutated[3, 4] = (int(mutated[3, 4]) + 128) % 256
+    rows = [
+        (
+            i,
+            "image",
+            _png_bytes(px),
+            {
+                "codec": "image/png",
+                "width": 8,
+                "height": 8,
+                "sample_rate": None,
+                "duration_ms": None,
+                "n_bytes": 0,
+            },
+        )
+        for i, px in enumerate([base, bright, mutated])
+    ]
+    got = {
+        r["media_id"]: r["phash"]
+        for r in image_phash(
+            spark.createDataFrame(rows, MEDIA_SCHEMA)
+        ).collect()
+    }
+    assert got[0] == got[1], "uniform brightness shift must be Hamming 0"
+    assert got[0] != got[2], "structural edit must move the hash"

@@ -2248,3 +2248,26 @@ def test_image_dhash_near_dup_is_band_keyed_no_allpairs(
         plan.replace("BroadcastNestedLoopJoin", "Broadcast_NLJ"),
     )
     assert "bit_count" in plan, "exact rescore must be JVM bit_count"
+
+
+def test_image_phash_near_dup_is_band_keyed_no_allpairs(
+    spark, sf_dir, monkeypatch
+):
+    """pHash twin of the dHash pin: banded equi-join only, JVM
+    bit_count rescore, no all-pairs image product."""
+    import re
+
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    monkeypatch.setattr(
+        DataFrame, "localCheckpoint", lambda self, eager=True: self
+    )
+    df = REG["image_phash_near_dup"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert not re.search(
+        r"(?<!Broadcast)NestedLoopJoin",
+        plan.replace("BroadcastNestedLoopJoin", "Broadcast_NLJ"),
+    )
+    assert "bit_count" in plan, "exact rescore must be JVM bit_count"
