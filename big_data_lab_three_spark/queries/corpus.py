@@ -5268,7 +5268,9 @@ def unigram_frozen_oov_apply_census(
     ).orderBy("lang")
 
 
-_SDC_ORACLE = f"""
+# Shared CTE core of the semantic-decontamination pair (census +
+# per-doc ship list): fixture, folds, planted cohorts, both channels.
+_SDC_CORE = f"""
 WITH j AS (
   SELECT d.doc_id AS id, d.text, CAST(e.embedding AS DOUBLE[]) AS v
   FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
@@ -5309,7 +5311,10 @@ WITH j AS (
   WHERE len(toks) >= 8
 ), lex AS (
   SELECT DISTINCT eg.id FROM eg JOIN tg USING (gram)
-), flags AS (
+)
+"""
+
+_SDC_ORACLE = _SDC_CORE + """, flags AS (
   SELECT e.id,
          (sem.id IS NOT NULL) AS sem_hit,
          (lex.id IS NOT NULL) AS lex_hit
@@ -5337,60 +5342,15 @@ FROM flags
 """
 
 
-@register(
-    "semantic_decontamination_census",
-    ids="curation: EMBEDDING-level train/eval decontamination — "
-    "hyperplane-LSH cosine near-dup join between md5-assigned folds, "
-    "cross-checked against the lexical 8-gram channel; censuses the "
-    "paraphrased contamination the n-gram check cannot see",
-    oracle=_SDC_ORACLE,
-)
-def semantic_decontamination_census_q(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Semantic (embedding-level) EVAL DECONTAMINATION — the r14
-    verdict's top-ranked missing production shape: paraphrased
-    contamination survives every n-gram check (`split_leakage_census`,
-    `contamination_check`), so a shipping pipeline also runs an
-    embedding-similarity sweep of the eval fold against the training
-    fold.  This census runs BOTH channels over the same md5-assigned
-    80/20 split and reports their disagreement:
-
-    - **semantic channel**: bipartite hyperplane-LSH join (train keys
-      vs eval keys — no within-fold candidates, unlike running the
-      symmetric `embedding_near_dup_pairs_lsh` on the union) with
-      exact cosine ≥ 0.99 rescore;
-    - **lexical channel**: the 8-gram overlap check, exactly
-      `split_leakage_census`'s shape (distinct fold gram sets, one
-      equi-join, semi-join back to eval docs).
-
-    Two planted cohorts (built from train representatives, `_seed_id`
-    convention, thinned id % 5) make the disagreement provable rather
-    than data-dependent: a VERBATIM copy (same text, same embedding —
-    caught by both channels whenever the source text has ≥ 8 tokens)
-    and a PARAPHRASE (2-token placeholder text, so zero 8-grams and
-    provably lexically invisible; embedding rescaled × 1.01 — colinear,
-    cosine exactly 1, and rescaling preserves every hyperplane sign
-    bit, so the planted pair collides in ALL LSH tables: recall 1 by
-    construction, the `dedup_embedding` argument).  `n_sem_only` is
-    therefore ≥ the paraphrase cohort — the docs an n-gram
-    decontamination pass would have shipped.
-
-    The oracle recomputes ground truth independently: brute-force
-    all-pairs train × eval cosine (so a value-hash match proves the
-    bipartite LSH pipeline loses NOTHING vs exhaustive search on this
-    data, not merely that both engines bucket alike) plus the same
-    gram arithmetic.
-
-    Scale shape: content collapse first (min-id rep per distinct
-    (text, embedding) — bounds everything downstream by DISTINCT
-    content at the replicated tiers, the r11 convention), the rep
-    table localCheckpoint'ed because five arms reuse it; the semantic
-    join is bucket-keyed (never all-pairs), the lexical join is
-    gram-keyed; census aggregates are 1-row broadcast crossJoins.  At
-    100 TB: the LSH join's per-bucket cost is tuned by bits/tables
-    exactly as `embedding_near_dup_pairs_lsh` documents, and the gram
-    sets would carry xxhash64 digests instead of strings."""
+def _sdc_frames(spark: SparkSession, sf_dir: str):
+    """Shared pipeline of the semantic-decontamination pair (census +
+    per-doc ship list): content-collapsed reps, md5 folds, the two
+    planted cohorts, the bipartite hyperplane-LSH cosine channel and
+    the 8-gram lexical channel.  Returns ``(train, eval_side,
+    sem_pairs, lex_counts)`` where ``sem_pairs`` is (eid, cos_sim)
+    rows at cosine ≥ 0.99 and ``lex_counts`` is (id,
+    n_shared_grams > 0) rows.  One model definition, two consumers —
+    the `_qc_best` convention."""
     import numpy as np
 
     from big_data_lab_three_spark.functions.text import shingles
@@ -5474,13 +5434,8 @@ def semantic_decontamination_census_q(
         .dropDuplicates(["eid", "tid"])
         .select("eid", "tid", "vec_e", "vec_t")
     )
-    sem = (
-        cosine_score_pairs(
-            cands, "vec_e", "vec_t", ["eid"], threshold=0.99
-        )
-        .select(F.col("eid").alias("id"))
-        .distinct()
-        .withColumn("sem_hit", F.lit(True))
+    sem_pairs = cosine_score_pairs(
+        cands, "vec_e", "vec_t", ["eid"], threshold=0.99
     )
 
     # Lexical channel: split_leakage_census's 8-gram overlap shape.
@@ -5490,16 +5445,78 @@ def semantic_decontamination_census_q(
         .select(F.explode(shingles(F.col("toks"), 8)).alias("gram"))
         .distinct()
     )
-    lex = (
+    lex_counts = (
         eval_side.select("id", tokens(F.col("text")).alias("toks"))
         .where(F.size("toks") >= 8)
         .select("id", F.explode(shingles(F.col("toks"), 8)).alias("gram"))
-        .join(tg, "gram", "left_semi")
-        .select("id")
-        .distinct()
-        .withColumn("lex_hit", F.lit(True))
+        .join(tg, "gram")
+        .groupBy("id")
+        .agg(F.count_distinct("gram").alias("n_shared_grams"))
     )
+    return train, eval_side, sem_pairs, lex_counts
 
+
+@register(
+    "semantic_decontamination_census",
+    ids="curation: EMBEDDING-level train/eval decontamination — "
+    "hyperplane-LSH cosine near-dup join between md5-assigned folds, "
+    "cross-checked against the lexical 8-gram channel; censuses the "
+    "paraphrased contamination the n-gram check cannot see",
+    oracle=_SDC_ORACLE,
+)
+def semantic_decontamination_census_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Semantic (embedding-level) EVAL DECONTAMINATION — the r14
+    verdict's top-ranked missing production shape: paraphrased
+    contamination survives every n-gram check (`split_leakage_census`,
+    `contamination_check`), so a shipping pipeline also runs an
+    embedding-similarity sweep of the eval fold against the training
+    fold.  This census runs BOTH channels over the same md5-assigned
+    80/20 split and reports their disagreement:
+
+    - **semantic channel**: bipartite hyperplane-LSH join (train keys
+      vs eval keys — no within-fold candidates, unlike running the
+      symmetric `embedding_near_dup_pairs_lsh` on the union) with
+      exact cosine ≥ 0.99 rescore;
+    - **lexical channel**: the 8-gram overlap check, exactly
+      `split_leakage_census`'s shape (distinct fold gram sets, one
+      equi-join, semi-join back to eval docs).
+
+    Two planted cohorts (built from train representatives, `_seed_id`
+    convention, thinned id % 5) make the disagreement provable rather
+    than data-dependent: a VERBATIM copy (same text, same embedding —
+    caught by both channels whenever the source text has ≥ 8 tokens)
+    and a PARAPHRASE (2-token placeholder text, so zero 8-grams and
+    provably lexically invisible; embedding rescaled × 1.01 — colinear,
+    cosine exactly 1, and rescaling preserves every hyperplane sign
+    bit, so the planted pair collides in ALL LSH tables: recall 1 by
+    construction, the `dedup_embedding` argument).  `n_sem_only` is
+    therefore ≥ the paraphrase cohort — the docs an n-gram
+    decontamination pass would have shipped.
+
+    The oracle recomputes ground truth independently: brute-force
+    all-pairs train × eval cosine (so a value-hash match proves the
+    bipartite LSH pipeline loses NOTHING vs exhaustive search on this
+    data, not merely that both engines bucket alike) plus the same
+    gram arithmetic.
+
+    Scale shape: content collapse first (min-id rep per distinct
+    (text, embedding) — bounds everything downstream by DISTINCT
+    content at the replicated tiers, the r11 convention), the rep
+    table localCheckpoint'ed because five arms reuse it; the semantic
+    join is bucket-keyed (never all-pairs), the lexical join is
+    gram-keyed; census aggregates are 1-row broadcast crossJoins.  At
+    100 TB: the LSH join's per-bucket cost is tuned by bits/tables
+    exactly as `embedding_near_dup_pairs_lsh` documents, and the gram
+    sets would carry xxhash64 digests instead of strings."""
+    train, eval_side, sem_pairs, lex_counts = _sdc_frames(spark, sf_dir)
+    sem = (
+        sem_pairs.select(F.col("eid").alias("id"))
+        .distinct()
+        .withColumn("sem_hit", F.lit(True))
+    )
+    lex = lex_counts.select("id").withColumn("lex_hit", F.lit(True))
     flags = (
         eval_side.select("id")
         .join(sem, "id", "left")
@@ -5993,4 +6010,74 @@ def image_phash_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("hamming"),
         )
         .where(F.col("hamming") <= 2)
+    )
+
+
+@register(
+    "semantic_decontamination_doclist",
+    ids="curation: per-doc decontamination SHIP LIST — the table the "
+    "census summarizes: every contaminated eval doc with its channel "
+    "flags, max train cosine, and shared-gram count",
+    oracle=_SDC_CORE
+    + """, semagg AS (
+  SELECT e.id,
+         round(max(list_cosine_similarity(e.v, t.v)), 4) AS max_sem_cos
+  FROM eval_side e JOIN train t
+    ON list_cosine_similarity(e.v, t.v) >= 0.99
+  GROUP BY e.id
+), lexagg AS (
+  SELECT eg.id, CAST(count(DISTINCT eg.gram) AS BIGINT)
+             AS n_shared_grams
+  FROM eg JOIN tg USING (gram) GROUP BY eg.id
+)
+SELECT coalesce(s.id, l.id) AS eval_id,
+       (s.id IS NOT NULL) AS sem_hit,
+       (l.id IS NOT NULL) AS lex_hit,
+       s.max_sem_cos,
+       coalesce(l.n_shared_grams, 0) AS n_shared_grams
+FROM semagg s FULL OUTER JOIN lexagg l ON s.id = l.id
+ORDER BY eval_id
+""",
+)
+def semantic_decontamination_doclist_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The per-doc decontamination SHIP LIST — the actionable table
+    `semantic_decontamination_census` summarizes: one row per
+    contaminated eval document (either channel), with the channel
+    flags, the maximum train cosine among its ≥ 0.99 semantic matches
+    (what an auditor sorts by), and how many distinct 8-grams it
+    shares with the training fold.  This is what actually feeds an
+    eval-set scrubber: drop/replace the listed docs, keep the rest.
+
+    Same shared pipeline as the census (`_sdc_frames` — one model
+    definition, two consumers, the `_qc_best` convention); the oracle
+    recomputes ground truth by brute force, so the per-doc rows ALSO
+    re-prove the bipartite LSH channel loses nothing vs all-pairs at
+    row grain, not just in aggregate.  On this fixture every semantic
+    match is colinear (cos ≈ 1.0 exactly), so the rounded max is
+    engine-stable by the `dedup_embedding` argument.
+
+    Scale shape: identical to the census minus the final 1-row
+    rollup — the output is bounded by contaminated docs, the frame a
+    100 TB pipeline materializes for human review anyway."""
+    train, eval_side, sem_pairs, lex_counts = _sdc_frames(spark, sf_dir)
+    semagg = (
+        sem_pairs.groupBy(F.col("eid").alias("id"))
+        .agg(F.round(F.max("cos_sim"), 4).alias("max_sem_cos"))
+        .withColumn("sem_hit", F.lit(True))
+    )
+    lexagg = lex_counts.withColumn("lex_hit", F.lit(True))
+    return (
+        semagg.join(lexagg, "id", "full_outer")
+        .select(
+            F.col("id").alias("eval_id"),
+            F.coalesce("sem_hit", F.lit(False)).alias("sem_hit"),
+            F.coalesce("lex_hit", F.lit(False)).alias("lex_hit"),
+            "max_sem_cos",
+            F.coalesce("n_shared_grams", F.lit(0))
+            .cast("long")
+            .alias("n_shared_grams"),
+        )
+        .orderBy("eval_id")
     )
