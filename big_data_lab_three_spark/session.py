@@ -35,6 +35,16 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # PySpark 4 wraps EVERY Column/DataFrame op with a call-site capture
+    # (inspect.stack walk + an extra JVM round-trip per op) to enrich
+    # error messages with user line numbers.  On expression-heavy plans
+    # this is the DOMINANT DataFrame-construction cost — measured 3.5s →
+    # 0.7s building dedup_simhash's 60-bit signature plan, and it taxes
+    # every one of the registry's 277 queries on every invocation (driver
+    # Python, so it costs the same on a real cluster).  Pure debugging
+    # metadata: plans, results, and error *classes* are unchanged — only
+    # the "was at <file>:<line>" enrichment is dropped.  r15 optimization.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
     # Keep broadcast threshold at default 10MB: region/nation/supplier-sized
     # dims broadcast automatically; at 100TB the fact side never does.
