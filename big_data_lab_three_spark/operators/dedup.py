@@ -112,12 +112,26 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_k: int = 3,
     jaccard_threshold: float = 0.7,
+    candidate_filter: Column | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs with exact-Jaccard rescoring.
 
-    Pipeline: signature (projection) → explode ``bands`` band-hash keys →
-    self-join on (band, band_hash) → distinct candidate pairs → exact
-    shingle-set Jaccard filter ≥ threshold.
+    Pipeline: distinct shingle sets (ONE tokenize+shingle pass — r16:
+    signatures now derive from the persisted sets the rescore already
+    needed, instead of re-tokenizing the corpus; ``min`` is idempotent
+    so distinct shingles produce bit-identical signatures) → signature
+    → explode ``bands`` band-hash keys → self-join on (band, band_hash)
+    → distinct candidate pairs → exact shingle-set Jaccard filter ≥
+    threshold.
+
+    ``candidate_filter`` (optional, a predicate over ``id_a``/``id_b``)
+    prunes candidate pairs BEFORE the rescore joins — for callers that
+    only consume a subset of pairs (e.g. ``dedup_incremental``'s
+    cross-side gate), filtering early keeps the rescore's id-equi-joins
+    from fetching shingle sets for pairs that would be discarded anyway
+    (guide §2.3: shuffle fewer bytes).  Semantically identical to
+    filtering the returned frame when the filter is a pure function of
+    the pair ids.
 
     With r = num_perms/bands rows per band, a pair with Jaccard j
     collides in ≥1 band w.p. 1-(1-j^r)^bands — at the defaults (r=4,
@@ -127,7 +141,27 @@ def minhash_lsh_pairs(
     join only ever touches colliding buckets.
     """
     rows = num_perms // bands
-    sig = minhash_signatures(df, text_col, id_col, num_perms, shingle_k)
+    # Shingle sets: computed once, persisted, and feeding BOTH the
+    # signature pipeline and the rescore joins (it previously ran as
+    # two independent tokenize+shingle passes over the corpus).
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            shingles(tokens(F.col(text_col)), shingle_k)
+        ).alias("sh"),
+    ).where(F.size("sh") > 0).persist()
+    hashed = sets.select(
+        "id", F.explode("sh").alias("t")
+    ).select("id", F.xxhash64("t").alias("h"))
+    g = hashed.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"_m{i}")
+            for i in range(num_perms)
+        ]
+    )
+    sig = g.select(
+        "id", F.array(*[f"_m{i}" for i in range(num_perms)]).alias("sig")
+    )
 
     # Band table carries ONLY (id, band, bucket) — three longs per row.
     # Keeping the shingle arrays out of the band explode means the
@@ -169,19 +203,14 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    if candidate_filter is not None:
+        candidates = candidates.where(candidate_filter)
 
     # Rescore: fetch each side's shingle set by id-equi-join (the only
     # joins that touch document-sized payloads, both key→payload
     # lookups, both broadcast-able when the dedup-candidate set is
-    # small relative to the corpus).
-    # Persisted for the same reason as the band table: the shingle sets
-    # feed two id-equi-joins (one per pair side).
-    sets = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(
-            shingles(tokens(F.col(text_col)), shingle_k)
-        ).alias("sh"),
-    ).where(F.size("sh") > 0).persist()
+    # small relative to the corpus).  The persisted `sets` frame above
+    # feeds both id-equi-joins.
     scored = (
         candidates.join(
             sets.select(
@@ -758,7 +787,9 @@ def _connected_components_loop(
                     F.coalesce(F.col("_nbr_min"), F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
-            .localCheckpoint()
+            # lazy (r16): the convergence count below materializes the
+            # checkpoint — one job per round instead of two
+            .localCheckpoint(eager=False)
         )
         changed = (
             merged.where(F.col("cluster_id") < F.col("_prev")).count()
@@ -840,11 +871,13 @@ def _connected_components_star_loop(
         .distinct()
         .localCheckpoint()
     )
+    # no checkpoint (r16): consumed exactly once by the final read-off
+    # join, and its lineage is already one hop off the checkpointed
+    # initial edge table — materializing it was a pure extra job
     nodes = (
         edges.select(F.col("u").alias("id"))
         .unionByName(edges.select(F.col("v").alias("id")))
         .distinct()
-        .localCheckpoint()
     )
 
     def signature(e: DataFrame) -> tuple:
@@ -860,36 +893,42 @@ def _connected_components_star_loop(
         return (row["n"], row["h"])
 
     sig = signature(edges)
+    from pyspark.sql import Window
+
     for _ in range(max_iters):
+        # Both stars are "attach min(N(u) ∪ {u}) to every edge of u" —
+        # ONE window exchange per star (r16; was a groupBy + an
+        # equi-join back, i.e. two exchanges of the edge table per
+        # star, plus an intermediate distinct).  Duplicate rows the
+        # dropped intermediate distinct would have removed cannot
+        # change any min and are collapsed by the final distinct —
+        # the emitted edge SET is identical (guide §2.4).
+        by_u = Window.partitionBy("u")
         # ---- large-star ----------------------------------------------
         sym = edges.unionByName(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        m = sym.groupBy("u").agg(
-            F.least(F.min("v"), F.col("u")).alias("m")
+        lm = sym.withColumn(
+            "m", F.least(F.min("v").over(by_u), F.col("u"))
         )
         large = (
-            sym.join(m, "u")
-            .where(F.col("v") > F.col("u"))
+            lm.where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
-            .distinct()
         )
         # ---- small-star ----------------------------------------------
         oriented = large.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
-        m2 = oriented.groupBy("u").agg(F.min("v").alias("m"))
-        to_min = (
-            oriented.join(m2, "u")
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        )
-        self_to_min = m2.select("u", F.col("m").alias("v"))
+        ow = oriented.withColumn("m", F.min("v").over(by_u))
         new_edges = (
-            to_min.unionByName(self_to_min)
+            ow.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(ow.select("u", F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
+            # lazy: materialization rides the signature job below —
+            # one job per round instead of two
+            .localCheckpoint(eager=False)
         )
         new_sig = signature(new_edges)
         prev_edges = edges

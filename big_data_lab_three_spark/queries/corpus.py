@@ -102,9 +102,17 @@ def _bpe_merge_loop(
             break
         a, b, c = top["a"], top["b"], int(top["c"])
         merges.append((rank, a, b, a + b, c))
+        # LAZY local checkpoint (r16): the merged vocabulary still
+        # truncates its lineage (the plan can never compound across
+        # rounds), but materialization rides round r+1's argmax job
+        # instead of paying a dedicated eager-materialization job —
+        # ONE Spark job per round where the eager form ran two (the
+        # fold-merge projection is computed exactly once either way:
+        # the sort computes every partition, which the lazy
+        # checkpoint's persist captures).  Guide §1.3 fixed costs.
         vocab = vocab.select(
             "tok", "cnt", bpe_merge_expr("syms", a, b).alias("syms")
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         if round_times is not None:
             round_times.append((rank, _time.time() - _t0))
     return merges, vocab
@@ -1904,7 +1912,7 @@ def streaming_admission_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     def admit(batch_df: DataFrame, batch_id: int) -> None:
         if batch_complete(os.path.join(root, "idx_bands"), batch_id):
             return
-        batch_df = batch_df.repartition(16).localCheckpoint()
+        # fan-out + batch re-reads live inside index_admit_batch (r16)
         index_admit_batch(spark, batch_df, root, batch_id, ttl=1)
 
     run_foreachbatch_stream(spark, base.schema, root, admit)
@@ -4504,6 +4512,9 @@ def curation_pipeline_census(
     )
     from big_data_lab_three_spark.queries.text import pii_redact_col
 
+    # NOT persisted (r16 measured): the two consumers below (lmsc,
+    # lmcut) share the scorer's exchanges via Catalyst's ReuseExchange
+    # — an explicit persist changed neither jobs nor wall (A/B 1.02).
     sc = bigram_doc_scores(spark, sf_dir)
     lmsc = sc.select(
         F.col("doc_id").alias("orig_id"),

@@ -408,22 +408,47 @@ def admission_base(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stage_admission_shards(base: DataFrame, root: str, shards) -> None:
     """Land one parquet file per shard under ``root/src`` with mtimes
     forced ascending so the file source drains them in shard order
-    (test scaffolding, not the measured operator)."""
+    (test scaffolding, not the measured operator).
+
+    One partitioned write stages every shard (r16: was one filtered
+    ``coalesce(1)`` write job PER shard — 4 jobs re-scanning ``base``
+    where one suffices).  ``_pk`` duplicates the shard value as the
+    partition key so the data files keep the ``shard`` column the
+    stream schema declares; hash-repartitioning by ``shard`` puts each
+    shard's rows in exactly one task, hence exactly one file per
+    ``_pk=<s>`` directory."""
     import os
     import shutil
 
     src = os.path.join(root, "src")
     os.makedirs(src, exist_ok=True)
+    shards = list(shards)
+    stage = os.path.join(root, "stage_all")
+    (
+        base.where(F.col("shard").isin(shards))
+        .withColumn("_pk", F.col("shard"))
+        .repartition(len(shards), "shard")
+        .write.mode("overwrite")
+        .partitionBy("_pk")
+        .parquet(stage)
+    )
     for s in shards:
-        stage = os.path.join(root, f"stage_{s}")
-        base.where(F.col("shard") == s).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(stage)
-        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        sdir = os.path.join(stage, f"_pk={s}")
         dest = os.path.join(src, f"shard_{s}.parquet")
-        shutil.move(os.path.join(stage, part), dest)
+        if os.path.isdir(sdir):
+            part = [f for f in os.listdir(sdir) if f.endswith(".parquet")][0]
+            shutil.move(os.path.join(sdir, part), dest)
+        else:
+            # a shard with zero rows writes no partition directory —
+            # stage an explicit empty file so the drain still sees a
+            # micro-batch per shard (matches the old per-shard writer)
+            base.where(F.col("shard") == s).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(sdir)
+            part = [f for f in os.listdir(sdir) if f.endswith(".parquet")][0]
+            shutil.move(os.path.join(sdir, part), dest)
         os.utime(dest, (1_000_000 * (s + 1), 1_000_000 * (s + 1)))
-        shutil.rmtree(stage)
+    shutil.rmtree(stage)
 
 
 def admitted_table(spark: SparkSession, root: str) -> DataFrame:
@@ -550,13 +575,21 @@ def index_admit_batch(
 
     idx_bands = os.path.join(root, "idx_bands")
     admitted_dir = os.path.join(root, "admitted")
+    # the signature fan-out (r9 lesson): a one-file micro-batch is ONE
+    # partition, and the md5 × perms × shingles work is the batch's
+    # dominant cost — spread it before the explode.  Centralized here
+    # (r16) instead of a caller-side repartition().localCheckpoint():
+    # the digest projection below is trivial and re-reads the tiny
+    # batch file instead of paying a whole materialization job.
     digs = batch_df.select(
         "id", "shard", F.md5(F.encode("text", "UTF-8")).alias("d")
     )
     # one signature pass per batch: blocked-check AND the index
     # append both reuse the checkpointed band keys
     bands = _portable_band_keys(
-        portable_minhash_signatures(batch_df, id_col="id", num_perms=8)
+        portable_minhash_signatures(
+            batch_df.repartition(16), id_col="id", num_perms=8
+        )
     ).localCheckpoint()
     old_d = read_index_before(
         spark,
@@ -581,11 +614,19 @@ def index_admit_batch(
         .distinct()
     )
     admitted = digs.join(blocked_ids, "id", "left_anti")
-    admitted = admitted.localCheckpoint()
+    # write the admitted sink directly and read the committed partition
+    # back for the band append (r16: was an extra localCheckpoint job
+    # before the write — the write IS the materialization; the
+    # read-back costs a file open, not a job).  Sequencing is
+    # unchanged: admitted lands before idx_bands, whose _SUCCESS
+    # remains the batch-complete marker.
     admitted.select("id", "shard", "d").write.mode("overwrite").parquet(
         batch_partition(admitted_dir, batch_id)
     )
-    bands.join(admitted.select("id"), "id", "left_semi").select(
+    admitted_ids = spark.read.schema("id long, shard long, d string").parquet(
+        batch_partition(admitted_dir, batch_id)
+    ).select("id")
+    bands.join(admitted_ids, "id", "left_semi").select(
         "band", "k"
     ).write.mode("overwrite").parquet(batch_partition(idx_bands, batch_id))
 
@@ -638,11 +679,10 @@ def run_admission_stream(spark: SparkSession, schema, root: str) -> None:
         # skip the recompute entirely, as the docstring promises
         if batch_complete(os.path.join(root, "idx_bands"), batch_id):
             return
-        # a micro-batch arriving as one file is ONE partition — fan the
-        # signature work (md5 × perms × shingles, the batch's dominant
-        # cost) across the executor cores, and checkpoint once so the
-        # digest and signature passes don't each re-read the file
-        batch_df = batch_df.repartition(16).localCheckpoint()
+        # signature fan-out + batch re-reads are handled inside
+        # index_admit_batch (r16): the old repartition(16)
+        # .localCheckpoint() here paid a full materialization job per
+        # batch to save two re-reads of a single tiny parquet file
         index_admit_batch(spark, batch_df, root, batch_id)
 
     run_foreachbatch_stream(spark, schema, root, admit)

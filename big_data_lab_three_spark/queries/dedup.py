@@ -549,27 +549,42 @@ def incremental_admission_frames(spark: SparkSession, sf_dir: str):
         )
     )
     batch.persist()
+
+    def _reps(frame: DataFrame) -> DataFrame:
+        return frame.groupBy(F.md5("text").alias("dig")).agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min("text").alias("text"),
+        )
+
+    # ONE digest exchange serves both gates (r16, guide §2.4): the
+    # corpus representatives keep their digest column, so the exact
+    # gate's distinct-digest set IS creps' key set — the old separate
+    # ``select(md5(text)).distinct()`` shuffled the corpus digests a
+    # second time for the same information.
+    creps = _reps(corpus).persist()
     surv1 = batch.join(
-        corpus.select(F.md5("text").alias("_d")).distinct(),
+        creps.select(F.col("dig").alias("_d")),
         F.md5(batch["text"]) == F.col("_d"),
         "left_anti",
     )
     surv1.persist()
 
-    def _reps(frame: DataFrame) -> DataFrame:
-        return (
-            frame.groupBy(F.md5("text").alias("dig"))
-            .agg(
-                F.min("doc_id").alias("doc_id"),
-                F.min("text").alias("text"),
-            )
-            .drop("dig")
-        )
-
-    breps = _reps(surv1)
-    union = _reps(corpus).unionByName(breps)
+    breps = _reps(surv1).drop("dig")
+    union = creps.drop("dig").unionByName(breps)
+    # Only CROSS-side pairs (corpus id < 5M ≤ batch id) feed the
+    # admission verdict — filtering candidates before the rescore
+    # joins skips exact-Jaccard work on within-side bucket-mates
+    # (r16; the post-hoc ``where`` below is then a no-op kept for
+    # clarity).  Identical output: the filter is the same predicate
+    # ``flagged_dig`` always applied.
     pairs = minhash_lsh_pairs(
-        union, num_perms=32, bands=16, jaccard_threshold=0.7
+        union,
+        num_perms=32,
+        bands=16,
+        jaccard_threshold=0.7,
+        candidate_filter=(
+            (F.col("id_a") < 5000000) & (F.col("id_b") >= 5000000)
+        ),
     )
     flagged_dig = (
         pairs.where(

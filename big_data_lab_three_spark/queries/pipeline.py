@@ -524,10 +524,10 @@ def admit_batch_et(
     # LAST, so its _SUCCESS proves late/admitted/idx_bands too
     if batch_complete(wm_dir, batch_id):
         return
-    # single-file micro-batch = ONE partition; fan out before the
-    # signature work (the r9 lesson), checkpoint once for the
-    # multiple consumers (wm max, late split, admission chain)
-    batch_df = batch_df.repartition(16).localCheckpoint()
+    # signature fan-out happens inside index_admit_batch (r16); the
+    # other consumers here (wm max, late split) are trivial projections
+    # that re-read the single tiny batch file — cheaper than the old
+    # repartition(16).localCheckpoint() materialization job per batch
     wm_row = (
         read_index_before(spark, wm_dir, "mx long", batch_id)
         .agg(F.max("mx"))
