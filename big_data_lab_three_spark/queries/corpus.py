@@ -5618,6 +5618,36 @@ _DHASH_BAND_BITS = 14
 _DHASH_BANDS = 4  # 4 x 14 = 56 dhash bits
 
 
+def _png_gen_partitions(
+    spark: SparkSession, sf_dir: str, target_bytes: int = 4 << 20
+) -> int:
+    """Partition count for the PNG-generation ``mapInPandas`` stage,
+    derived from the INPUT SIZE (guide §2: scale-adaptive, not a
+    constant tuned for either local mode or the cluster): one
+    partition per ``target_bytes`` of the documents table, floor 1.
+
+    Why: ``spark.sql.files.minPartitionNum`` defaults to the cluster
+    parallelism, so a KB-sized local scan splits into 32 micro-tasks
+    of ~50 rows each — every one paying Python-worker + Arrow startup
+    for sub-millisecond of PNG work (the r15 driver measured the
+    32-core run 5× SLOWER than 8-core on exactly this stage).  The
+    value feeds ``coalesce``, which only ever REDUCES partitioning —
+    at 100 TB the scan's own ~128 MB splits already exceed the target
+    and the coalesce is a no-op."""
+    import os
+
+    try:
+        jvm = spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(
+            os.path.join(sf_dir, "documents.parquet")
+        )
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        size = fs.getContentSummary(path).getLength()
+    except Exception:
+        return 16  # unknown FS: a safe mid fan-out, never 1-per-50-rows
+    return max(1, int(size) // target_bytes)
+
+
 def _md5_png_media(ids: DataFrame) -> DataFrame:
     """(id, sk, pj) → MEDIA_SCHEMA rows: an 8×8 grayscale PNG whose 64
     pixels are the concatenated digest bytes of ``md5(f"{sk}:{k}")``
@@ -5732,7 +5762,9 @@ def image_dhash_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-1).cast("long").alias("pj"),
         )
     )
-    media = _md5_png_media(ids)
+    media = _md5_png_media(
+        ids.coalesce(_png_gen_partitions(spark, sf_dir))
+    )
     # exact collapse first: min-id representative per payload digest
     reps = (
         media.select(
@@ -5936,7 +5968,9 @@ def image_phash_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-1).cast("long").alias("pj"),
         )
     )
-    media = _md5_png_media(ids)
+    media = _md5_png_media(
+        ids.coalesce(_png_gen_partitions(spark, sf_dir))
+    )
     reps = (
         media.select(
             F.col("media_id").alias("id"),
