@@ -1097,18 +1097,23 @@ def kcore_peel_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = sym.localCheckpoint()
     rows: list[tuple] = []
     for r in range(1, _KCORE_ROUNDS + 1):
+        # lazy checkpoints (r16): the census counts below materialize
+        # them — keep.count() runs the degree rollup, sym.count() the
+        # two semi-joins — 2 jobs per round where the eager form ran 4
+        # (each checkpoint job + each count).  Lineage truncation per
+        # round is unchanged.
         keep = (
             sym.groupBy("src")
             .agg(F.count(F.lit(1)).alias("dg"))
             .where(F.col("dg") >= _KCORE_K)
             .select("src")
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         sym = (
             sym.join(keep, "src", "left_semi")
             .join(
                 keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         rows.append((r, keep.count(), sym.count() // 2))
     return spark.createDataFrame(
@@ -2296,6 +2301,11 @@ def _lloyd_state(spark: SparkSession, sf_dir: str):
     )
 
     def assign(cent: DataFrame) -> DataFrame:
+        # NOTE (r16 measured): an explicit 64-term codegen'd sum chain
+        # was TRIED here and is ~1.7x SLOWER than these higher-order
+        # folds on this data (192-term trees compile to worse code
+        # than the interpreted primitive-array fold loop) — keep the
+        # folds; do not "optimize" them back into chains.
         n = F.col("n").cast("double")
         dot = F.aggregate(
             F.zip_with(
@@ -2360,11 +2370,14 @@ def _lloyd_state(spark: SparkSession, sf_dir: str):
             ).alias("s"),
         )
 
-    cent = cents.localCheckpoint()
+    # lazy checkpoints (r16): each round's centroid table still
+    # truncates the logical plan, but materialization rides the next
+    # round's broadcast build instead of a dedicated job per round
+    cent = cents.localCheckpoint(eager=False)
     for r in range(1, _KM_ROUNDS + 1):
         asg = assign(cent)
         if r < _KM_ROUNDS:
-            cent = update(asg).localCheckpoint()
+            cent = update(asg).localCheckpoint(eager=False)
     return ve, asg, cent
 
 
